@@ -1,0 +1,144 @@
+"""Index reader: typed access to the index tables + block decoding.
+
+The decode path is the analog of Lucene's postings enumeration: block rows
+for the query's terms are scanned (Parquet predicate pushdown prunes by the
+``term`` column — blocks are written term-sorted so row-group min/max stats
+make this effective), then unpacked in an Arrow-batched ``mapInPandas``
+into (term, doc_id, tf, norm_byte[, positions]) rows for scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import cached_property
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opensearch_spark.analysis import analyzer as ana
+from opensearch_spark.index import codec
+from opensearch_spark.index.builder import _paths
+
+
+class InvertedIndex:
+    """Handle to an index directory produced by ``build_index``."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.paths = _paths(index_dir)
+
+    @cached_property
+    def plan(self) -> Dict:
+        with open(self.paths["plan"]) as f:
+            return json.load(f)
+
+    @cached_property
+    def stats(self) -> Dict:
+        with open(self.paths["stats"]) as f:
+            return json.load(f)
+
+    @cached_property
+    def stopwords(self):
+        return ana.resolve_stopwords(self.plan["stopwords"])
+
+    # ---- raw tables ----
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths["postings"])
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths["docmap"])
+
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths["dictionary"])
+
+    # ---- query-side helpers ----
+
+    def analyze(self, text: str) -> List[str]:
+        """Analyze query text with the index's analyzer config (the query
+        and index sides must share the analyzer — MatchQuery semantics)."""
+        return ana.tokenize(text, self.stopwords)
+
+    def term_stats(self, terms: Sequence[str]) -> pd.DataFrame:
+        """df/total_tf for the given terms (tiny: collected to the driver,
+        then broadcast into the scoring plan — the DFS phase analog)."""
+        if not terms:
+            return pd.DataFrame({"term": [], "df": [], "total_tf": []})
+        rows = (
+            self.dictionary()
+            .filter(F.col("term").isin(list(set(terms))))
+            .select("term", "df", "total_tf")
+            .collect()
+        )
+        return pd.DataFrame(
+            {
+                "term": [r["term"] for r in rows],
+                "df": [r["df"] for r in rows],
+                "total_tf": [r["total_tf"] for r in rows],
+            }
+        )
+
+    def postings_for_terms(
+        self, terms: Sequence[str], with_positions: bool = False
+    ) -> DataFrame:
+        """Decode posting blocks for ``terms`` -> DataFrame
+        (term, _docid, tf, norm_byte[, positions array]).
+
+        The ``term isin`` filter is pushed down into the Parquet scan of
+        the block table; only matching blocks are decoded.
+        """
+        terms = sorted(set(terms))
+        if not terms:
+            return self._empty_postings(with_positions)
+        cols = ["term", "base_doc", "n_docs", "docs_bin", "tfs_bin", "norms_bin"]
+        if with_positions:
+            cols.append("pos_bin")
+        blocks = self.postings().filter(F.col("term").isin(terms)).select(*cols)
+
+        fields = [
+            T.StructField("term", T.StringType()),
+            T.StructField("_docid", T.LongType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("norm_byte", T.IntegerType()),
+        ]
+        if with_positions:
+            fields.append(T.StructField("positions", T.ArrayType(T.LongType())))
+        schema = T.StructType(fields)
+
+        def decode(batches):
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    docs = codec.unpack_doc_deltas(row.docs_bin, row.base_doc)
+                    tfs = codec.varint_decode(row.tfs_bin).astype(np.int64)
+                    norms = np.frombuffer(row.norms_bin, dtype=np.uint8)
+                    d = {
+                        "term": np.repeat(row.term, docs.size),
+                        "_docid": docs,
+                        "tf": tfs.astype(np.int32),
+                        "norm_byte": norms.astype(np.int32),
+                    }
+                    out = pd.DataFrame(d)
+                    if with_positions:
+                        pos = codec.unpack_positions(row.pos_bin, tfs)
+                        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                        out["positions"] = [
+                            pos[s : s + c] for s, c in zip(starts, tfs)
+                        ]
+                    outs.append(out)
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return blocks.mapInPandas(decode, schema=schema)
+
+    def _empty_postings(self, with_positions: bool) -> DataFrame:
+        fields = "term string, _docid long, tf int, norm_byte int"
+        if with_positions:
+            fields += ", positions array<long>"
+        return self.spark.createDataFrame([], fields)

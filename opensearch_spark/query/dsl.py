@@ -1,0 +1,319 @@
+"""Query DSL — a typed mirror of the reference's JSON Query DSL subset.
+
+Each node corresponds to a registered query in the reference's
+``search/SearchModule.java:1081-1165`` registry; semantics cited per class
+(SURVEY.md §2.2).  Nodes are plain dataclasses; compilation to DataFrame
+plans lives in ``opensearch_spark.query.executor``.
+
+``from_dict`` parses the JSON-ish dict form (the Query DSL shape), so specs
+like ``{"bool": {"must": [{"match": {"text": "error handling"}}]}}`` work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+Query = Union[
+    "Match",
+    "MatchPhrase",
+    "MatchAll",
+    "MatchNone",
+    "Term",
+    "Terms",
+    "TermsSet",
+    "Range",
+    "Exists",
+    "Ids",
+    "Prefix",
+    "Wildcard",
+    "Regexp",
+    "Fuzzy",
+    "Bool",
+    "ConstantScore",
+    "DisMax",
+    "Boosting",
+]
+
+
+@dataclasses.dataclass
+class Match:
+    """Full-text match (``index/query/MatchQueryBuilder.java:59,85,88``):
+    analyze the query text with the field analyzer, OR (default) or AND the
+    per-term scoring clauses; duplicate tokens become duplicate clauses
+    (scores add).  ``minimum_should_match`` counts clauses."""
+
+    field: str
+    query: str
+    operator: str = "or"  # MatchQueryBuilder default operator OR
+    minimum_should_match: Optional[int] = None
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class MatchPhrase:
+    """Exact consecutive positions, slop=0 default
+    (``MatchPhraseQueryBuilder.java``, ``MatchQuery.java:332``); scored as
+    one clause whose idf is the sum of per-term idfs and whose tf is the
+    phrase frequency (Lucene PhraseQuery semantics)."""
+
+    field: str
+    query: str
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class MatchAll:
+    """All docs, score 1.0 (``MatchAllQueryBuilder.java``)."""
+
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class MatchNone:
+    """No docs (``MatchNoneQueryBuilder.java``)."""
+
+
+@dataclasses.dataclass
+class Term:
+    """Exact term, NO analysis of the input (``TermQueryBuilder.java``;
+    keyword-analyzer short-circuit ``MatchQuery.java:303-310``).  On the
+    indexed text field this is a single-token BM25 scorer; on any other
+    column it is an exact-equality match scored 1.0."""
+
+    field: str
+    value: Any
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Terms:
+    """OR over exact terms (``TermsQueryBuilder.java``); constant score 1.0
+    like the reference's constant-score rewrite of terms queries."""
+
+    field: str
+    values: Sequence[Any]
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class TermsSet:
+    """Terms with per-doc dynamic minimum-should-match
+    (``TermsSetQueryBuilder.java``): doc matches when it contains at least
+    ``minimum_should_match_field``'s value many of the terms."""
+
+    field: str
+    values: Sequence[str]
+    minimum_should_match_field: str
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Range:
+    """Range on any column, gt/gte/lt/lte (``RangeQueryBuilder.java``)."""
+
+    field: str
+    gt: Any = None
+    gte: Any = None
+    lt: Any = None
+    lte: Any = None
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Exists:
+    """Field has a non-null value (``ExistsQueryBuilder.java``)."""
+
+    field: str
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Ids:
+    """Docs by id tuples over the index id columns (``IdsQueryBuilder.java``)."""
+
+    values: Sequence[Tuple]
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Prefix:
+    """Term-dictionary prefix expansion, constant-score rewrite
+    (``PrefixQueryBuilder.java``)."""
+
+    field: str
+    value: str
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Wildcard:
+    """``*``/``?`` wildcard over the term dictionary, constant-score rewrite
+    (``WildcardQueryBuilder.java``)."""
+
+    field: str
+    value: str
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Regexp:
+    """Anchored regex over the term dictionary, constant-score rewrite
+    (``RegexpQueryBuilder.java``)."""
+
+    field: str
+    value: str
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Fuzzy:
+    """Terms within Levenshtein distance, AUTO fuzziness from length
+    (<3: 0, 3-5: 1, else 2), prefix_length 0, max_expansions 50
+    (``FuzzyQueryBuilder.java``; defaults ``MatchQueryBuilder.java:100-104``).
+    Deviation noted: expansions are scored as an OR of per-term BM25
+    scorers (the reference blends df across expanded terms)."""
+
+    field: str
+    value: str
+    fuzziness: Optional[int] = None  # None = AUTO
+    prefix_length: int = 0
+    max_expansions: int = 50
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Bool:
+    """Boolean composition (``BoolQueryBuilder.java:66-74``): ``must`` AND +
+    scores, ``filter`` AND no score, ``should`` OR + scores with
+    ``minimum_should_match`` defaulting to 1 when there is no must/filter
+    else 0, ``must_not`` NOT no score.  Score = sum of matching scoring
+    clauses."""
+
+    must: Sequence[Query] = ()
+    filter: Sequence[Query] = ()
+    should: Sequence[Query] = ()
+    must_not: Sequence[Query] = ()
+    minimum_should_match: Optional[int] = None
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class ConstantScore:
+    """Wrap a filter, fixed score = boost (``ConstantScoreQueryBuilder.java``)."""
+
+    filter: Query
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class DisMax:
+    """Union of subqueries; score = best + tie_breaker * sum(others)
+    (``DisMaxQueryBuilder.java``)."""
+
+    queries: Sequence[Query]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class Boosting:
+    """Positive query demoted by ``negative_boost`` when the negative query
+    also matches (``BoostingQueryBuilder.java``)."""
+
+    positive: Query
+    negative: Query
+    negative_boost: float = 0.5
+
+
+def from_dict(spec: Dict[str, Any]) -> Query:
+    """Parse the JSON Query-DSL dict shape into typed nodes."""
+    if len(spec) != 1:
+        raise ValueError(f"query object must have exactly one key: {spec}")
+    kind, body = next(iter(spec.items()))
+    if kind == "match":
+        field, v = next(iter(body.items()))
+        if isinstance(v, dict):
+            return Match(
+                field,
+                v["query"],
+                operator=v.get("operator", "or").lower(),
+                minimum_should_match=v.get("minimum_should_match"),
+                boost=v.get("boost", 1.0),
+            )
+        return Match(field, v)
+    if kind == "match_phrase":
+        field, v = next(iter(body.items()))
+        if isinstance(v, dict):
+            return MatchPhrase(field, v["query"], slop=v.get("slop", 0))
+        return MatchPhrase(field, v)
+    if kind == "match_all":
+        return MatchAll(boost=body.get("boost", 1.0) if body else 1.0)
+    if kind == "match_none":
+        return MatchNone()
+    if kind == "term":
+        field, v = next(iter(body.items()))
+        if isinstance(v, dict):
+            return Term(field, v["value"], boost=v.get("boost", 1.0))
+        return Term(field, v)
+    if kind == "terms":
+        field, vals = next(iter(body.items()))
+        return Terms(field, vals)
+    if kind == "range":
+        field, v = next(iter(body.items()))
+        return Range(
+            field,
+            gt=v.get("gt"),
+            gte=v.get("gte"),
+            lt=v.get("lt"),
+            lte=v.get("lte"),
+        )
+    if kind == "exists":
+        return Exists(body["field"])
+    if kind == "ids":
+        return Ids([tuple(v) if isinstance(v, (list, tuple)) else (v,) for v in body["values"]])
+    if kind == "prefix":
+        field, v = next(iter(body.items()))
+        return Prefix(field, v if isinstance(v, str) else v["value"])
+    if kind == "wildcard":
+        field, v = next(iter(body.items()))
+        return Wildcard(field, v if isinstance(v, str) else v["value"])
+    if kind == "regexp":
+        field, v = next(iter(body.items()))
+        return Regexp(field, v if isinstance(v, str) else v["value"])
+    if kind == "fuzzy":
+        field, v = next(iter(body.items()))
+        if isinstance(v, dict):
+            return Fuzzy(field, v["value"], fuzziness=v.get("fuzziness"))
+        return Fuzzy(field, v)
+    if kind == "bool":
+        return Bool(
+            must=[from_dict(q) for q in _aslist(body.get("must"))],
+            filter=[from_dict(q) for q in _aslist(body.get("filter"))],
+            should=[from_dict(q) for q in _aslist(body.get("should"))],
+            must_not=[from_dict(q) for q in _aslist(body.get("must_not"))],
+            minimum_should_match=body.get("minimum_should_match"),
+        )
+    if kind == "constant_score":
+        return ConstantScore(from_dict(body["filter"]), boost=body.get("boost", 1.0))
+    if kind == "dis_max":
+        return DisMax(
+            [from_dict(q) for q in body["queries"]],
+            tie_breaker=body.get("tie_breaker", 0.0),
+        )
+    if kind == "boosting":
+        return Boosting(
+            from_dict(body["positive"]),
+            from_dict(body["negative"]),
+            negative_boost=body.get("negative_boost", 0.5),
+        )
+    raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _aslist(x) -> List:
+    if x is None:
+        return []
+    if isinstance(x, dict):
+        return [x]
+    return list(x)

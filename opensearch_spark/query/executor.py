@@ -1,0 +1,521 @@
+"""Compile DSL queries to DataFrame plans and run top-k retrieval.
+
+Query lifecycle (the Spark mapping of SURVEY.md §3.1):
+
+  parse (dsl.from_dict) -> analyze query text (same analyzer as the index)
+  -> plan: decode postings for the query's terms (Parquet term-pushdown
+  scan), broadcast the tiny per-term stats (the DFS/global-stats phase),
+  score per (term, doc) with JVM-side BM25 expressions, group by docID
+  (the one scoring shuffle — the per-shard/coordinator partial top-k
+  split), apply boolean semantics, then distributed top-k
+  (TakeOrderedAndProject) and fetch (broadcast join of the k winners back
+  to the docmap — the fetch phase of ``search/fetch/FetchPhase.java:109-143``).
+
+Determinism: final order is (score DESC, id_cols ASC) — the explicit
+tie-break the reference gets from shard-internal docIDs
+(``action/search/SearchPhaseController.java:222-241``; SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from collections import Counter
+from functools import reduce
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opensearch_spark.index.reader import InvertedIndex
+from opensearch_spark.query import bm25
+from opensearch_spark.query import dsl as Q
+
+MAX_TERM_EXPANSIONS = 10_000  # safety cap for multi-term dictionary expansion
+
+
+class SearchEngine:
+    def __init__(self, index: InvertedIndex, k1: float = bm25.K1, b: float = bm25.B):
+        self.index = index
+        self.spark = index.spark
+        self.k1 = k1
+        self.b = b
+        self.text_col = index.plan["text_col"]
+        self.id_cols: List[str] = list(index.plan["id_cols"])
+
+    # ------------------------------------------------------------------ api
+
+    def search(
+        self,
+        query,
+        size: int = 10,
+        from_: int = 0,
+        source_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Top-k retrieval: DataFrame of id_cols + score (float64), ordered
+        (score desc, id_cols asc). Default size 10 / from 0 mirrors
+        ``SearchSourceBuilder.java:168-170``."""
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        scored = self._score(q)
+        fetch_cols = list(source_cols) if source_cols else self.id_cols
+        fetch_cols = [c for c in dict.fromkeys(self.id_cols + list(fetch_cols))]
+        order = [F.desc("score")] + [F.asc(c) for c in self.id_cols]
+        # tie-break needs the id columns: join a column-pruned projection of
+        # the docmap before the distributed top-k (TakeOrderedAndProject)
+        dm_ids = self.index.docmap().select("_docid", *self.id_cols)
+        topk = (
+            scored.join(dm_ids, "_docid")
+            .orderBy(*order)
+            .limit(from_ + size)
+            .offset(from_)
+        )
+        extra = [c for c in fetch_cols if c not in self.id_cols]
+        if extra:
+            # fetch phase: the k winners are tiny -> broadcast them into the
+            # docmap join so the stored-fields lookup is a map-side join
+            dm = self.index.docmap().select("_docid", *extra)
+            topk = dm.join(F.broadcast(topk), "_docid")
+        return topk.select(*fetch_cols, "score").orderBy(*order)
+
+    def count(self, query) -> int:
+        """_count entry point: exact hit count (superset of the reference's
+        track_total_hits=10000 default, SURVEY.md §2.6)."""
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        return self._score(q).count()
+
+    # -------------------------------------------------------- scoring tree
+
+    def _score(self, q) -> DataFrame:
+        """DataFrame (_docid long, score double) of matching docs."""
+        if isinstance(q, Q.Match):
+            return self._score_match(q)
+        if isinstance(q, Q.MatchPhrase):
+            return self._score_phrase(q)
+        if isinstance(q, Q.MatchAll):
+            return self._all_docs(q.boost)
+        if isinstance(q, Q.MatchNone):
+            return self._empty_scored()
+        if isinstance(q, Q.Term):
+            if q.field == self.text_col:
+                return self._score_terms_or({str(q.value): 1}, required=1, boost=q.boost)
+            pred = self._predicate(q)
+            return self._pred_docset(pred, q.boost)
+        if isinstance(q, Q.Terms):
+            if q.field == self.text_col:
+                ds = self._docset_text_terms([str(v) for v in q.values])
+                return ds.withColumn("score", F.lit(float(q.boost)))
+            return self._pred_docset(self._predicate(q), q.boost)
+        if isinstance(q, Q.TermsSet):
+            return self._score_terms_set(q)
+        if isinstance(q, (Q.Range, Q.Exists, Q.Ids)):
+            return self._pred_docset(self._predicate(q), q.boost)
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp)):
+            terms = self._expand_terms(q)
+            if q.field != self.text_col:
+                return self._pred_docset(self._predicate(q), q.boost)
+            ds = self._docset_text_terms(terms)
+            return ds.withColumn("score", F.lit(float(q.boost)))
+        if isinstance(q, Q.Fuzzy):
+            return self._score_fuzzy(q)
+        if isinstance(q, Q.Bool):
+            return self._score_bool(q)
+        if isinstance(q, Q.ConstantScore):
+            ds = self._docset(q.filter)
+            return ds.withColumn("score", F.lit(float(q.boost)))
+        if isinstance(q, Q.DisMax):
+            return self._score_dismax(q)
+        if isinstance(q, Q.Boosting):
+            return self._score_boosting(q)
+        raise TypeError(f"unsupported query node: {type(q).__name__}")
+
+    # ---- leaf scorers ----
+
+    def _score_match(self, m: Q.Match) -> DataFrame:
+        if m.field != self.text_col:
+            raise ValueError(
+                f"match targets the indexed text field {self.text_col!r}, got {m.field!r}"
+            )
+        tokens = self.index.analyze(m.query)
+        if not tokens:
+            # zero_terms_query = NONE default (MatchQuery.java:381-390)
+            return self._empty_scored()
+        weights = dict(Counter(tokens))
+        n_clauses = len(tokens)
+        if m.operator == "and":
+            required = n_clauses
+        else:
+            required = m.minimum_should_match or 1
+        return self._score_terms_or(weights, required=required, boost=m.boost)
+
+    def _score_terms_or(
+        self, weights: dict, required: int, boost: float = 1.0
+    ) -> DataFrame:
+        """OR/AND/minimum_should_match over weighted term scoring clauses
+        (MatchQuery.java:182,321; Operator.java:53-58)."""
+        stats = self.index.term_stats(list(weights))
+        if stats.empty:
+            return self._empty_scored()
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        rows = [
+            (t, float(bm25.idf(int(df_), N)), int(weights[t]))
+            for t, df_ in zip(stats["term"], stats["df"])
+        ]
+        stats_df = self.spark.createDataFrame(
+            rows, "term string, idf double, weight int"
+        )
+        post = self.index.postings_for_terms([r[0] for r in rows])
+        per = (
+            post.join(F.broadcast(stats_df), "term")
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("tf"), F.col("idf"), F.col("dl"), avgdl, self.k1, self.b
+                ),
+            )
+        )
+        grouped = per.groupBy("_docid").agg(
+            F.sum(F.col("s").cast("double") * F.col("weight")).alias("score"),
+            F.sum("weight").alias("matched_clauses"),
+        )
+        out = grouped.filter(F.col("matched_clauses") >= F.lit(int(required)))
+        return out.select(
+            "_docid", (F.col("score") * F.lit(float(boost))).alias("score")
+        )
+
+    def _score_phrase(self, p: Q.MatchPhrase) -> DataFrame:
+        if p.slop != 0:
+            raise NotImplementedError("match_phrase slop > 0 not implemented yet")
+        tokens = self.index.analyze(p.query)
+        if not tokens:
+            return self._empty_scored()
+        if len(tokens) == 1:
+            return self._score_terms_or({tokens[0]: 1}, required=1, boost=p.boost)
+        qpos_by_term: dict = {}
+        for i, t in enumerate(tokens):
+            qpos_by_term.setdefault(t, []).append(i)
+        uniq = sorted(qpos_by_term)
+        stats = self.index.term_stats(uniq)
+        if len(stats) < len(uniq):
+            return self._empty_scored()  # some phrase term absent from corpus
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        idf_sum = float(sum(bm25.idf(int(d), N) for d in stats["df"]))
+
+        post = self.index.postings_for_terms(uniq, with_positions=True)
+        agg = (
+            post.groupBy("_docid")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("tp"),
+                F.min("norm_byte").alias("norm_byte"),
+                F.count("term").alias("nt"),
+            )
+            .filter(F.col("nt") == F.lit(len(uniq)))
+        )
+
+        qmap = {t: np.asarray(ps, dtype=np.int64) for t, ps in qpos_by_term.items()}
+
+        @F.pandas_udf(T.IntegerType())
+        def phrase_tf(tp: pd.Series) -> pd.Series:
+            def one(entries) -> int:
+                pos = {}
+                for e in entries:
+                    if isinstance(e, dict):
+                        pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
+                    else:  # Row-like
+                        pos[e[0]] = np.asarray(e[1], dtype=np.int64)
+                # candidate phrase starts: positions of the first query token
+                first_t = None
+                for t, qps in qmap.items():
+                    if 0 in qps:
+                        first_t = t
+                        break
+                starts = pos[first_t]
+                ok = np.ones(starts.shape, dtype=bool)
+                for t, qps in qmap.items():
+                    pset = pos[t]
+                    for qp in qps:
+                        ok &= np.isin(starts + qp, pset)
+                return int(ok.sum())
+
+            return tp.map(one).astype("int32")
+
+        scored = (
+            agg.withColumn("ptf", phrase_tf(F.col("tp")))
+            .filter(F.col("ptf") > 0)
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("ptf"), F.lit(idf_sum), F.col("dl"), avgdl, self.k1, self.b
+                ),
+            )
+        )
+        return scored.select(
+            "_docid", (F.col("s").cast("double") * F.lit(float(p.boost))).alias("score")
+        )
+
+    def _score_fuzzy(self, q: Q.Fuzzy) -> DataFrame:
+        if q.field != self.text_col:
+            raise ValueError("fuzzy supported on the indexed text field only")
+        v = q.value
+        d = q.fuzziness
+        if d is None:  # AUTO (MatchQueryBuilder.java:100-104)
+            d = 0 if len(v) < 3 else (1 if len(v) <= 5 else 2)
+        cond = F.levenshtein(F.col("term"), F.lit(v)) <= F.lit(int(d))
+        if q.prefix_length:
+            cond = cond & F.col("term").startswith(v[: q.prefix_length])
+        rows = (
+            self.index.dictionary()
+            .filter(cond)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(q.max_expansions)
+            .collect()
+        )
+        if not rows:
+            return self._empty_scored()
+        weights = {r["term"]: 1 for r in rows}
+        return self._score_terms_or(weights, required=1, boost=q.boost)
+
+    def _score_terms_set(self, q: Q.TermsSet) -> DataFrame:
+        if q.field != self.text_col:
+            raise ValueError("terms_set supported on the indexed text field only")
+        post = self.index.postings_for_terms([str(v) for v in q.values])
+        per_doc = post.groupBy("_docid").agg(
+            F.countDistinct("term").alias("n_matched")
+        )
+        dm = self.index.docmap().select(
+            "_docid", F.col(q.minimum_should_match_field).alias("_req")
+        )
+        return (
+            per_doc.join(dm, "_docid")
+            .filter(F.col("n_matched") >= F.col("_req"))
+            .select("_docid", F.lit(float(q.boost)).alias("score"))
+        )
+
+    # ---- compound scorers ----
+
+    def _score_bool(self, b: Q.Bool) -> DataFrame:
+        has_scoring = bool(b.must or b.should)
+        msm = b.minimum_should_match
+        if msm is None:
+            msm = 1 if (b.should and not b.must and not b.filter) else 0
+
+        if has_scoring:
+            parts = []
+            for i, sub in enumerate(b.must):
+                parts.append(
+                    self._score(sub)
+                    .withColumn("cid", F.lit(i))
+                    .withColumn("kind", F.lit("m"))
+                )
+            for j, sub in enumerate(b.should):
+                parts.append(
+                    self._score(sub)
+                    .withColumn("cid", F.lit(j))
+                    .withColumn("kind", F.lit("s"))
+                )
+            unioned = reduce(DataFrame.unionByName, parts)
+            grouped = unioned.groupBy("_docid").agg(
+                F.sum("score").alias("score"),
+                F.count_distinct(
+                    F.when(F.col("kind") == "m", F.col("cid"))
+                ).alias("n_must"),
+                F.count_distinct(
+                    F.when(F.col("kind") == "s", F.col("cid"))
+                ).alias("n_should"),
+            )
+            cond = F.col("n_must") == F.lit(len(b.must))
+            if b.should and msm > 0:
+                cond = cond & (F.col("n_should") >= F.lit(int(msm)))
+            scored = grouped.filter(cond).select("_docid", "score")
+        else:
+            # filter/must_not only: all (filtered) docs, score 0
+            # (adjust_pure_negative base, BoolQueryBuilder.java:85)
+            scored = self._all_docs(0.0)
+
+        # filter context: combine columnar predicates into ONE docmap scan
+        preds, docset_clauses = [], []
+        for sub in b.filter:
+            pr = self._predicate(sub)
+            if pr is not None:
+                preds.append(pr)
+            else:
+                docset_clauses.append(sub)
+        if preds:
+            combined = reduce(lambda a, c: a & c, preds)
+            ds = (
+                self.index.docmap()
+                .filter(_null_safe(combined))
+                .select("_docid")
+            )
+            scored = scored.join(ds, "_docid", "semi")
+        for sub in docset_clauses:
+            scored = scored.join(self._docset(sub), "_docid", "semi")
+
+        neg_preds, neg_sets = [], []
+        for sub in b.must_not:
+            pr = self._predicate(sub)
+            if pr is not None:
+                neg_preds.append(pr)
+            else:
+                neg_sets.append(sub)
+        if neg_preds:
+            combined = reduce(lambda a, c: a | c, [_null_safe(p) for p in neg_preds])
+            ds = self.index.docmap().filter(combined).select("_docid")
+            scored = scored.join(ds, "_docid", "anti")
+        for sub in neg_sets:
+            scored = scored.join(self._docset(sub), "_docid", "anti")
+
+        if b.boost != 1.0:
+            scored = scored.withColumn("score", F.col("score") * F.lit(float(b.boost)))
+        return scored
+
+    def _score_dismax(self, q: Q.DisMax) -> DataFrame:
+        parts = [
+            self._score(sub).withColumn("cid", F.lit(i))
+            for i, sub in enumerate(q.queries)
+        ]
+        unioned = reduce(DataFrame.unionByName, parts)
+        grouped = unioned.groupBy("_docid").agg(
+            F.max("score").alias("best"), F.sum("score").alias("total")
+        )
+        score = F.col("best") + F.lit(float(q.tie_breaker)) * (
+            F.col("total") - F.col("best")
+        )
+        return grouped.select(
+            "_docid", (score * F.lit(float(q.boost))).alias("score")
+        )
+
+    def _score_boosting(self, q: Q.Boosting) -> DataFrame:
+        pos = self._score(q.positive)
+        neg = self._docset(q.negative).withColumn("_neg", F.lit(1))
+        joined = pos.join(neg, "_docid", "left")
+        score = F.when(
+            F.col("_neg").isNotNull(),
+            F.col("score") * F.lit(float(q.negative_boost)),
+        ).otherwise(F.col("score"))
+        return joined.select("_docid", score.alias("score"))
+
+    # ------------------------------------------------- filter-context plans
+
+    def _predicate(self, q) -> Optional[Column]:
+        """Columnar docmap predicate for filter-context clauses (Catalyst
+        pushes these into the parquet scan), or None if the clause needs a
+        postings docset."""
+        if isinstance(q, Q.Term) and q.field != self.text_col:
+            return F.col(q.field) == F.lit(q.value)
+        if isinstance(q, Q.Terms) and q.field != self.text_col:
+            return F.col(q.field).isin(list(q.values))
+        if isinstance(q, Q.Range):
+            c = F.col(q.field)
+            conds = []
+            if q.gt is not None:
+                conds.append(c > F.lit(q.gt))
+            if q.gte is not None:
+                conds.append(c >= F.lit(q.gte))
+            if q.lt is not None:
+                conds.append(c < F.lit(q.lt))
+            if q.lte is not None:
+                conds.append(c <= F.lit(q.lte))
+            if not conds:
+                return F.lit(True)
+            return reduce(lambda a, b_: a & b_, conds)
+        if isinstance(q, Q.Exists):
+            return F.col(q.field).isNotNull()
+        if isinstance(q, Q.Ids):
+            conds = []
+            for tup in q.values:
+                eq = [
+                    F.col(c) == F.lit(v) for c, v in zip(self.id_cols, tup)
+                ]
+                conds.append(reduce(lambda a, b_: a & b_, eq))
+            return reduce(lambda a, b_: a | b_, conds) if conds else F.lit(False)
+        if isinstance(q, Q.MatchAll):
+            return F.lit(True)
+        if isinstance(q, Q.MatchNone):
+            return F.lit(False)
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp)) and q.field != self.text_col:
+            c = F.col(q.field)
+            if isinstance(q, Q.Prefix):
+                return c.startswith(q.value)
+            if isinstance(q, Q.Wildcard):
+                return c.like(_wildcard_to_like(q.value))
+            return c.rlike(f"^(?:{q.value})$")
+        if isinstance(q, Q.Bool) and not q.should:
+            subs = [self._predicate(s) for s in list(q.must) + list(q.filter)]
+            negs = [self._predicate(s) for s in q.must_not]
+            if all(p is not None for p in subs + negs):
+                pred = F.lit(True)
+                for p in subs:
+                    pred = pred & p
+                for p in negs:
+                    pred = pred & ~_null_safe(p)
+                return pred
+        return None
+
+    def _docset(self, q) -> DataFrame:
+        """DataFrame (_docid) of docs matching q, in filter context."""
+        pred = self._predicate(q)
+        if pred is not None:
+            return self.index.docmap().filter(_null_safe(pred)).select("_docid")
+        return self._score(q).select("_docid")
+
+    def _docset_text_terms(self, terms: Sequence[str]) -> DataFrame:
+        post = self.index.postings_for_terms(list(terms))
+        return post.select("_docid").distinct()
+
+    def _expand_terms(self, q) -> List[str]:
+        """Multi-term query: expand against the term dictionary
+        (constant-score rewrite, SURVEY.md §2.2)."""
+        d = self.index.dictionary()
+        if isinstance(q, Q.Prefix):
+            cond = F.col("term").startswith(q.value)
+        elif isinstance(q, Q.Wildcard):
+            cond = F.col("term").like(_wildcard_to_like(q.value))
+        elif isinstance(q, Q.Regexp):
+            cond = F.col("term").rlike(f"^(?:{q.value})$")
+        else:
+            raise TypeError(type(q))
+        rows = d.filter(cond).select("term").limit(MAX_TERM_EXPANSIONS).collect()
+        return [r["term"] for r in rows]
+
+    # ------------------------------------------------------------- helpers
+
+    def _all_docs(self, score: float) -> DataFrame:
+        return self.index.docmap().select(
+            "_docid", F.lit(float(score)).alias("score")
+        )
+
+    def _empty_scored(self) -> DataFrame:
+        return self.spark.createDataFrame([], "_docid long, score double")
+
+    def _pred_docset(self, pred: Column, boost: float) -> DataFrame:
+        return (
+            self.index.docmap()
+            .filter(_null_safe(pred))
+            .select("_docid", F.lit(float(boost)).alias("score"))
+        )
+
+
+def _null_safe(pred: Column) -> Column:
+    """SQL three-valued logic -> the reference's match/no-match semantics:
+    a doc with a null field simply does not match."""
+    return F.coalesce(pred, F.lit(False))
+
+
+def _wildcard_to_like(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
