@@ -1,0 +1,72 @@
+"""Analyzer conformance fixtures (_analyze-style, FIXTURES.md §2).
+
+Reference semantics: StandardAnalyzer = UAX#29 word break + lowercase +
+empty default stop set, max_token_length 255
+(StandardAnalyzerProvider.java:50-57).  The foo.bar case was left open in
+FIXTURES.md and is resolved per the UAX#29 spec: FULL STOP is MidNumLet,
+which joins letters (WB6/WB7), so "foo.bar" is ONE token.
+"""
+
+import pytest
+
+from opensearch_spark.analysis.analyzer import (
+    ENGLISH_STOP_WORDS,
+    tokenize,
+    tokenize_with_positions,
+)
+
+CASES = [
+    # (text, expected tokens) — default config: no stopwords
+    ("The 2 QUICK Brown-Foxes jumped over the lazy dog's bone.",
+     ["the", "2", "quick", "brown", "foxes", "jumped", "over", "the", "lazy", "dog's", "bone"]),
+    ("foo.bar baz,qux", ["foo.bar", "baz", "qux"]),
+    ("can't", ["can't"]),
+    ("state-of-the-art", ["state", "of", "the", "art"]),
+    ("snake_case", ["snake_case"]),
+    ("x86_64", ["x86_64"]),
+    ("3.14", ["3.14"]),
+    ("192.168.0.1", ["192.168.0.1"]),
+    ("Café", ["café"]),
+    ("東京", ["東", "京"]),  # Han: one token per char
+    ("タワー", ["タワー"]),  # Katakana: run kept whole
+    ("404 errors", ["404", "errors"]),
+    ("a..b", ["a", "b"]),  # double joiner breaks (WB6 needs letter on both sides)
+    ("'quoted'", ["quoted"]),  # leading/trailing joiners don't attach
+    ("___", []),
+    ("", []),
+    ("   \t\n", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", CASES, ids=[c[0][:20] for c in CASES])
+def test_standard_analyzer(text, expected):
+    assert tokenize(text) == expected
+
+
+def test_max_token_length_splits_at_255():
+    toks = tokenize("x" * 300)
+    assert [len(t) for t in toks] == [255, 45]
+
+
+def test_english_stopwords():
+    assert tokenize("the quick brown", ENGLISH_STOP_WORDS) == ["quick", "brown"]
+    # default config removes nothing
+    assert tokenize("the quick brown") == ["the", "quick", "brown"]
+
+
+def test_stop_filter_position_gaps():
+    """StopFilter keeps position increments: phrase positions skip removed
+    stopwords (Lucene StopFilter semantics)."""
+    toks, poss = tokenize_with_positions("the quick brown fox", ENGLISH_STOP_WORDS)
+    assert toks == ["quick", "brown", "fox"]
+    assert poss == [1, 2, 3]
+
+
+def test_positions_without_stopwords_are_dense():
+    toks, poss = tokenize_with_positions("a b c")
+    assert poss == [0, 1, 2]
+
+
+def test_field_length_counts_post_stop_tokens():
+    """dl = tokens emitted after stop filtering (SURVEY.md §4.6)."""
+    assert len(tokenize("the the the fox", ENGLISH_STOP_WORDS)) == 1
