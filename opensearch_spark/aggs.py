@@ -1,0 +1,323 @@
+"""Aggregation framework — the reference's agg tree re-expressed as
+native Spark aggregations (SURVEY.md §2.3-2.5).
+
+Every function takes a (possibly query-filtered) DataFrame — the agg
+context the reference evaluates per shard and reduces on the
+coordinator; Spark's partial/final hash aggregation is exactly that
+split (``SearchPhaseController.reducedQueryPhase``,
+``InternalAggregation.reduce``), so each helper is a thin, semantics-
+preserving mapping:
+
+- bucket aggs return ``(key, doc_count, ...)`` rows ordered like the
+  reference's bucket ordering (count desc, key asc for ``terms``);
+- metric aggs return one row of named metric columns;
+- pipeline aggs are window functions over the bucket series (they run
+  in the reference's reduce phase — coordinator-side — which is
+  precisely a window over the materialized buckets).
+
+Exactness notes vs the reference, preserved deliberately:
+- ``terms`` here is EXACT (Spark global agg) where the reference's
+  per-shard top-N is approximate with ``doc_count_error_upper_bound``
+  (``TermsAggregatorFactory.java:112-123``) — superset semantics.
+- ``cardinality(exact=False)`` uses Spark's HLL++ — same sketch family
+  as the reference (``HyperLogLogPlusPlus.java:70``, precision 14 ~
+  rsd 0.01); exact=True gives the verifiable count.
+- ``percentiles(exact=True)`` interpolates like numpy/SQL
+  ``quantile_cont``; the reference's t-digest is approximate
+  (``AbstractTDigestPercentilesAggregator.java``) — we expose
+  ``exact=False`` -> ``percentile_approx`` as the scale path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- bucket
+
+
+def terms(
+    df: DataFrame,
+    field: str,
+    size: int = 10,
+    order_by_key: bool = False,
+) -> DataFrame:
+    """``terms`` bucket agg (``TermsAggregationBuilder.java:81-86``):
+    top ``size`` buckets by doc count desc, key asc tie-break (the
+    reference's default ordering)."""
+    out = df.groupBy(F.col(field).alias("key")).agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    if order_by_key:
+        return out.orderBy(F.asc("key")).limit(size)
+    return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+
+
+def multi_terms(df: DataFrame, fields: Sequence[str], size: int = 10) -> DataFrame:
+    """``multi_terms``: buckets keyed by a field tuple."""
+    keys = [F.col(f).alias(f"key_{f}") for f in fields]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), *[F.asc(f"key_{f}") for f in fields])
+        .limit(size)
+    )
+
+
+def rare_terms(df: DataFrame, field: str, max_doc_count: int = 1) -> DataFrame:
+    """``rare_terms`` (``RareTermsAggregationBuilder.java``): buckets with
+    doc_count <= threshold, key asc."""
+    return (
+        df.groupBy(F.col(field).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.asc("key"))
+    )
+
+
+def histogram(df: DataFrame, field: str, interval: float) -> DataFrame:
+    """``histogram``: fixed-interval numeric buckets
+    (``HistogramAggregationBuilder.java``); key = floor(v/i)*i."""
+    key = (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)).cast("double")
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.asc("key"))
+    )
+
+
+def date_histogram(
+    df: DataFrame, field: str, calendar_interval: str = "day"
+) -> DataFrame:
+    """``date_histogram`` with a calendar interval
+    (``DateHistogramAggregator.java``); bucket key as ISO string for
+    engine-neutral comparison."""
+    key = F.date_format(F.date_trunc(calendar_interval, F.col(field)), "yyyy-MM-dd HH:mm:ss")
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.asc("key"))
+    )
+
+
+def range_agg(
+    df: DataFrame, field: str, ranges: Sequence[Tuple[Optional[float], Optional[float]]]
+) -> DataFrame:
+    """``range`` agg (``RangeAggregationBuilder.java``): [from, to)
+    buckets, docs can only land in one bucket per range entry; emits one
+    row per range in definition order with its doc_count (empty ranges
+    included, count 0 — reference keeps empty range buckets)."""
+    aggs = []
+    keys = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(field) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(field) < F.lit(hi))
+        key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        keys.append(key)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(key))
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return row.selectExpr(f"stack({len(keys)}, {stack}) as (key, doc_count)")
+
+
+def filters_agg(df: DataFrame, named: Dict[str, Column]) -> DataFrame:
+    """``filters`` agg (``FiltersAggregationBuilder.java``): one bucket
+    per named predicate; docs may match several (conditional sums — no
+    per-filter scans)."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in named.items()
+    ]
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n in named)
+    return row.selectExpr(f"stack({len(named)}, {stack}) as (key, doc_count)")
+
+
+def missing_agg(df: DataFrame, field: str) -> DataFrame:
+    """``missing`` (``MissingAggregationBuilder.java``)."""
+    return df.agg(
+        F.sum(F.when(F.col(field).isNull(), 1).otherwise(0)).cast("long").alias("doc_count")
+    )
+
+
+def composite(
+    df: DataFrame,
+    fields: Sequence[str],
+    size: int = 10,
+    after: Optional[Sequence] = None,
+) -> DataFrame:
+    """``composite`` agg (``CompositeAggregator.java``): key-ordered
+    paginated buckets; ``after`` is the last key tuple of the previous
+    page (keyset pagination — in Spark a filter on the sort tuple)."""
+    keys = [F.col(f).alias(f"key_{f}") for f in fields]
+    out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("doc_count"))
+    if after is not None:
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for f, v in zip(fields, after):
+            cond = cond | (eq & (F.col(f"key_{f}") > F.lit(v)))
+            eq = eq & (F.col(f"key_{f}") == F.lit(v))
+        out = out.filter(cond)
+    return out.orderBy(*[F.asc(f"key_{f}") for f in fields]).limit(size)
+
+
+# ------------------------------------------------------------- metric
+
+
+def stats(df: DataFrame, field: str) -> DataFrame:
+    """``stats`` (``StatsAggregator.java``): count/min/max/sum/avg.
+    Sum in float64 (the reference uses Kahan compensation,
+    ``CompensatedSum.java``; Spark's double sum matches to ulps at
+    these magnitudes — documented tolerance)."""
+    c = F.col(field)
+    return df.agg(
+        F.count(c).alias("count"),
+        F.round(F.min(c).cast("double"), 6).alias("min"),
+        F.round(F.max(c).cast("double"), 6).alias("max"),
+        F.round(F.sum(c).cast("double"), 4).alias("sum"),
+        F.round(F.avg(c), 6).alias("avg"),
+    )
+
+
+def extended_stats(df: DataFrame, field: str) -> DataFrame:
+    """``extended_stats`` (``ExtendedStatsAggregator.java``): population
+    variance/std-dev like the reference."""
+    c = F.col(field)
+    return df.agg(
+        F.count(c).alias("count"),
+        F.round(F.sum(c).cast("double"), 4).alias("sum"),
+        F.round(F.avg(c), 6).alias("avg"),
+        F.round(F.var_pop(c), 4).alias("variance"),
+        F.round(F.stddev_pop(c), 6).alias("std_deviation"),
+    )
+
+
+def value_count(df: DataFrame, field: str) -> DataFrame:
+    return df.agg(F.count(F.col(field)).alias("value_count"))
+
+
+def weighted_avg(df: DataFrame, value: str, weight: str) -> DataFrame:
+    """``weighted_avg`` (``InternalWeightedAvg.java``):
+    sum(v*w)/sum(w)."""
+    v, w = F.col(value).cast("double"), F.col(weight).cast("double")
+    return df.agg(
+        F.round((F.sum(v * w) / F.sum(w)), 6).alias("weighted_avg")
+    )
+
+
+def cardinality(df: DataFrame, field: str, exact: bool = False, rsd: float = 0.01) -> DataFrame:
+    """``cardinality`` (``CardinalityAggregator.java``): HLL++ approx
+    distinct (precision 14 default ~ rsd 0.01) — same sketch family as
+    the reference; ``exact=True`` for the verifiable count."""
+    if exact:
+        return df.agg(F.count_distinct(F.col(field)).alias("cardinality"))
+    return df.agg(F.approx_count_distinct(F.col(field), rsd).alias("cardinality"))
+
+
+def percentiles(
+    df: DataFrame, field: str, percents: Sequence[float] = (50.0, 95.0, 99.0), exact: bool = True
+) -> DataFrame:
+    """``percentiles``: exact linear-interpolation quantiles
+    (verifiable against SQL ``quantile_cont``), or the sketch-based
+    scale path (``percentile_approx``, the analog of the reference's
+    t-digest)."""
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = [
+        F.round(
+            F.expr(f"{fn}({field}, {p / 100.0})").cast("double"), 4
+        ).alias(f"p{str(p).replace('.', '_')}")
+        for p in percents
+    ]
+    return df.agg(*aggs)
+
+
+def median_absolute_deviation(df: DataFrame, field: str) -> DataFrame:
+    """``median_absolute_deviation``: median(|x - median(x)|), exact."""
+    med = df.agg(F.expr(f"percentile({field}, 0.5)").alias("m")).collect()[0]["m"]
+    return df.agg(
+        F.round(
+            F.expr(f"percentile(abs({field} - {float(med)}), 0.5)").cast("double"), 4
+        ).alias("mad")
+    )
+
+
+def top_hits(
+    df: DataFrame,
+    bucket: str,
+    sort_col: str,
+    k: int = 3,
+    ascending: bool = False,
+    tie_col: Optional[str] = None,
+) -> DataFrame:
+    """``top_hits`` (``TopHitsAggregator.java``): per-bucket top-k by
+    sort with deterministic tie-break."""
+    order = [F.asc(sort_col) if ascending else F.desc(sort_col)]
+    if tie_col:
+        order.append(F.asc(tie_col))
+    w = Window.partitionBy(bucket).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ----------------------------------------------------------- pipeline
+
+
+def derivative(buckets: DataFrame, key: str = "key", value: str = "doc_count") -> DataFrame:
+    """``derivative`` (``DerivativePipelineAggregator.java``):
+    value - lag(value) over the key-ordered bucket series."""
+    w = Window.orderBy(F.asc(key))
+    return buckets.withColumn(
+        "derivative", (F.col(value) - F.lag(value).over(w)).cast("double")
+    )
+
+
+def cumulative_sum(buckets: DataFrame, key: str = "key", value: str = "doc_count") -> DataFrame:
+    """``cumulative_sum`` (``CumulativeSumPipelineAggregator.java``)."""
+    w = Window.orderBy(F.asc(key)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return buckets.withColumn("cumulative_sum", F.sum(value).over(w).cast("double"))
+
+
+def moving_avg(
+    buckets: DataFrame, key: str = "key", value: str = "doc_count", window: int = 3
+) -> DataFrame:
+    """``moving_avg`` simple model (``MovAvgPipelineAggregator.java``):
+    trailing window mean."""
+    w = Window.orderBy(F.asc(key)).rowsBetween(-(window - 1), Window.currentRow)
+    return buckets.withColumn(
+        "moving_avg", F.round(F.avg(F.col(value).cast("double")).over(w), 6)
+    )
+
+
+def serial_diff(
+    buckets: DataFrame, key: str = "key", value: str = "doc_count", lag: int = 1
+) -> DataFrame:
+    """``serial_diff`` (``SerialDiffPipelineAggregator.java``)."""
+    w = Window.orderBy(F.asc(key))
+    return buckets.withColumn(
+        "serial_diff", (F.col(value) - F.lag(value, lag).over(w)).cast("double")
+    )
+
+
+def bucket_sort(
+    buckets: DataFrame, sort_col: str, size: int, ascending: bool = False, tie_col: str = "key"
+) -> DataFrame:
+    """``bucket_sort`` (``BucketSortPipelineAggregator.java``)."""
+    order = [F.asc(sort_col) if ascending else F.desc(sort_col), F.asc(tie_col)]
+    return buckets.orderBy(*order).limit(size)
+
+
+def bucket_selector(buckets: DataFrame, cond: Column) -> DataFrame:
+    """``bucket_selector`` = HAVING (``BucketSelectorPipelineAggregator.java``)."""
+    return buckets.filter(cond)
+
+
+def avg_bucket(buckets: DataFrame, value: str = "doc_count") -> DataFrame:
+    """``avg_bucket`` second-level metric over the bucket series."""
+    return buckets.agg(F.round(F.avg(F.col(value).cast("double")), 6).alias("avg_bucket"))

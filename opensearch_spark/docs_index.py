@@ -1,0 +1,119 @@
+"""Bridge: build/cache the inverted index over a testdata ``documents``
+table and hand out a ``SearchEngine`` for it.
+
+The driver's correctness harness calls each query with ``(spark,
+sf_dir)``; the index for a given ``sf_dir`` is built once into a
+versioned cache directory (resume-safe: the builder skips completed
+segments) and reused across queries in the same run.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensearch_spark.index.builder import IndexConfig, build_index
+from opensearch_spark.index.reader import InvertedIndex
+from opensearch_spark.query.executor import SearchEngine
+
+# bump when index layout or the derived-docs shape changes: stale cached
+# indexes are keyed away instead of misread
+_LAYOUT_VERSION = "v3"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin the session to UTC so timestamp rendering matches the
+    # timezone-naive oracle (DuckDB reads parquet micros as naive)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table plus two derived columns: ``src_alt`` is NULL
+    for every 7th doc (so exists/must_not queries exercise real null
+    semantics — the raw table has no nullable columns) and ``req_terms``
+    is a small per-doc integer driving ``terms_set``'s dynamic
+    minimum-should-match."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "src_alt",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("source")
+            ),
+        )
+        .withColumn("req_terms", (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+    )
+
+
+_ENGINES: Dict[str, SearchEngine] = {}
+
+
+def docs_index_dir(sf_dir: str) -> str:
+    slug = re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
+    return os.path.join(
+        tempfile.gettempdir(), f"osps_docs_index_{_LAYOUT_VERSION}", slug
+    )
+
+
+def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    idx_dir = docs_index_dir(sf_dir)
+    eng = _ENGINES.get(idx_dir)
+    if eng is not None and eng.spark is spark:
+        return eng
+    if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+        build_index(
+            spark,
+            documents_df(spark, sf_dir),
+            idx_dir,
+            IndexConfig(
+                n_segments=8,
+                id_cols=("doc_id",),
+                routing_col="doc_id",
+                text_col="text",
+                dictionary_partitions=2,
+            ),
+        )
+    eng = SearchEngine(InvertedIndex(spark, idx_dir))
+    _ENGINES[idx_dir] = eng
+    return eng
+
+
+def topk(engine: SearchEngine, query, k: int = 10, round_dp: int = 4) -> DataFrame:
+    """Driver-comparable top-k: scores rounded to ``round_dp`` decimals
+    BEFORE ordering, ties broken by doc id — so the Spark plan and the
+    SQL oracle pick identical boundary rows even when raw float scores
+    differ in the last ulp (summation-order noise)."""
+    from opensearch_spark.query import dsl as Q
+
+    q = Q.from_dict(query) if isinstance(query, dict) else query
+    scored = engine._score(q)
+    dm = engine.index.docmap().select("_docid", *engine.id_cols)
+    order = [F.desc("score")] + [F.asc(c) for c in engine.id_cols]
+    return (
+        scored.join(dm, "_docid")
+        .withColumn("score", F.round(F.col("score"), round_dp))
+        .orderBy(*order)
+        .limit(k)
+        .select(*engine.id_cols, "score")
+    )
+
+
+def docset(engine: SearchEngine, query) -> DataFrame:
+    """Driver-comparable docset with constant scores (filter context)."""
+    from opensearch_spark.query import dsl as Q
+
+    q = Q.from_dict(query) if isinstance(query, dict) else query
+    scored = engine._score(q)
+    dm = engine.index.docmap().select("_docid", *engine.id_cols)
+    return (
+        scored.join(dm, "_docid")
+        .withColumn("score", F.round(F.col("score"), 4))
+        .select(*engine.id_cols, "score")
+        .orderBy(*[F.asc(c) for c in engine.id_cols])
+    )

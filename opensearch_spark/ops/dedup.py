@@ -1,0 +1,388 @@
+"""Deduplication operators for web-scale corpora.
+
+Five strategies, all deterministic so runs are reproducible and
+resumable:
+
+- **exact**: group by a content hash (`md5`), keep the smallest id
+  per group.  One shuffle on the hash; at 100 TB this is the cheapest
+  possible dedup (map-side partial distinct does most of the work).
+- **n-gram Jaccard**: exact token-shingle Jaccard over all pairs that
+  share at least one shingle.  The shingle self-join is the classic
+  "inverted index join" — it shuffles on the shingle key, so hot
+  shingles are frequency-capped (``max_shingle_df``) at scale, exactly
+  like stopword-pruning a posting list.
+- **MinHash + LSH**: 64 permutations banded into 16 bands of 4; band
+  buckets become join keys so candidate generation is a hash join, not
+  an all-pairs product.  Candidates are then verified with exact
+  Jaccard (precision 1.0; recall is the standard LSH S-curve).
+- **SimHash**: 64-bit weighted fingerprint; near-dup = Hamming
+  distance <= k, found by pigeonhole banding (k+1 bands, exact match
+  on one band is necessary), then verified on the full fingerprint.
+- **embedding cosine**: near-dup pairs in embedding space (see
+  ``opensearch_spark.ops.similarity`` for the top-k variant).
+
+Mirrors the reference engine's shingle/minhash machinery conceptually
+(OpenSearch exposes them as analysis filters: ``ShingleTokenFilterFactory``,
+``MinHashTokenFilter`` in ``modules/analysis-common``) but as corpus-level
+dedup operators rather than per-field analyzers.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opensearch_spark.analysis import analyzer as ana
+
+
+def tokens_col(text_col: str = "text"):
+    """Standard-analyzer tokens as an ``array<string>`` column."""
+    return ana.make_tokenize_udf(None)(F.col(text_col))
+
+
+# --------------------------------------------------------------- exact
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content hash.
+
+    Returns ``(id, group_key, group_size, dup_rank, is_canonical)``;
+    the canonical doc of each group is the one with the smallest id.
+    One shuffle (on the hash); rank via a window over the hash key.
+    """
+    h = F.md5(F.col(text_col).cast("binary")).alias("group_key")
+    w = Window.partitionBy("group_key").orderBy(F.asc(id_col))
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("group_key")))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_canonical", (F.col("dup_rank") == 1))
+    )
+
+
+def fingerprint_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix: int = 6
+) -> DataFrame:
+    """Near-exact dedup on a normalized fingerprint: md5 of the first
+    ``prefix`` analyzer tokens.  Catches boilerplate/prefix duplicates
+    that byte-exact hashing misses."""
+    toks = tokens_col(text_col)
+    key = F.md5(F.array_join(F.slice(toks, 1, prefix), " ").cast("binary"))
+    d = df.select(F.col(id_col), key.alias("group_key"))
+    w = Window.partitionBy("group_key").orderBy(F.asc(id_col))
+    return (
+        d.withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("group_key")))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_canonical", (F.col("dup_rank") == 1))
+    )
+
+
+# ------------------------------------------------------------ shingles
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """``(id, shingle)`` distinct token n-gram shingles per document.
+
+    Shingling is a JVM-side transform (no Python): slide over the token
+    array with ``transform`` + ``slice`` and explode the distinct set.
+    """
+    toks = tokens_col(text_col)
+    d = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice("_toks", i, n), " "),
+    )
+    return (
+        d.withColumn("shingle", F.explode(F.array_distinct(grams)))
+        .select(F.col("_id").alias(id_col), "shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ``(id_a < id_b, jaccard)``.
+
+    Plan: distinct shingles -> self-join on shingle (the shuffle key) ->
+    per-pair intersection count -> join per-doc set sizes (broadcast) ->
+    ``J = inter / (|A| + |B| - inter) >= threshold``.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before the join — the skew guard for the quadratic blow-up on
+    boilerplate shingles at 100 TB (same idea as hot-term salting, but
+    for dedup recall/cost trade-off; dropped shingles only ever lower
+    the computed intersection, never add false positives).
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "anti")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("jaccard", F.round(j.cast("double"), 6))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """``(id, sig: array<long>)`` MinHash signatures over n-gram shingles.
+
+    Shingle hashing is JVM ``xxhash64``; the permutation mins are
+    computed in one grouped aggregation of ``num_perm`` JVM ``min``
+    expressions over ``(a_i * h + b_i) mod p`` — fully vectorized,
+    one shuffle on the doc id.
+    """
+    a, b = _perm_params(num_perm, seed)
+    sh = shingle_sets(df, id_col, text_col, n)
+    h = F.abs(F.xxhash64("shingle")).cast("decimal(38,0)")
+    mins = [
+        F.min(
+            F.pmod(
+                (F.lit(int(a[i])) * h + F.lit(int(b[i]))),
+                F.lit(_MERSENNE),
+            ).cast("long")
+        ).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Banding: ``bands`` buckets of ``num_perm // bands`` signature slots,
+    hashed to a join key -> candidate pairs are found with a hash join
+    on ``(band, bucket)`` instead of an all-pairs product.  Candidates
+    are de-duplicated and verified with exact shingle Jaccard, so the
+    output has no false positives (recall follows the LSH S-curve
+    ``1 - (1 - J^r)^b``).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    bucket_rows = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                                    lambda c: c.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a = bucket_rows.select(F.col("_id").alias("id_a"), "band", "bucket")
+    b = bucket_rows.select(F.col("_id").alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify: exact Jaccard restricted to candidate pairs (semi-join keeps
+    # the verification cost proportional to |candidates|)
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .join(cands, ["id_a", "id_b"], "semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.round(j.cast("double"), 6))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, simhash: long)`` 64-bit weighted SimHash per document.
+
+    Token hashing is JVM ``xxhash64``; bit-vote accumulation runs in an
+    Arrow-batched grouped pandas UDF with numpy bit ops (one shuffle on
+    the doc id, no per-row Python).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64("tok"))
+        .select("_id", "h", "tf")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+        tf = pdf["tf"].to_numpy(dtype=np.int64).astype(np.float64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
+        votes = ((bits * 2.0 - 1.0) * tf[:, None]).sum(axis=0)
+        out = np.uint64(0)
+        for j in range(64):
+            if votes[j] > 0:
+                out |= np.uint64(1) << np.uint64(j)
+        return pd.DataFrame({"_id": [pdf["_id"].iloc[0]], "simhash": [np.int64(out)]})
+
+    return toks.groupBy("_id").applyInPandas(sim, schema=schema).withColumnRenamed("_id", id_col)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming + 1`` bands; any pair within distance k agrees exactly
+    on at least one band, so candidates come from an equi-join on
+    ``(band, band_bits)`` and are verified with ``bit_count(xor)``.
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+    sig = simhash_signatures(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for bi in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.band", "bb.bits")
+    a = bands.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bits")
+    b = bands.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bits")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ``(id_a < id_b, cosine)``.
+
+    Brute-force all-pairs (correct baseline; the LSH-bucketed scale
+    path is ``similarity.hyperplane_lsh_pairs``).  Dot products are
+    JVM-side ``aggregate``/``zip_with`` in float64.
+    """
+    from opensearch_spark.ops.similarity import dot_col, norm_col
+
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", norm_col("v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot_col("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos.cast("double"), 6))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )

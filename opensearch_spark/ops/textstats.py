@@ -1,0 +1,109 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID, document fingerprinting.
+
+All transforms are deterministic column expressions over the standard
+analyzer's token array (Arrow-batched UDF for tokenization, JVM
+expressions for everything downstream), so they are exactly
+reproducible — each has a SQL-expressible oracle.
+
+Reference parity: the reference exposes per-value transforms as ingest
+processors (``modules/ingest-common``; SURVEY.md §2.8) and token
+counting as the ``token_count`` field type
+(``index/mapper/TokenCountFieldMapper`` in mapper-extras); quality /
+language heuristics are the standard training-data-pipeline additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opensearch_spark.analysis import analyzer as ana
+from opensearch_spark.ops.dedup import tokens_col
+
+# deterministic stopword list shared with the SQL oracles (subset of the
+# Lucene English stop set that is cheap to inline in SQL)
+QUALITY_STOPWORDS = sorted(ana.ENGLISH_STOP_WORDS)
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics: count, distinct count, mean token
+    length (``token_count`` field-type semantics over the analyzer)."""
+    d = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    n = F.size("_t")
+    return d.select(
+        id_col,
+        n.cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("int").alias("n_distinct"),
+        F.round(
+            F.when(
+                n > 0,
+                F.aggregate(
+                    "_t", F.lit(0.0), lambda acc, t: acc + F.length(t)
+                )
+                / n.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, type-token ratio,
+    length score — combined into one [0,1] score.  Pure arithmetic over
+    the token array (deterministic; SQL-oracle-able)."""
+    d = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    n = F.size("_t").cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter("_t", lambda t: F.array_contains(stop_arr, t))).cast("double")
+    uniq = F.size(F.array_distinct("_t")).cast("double")
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    ttr = F.when(n > 0, uniq / n).otherwise(F.lit(0.0))
+    len_score = F.least(n / F.lit(64.0), F.lit(1.0))
+    score = F.lit(0.4) * len_score + F.lit(0.3) * ttr + F.lit(0.3) * (
+        F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))
+    )
+    return d.select(
+        id_col,
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(len_score, 6).alias("length_score"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """N-gram-free language-ID heuristic: English function-word hit rate.
+
+    Predicts ``en`` when >= 20% of tokens are English stopwords, else
+    ``und`` (undetermined).  Deliberately simple so the exact decision
+    boundary is SQL-replicable; a production pipeline would swap in a
+    char-n-gram Naive Bayes with the same DataFrame shape.
+    """
+    d = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    n = F.size("_t").cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    hit = F.size(F.filter("_t", lambda t: F.array_contains(stop_arr, t))).cast("double")
+    rate = F.when(n > 0, hit / n).otherwise(F.lit(0.0))
+    return d.select(
+        id_col,
+        F.round(rate, 6).alias("en_rate"),
+        F.when(rate >= 0.2, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """OpenRefine-style fingerprint key: md5 of the sorted distinct
+    token set — a normalization-robust dedup key (token order,
+    repetition and whitespace insensitive)."""
+    d = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    key = F.md5(
+        F.array_join(F.array_sort(F.array_distinct("_t")), " ").cast("binary")
+    )
+    return d.select(id_col, key.alias("fingerprint"))
