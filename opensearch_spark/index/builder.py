@@ -367,15 +367,22 @@ def build_index(
     for w in range(0, len(todo), per_wave):
         wave_segs = todo[w : w + per_wave]
         wave_df = routed.filter(F.col("_seg").isin(wave_segs))
+        # explicit repartition pins one exchange with exactly n partitions;
+        # the groupBy below reuses it (ClusteredDistribution on _seg is
+        # already satisfied), so AQE cannot size-coalesce the inversion
+        # stage — its cost is Python compute, invisible to AQE's byte
+        # heuristics, and coalescing would serialize the build
+        wave_df = wave_df.repartition(len(wave_segs), "_seg")
         built = wave_df.groupBy("_seg").applyInPandas(
             lambda pdf: _invert_segment(pdf, cfg, offsets, stop, orig_cols, out_cols),
             schema=out_schema,
         )
         built.write.partitionBy("_row").mode("append").parquet(p["data"])
-        # wave committed -> persist per-segment manifests (resume checkpoint)
+        # wave committed -> persist per-segment manifests (resume checkpoint);
+        # read only the tiny _row=m partition directory, not the dataset
         man = (
-            spark.read.parquet(p["data"])
-            .filter((F.col("_row") == ROW_MANIFEST) & F.col("_seg").isin(wave_segs))
+            spark.read.parquet(os.path.join(p["data"], f"_row={ROW_MANIFEST}"))
+            .filter(F.col("_seg").isin(wave_segs))
             .select("_seg", "m_n_docs", "m_sum_dl", "m_doc_count", "m_n_terms", "m_wall_ms")
             .collect()
         )

@@ -1,0 +1,260 @@
+"""Segment merge / compaction: the background-merge analog.
+
+The reference's tiered merge policy combines small Lucene segments into
+larger ones so queries touch fewer, better-sorted postings
+(``index/OpenSearchTieredMergePolicy.java:50-56``; segments written by
+``InternalEngine`` flushes).  Here a "segment" is the per-build-task
+block run inside the postings table; compaction rewrites the whole
+postings table into a globally term-clustered, densely packed layout:
+
+1. **Salted re-pack** (the hot-term skew mitigation the north rule
+   requires): per-term postings are re-packed into full 128-doc blocks
+   by an ``applyInPandas`` over ``groupBy(term, salt)``.  ``salt`` is a
+   *contiguous docID-window* index (``base_doc // window``) so each
+   group holds a doc-ordered slice of the term's postings and can be
+   concatenated without a global per-term sort.  Cold terms get salt 0
+   (one group); hot terms (block count above ``hot_blocks`` from the
+   dictionary) are split across ~``n_docs // window`` bounded groups —
+   no single task ever holds a stopword-scale posting list.  At 10^12
+   turns this is the difference between a task OOM on "the" and a flat
+   task-duration histogram.
+2. **Term-range layout**: the packed blocks are
+   ``repartitionByRange(term, base_doc)`` + ``sortWithinPartitions`` so
+   Parquet row-group min/max stats on ``term`` prune file scans for
+   query terms (the terms-dictionary/skip-list analog; SURVEY.md §4.2).
+   Range partitioning on the composite key also splits a hot term's
+   blocks across output files by doc range — skew-free writes.
+
+The merged index keeps the same docmap/plan/stats (docIDs are stable);
+only postings + dictionary are rewritten.  ``merge_index`` writes a new
+index directory whose plan references the source docmap (at real scale
+the docmap — potentially 100s of TB of stored fields — must not be
+copied)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opensearch_spark.index import codec
+from opensearch_spark.index.builder import _paths
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("block_id", T.IntegerType()),
+        T.StructField("base_doc", T.LongType()),
+        T.StructField("n_docs", T.IntegerType()),
+        T.StructField("sum_tf", T.LongType()),
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("min_norm", T.IntegerType()),
+        T.StructField("docs_bin", T.BinaryType()),
+        T.StructField("tfs_bin", T.BinaryType()),
+        T.StructField("norms_bin", T.BinaryType()),
+        T.StructField("pos_bin", T.BinaryType()),
+    ]
+)
+
+
+def _repack_partition(pdf: pd.DataFrame, block_size: int, with_pos: bool) -> pd.DataFrame:
+    """Re-pack ALL (term, salt) runs of one partition in one vectorized
+    pass (same reduceat machinery as the builder's ``_invert_segment``).
+    Rows must arrive sorted by (term, _salt, base_doc); a run never
+    spans partitions because the shuffle key is (term, _salt)."""
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in _PACK_SCHEMA.fields}
+        )
+    nb = len(pdf)
+    n_docs_in = pdf["n_docs"].to_numpy(np.int64)
+
+    docs = np.concatenate(
+        [codec.unpack_doc_deltas(r.docs_bin, r.base_doc) for r in pdf.itertuples()]
+    )
+    tfs_list = [codec.varint_decode(r.tfs_bin).astype(np.int64) for r in pdf.itertuples()]
+    tfs = np.concatenate(tfs_list)
+    norms = np.concatenate(
+        [np.frombuffer(r.norms_bin, dtype=np.uint8) for r in pdf.itertuples()]
+    )
+    if with_pos:
+        pos = np.concatenate(
+            [
+                codec.unpack_positions(r.pos_bin, t)
+                for r, t in zip(pdf.itertuples(), tfs_list)
+            ]
+        )
+
+    # group (=(term,salt) run) change detection at block level -> postings
+    terms_b = pdf["term"].to_numpy(object)
+    salts_b = pdf["_salt"].to_numpy(np.int64)
+    g_change_b = np.ones(nb, dtype=bool)
+    g_change_b[1:] = (terms_b[1:] != terms_b[:-1]) | (salts_b[1:] != salts_b[:-1])
+
+    n = docs.size
+    first_of_block = np.zeros(n, dtype=bool)
+    block_starts_in = np.concatenate(([0], np.cumsum(n_docs_in)[:-1]))
+    first_of_block[block_starts_in] = True
+    g_change = np.zeros(n, dtype=bool)
+    g_change[block_starts_in[g_change_b]] = True
+
+    g_start_idx = np.nonzero(g_change)[0]
+    g_id = np.cumsum(g_change) - 1
+    ordinal = np.arange(n, dtype=np.int64) - g_start_idx[g_id]
+    out_start_mask = g_change | (ordinal % block_size == 0)
+    starts = np.nonzero(out_start_mask)[0]
+    ends = np.append(starts[1:], n)
+
+    gaps = np.diff(docs, prepend=np.int64(0))
+    gaps[starts] = 0
+    doc_bytes = codec.varint_encode(gaps.astype(np.uint64))
+    doc_off = np.concatenate(([0], np.cumsum(codec.varint_byte_lengths(gaps.astype(np.uint64)))))
+    tf_bytes = codec.varint_encode(tfs.astype(np.uint64))
+    tf_off = np.concatenate(([0], np.cumsum(codec.varint_byte_lengths(tfs.astype(np.uint64)))))
+    norms_all = norms.tobytes()
+
+    post_terms = np.repeat(terms_b, n_docs_in)
+    post_salts = np.repeat(salts_b, n_docs_in)
+    out = {
+        "term": post_terms[starts],
+        # globally-unique block ids per term: salt-major ordering
+        "block_id": (post_salts[starts] * (1 << 20) + ordinal[starts] // block_size).astype(
+            np.int32
+        ),
+        "base_doc": docs[starts],
+        "n_docs": (ends - starts).astype(np.int32),
+        "sum_tf": np.add.reduceat(tfs, starts).astype(np.int64),
+        "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+        "min_norm": np.minimum.reduceat(norms, starts).astype(np.int32),
+        "docs_bin": [bytes(doc_bytes[doc_off[s] : doc_off[e]]) for s, e in zip(starts, ends)],
+        "tfs_bin": [bytes(tf_bytes[tf_off[s] : tf_off[e]]) for s, e in zip(starts, ends)],
+        "norms_bin": [norms_all[s:e] for s, e in zip(starts, ends)],
+    }
+    if with_pos:
+        occ_starts = np.concatenate(([0], np.cumsum(tfs)))
+        pos_deltas = np.diff(pos, prepend=np.int64(0)) if pos.size else pos
+        if pos.size:
+            pos_deltas[occ_starts[:-1]] = pos[occ_starts[:-1]]
+        pos_bytes = codec.varint_encode(pos_deltas.astype(np.uint64))
+        pos_off = np.concatenate(
+            ([0], np.cumsum(codec.varint_byte_lengths(pos_deltas.astype(np.uint64))))
+        )
+        out["pos_bin"] = [
+            bytes(pos_bytes[pos_off[occ_starts[s]] : pos_off[occ_starts[e]]])
+            for s, e in zip(starts, ends)
+        ]
+    else:
+        out["pos_bin"] = [None] * starts.size
+    return pd.DataFrame(out)
+
+
+def merge_index(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    hot_blocks: int = 64,
+    doc_window_blocks: int = 512,
+    term_partitions: Optional[int] = None,
+) -> dict:
+    """Compact ``src_dir``'s postings into ``dst_dir`` (term-clustered,
+    densely packed).  Returns merge metrics.
+
+    ``hot_blocks``: terms with more source blocks than this are salted.
+    ``doc_window_blocks``: hot-term salt window, in units of
+    ``block_size`` docIDs — bounds the postings any one task re-packs.
+    """
+    sp = _paths(src_dir)
+    dp = _paths(dst_dir)
+    with open(sp["plan"]) as f:
+        plan = json.load(f)
+    block_size = int(plan["block_size"])
+    with_pos = bool(plan.get("store_positions", True))
+    n_docs = int(plan["n_docs"])
+
+    post = spark.read.parquet(sp["postings"])
+    hot = (
+        spark.read.parquet(sp["dictionary"])
+        .filter(F.col("n_blocks") > hot_blocks)
+        .select("term")
+    )
+    window = block_size * doc_window_blocks
+    salt = F.when(
+        F.col("_hot"), (F.col("base_doc") / F.lit(window)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    salted = (
+        post.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "term", "left")
+        .withColumn("_hot", F.coalesce(F.col("_hot"), F.lit(False)))
+        .withColumn("_salt", salt)
+    )
+
+    t0 = time.monotonic()
+    parts = term_partitions or max(8, spark.sparkContext.defaultParallelism)
+    in_cols = [
+        "term", "_salt", "base_doc", "n_docs",
+        "docs_bin", "tfs_bin", "norms_bin",
+    ] + (["pos_bin"] if with_pos else [])
+
+    def repack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one vectorized repack per partition: a (term,salt) run never
+        # spans partitions (shuffle key), but Arrow batches split runs,
+        # so the partition is materialized first (bounded by `parts`)
+        chunks = [c for c in batches if len(c)]
+        if chunks:
+            yield _repack_partition(pd.concat(chunks, ignore_index=True), block_size, with_pos)
+
+    packed = (
+        salted.select(*in_cols)
+        .repartition(parts, "term", "_salt")
+        .sortWithinPartitions("term", "_salt", "base_doc")
+        .mapInPandas(repack, schema=_PACK_SCHEMA)
+    )
+    (
+        packed.repartitionByRange(parts, "term", "base_doc")
+        .sortWithinPartitions("term", "base_doc")
+        .write.mode("overwrite")
+        .parquet(dp["postings"])
+    )
+
+    merged = spark.read.parquet(dp["postings"])
+    (
+        merged.groupBy("term")
+        .agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("total_tf"),
+            F.count(F.lit(1)).cast("int").alias("n_blocks"),
+        )
+        .repartitionByRange(int(plan.get("dictionary_partitions", 8)), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(dp["dictionary"])
+    )
+    wall = time.monotonic() - t0
+
+    # plan/stats carry over; docmap is referenced, not copied
+    plan_out = dict(plan)
+    plan_out["docmap_dir"] = os.path.join(sp["docmap"])
+    plan_out["merged_from"] = src_dir
+    os.makedirs(dst_dir, exist_ok=True)
+    with open(dp["plan"], "w") as f:
+        json.dump(plan_out, f, indent=1)
+    shutil.copyfile(sp["stats"], dp["stats"])
+
+    blocks_in = post.count()
+    blocks_out = merged.count()
+    metrics = {
+        "blocks_in": blocks_in,
+        "blocks_out": blocks_out,
+        "wall_sec": round(wall, 3),
+        "n_docs": n_docs,
+    }
+    with open(os.path.join(dst_dir, "merge_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    return metrics

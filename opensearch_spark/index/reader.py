@@ -53,7 +53,10 @@ class InvertedIndex:
         return self.spark.read.parquet(self.paths["postings"])
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths["docmap"])
+        # a merged/compacted index references the source docmap instead
+        # of copying it (opensearch_spark.index.merge.merge_index)
+        d = self.plan.get("docmap_dir") or self.paths["docmap"]
+        return self.spark.read.parquet(d)
 
     def dictionary(self) -> DataFrame:
         return self.spark.read.parquet(self.paths["dictionary"])
