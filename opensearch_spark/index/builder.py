@@ -70,6 +70,7 @@ _INTERNAL_FIELDS: List[Tuple[str, T.DataType]] = [
     ("term", T.StringType()),
     ("block_id", T.IntegerType()),
     ("base_doc", T.LongType()),
+    ("last_doc", T.LongType()),
     ("n_docs", T.IntegerType()),
     ("sum_tf", T.LongType()),
     ("max_tf", T.IntegerType()),
@@ -95,6 +96,7 @@ _PD_DTYPES = {
     "_docid": "Int64",
     "block_id": "Int32",
     "base_doc": "Int64",
+    "last_doc": "Int64",
     "n_docs": "Int32",
     "sum_tf": "Int64",
     "max_tf": "Int32",
@@ -245,6 +247,7 @@ def _invert_segment(
                 "term": d_terms[block_starts],
                 "block_id": (ordinal[block_starts] // cfg.block_size).astype(np.int32),
                 "base_doc": d_docs[block_starts],
+                "last_doc": d_docs[block_ends - 1],
                 "n_docs": (block_ends - block_starts).astype(np.int32),
                 "sum_tf": sum_tf.astype(np.int64),
                 "max_tf": max_tf.astype(np.int32),

@@ -53,6 +53,7 @@ _PACK_SCHEMA = T.StructType(
         T.StructField("term", T.StringType()),
         T.StructField("block_id", T.IntegerType()),
         T.StructField("base_doc", T.LongType()),
+        T.StructField("last_doc", T.LongType()),
         T.StructField("n_docs", T.IntegerType()),
         T.StructField("sum_tf", T.LongType()),
         T.StructField("max_tf", T.IntegerType()),
@@ -130,6 +131,7 @@ def _repack_partition(pdf: pd.DataFrame, block_size: int, with_pos: bool) -> pd.
             np.int32
         ),
         "base_doc": docs[starts],
+        "last_doc": docs[ends - 1],
         "n_docs": (ends - starts).astype(np.int32),
         "sum_tf": np.add.reduceat(tfs, starts).astype(np.int64),
         "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),

@@ -99,10 +99,18 @@ class InvertedIndex:
         terms = sorted(set(terms))
         if not terms:
             return self._empty_postings(with_positions)
+        blocks = self.postings().filter(F.col("term").isin(terms))
+        return self.decode_blocks(blocks, with_positions)
+
+    def decode_blocks(
+        self, blocks: DataFrame, with_positions: bool = False
+    ) -> DataFrame:
+        """Unpack an arbitrary block-row DataFrame (e.g. a WAND-pruned
+        subset) into per-posting rows."""
         cols = ["term", "base_doc", "n_docs", "docs_bin", "tfs_bin", "norms_bin"]
         if with_positions:
             cols.append("pos_bin")
-        blocks = self.postings().filter(F.col("term").isin(terms)).select(*cols)
+        blocks = blocks.select(*cols)
 
         fields = [
             T.StructField("term", T.StringType()),

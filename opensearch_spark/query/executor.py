@@ -53,12 +53,22 @@ class SearchEngine:
         size: int = 10,
         from_: int = 0,
         source_cols: Optional[Sequence[str]] = None,
+        prune: bool = False,
     ) -> DataFrame:
         """Top-k retrieval: DataFrame of id_cols + score (float64), ordered
         (score desc, id_cols asc). Default size 10 / from 0 mirrors
-        ``SearchSourceBuilder.java:168-170``."""
+        ``SearchSourceBuilder.java:168-170``.
+
+        ``prune=True`` enables block-max WAND pruning for plain match/
+        term queries (rank-identical; see ``opensearch_spark.query.wand``) —
+        the 100 TB fast path that skips decoding low-impact posting
+        blocks entirely."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
-        scored = self._score(q)
+        scored = None
+        if prune:
+            scored = self._score_pruned(q, size + from_)
+        if scored is None:
+            scored = self._score(q)
         fetch_cols = list(source_cols) if source_cols else self.id_cols
         fetch_cols = [c for c in dict.fromkeys(self.id_cols + list(fetch_cols))]
         order = [F.desc("score")] + [F.asc(c) for c in self.id_cols]
@@ -84,6 +94,28 @@ class SearchEngine:
         track_total_hits=10000 default, SURVEY.md §2.6)."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
         return self._score(q).count()
+
+    def _score_pruned(self, q, k: int) -> Optional[DataFrame]:
+        """Block-max pruned scorer for the WAND-able query shapes
+        (OR match / text term); None -> caller falls back to dense."""
+        from opensearch_spark.query import wand
+
+        if isinstance(q, Q.Match) and q.operator != "and" and not q.minimum_should_match:
+            tokens = self.index.analyze(q.query)
+            if not tokens:
+                return self._empty_scored()
+            weights = dict(Counter(tokens))
+            out = wand.pruned_match_topk(self, weights, k=k)
+            boost = q.boost
+        elif isinstance(q, Q.Term) and q.field == self.text_col:
+            out = wand.pruned_match_topk(self, {str(q.value): 1}, k=k)
+            boost = q.boost
+        else:
+            return None
+        out = out.select("_docid", "score") if "_pruned_frac" in out.columns else out
+        if boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(float(boost)))
+        return out
 
     # -------------------------------------------------------- scoring tree
 

@@ -1,0 +1,190 @@
+"""Block-max WAND-style pruning for bulk top-k scoring.
+
+The reference prunes posting blocks whose impact upper bound cannot
+reach the current k-th score (Lucene block-max WAND via
+``TopDocsCollectorContext.java:350-374`` with the ``totalHitsThreshold``
+default 10000; SURVEY.md §4.4).  Catalyst has no mid-scan top-k
+termination, so we re-express the idea as a *two-pass bulk* algorithm
+over block metadata — a data-layout optimization, not a Catalyst rule:
+
+Pass 0 (metadata only): per-block upper bound
+    ``ub_t(b) = score(max_tf_b, dl(min_norm_b))``
+  and per-term global bound ``gub_t = max_b ub_t(b)`` — computed
+  JVM-side from the block columns (max_tf, min_norm); the packed binary
+  columns are never touched (Parquet column pruning keeps them unread).
+
+Pass 1 (sample): decode only the top few blocks per term by ``ub``;
+  their per-doc partial sums are LOWER bounds of true scores (missing
+  terms only add).  ``t`` = k-th best partial sum.
+
+Pass 2 (prune + exact): decode only blocks with
+    ``ub_t(b) + sum_{t' != t} gub_t' >= t``.
+
+Safety proof (rank-identical top-k): if a block is pruned, every doc in
+it has true score ``< t`` even with maximal help from all other terms.
+Contrapositive: any doc with true score ``>= t`` has ALL its blocks
+kept, so its pass-2 score is exact.  Pass 1 guarantees at least k docs
+with true score ``>= t``.  Hence the top-k of the pass-2 docs with
+score ``>= t`` is the exact top-k, exactly scored.  Docs with a pruned
+contribution may be under-scored but are filtered by ``>= t`` and
+provably below rank k.
+
+At 100 TB this is the difference between decoding a stopword's
+billion-doc posting list and decoding a few hundred blocks: the prune
+predicate is evaluated on block *metadata* (tiny columnar scan), and
+skipped blocks never leave Parquet.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opensearch_spark.query import bm25
+
+
+def block_bounds_df(index, terms: List[str], idf_by_term: Dict[str, float], avgdl: float,
+                    k1: float, b: float) -> DataFrame:
+    """Block metadata + upper-bound score, no binary columns touched."""
+    idf_map = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(float(idf_by_term[t])))]
+    )
+    blocks = (
+        index.postings()
+        .filter(F.col("term").isin(list(terms)))
+        .select("term", "block_id", "base_doc", "last_doc", "max_tf", "min_norm")
+    )
+    dl_ub = bm25.norm_decode_col(F.col("min_norm"))
+    ub = bm25.term_score_col(
+        F.col("max_tf"), idf_map[F.col("term")], dl_ub, avgdl, k1, b
+    ).cast("double")
+    return blocks.withColumn("ub", ub)
+
+
+def pruned_match_topk(
+    engine,
+    weights: Dict[str, int],
+    k: int = 10,
+    sample_blocks_per_term: int = 4,
+) -> DataFrame:
+    """Rank-identical top-k for an OR match using block-max pruning.
+
+    Returns (_docid, score) of the exact top-k candidate superset:
+    every returned doc is exactly scored and the true top-k is a prefix
+    of this frame ordered by (score desc, _docid) — identical semantics
+    to the unpruned scorer restricted to score >= t.
+    Falls back to the dense scorer when the sample yields < k docs.
+    """
+    terms = sorted(weights)
+    stats = engine.index.term_stats(terms)
+    if stats.empty:
+        return engine._empty_scored()
+    N = engine.index.stats["doc_count"]
+    avgdl = engine.index.stats["avgdl"]
+    idf_by_term = {
+        t: float(bm25.idf(int(df_), N)) for t, df_ in zip(stats["term"], stats["df"])
+    }
+    present = [t for t in terms if t in idf_by_term]
+    if not present:
+        return engine._empty_scored()
+
+    bounds = block_bounds_df(engine.index, present, idf_by_term, avgdl, engine.k1, engine.b)
+    # one metadata row per (term, block): collected driver-side (this is
+    # the terms-dictionary scale, not the postings scale; at 10^12 turns
+    # the same alignment is a Spark range-join over block metadata)
+    meta = bounds.select("term", "block_id", "base_doc", "last_doc", "ub").collect()
+    import numpy as np
+
+    per: Dict[str, dict] = {}
+    for t in present:
+        rows = sorted(
+            ((r["base_doc"], r["last_doc"], r["ub"], r["block_id"]) for r in meta if r["term"] == t)
+        )
+        per[t] = {
+            "base": np.array([x[0] for x in rows], dtype=np.int64),
+            "last": np.array([x[1] for x in rows], dtype=np.int64),
+            "ub": np.array([x[2] for x in rows], dtype=np.float64),
+            "bid": np.array([x[3] for x in rows], dtype=np.int64),
+        }
+
+    sample_keys = []
+    for t in present:
+        order = np.argsort(-per[t]["ub"], kind="stable")[:sample_blocks_per_term]
+        sample_keys.extend(
+            (t, int(per[t]["bid"][i]), int(per[t]["base"][i])) for i in order
+        )
+
+    scored_sample = _score_blocks(engine, present, weights, idf_by_term, avgdl, sample_keys)
+    sample_top = (
+        scored_sample.orderBy(F.desc("score")).limit(k).collect()
+    )
+    if len(sample_top) < k:
+        # not enough candidates to establish a threshold: dense scoring
+        return engine._score_terms_or(weights, required=1)
+    t_thresh = float(sample_top[-1]["score"])
+
+    # doc-range-aligned prune predicate (the block-max WAND alignment):
+    # a block of term t is kept only if its own bound plus the max bound
+    # of each OTHER term's blocks OVERLAPPING its docID range reaches t.
+    # Blocks of one term are doc-disjoint and sorted, so the overlap set
+    # is a contiguous slice found with two binary searches.
+    keep = []
+    for t in present:
+        bt = per[t]
+        align = np.zeros(bt["ub"].size, dtype=np.float64)
+        for t2 in present:
+            if t2 == t:
+                continue
+            b2 = per[t2]
+            lo = np.searchsorted(b2["last"], bt["base"], side="left")
+            hi = np.searchsorted(b2["base"], bt["last"], side="right")
+            contrib = np.zeros(bt["ub"].size, dtype=np.float64)
+            for i in range(bt["ub"].size):
+                if lo[i] < hi[i]:
+                    contrib[i] = b2["ub"][lo[i] : hi[i]].max()
+            align += contrib * weights[t2]
+        total_ub = bt["ub"] * weights[t] + align
+        kept = np.nonzero(total_ub >= t_thresh)[0]
+        keep.extend((t, int(bt["bid"][i]), int(bt["base"][i])) for i in kept)
+    pruned_frac = 1.0 - (len(keep) / max(1, len(meta)))
+    out = _score_blocks(engine, present, weights, idf_by_term, avgdl, keep)
+    out = out.filter(F.col("score") >= F.lit(t_thresh))
+    # expose the prune rate for benchmarks/tests
+    out = out.withColumn("_pruned_frac", F.lit(float(pruned_frac)))
+    return out
+
+
+def _score_blocks(engine, terms, weights, idf_by_term, avgdl, keys) -> DataFrame:
+    """Decode + exactly score a specific set of (term, block_id,
+    base_doc) blocks; per-doc score = sum over decoded contributions."""
+    spark = engine.spark
+    if not keys:
+        return engine._empty_scored()
+    keys_df = spark.createDataFrame(
+        [(t, int(bid), int(bd)) for t, bid, bd in keys],
+        "term string, block_id int, base_doc long",
+    )
+    blocks = (
+        engine.index.postings()
+        .filter(F.col("term").isin(list(terms)))
+        .join(F.broadcast(keys_df), ["term", "block_id", "base_doc"], "semi")
+    )
+    decoded = engine.index.decode_blocks(blocks)
+    w_map = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(int(weights[t])))]
+    )
+    idf_map = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(float(idf_by_term[t])))]
+    )
+    per = decoded.withColumn("dl", bm25.norm_decode_col(F.col("norm_byte"))).withColumn(
+        "s",
+        bm25.term_score_col(
+            F.col("tf"), idf_map[F.col("term")], F.col("dl"), avgdl, engine.k1, engine.b
+        ),
+    )
+    return per.groupBy("_docid").agg(
+        F.sum(F.col("s").cast("double") * w_map[F.col("term")]).alias("score")
+    )
