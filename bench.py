@@ -229,7 +229,7 @@ def run_scaling() -> dict:
     against what THIS hardware gives embarrassingly parallel work.
     Efficiency = (throughput_4N / throughput_N) / 4."""
     sf = sf_from_dir(SF_DIR)
-    pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16")
+    pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8")
     n_cpus, four_n_cpus = (int(x) for x in pair.split(","))
     turns = int(16 * sf * TURNS_PER_SF)
     out = {}

@@ -17,6 +17,9 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 Query = Union[
     "Match",
     "MatchPhrase",
+    "MatchPhrasePrefix",
+    "MatchBoolPrefix",
+    "MultiMatch",
     "MatchAll",
     "MatchNone",
     "Term",
@@ -33,6 +36,8 @@ Query = Union[
     "ConstantScore",
     "DisMax",
     "Boosting",
+    "MoreLikeThis",
+    "FunctionScore",
 ]
 
 
@@ -60,6 +65,93 @@ class MatchPhrase:
     field: str
     query: str
     slop: int = 0
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class MatchPhrasePrefix:
+    """Phrase whose last slot matches any dictionary term with the given
+    prefix (``MatchPhrasePrefixQueryBuilder.java``; max_expansions 50).
+    Documented scoring: one clause whose idf = sum of fixed-term idfs +
+    idf(df of the expansion union), tf = phrase frequency."""
+
+    field: str
+    query: str
+    max_expansions: int = 50
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class MatchBoolPrefix:
+    """Bool OR of per-term scoring clauses with the last term as a
+    constant-score prefix clause (``MatchBoolPrefixQueryBuilder.java``;
+    ``MatchQuery.java:328``)."""
+
+    field: str
+    query: str
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class MultiMatch:
+    """Match over several fields with per-field boosts
+    (``MultiMatchQueryBuilder.java``; engine ``index/search/MultiMatchQuery.java``).
+    ``type`` best_fields (dis_max + tie_breaker) or most_fields (sum).
+    Non-text fields behave as keyword term matches scored 1.0."""
+
+    query: str
+    fields: Sequence[Tuple[str, float]]  # (field, boost)
+    type: str = "best_fields"
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class MoreLikeThis:
+    """``more_like_this`` over existing docs (``MoreLikeThisQueryBuilder.java``):
+    select the example docs' top ``max_query_terms`` terms by tf*idf
+    (tie: term asc), OR them with minimum_should_match 30% (floor), and
+    exclude the example docs themselves (include=false default)."""
+
+    like_ids: Sequence[Any]
+    field: str = "text"
+    max_query_terms: int = 10
+    min_doc_freq: int = 2
+    minimum_should_match_pct: float = 0.3
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class FieldValueFactor:
+    field: str
+    factor: float = 1.0
+    modifier: str = "none"  # none | log1p | sqrt | square
+    missing: float = 0.0
+
+
+@dataclasses.dataclass
+class ScoreFunction:
+    """One entry of ``function_score.functions``: optional filter, then
+    weight and/or field_value_factor and/or gauss decay
+    (registry ``SearchModule.java:927-955``)."""
+
+    filter: Optional["Query"] = None
+    weight: Optional[float] = None
+    field_value_factor: Optional[FieldValueFactor] = None
+    gauss: Optional[Dict[str, float]] = None  # {field, origin, scale, decay?}
+
+
+@dataclasses.dataclass
+class FunctionScore:
+    """``function_score`` (``functionscore/FunctionScoreQueryBuilder.java``):
+    rescore the wrapped query with functions; ``score_mode`` combines
+    function values (multiply/sum/max/min/avg), ``boost_mode`` combines
+    with the query score (multiply/sum/replace)."""
+
+    query: "Query"
+    functions: Sequence[ScoreFunction] = ()
+    score_mode: str = "multiply"
+    boost_mode: str = "multiply"
     boost: float = 1.0
 
 
