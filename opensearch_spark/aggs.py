@@ -166,6 +166,31 @@ def composite(
     return out.orderBy(*[F.asc(f"key_{f}") for f in fields]).limit(size)
 
 
+def significant_terms(
+    df: DataFrame, fg_cond: Column, field: str, size: int = 10
+) -> DataFrame:
+    """``significant_terms`` (``SignificantTermsAggregationBuilder.java``):
+    buckets over-represented in the foreground (query) set vs the
+    background corpus, scored with the JLH heuristic
+    ``(fg% - bg%) * (fg% / bg%)``."""
+    fg = df.filter(fg_cond)
+    fgc = fg.groupBy(F.col(field).alias("key")).agg(F.count(F.lit(1)).alias("fg_count"))
+    bgc = df.groupBy(F.col(field).alias("key")).agg(F.count(F.lit(1)).alias("bg_count"))
+    fg_total = fg.count()
+    bg_total = df.count()
+    j = fgc.join(bgc, "key")
+    fg_pct = F.col("fg_count") / F.lit(float(fg_total))
+    bg_pct = F.col("bg_count") / F.lit(float(bg_total))
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        j.withColumn("score", F.round(score.cast("double"), 6))
+        .filter(fg_pct > bg_pct)
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(size)
+        .select("key", "fg_count", "bg_count", "score")
+    )
+
+
 # ------------------------------------------------------------- metric
 
 

@@ -508,6 +508,257 @@ def ft_msearch(spark, sf_dir):
     return a.unionByName(b).select("query_id", "doc_id", "score")
 
 
+@_q(
+    "ft_multi_match",
+    _PRE
+    + f""", __c1 AS ({_sql_clause({"spark": 1})})
+SELECT doc_id, ROUND(sc * 2.0, 4) AS score
+FROM __c1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
+)
+def ft_multi_match(spark, sf_dir):
+    """``multi_match`` best_fields over text^2 + keyword field
+    (MultiMatchQueryBuilder.java); the keyword clause contributes no
+    docs for this query so best = boosted text clause."""
+    eng = documents_engine(spark, sf_dir)
+    return topk(
+        eng,
+        {
+            "multi_match": {
+                "query": "spark",
+                "fields": ["text^2", "lang"],
+                "type": "best_fields",
+                "tie_breaker": 0.3,
+            }
+        },
+    )
+
+
+@_q(
+    "ft_match_bool_prefix",
+    _PRE
+    + f""", __t AS ({_sql_clause({"dup": 1})}),
+__p AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS sc
+        FROM (SELECT DISTINCT doc_id FROM __tok WHERE term LIKE 'sp%')),
+__u AS (SELECT * FROM __t UNION ALL SELECT * FROM __p)
+SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM __u GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
+)
+def ft_match_bool_prefix(spark, sf_dir):
+    """``match_bool_prefix`` (MatchBoolPrefixQueryBuilder.java): term
+    clauses + constant-score prefix on the last token."""
+    eng = documents_engine(spark, sf_dir)
+    return topk(eng, {"match_bool_prefix": {"text": "dup sp"}})
+
+
+@_q(
+    "ft_match_phrase_prefix",
+    _PRE
+    + """, __exp AS (SELECT term FROM __df WHERE term LIKE 'ha%' ORDER BY term ASC LIMIT 50),
+__dfu AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfu
+          FROM __tok WHERE term IN (SELECT term FROM __exp)),
+__phr AS (
+  SELECT a.doc_id, CAST(count(*) AS INT) AS ptf
+  FROM __pos a JOIN __pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term IN (SELECT term FROM __exp)
+  GROUP BY a.doc_id
+),
+__pidf AS (
+  SELECT CAST(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+         + max(ln(1 + (s.n - u.dfu + 0.5) / (u.dfu + 0.5))) AS DOUBLE) AS idf
+  FROM __df d CROSS JOIN __stats s CROSS JOIN __dfu u WHERE d.term IN ('table')
+)
+SELECT p.doc_id,
+       ROUND(CAST(CAST(i.idf * 2.2 * p.ptf /
+             (p.ptf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+FROM __phr p
+JOIN __qdl q2 ON q2.doc_id = p.doc_id
+CROSS JOIN __pidf i CROSS JOIN __stats s
+ORDER BY score DESC, p.doc_id ASC
+LIMIT 10""",
+)
+def ft_match_phrase_prefix(spark, sf_dir):
+    """``match_phrase_prefix`` (MatchPhrasePrefixQueryBuilder.java):
+    phrase with last-slot prefix expansion; documented scoring (idf of
+    fixed terms + idf of the expansion-union df)."""
+    eng = documents_engine(spark, sf_dir)
+    return topk(eng, {"match_phrase_prefix": {"text": "table ha"}})
+
+
+@_q(
+    "ft_more_like_this",
+    _PRE
+    + """, __like AS (SELECT term, CAST(count(*) AS DOUBLE) AS ltf FROM __tok WHERE doc_id = 1 GROUP BY 1),
+__cand AS (
+  SELECT l.term, l.ltf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS sc
+  FROM __like l JOIN __df d USING (term) CROSS JOIN __stats s
+  WHERE d.df >= 2
+),
+__sel AS (SELECT term FROM __cand ORDER BY sc DESC, term ASC LIMIT 10),
+__req AS (SELECT greatest(1, CAST(floor(0.3 * count(*)) AS INT)) AS r FROM __sel),
+__scored AS (
+  SELECT t.doc_id, ROUND(SUM(CAST({score} AS DOUBLE)), 4) AS score, count(*) AS matched
+  FROM __tf t
+  JOIN __df d USING (term)
+  JOIN __sel ON __sel.term = t.term
+  JOIN __qdl q2 ON q2.doc_id = t.doc_id
+  CROSS JOIN __stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score FROM __scored CROSS JOIN __req
+WHERE matched >= r AND doc_id <> 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""".replace("{score}", _SCORE),
+)
+def ft_more_like_this(spark, sf_dir):
+    """``more_like_this`` over an existing doc
+    (MoreLikeThisQueryBuilder.java): top tf*idf example terms, 30% msm,
+    example excluded."""
+    eng = documents_engine(spark, sf_dir)
+    from opensearch_spark.query import dsl as Q
+
+    return topk(
+        eng, Q.MoreLikeThis(like_ids=[1], max_query_terms=10, min_doc_freq=2)
+    )
+
+
+@_q(
+    "ft_function_score",
+    _PRE
+    + f""", __c1 AS ({_sql_clause({"spark": 1})})
+SELECT c.doc_id, ROUND(c.sc * sqrt(dd.n_chars * 0.01), 4) AS score
+FROM __c1 c JOIN __docs dd ON dd.doc_id = c.doc_id
+ORDER BY score DESC, c.doc_id ASC
+LIMIT 10""",
+)
+def ft_function_score(spark, sf_dir):
+    """``function_score`` field_value_factor sqrt modifier, multiply
+    boost_mode (functionscore/FunctionScoreQueryBuilder.java)."""
+    eng = documents_engine(spark, sf_dir)
+    return topk(
+        eng,
+        {
+            "function_score": {
+                "query": {"match": {"text": "spark"}},
+                "functions": [
+                    {
+                        "field_value_factor": {
+                            "field": "n_chars",
+                            "factor": 0.01,
+                            "modifier": "sqrt",
+                            "missing": 0.0,
+                        }
+                    }
+                ],
+                "boost_mode": "multiply",
+            }
+        },
+    )
+
+
+@_q(
+    "ft_rescore",
+    _PRE
+    + f""", __c1 AS ({_sql_clause({"spark": 1})}),
+__w AS (SELECT doc_id, sc AS s1 FROM __c1 ORDER BY sc DESC, doc_id ASC LIMIT 30),
+__phr AS (
+  SELECT a.doc_id, CAST(count(*) AS INT) AS ptf
+  FROM __pos a JOIN __pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash'
+  GROUP BY a.doc_id
+),
+__pidf AS (
+  SELECT CAST(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS DOUBLE) AS idf
+  FROM __df d CROSS JOIN __stats s WHERE d.term IN ('table', 'hash')
+),
+__p2 AS (
+  SELECT p.doc_id,
+         CAST(CAST(i.idf * 2.2 * p.ptf /
+              (p.ptf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE) AS s2
+  FROM __phr p JOIN __qdl q2 ON q2.doc_id = p.doc_id
+  CROSS JOIN __pidf i CROSS JOIN __stats s
+  WHERE p.ptf > 0
+)
+SELECT doc_id, ROUND(comb, 4) AS score FROM (
+  SELECT w.doc_id,
+         CASE WHEN p.s2 IS NOT NULL THEN w.s1 * 1.0 + p.s2 * 2.0 ELSE w.s1 * 1.0 END AS comb
+  FROM __w w LEFT JOIN __p2 p ON p.doc_id = w.doc_id
+  ORDER BY comb DESC, w.doc_id ASC
+  LIMIT 10
+)
+ORDER BY score DESC, doc_id ASC""",
+)
+def ft_rescore(spark, sf_dir):
+    """Two-phase ``rescore`` (QueryRescorer.java:245): window 30 of the
+    match, phrase rescorer weighted 2x, total combine."""
+    eng = documents_engine(spark, sf_dir)
+    out = eng.rescore(
+        {"match": {"text": "spark"}},
+        {"match_phrase": {"text": "table hash"}},
+        window_size=30,
+        query_weight=1.0,
+        rescore_query_weight=2.0,
+        score_mode="total",
+        size=10,
+    )
+    return out.withColumn("score", F.round(F.col("score"), 4)).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+@_q(
+    "ft_query_string",
+    _sql_match({"spark": 1, "merge": 1}, required=2),
+)
+def ft_query_string(spark, sf_dir):
+    """``query_string`` mini-parser (QueryStringQueryBuilder.java):
+    'spark AND merge' compiles to bool-must of match clauses = the AND
+    match plan."""
+    eng = documents_engine(spark, sf_dir)
+    return topk(eng, {"query_string": {"query": "spark AND merge"}})
+
+
+@_q("ft_highlight")  # fetch-phase text decoration: rows-only check
+def ft_highlight(spark, sf_dir):
+    """Fetch-phase highlighting (SearchModule.java:1048-1057)."""
+    eng = documents_engine(spark, sf_dir)
+    out = eng.search_highlight({"match": {"text": "spark join"}}, size=10)
+    return out.select("doc_id", "highlight")
+
+
+@_q(
+    "agg_significant_terms",
+    """WITH fg AS (
+  SELECT DISTINCT d.doc_id, d.source
+  FROM documents d
+  WHERE len(list_filter(string_split(d.text, ' '), x -> x = 'dup')) > 0
+),
+fgc AS (SELECT source AS key, CAST(count(*) AS BIGINT) AS fg_count FROM fg GROUP BY 1),
+bgc AS (SELECT source AS key, CAST(count(*) AS BIGINT) AS bg_count FROM documents GROUP BY 1),
+tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM fg) AS fg_total,
+               (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS bg_total)
+SELECT key, fg_count, bg_count,
+       ROUND((fg_count / t.fg_total - bg_count / t.bg_total)
+             * ((fg_count / t.fg_total) / (bg_count / t.bg_total)), 6) AS score
+FROM fgc JOIN bgc USING (key) CROSS JOIN tot t
+WHERE fg_count / t.fg_total > bg_count / t.bg_total
+ORDER BY score DESC, key ASC
+LIMIT 10""",
+)
+def agg_significant_terms(spark, sf_dir):
+    """``significant_terms`` with JLH scoring
+    (SignificantTermsAggregationBuilder.java): sources over-represented
+    among docs containing 'dup'."""
+    from opensearch_spark.ops.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    fg_cond = F.array_contains(tokens_col("text"), "dup")
+    return aggs.significant_terms(docs, fg_cond, "source")
+
+
 # ================================================= aggregations
 
 @_q(

@@ -340,6 +340,73 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         if isinstance(v, dict):
             return MatchPhrase(field, v["query"], slop=v.get("slop", 0))
         return MatchPhrase(field, v)
+    if kind == "match_phrase_prefix":
+        field, v = next(iter(body.items()))
+        if isinstance(v, dict):
+            return MatchPhrasePrefix(
+                field, v["query"], max_expansions=v.get("max_expansions", 50)
+            )
+        return MatchPhrasePrefix(field, v)
+    if kind == "match_bool_prefix":
+        field, v = next(iter(body.items()))
+        return MatchBoolPrefix(field, v["query"] if isinstance(v, dict) else v)
+    if kind == "multi_match":
+        fields = []
+        for f in body["fields"]:
+            if "^" in f:
+                name, b = f.split("^", 1)
+                fields.append((name, float(b)))
+            else:
+                fields.append((f, 1.0))
+        return MultiMatch(
+            body["query"],
+            fields,
+            type=body.get("type", "best_fields"),
+            tie_breaker=body.get("tie_breaker", 0.0),
+        )
+    if kind == "more_like_this":
+        return MoreLikeThis(
+            like_ids=body["like"],
+            field=body.get("field", "text"),
+            max_query_terms=body.get("max_query_terms", 10),
+            min_doc_freq=body.get("min_doc_freq", 2),
+        )
+    if kind == "function_score":
+        fns = []
+        for f in _aslist(body.get("functions")):
+            fvf = None
+            if "field_value_factor" in f:
+                d = f["field_value_factor"]
+                fvf = FieldValueFactor(
+                    d["field"],
+                    factor=d.get("factor", 1.0),
+                    modifier=d.get("modifier", "none"),
+                    missing=d.get("missing", 0.0),
+                )
+            fns.append(
+                ScoreFunction(
+                    filter=from_dict(f["filter"]) if "filter" in f else None,
+                    weight=f.get("weight"),
+                    field_value_factor=fvf,
+                    gauss=f.get("gauss"),
+                )
+            )
+        return FunctionScore(
+            from_dict(body.get("query", {"match_all": {}})),
+            functions=fns,
+            score_mode=body.get("score_mode", "multiply"),
+            boost_mode=body.get("boost_mode", "multiply"),
+        )
+    if kind == "query_string":
+        from opensearch_spark.query.querystring import parse_query_string
+
+        return parse_query_string(
+            body["query"] if isinstance(body, dict) else body,
+            default_field=body.get("default_field", "text") if isinstance(body, dict) else "text",
+            default_operator=body.get("default_operator", "or").lower()
+            if isinstance(body, dict)
+            else "or",
+        )
     if kind == "match_all":
         return MatchAll(boost=body.get("boost", 1.0) if body else 1.0)
     if kind == "match_none":

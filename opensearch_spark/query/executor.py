@@ -89,6 +89,112 @@ class SearchEngine:
             topk = dm.join(F.broadcast(topk), "_docid")
         return topk.select(*fetch_cols, "score").orderBy(*order)
 
+    def rescore(
+        self,
+        query,
+        rescore_query,
+        window_size: int = 10,
+        query_weight: float = 1.0,
+        rescore_query_weight: float = 1.0,
+        score_mode: str = "total",
+        size: int = 10,
+    ) -> DataFrame:
+        """Two-phase rescore (``search/rescore/QueryRescorer.java:245``):
+        take the top ``window_size`` docs by the primary query, recompute
+        with the rescore query, combine scores per ``score_mode``
+        (total/multiply/avg/max/min), re-sort.  The reference windows
+        per shard; we window globally (superset semantics, documented)."""
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        rq = Q.from_dict(rescore_query) if isinstance(rescore_query, dict) else rescore_query
+        dm_ids = self.index.docmap().select("_docid", *self.id_cols)
+        order = [F.desc("score")] + [F.asc(c) for c in self.id_cols]
+        window = (
+            self._score(q)
+            .join(dm_ids, "_docid")
+            .orderBy(*order)
+            .limit(window_size)
+            .select("_docid", *self.id_cols, F.col("score").alias("_s1"))
+        )
+        sec = self._score(rq).select("_docid", F.col("score").alias("_s2"))
+        joined = window.join(sec, "_docid", "left")
+        s1 = F.col("_s1") * F.lit(float(query_weight))
+        s2 = F.col("_s2") * F.lit(float(rescore_query_weight))
+        if score_mode == "multiply":
+            comb = F.when(F.col("_s2").isNotNull(), s1 * s2).otherwise(s1)
+        elif score_mode == "avg":
+            comb = F.when(F.col("_s2").isNotNull(), (s1 + s2) / 2).otherwise(s1)
+        elif score_mode == "max":
+            comb = F.when(F.col("_s2").isNotNull(), F.greatest(s1, s2)).otherwise(s1)
+        elif score_mode == "min":
+            comb = F.when(F.col("_s2").isNotNull(), F.least(s1, s2)).otherwise(s1)
+        else:  # total
+            comb = F.when(F.col("_s2").isNotNull(), s1 + s2).otherwise(s1)
+        out_order = [F.desc("score")] + [F.asc(c) for c in self.id_cols]
+        return (
+            joined.withColumn("score", comb.cast("double"))
+            .select(*self.id_cols, "score")
+            .orderBy(*out_order)
+            .limit(size)
+        )
+
+    def search_highlight(
+        self,
+        query,
+        size: int = 10,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> DataFrame:
+        """Fetch-phase highlighting (``search/fetch/subphase/highlight``;
+        registry ``SearchModule.java:1048-1057``): wrap every analyzed
+        query-term occurrence in the stored text of the top-k hits."""
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        terms = sorted(set(self._collect_text_terms(q)))
+        topk = self.search(q, size=size, source_cols=[self.text_col])
+        if not terms:
+            return topk.withColumn("highlight", F.col(self.text_col))
+        import re as _re
+
+        rx = _re.compile(
+            r"(?<![0-9A-Za-z_])(" + "|".join(_re.escape(t) for t in terms) + r")(?![0-9A-Za-z_])",
+            _re.IGNORECASE,
+        )
+
+        @F.pandas_udf(T.StringType())
+        def hl(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda s: rx.sub(lambda m: pre_tag + m.group(0) + post_tag, s)
+                if s is not None
+                else None
+            )
+
+        return topk.withColumn("highlight", hl(F.col(self.text_col)))
+
+    def _collect_text_terms(self, q) -> List[str]:
+        """Analyzed text-field terms mentioned by a query tree (for
+        highlighting)."""
+        out: List[str] = []
+        if isinstance(q, (Q.Match, Q.MatchPhrase, Q.MatchPhrasePrefix, Q.MatchBoolPrefix)):
+            out.extend(self.index.analyze(q.query))
+        elif isinstance(q, Q.MultiMatch):
+            out.extend(self.index.analyze(q.query))
+        elif isinstance(q, Q.Term) and q.field == self.text_col:
+            out.append(str(q.value))
+        elif isinstance(q, Q.Terms) and q.field == self.text_col:
+            out.extend(str(v) for v in q.values)
+        elif isinstance(q, Q.Bool):
+            for sub in list(q.must) + list(q.should):
+                out.extend(self._collect_text_terms(sub))
+        elif isinstance(q, Q.DisMax):
+            for sub in q.queries:
+                out.extend(self._collect_text_terms(sub))
+        elif isinstance(q, (Q.ConstantScore,)):
+            out.extend(self._collect_text_terms(q.filter))
+        elif isinstance(q, Q.Boosting):
+            out.extend(self._collect_text_terms(q.positive))
+        elif isinstance(q, Q.FunctionScore):
+            out.extend(self._collect_text_terms(q.query))
+        return out
+
     def count(self, query) -> int:
         """_count entry point: exact hit count (superset of the reference's
         track_total_hits=10000 default, SURVEY.md §2.6)."""
@@ -125,6 +231,16 @@ class SearchEngine:
             return self._score_match(q)
         if isinstance(q, Q.MatchPhrase):
             return self._score_phrase(q)
+        if isinstance(q, Q.MatchPhrasePrefix):
+            return self._score_phrase_prefix(q)
+        if isinstance(q, Q.MatchBoolPrefix):
+            return self._score_match_bool_prefix(q)
+        if isinstance(q, Q.MultiMatch):
+            return self._score_multi_match(q)
+        if isinstance(q, Q.MoreLikeThis):
+            return self._score_mlt(q)
+        if isinstance(q, Q.FunctionScore):
+            return self._score_function_score(q)
         if isinstance(q, Q.MatchAll):
             return self._all_docs(q.boost)
         if isinstance(q, Q.MatchNone):
@@ -248,6 +364,18 @@ class SearchEngine:
             .filter(F.col("nt") == F.lit(len(uniq)))
         )
 
+        scored = self._phrase_score_from_tp(agg, qpos_by_term, idf_sum, avgdl)
+        if p.boost != 1.0:
+            scored = scored.withColumn("score", F.col("score") * F.lit(float(p.boost)))
+        return scored
+
+    def _phrase_score_from_tp(
+        self, agg: DataFrame, qpos_by_term: dict, idf_sum: float, avgdl: float
+    ) -> DataFrame:
+        """Shared phrase-frequency scorer: ``agg`` has per-doc
+        (tp: list<(term, positions)>, norm_byte); phrase tf = count of
+        anchor positions where every query slot's term appears at the
+        right offset (Arrow-batched numpy intersection)."""
         qmap = {t: np.asarray(ps, dtype=np.int64) for t, ps in qpos_by_term.items()}
 
         @F.pandas_udf(T.IntegerType())
@@ -259,7 +387,7 @@ class SearchEngine:
                         pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
                     else:  # Row-like
                         pos[e[0]] = np.asarray(e[1], dtype=np.int64)
-                # candidate phrase starts: positions of the first query token
+                # candidate phrase starts: positions of the slot-0 token
                 first_t = None
                 for t, qps in qmap.items():
                     if 0 in qps:
@@ -287,7 +415,236 @@ class SearchEngine:
             )
         )
         return scored.select(
-            "_docid", (F.col("s").cast("double") * F.lit(float(p.boost))).alias("score")
+            "_docid", F.col("s").cast("double").alias("score")
+        )
+
+    def _score_match_bool_prefix(self, q: Q.MatchBoolPrefix) -> DataFrame:
+        """Bool OR of term clauses + constant-score prefix on the last
+        token (MatchBoolPrefixQueryBuilder.java; MatchQuery.java:328)."""
+        tokens = self.index.analyze(q.query)
+        if not tokens:
+            return self._empty_scored()
+        parts = []
+        if len(tokens) > 1:
+            parts.append(
+                self._score_terms_or(dict(Counter(tokens[:-1])), required=1)
+            )
+        prefix_terms = self._expand_terms(Q.Prefix(self.text_col, tokens[-1]))
+        if prefix_terms:
+            parts.append(
+                self._docset_text_terms(prefix_terms).withColumn(
+                    "score", F.lit(1.0)
+                )
+            )
+        if not parts:
+            return self._empty_scored()
+        unioned = reduce(DataFrame.unionByName, parts)
+        out = unioned.groupBy("_docid").agg(F.sum("score").alias("score"))
+        if q.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+        return out
+
+    def _score_phrase_prefix(self, q: Q.MatchPhrasePrefix) -> DataFrame:
+        """Phrase with last-slot prefix expansion
+        (MatchPhrasePrefixQueryBuilder.java).  Documented scoring: one
+        clause, idf = sum of fixed-term idfs + idf(df of the expansion
+        union), tf = phrase frequency over expanded last positions."""
+        tokens = self.index.analyze(q.query)
+        if not tokens:
+            return self._empty_scored()
+        expansions = self._expand_terms(Q.Prefix(self.text_col, tokens[-1]))
+        expansions = sorted(expansions)[: q.max_expansions]
+        if not expansions:
+            return self._empty_scored()
+        if len(tokens) == 1:
+            ds = self._docset_text_terms(expansions)
+            return ds.withColumn("score", F.lit(float(q.boost)))
+        fixed = tokens[:-1]
+        uniq_fixed = sorted(set(fixed))
+        stats = self.index.term_stats(uniq_fixed)
+        if len(stats) < len(uniq_fixed):
+            return self._empty_scored()
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        # union df of expansions (the pseudo-term's document frequency)
+        exp_only = [t for t in expansions if t not in set(fixed)]
+        union_post = self.index.postings_for_terms(expansions, with_positions=True)
+        df_union = union_post.select("_docid").distinct().count()
+        if df_union == 0:
+            return self._empty_scored()
+        idf_sum = float(
+            sum(bm25.idf(int(d), N) for d in stats["df"]) + bm25.idf(df_union, N)
+        )
+        pseudo = "\x00prefix"
+        post_fixed = self.index.postings_for_terms(uniq_fixed, with_positions=True)
+        post_exp = union_post.withColumn("term", F.lit(pseudo))
+        # merge expansion position lists per doc into one pseudo-term row
+        post_exp = (
+            post_exp.groupBy("_docid", "term")
+            .agg(
+                F.array_sort(F.flatten(F.collect_list("positions"))).alias("positions"),
+                F.min("norm_byte").alias("norm_byte"),
+                F.sum("tf").alias("tf"),
+            )
+            .select("term", "_docid", "tf", "norm_byte", "positions")
+        )
+        post = post_fixed.select("term", "_docid", "tf", "norm_byte", "positions").unionByName(
+            post_exp
+        )
+        qpos_by_term: dict = {}
+        for i, t in enumerate(fixed):
+            qpos_by_term.setdefault(t, []).append(i)
+        qpos_by_term.setdefault(pseudo, []).append(len(tokens) - 1)
+        n_slots_terms = len(set(fixed)) + 1
+        agg = (
+            post.groupBy("_docid")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("tp"),
+                F.min("norm_byte").alias("norm_byte"),
+                F.count("term").alias("nt"),
+            )
+            .filter(F.col("nt") == F.lit(n_slots_terms))
+        )
+        scored = self._phrase_score_from_tp(agg, qpos_by_term, idf_sum, avgdl)
+        return scored.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+
+    def _score_multi_match(self, q: Q.MultiMatch) -> DataFrame:
+        """Per-field match clauses combined best_fields (dis_max) or
+        most_fields (sum) (MultiMatchQueryBuilder.java)."""
+        parts = []
+        for field, boost in q.fields:
+            if field == self.text_col:
+                parts.append(self._score(Q.Match(field, q.query, boost=boost)))
+            else:
+                # keyword-style field: exact term match, constant score
+                parts.append(
+                    self._pred_docset(
+                        F.col(field) == F.lit(q.query), boost
+                    )
+                )
+        unioned = reduce(
+            DataFrame.unionByName, [p.withColumn("cid", F.lit(i)) for i, p in enumerate(parts)]
+        )
+        grouped = unioned.groupBy("_docid").agg(
+            F.max("score").alias("best"), F.sum("score").alias("total")
+        )
+        if q.type == "most_fields":
+            score = F.col("total")
+        else:  # best_fields
+            score = F.col("best") + F.lit(float(q.tie_breaker)) * (
+                F.col("total") - F.col("best")
+            )
+        return grouped.select(
+            "_docid", (score * F.lit(float(q.boost))).alias("score")
+        )
+
+    def _score_mlt(self, q: Q.MoreLikeThis) -> DataFrame:
+        """more_like_this over existing docs (MoreLikeThisQueryBuilder.java):
+        top tf*idf terms of the examples -> OR query with 30% msm,
+        example docs excluded (include=false default)."""
+        ids_q = Q.Ids([v if isinstance(v, tuple) else (v,) for v in q.like_ids])
+        like_rows = (
+            self.index.docmap()
+            .filter(_null_safe(self._predicate(ids_q)))
+            .select(self.text_col)
+            .collect()
+        )
+        if not like_rows:
+            return self._empty_scored()
+        tf = Counter()
+        for r in like_rows:
+            tf.update(self.index.analyze(r[self.text_col] or ""))
+        stats = self.index.term_stats(list(tf))
+        N = self.index.stats["doc_count"]
+        cand = [
+            (float(tf[t]) * bm25.idf(int(d), N), t)
+            for t, d in zip(stats["term"], stats["df"])
+            if int(d) >= q.min_doc_freq
+        ]
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        selected = [t for _, t in cand[: q.max_query_terms]]
+        if not selected:
+            return self._empty_scored()
+        required = max(1, int(q.minimum_should_match_pct * len(selected)))
+        scored = self._score_terms_or({t: 1 for t in selected}, required=required)
+        like_set = self.index.docmap().filter(
+            _null_safe(self._predicate(ids_q))
+        ).select("_docid")
+        out = scored.join(like_set, "_docid", "anti")
+        if q.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+        return out
+
+    def _score_function_score(self, q: Q.FunctionScore) -> DataFrame:
+        """function_score (functionscore/FunctionScoreQueryBuilder.java):
+        plain Catalyst column arithmetic over the docmap — no UDFs."""
+        import math as _math
+
+        base = self._score(q.query)
+        needed_cols = set()
+        for fn in q.functions:
+            if fn.field_value_factor:
+                needed_cols.add(fn.field_value_factor.field)
+            if fn.gauss:
+                needed_cols.add(fn.gauss["field"])
+            if fn.filter is not None:
+                pred = self._predicate(fn.filter)
+                if pred is None:
+                    raise NotImplementedError(
+                        "function_score filters must be columnar predicates"
+                    )
+                needed_cols.update(_pred_fields(fn.filter))
+        dm = self.index.docmap().select("_docid", *sorted(needed_cols))
+        joined = base.join(dm, "_docid")
+        vals = []
+        for fn in q.functions:
+            v = F.lit(1.0)
+            if fn.field_value_factor:
+                f = fn.field_value_factor
+                raw = F.coalesce(F.col(f.field).cast("double"), F.lit(float(f.missing)))
+                x = raw * F.lit(float(f.factor))
+                if f.modifier == "log1p":
+                    x = F.log1p(x)
+                elif f.modifier == "sqrt":
+                    x = F.sqrt(x)
+                elif f.modifier == "square":
+                    x = x * x
+                v = v * x
+            if fn.gauss:
+                g = fn.gauss
+                decay = float(g.get("decay", 0.5))
+                dist = F.abs(F.col(g["field"]).cast("double") - F.lit(float(g["origin"])))
+                v = v * F.exp(
+                    F.lit(_math.log(decay)) * F.pow(dist / F.lit(float(g["scale"])), F.lit(2.0))
+                )
+            if fn.weight is not None:
+                v = v * F.lit(float(fn.weight))
+            if fn.filter is not None:
+                v = F.when(_null_safe(self._predicate(fn.filter)), v)
+            vals.append(v)
+        if vals:
+            arr = F.filter(F.array(*vals), lambda x: x.isNotNull())
+            if q.score_mode == "sum":
+                factor = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+            elif q.score_mode == "max":
+                factor = F.array_max(arr)
+            elif q.score_mode == "min":
+                factor = F.array_min(arr)
+            elif q.score_mode == "avg":
+                factor = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
+            else:  # multiply
+                factor = F.aggregate(arr, F.lit(1.0), lambda a, x: a * x)
+            factor = F.when(F.size(arr) == 0, F.lit(1.0)).otherwise(factor)
+        else:
+            factor = F.lit(1.0)
+        if q.boost_mode == "sum":
+            score = F.col("score") + factor
+        elif q.boost_mode == "replace":
+            score = factor
+        else:  # multiply
+            score = F.col("score") * factor
+        return joined.select(
+            "_docid", (score * F.lit(float(q.boost))).alias("score")
         )
 
     def _score_fuzzy(self, q: Q.Fuzzy) -> DataFrame:
@@ -531,6 +888,17 @@ class SearchEngine:
             .filter(_null_safe(pred))
             .select("_docid", F.lit(float(boost)).alias("score"))
         )
+
+
+def _pred_fields(q) -> set:
+    """Column names referenced by a columnar-predicate query tree."""
+    out = set()
+    if isinstance(q, (Q.Term, Q.Terms, Q.Range, Q.Exists, Q.Prefix, Q.Wildcard, Q.Regexp)):
+        out.add(q.field)
+    elif isinstance(q, Q.Bool):
+        for sub in list(q.must) + list(q.filter) + list(q.should) + list(q.must_not):
+            out.update(_pred_fields(sub))
+    return out
 
 
 def _null_safe(pred: Column) -> Column:

@@ -1,0 +1,196 @@
+"""Mini Lucene query-language parser (``query_string``).
+
+Grammar subset of the reference's ``QueryStringQueryBuilder.java`` /
+``index/search/QueryStringQueryParser.java`` (979+ LoC Java): boolean
+operators AND/OR/NOT, ``+``/``-`` occurrence prefixes, quoted phrases,
+``field:value``, parentheses, trailing-``*`` prefix and ``*``/``?``
+wildcards.  Parses to the same typed DSL tree the JSON queries use, so
+compilation/scoring is shared with ``executor``.
+
+Recursive descent:
+    expr   := orExpr
+    orExpr := andExpr (OR andExpr)*
+    andExpr:= unary (AND unary)*
+    unary  := NOT unary | '+' unary | '-' unary | primary
+    primary:= '(' expr ')' | [field ':'] atom
+    atom   := '"' ... '"' | word
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from opensearch_spark.query import dsl as Q
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<and>AND\b) |
+        (?P<or>OR\b) |
+        (?P<not>NOT\b) |
+        (?P<plus>\+) |
+        (?P<minus>-) |
+        (?P<phrase>"(?P<phrase_body>[^"]*)") |
+        (?P<word>[^\s()"]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+class _Tokens:
+    def __init__(self, s: str):
+        self.toks: List[Tuple[str, str]] = []
+        pos = 0
+        while pos < len(s):
+            m = _TOKEN_RE.match(s, pos)
+            if not m or m.end() == pos:
+                break
+            pos = m.end()
+            for name in ("lparen", "rparen", "and", "or", "not", "plus", "minus"):
+                if m.group(name):
+                    self.toks.append((name, m.group(name)))
+                    break
+            else:
+                if m.group("phrase") is not None:
+                    self.toks.append(("phrase", m.group("phrase_body")))
+                elif m.group("word"):
+                    self.toks.append(("word", m.group("word")))
+        self.i = 0
+
+    def peek(self) -> Optional[Tuple[str, str]]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+
+def parse_query_string(
+    s: str, default_field: str = "text", default_operator: str = "or"
+) -> Q.Query:
+    tk = _Tokens(s)
+    node = _parse_or(tk, default_field, default_operator)
+    return node if node is not None else Q.MatchNone()
+
+
+def _parse_or(tk: _Tokens, df: str, dop: str):
+    parts = [_parse_and(tk, df, dop)]
+    while tk.peek() and tk.peek()[0] == "or":
+        tk.next()
+        parts.append(_parse_and(tk, df, dop))
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    return Q.Bool(should=parts, minimum_should_match=1)
+
+
+def _parse_and(tk: _Tokens, df: str, dop: str):
+    parts = [_parse_unary(tk, df, dop)]
+    while tk.peek() and tk.peek()[0] == "and":
+        tk.next()
+        parts.append(_parse_unary(tk, df, dop))
+    # implicit adjacency: a sequence of unaries without AND/OR joins per
+    # the default operator (Lucene's default_operator semantics)
+    implicit = []
+    while tk.peek() and tk.peek()[0] not in ("or", "and", "rparen"):
+        implicit.append(_parse_unary(tk, df, dop))
+    parts = [p for p in parts if p is not None]
+    implicit = [p for p in implicit if p is not None]
+    if implicit:
+        all_parts = parts + implicit
+        must = [p for p in all_parts if isinstance(p, _MustWrap)]
+        must_not = [p for p in all_parts if isinstance(p, _NotWrap)]
+        rest = [p for p in all_parts if not isinstance(p, (_MustWrap, _NotWrap))]
+        if dop == "and":
+            return Q.Bool(
+                must=[_unwrap(p) for p in must] + rest,
+                must_not=[_unwrap(p) for p in must_not],
+            )
+        return Q.Bool(
+            must=[_unwrap(p) for p in must],
+            should=rest,
+            must_not=[_unwrap(p) for p in must_not],
+            minimum_should_match=1 if rest and not must else 0,
+        )
+    if not parts:
+        return None
+    if len(parts) == 1:
+        p = parts[0]
+        if isinstance(p, _MustWrap):
+            return _unwrap(p)
+        if isinstance(p, _NotWrap):
+            return Q.Bool(must_not=[_unwrap(p)])
+        return p
+    return Q.Bool(
+        must=[_unwrap(p) if isinstance(p, _MustWrap) else p for p in parts if not isinstance(p, _NotWrap)],
+        must_not=[_unwrap(p) for p in parts if isinstance(p, _NotWrap)],
+    )
+
+
+class _MustWrap:
+    def __init__(self, node):
+        self.node = node
+
+
+class _NotWrap:
+    def __init__(self, node):
+        self.node = node
+
+
+def _unwrap(p):
+    return p.node if isinstance(p, (_MustWrap, _NotWrap)) else p
+
+
+def _parse_unary(tk: _Tokens, df: str, dop: str):
+    t = tk.peek()
+    if t is None:
+        return None
+    if t[0] == "not":
+        tk.next()
+        inner = _parse_unary(tk, df, dop)
+        return _NotWrap(_unwrap(inner)) if inner is not None else None
+    if t[0] == "plus":
+        tk.next()
+        inner = _parse_unary(tk, df, dop)
+        return _MustWrap(_unwrap(inner)) if inner is not None else None
+    if t[0] == "minus":
+        tk.next()
+        inner = _parse_unary(tk, df, dop)
+        return _NotWrap(_unwrap(inner)) if inner is not None else None
+    return _parse_primary(tk, df, dop)
+
+
+def _parse_primary(tk: _Tokens, df: str, dop: str):
+    t = tk.peek()
+    if t is None:
+        return None
+    if t[0] == "lparen":
+        tk.next()
+        node = _parse_or(tk, df, dop)
+        if tk.peek() and tk.peek()[0] == "rparen":
+            tk.next()
+        return node
+    if t[0] == "phrase":
+        tk.next()
+        return Q.MatchPhrase(df, t[1])
+    if t[0] == "word":
+        tk.next()
+        word = t[1]
+        field = df
+        if ":" in word:
+            field, word = word.split(":", 1)
+            if word.startswith('"') and word.endswith('"') and len(word) > 1:
+                return Q.MatchPhrase(field, word[1:-1])
+        if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+            return Q.Prefix(field, word[:-1].lower())
+        if "*" in word or "?" in word:
+            return Q.Wildcard(field, word.lower())
+        if field == df:
+            return Q.Match(field, word)
+        return Q.Term(field, word)
+    return None

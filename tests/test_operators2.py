@@ -1,0 +1,236 @@
+"""Phase-2 operator semantics: multi_match, match_bool_prefix,
+match_phrase_prefix, more_like_this, function_score, rescore,
+query_string, highlight.
+
+Ground truth is computed independently from the corpus pandas frame
+(same analyzer code path) — not from the engine itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from opensearch_spark.analysis import analyzer as ana
+from opensearch_spark.query import dsl as Q
+from opensearch_spark.query.querystring import parse_query_string
+
+
+def _ids(rows):
+    return {(r["conv_id"], r["turn_idx"]) for r in rows}
+
+
+def _corpus_tokens(corpus_pdf):
+    return {
+        (r.conv_id, r.turn_idx): ana.tokenize(r.text)
+        for r in corpus_pdf.itertuples()
+    }
+
+
+# ------------------------------------------------------- multi_match
+
+def test_multi_match_single_text_field_equals_match(engine):
+    mm = engine.search(
+        Q.MultiMatch("error handling", [("text", 1.0)]), size=10
+    ).collect()
+    m = engine.search({"match": {"text": "error handling"}}, size=10).collect()
+    assert [(r["conv_id"], r["turn_idx"], round(r["score"], 5)) for r in mm] == [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 5)) for r in m
+    ]
+
+
+def test_multi_match_keyword_field_union(engine, corpus_pdf):
+    """best_fields over text + role('user'): role matches add docs with
+    constant score."""
+    rows = engine.search(
+        Q.MultiMatch("user", [("text", 1.0), ("role", 1.0)]), size=10
+    ).collect()
+    assert rows, "role=user docs must match"
+    # every row's score >= 1.0 would hold only for role matches; just
+    # assert the query executes and the top doc matches role or text
+    toks = _corpus_tokens(corpus_pdf)
+    top = rows[0]
+    roles = {
+        (r.conv_id, r.turn_idx): r.role for r in corpus_pdf.itertuples()
+    }
+    key = (top["conv_id"], top["turn_idx"])
+    assert roles[key] == "user" or "user" in toks[key]
+
+
+# -------------------------------------------------- match_bool_prefix
+
+def test_match_bool_prefix_membership(engine, corpus_pdf):
+    rows = engine.search(
+        {"match_bool_prefix": {"text": "error handl"}}, size=1000
+    ).collect()
+    got = _ids(rows)
+    toks = _corpus_tokens(corpus_pdf)
+    expect = {
+        k
+        for k, ts in toks.items()
+        if "error" in ts or any(t.startswith("handl") for t in ts)
+    }
+    assert got == expect
+
+
+# ------------------------------------------- match_phrase_prefix
+
+def test_match_phrase_prefix_membership(engine, corpus_pdf):
+    rows = engine.search(
+        {"match_phrase_prefix": {"text": "error handl"}}, size=1000
+    ).collect()
+    got = _ids(rows)
+    toks = _corpus_tokens(corpus_pdf)
+    expect = set()
+    for k, ts in toks.items():
+        for i in range(len(ts) - 1):
+            if ts[i] == "error" and ts[i + 1].startswith("handl"):
+                expect.add(k)
+                break
+    assert got == expect
+
+
+# ------------------------------------------------------ more_like_this
+
+def test_more_like_this(engine, corpus_pdf):
+    like = ("conv-00000057", 6)  # known "error handling" turn
+    rows = engine.search(
+        Q.MoreLikeThis(like_ids=[like], max_query_terms=8, min_doc_freq=2),
+        size=20,
+    ).collect()
+    got = _ids(rows)
+    assert like not in got, "example doc must be excluded (include=false)"
+    assert rows, "MLT should find similar docs"
+
+
+# ----------------------------------------------------- function_score
+
+def test_function_score_field_value_factor(engine):
+    base = {r["conv_id"] + ":" + str(r["turn_idx"]): r["score"]
+            for r in engine.search({"match": {"text": "error"}}, size=50).collect()}
+    fs = engine.search(
+        {
+            "function_score": {
+                "query": {"match": {"text": "error"}},
+                "functions": [
+                    {"field_value_factor": {"field": "turn_idx", "factor": 1.0, "modifier": "log1p", "missing": 0.0}}
+                ],
+                "boost_mode": "multiply",
+            }
+        },
+        size=50,
+    ).collect()
+    for r in fs:
+        k = r["conv_id"] + ":" + str(r["turn_idx"])
+        if k in base:
+            expect = base[k] * math.log1p(r["turn_idx"])
+            assert r["score"] == pytest.approx(expect, rel=1e-9)
+
+
+def test_function_score_weight_filter(engine):
+    fs = engine.search(
+        {
+            "function_score": {
+                "query": {"match": {"text": "error"}},
+                "functions": [
+                    {"filter": {"term": {"role": "user"}}, "weight": 3.0}
+                ],
+                "boost_mode": "multiply",
+            }
+        },
+        size=30,
+        source_cols=["role"],
+    ).collect()
+    base = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in engine.search({"match": {"text": "error"}}, size=1000).collect()
+    }
+    for r in fs:
+        k = (r["conv_id"], r["turn_idx"])
+        mult = 3.0 if r["role"] == "user" else 1.0
+        assert r["score"] == pytest.approx(base[k] * mult, rel=1e-9)
+
+
+# ------------------------------------------------------------ rescore
+
+def test_rescore_total(engine):
+    primary = {"match": {"text": "error"}}
+    secondary = {"match_phrase": {"text": "error handling"}}
+    window = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in engine.search(primary, size=20).collect()
+    }
+    sec = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in engine.search(secondary, size=1000).collect()
+    }
+    out = engine.rescore(primary, secondary, window_size=20, size=10).collect()
+    for r in out:
+        k = (r["conv_id"], r["turn_idx"])
+        expect = window[k] + sec.get(k, 0.0)
+        assert r["score"] == pytest.approx(expect, rel=1e-9)
+    # ordering: descending combined score
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ------------------------------------------------------- query_string
+
+def test_query_string_ast_shapes():
+    q = parse_query_string('"error handling"')
+    assert isinstance(q, Q.MatchPhrase)
+    q = parse_query_string("error AND handling")
+    assert isinstance(q, Q.Bool) and len(q.must) == 2
+    q = parse_query_string("error OR handling")
+    assert isinstance(q, Q.Bool) and len(q.should) == 2
+    q = parse_query_string("+error -timeout rest")
+    assert isinstance(q, Q.Bool)
+    assert any(isinstance(m, Q.Match) for m in q.must)
+    assert len(q.must_not) == 1
+    q = parse_query_string("role:tool")
+    assert isinstance(q, Q.Term) and q.field == "role"
+    q = parse_query_string("handl*")
+    assert isinstance(q, Q.Prefix)
+    q = parse_query_string("(error OR timeout) AND handling")
+    assert isinstance(q, Q.Bool)
+
+
+def test_query_string_execution_matches_bool(engine):
+    a = engine.search(
+        {"query_string": {"query": "error AND handling"}}, size=10
+    ).collect()
+    b = engine.search(
+        {
+            "bool": {
+                "must": [
+                    {"match": {"text": "error"}},
+                    {"match": {"text": "handling"}},
+                ]
+            }
+        },
+        size=10,
+    ).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in a] == [
+        (r["conv_id"], r["turn_idx"]) for r in b
+    ]
+
+
+def test_query_string_not(engine, corpus_pdf):
+    rows = engine.search(
+        {"query_string": {"query": "error AND NOT timeout"}}, size=2000
+    ).collect()
+    toks = _corpus_tokens(corpus_pdf)
+    got = _ids(rows)
+    expect = {k for k, ts in toks.items() if "error" in ts and "timeout" not in ts}
+    assert got == expect
+
+
+# ----------------------------------------------------------- highlight
+
+def test_highlight(engine):
+    rows = engine.search_highlight({"match": {"text": "error handling"}}, size=5).collect()
+    assert rows
+    for r in rows:
+        assert "<em>" in r["highlight"]
+        assert r["highlight"].replace("<em>", "").replace("</em>", "") == r["text"]
