@@ -59,7 +59,16 @@ class InvertedIndex:
         return self.spark.read.parquet(d)
 
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths["dictionary"])
+        d = self.spark.read.parquet(self.paths["dictionary"])
+        if self.plan.get("incremental"):
+            # streaming builds append per-batch deltas; aggregate on read
+            # (collapsed to dense rows by merge_index compaction)
+            d = d.groupBy("term").agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("total_tf").cast("long").alias("total_tf"),
+                F.sum("n_blocks").cast("int").alias("n_blocks"),
+            )
+        return d
 
     # ---- query-side helpers ----
 

@@ -1,0 +1,192 @@
+"""Incremental index build over Structured Streaming.
+
+The reference makes newly indexed docs searchable on ``refresh``
+(default 1s) by flushing in-memory segments — micro-batch semantics
+(``InternalEngine.refresh``; SURVEY.md §2.10).  Here each micro-batch
+is one "flush": ``foreachBatch`` runs the SAME per-segment inversion as
+the batch builder and appends new segments to the index; the streaming
+checkpoint plus an idempotency manifest per batch give exactly-once
+appends (the translog-checkpoint analog, ``Translog.java:98-224``).
+
+Dictionary handling at scale: recomputing the global dictionary per
+batch would be O(index) — instead each batch appends per-batch
+dictionary DELTAS and the reader aggregates on read
+(``plan.incremental = true``); a periodic ``merge_index`` compaction
+collapses segments and deltas back to the dense layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opensearch_spark.analysis import analyzer as ana
+from opensearch_spark.index.builder import (
+    IndexConfig,
+    ROW_MANIFEST,
+    _INTERNAL_FIELDS,
+    _invert_segment,
+    _paths,
+    _route_expr,
+)
+
+
+def init_index_dir(spark: SparkSession, index_dir: str, cfg: IndexConfig, schema: T.StructType) -> None:
+    """Create an empty incremental index (plan + zeroed stats)."""
+    p = _paths(index_dir)
+    os.makedirs(p["manifests"], exist_ok=True)
+    plan = {
+        "version": 1,
+        "incremental": True,
+        "n_segments": cfg.n_segments,
+        "block_size": cfg.block_size,
+        "stopwords": cfg.stopwords,
+        "id_cols": list(cfg.id_cols),
+        "routing_col": cfg.routing(),
+        "text_col": cfg.text_col,
+        "store_positions": cfg.store_positions,
+        "n_docs": 0,
+        "input_fields": [f.name for f in schema.fields],
+    }
+    with open(p["plan"], "w") as f:
+        json.dump(plan, f, indent=1)
+    with open(p["stats"], "w") as f:
+        json.dump({"n_docs": 0, "doc_count": 0, "sum_dl": 0, "avgdl": 0.0}, f)
+
+
+def append_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig,
+    batch_id: int,
+) -> Optional[Dict]:
+    """Idempotently append one micro-batch as new segments.
+
+    Re-delivered batches (streaming retries) are detected by the batch
+    manifest and skipped, so the append is exactly-once."""
+    p = _paths(index_dir)
+    bman = os.path.join(p["manifests"], f"batch-{batch_id:010d}.json")
+    if os.path.exists(bman):
+        return None  # replay after failure: already committed
+    with open(p["plan"]) as f:
+        plan = json.load(f)
+    with open(p["stats"]) as f:
+        stats = json.load(f)
+    hw = int(stats["n_docs"])  # docID high-water mark
+    stop = ana.resolve_stopwords(cfg.stopwords)
+
+    orig_cols = list(batch_df.columns)
+    out_fields = list(_INTERNAL_FIELDS) + [
+        (f.name, f.dataType) for f in batch_df.schema.fields
+    ]
+    out_schema = T.StructType([T.StructField(n, d, True) for n, d in out_fields])
+    out_cols = [n for n, _ in out_fields]
+
+    seg_base = (int(batch_id) + 1) * cfg.n_segments  # distinct from batch-0 ids
+    routed = batch_df.withColumn(
+        "_seg", (_route_expr(cfg) + F.lit(seg_base)).cast("int")
+    )
+    counts = {
+        int(r["_seg"]): int(r["count"])
+        for r in routed.groupBy("_seg").count().collect()
+    }
+    offsets: Dict[int, int] = {}
+    acc = hw
+    for seg in sorted(counts):
+        offsets[seg] = acc
+        acc += counts[seg]
+    n_new = acc - hw
+    if n_new == 0:
+        with open(bman, "w") as f:
+            json.dump({"batch": batch_id, "n_docs": 0, "status": "empty"}, f)
+        return {"n_docs": 0}
+
+    t0 = time.monotonic()
+    routed = routed.repartition(max(1, len(counts)), "_seg")
+    built = routed.groupBy("_seg").applyInPandas(
+        lambda pdf: _invert_segment(pdf, cfg, offsets, stop, orig_cols, out_cols),
+        schema=out_schema,
+    )
+    built.write.partitionBy("_row").mode("append").parquet(p["data"])
+
+    # per-batch dictionary delta (reader aggregates; merge compacts)
+    batch_posts = (
+        spark.read.parquet(os.path.join(p["data"], "_row=p"))
+        .filter(F.col("_seg") >= seg_base)
+        .filter(F.col("_seg") < seg_base + cfg.n_segments)
+    )
+    (
+        batch_posts.groupBy("term")
+        .agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("total_tf"),
+            F.count(F.lit(1)).cast("int").alias("n_blocks"),
+        )
+        .write.mode("append")
+        .parquet(p["dictionary"])
+    )
+
+    man_rows = (
+        spark.read.parquet(os.path.join(p["data"], f"_row={ROW_MANIFEST}"))
+        .filter(F.col("_seg").isin(list(counts)))
+        .select("m_n_docs", "m_sum_dl", "m_doc_count")
+        .collect()
+    )
+    sum_dl = sum(int(r["m_sum_dl"]) for r in man_rows)
+    doc_count = sum(int(r["m_doc_count"]) for r in man_rows)
+
+    stats["n_docs"] = acc
+    stats["doc_count"] = int(stats["doc_count"]) + doc_count
+    stats["sum_dl"] = int(stats["sum_dl"]) + sum_dl
+    stats["avgdl"] = stats["sum_dl"] / stats["doc_count"] if stats["doc_count"] else 0.0
+    with open(p["stats"], "w") as f:
+        json.dump(stats, f, indent=1)
+    with open(bman, "w") as f:
+        json.dump(
+            {
+                "batch": int(batch_id),
+                "n_docs": n_new,
+                "doc_offset": hw,
+                "segments": sorted(counts),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "status": "done",
+            },
+            f,
+        )
+    return {"n_docs": n_new}
+
+
+def start_incremental_index(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the streaming index build.  ``stream_df`` is any streaming
+    DataFrame with the transcript schema; returns the StreamingQuery.
+
+    With ``available_now`` the query drains all currently available
+    input and stops — the batch-ingest pattern; without it, it runs
+    continuously (the 1s-refresh analog)."""
+    if not os.path.exists(_paths(index_dir)["plan"]):
+        init_index_dir(spark, index_dir, cfg, stream_df.schema)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(spark, batch_df, index_dir, cfg, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
