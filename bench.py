@@ -128,8 +128,7 @@ def query_phase(spark, index_dir: str, runs: int = 5):
     from opensearch_spark.index.reader import InvertedIndex
     from opensearch_spark.query.executor import SearchEngine
 
-    eng = SearchEngine(InvertedIndex(spark, index_dir))
-    # warm the tiny dictionary/stats lookups once
+    eng = SearchEngine(InvertedIndex(spark, index_dir).persist())
     per_query = {}
     samples = []
     for name, q in QUERY_SET.items():

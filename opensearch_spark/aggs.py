@@ -138,6 +138,53 @@ def filters_agg(df: DataFrame, named: Dict[str, Column]) -> DataFrame:
     return row.selectExpr(f"stack({len(named)}, {stack}) as (key, doc_count)")
 
 
+def adjacency_matrix(df: DataFrame, named: Dict[str, Column]) -> DataFrame:
+    """``adjacency_matrix`` (``AdjacencyMatrixAggregationBuilder.java``):
+    doc counts for every filter and every pairwise intersection, one
+    conditional-sum pass (keys ``a``, ``a&b`` like the reference)."""
+    names = list(named)
+    aggs, keys = [], []
+    for i, a in enumerate(names):
+        keys.append(a)
+        aggs.append(F.sum(F.when(named[a], 1).otherwise(0)).cast("long").alias(a))
+        for b in names[i + 1 :]:
+            k = f"{a}&{b}"
+            keys.append(k)
+            aggs.append(
+                F.sum(F.when(named[a] & named[b], 1).otherwise(0)).cast("long").alias(k)
+            )
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return row.selectExpr(f"stack({len(keys)}, {stack}) as (key, doc_count)").filter(
+        F.col("doc_count") > 0
+    )
+
+
+def auto_date_histogram(df: DataFrame, field: str, target_buckets: int = 10) -> DataFrame:
+    """``auto_date_histogram`` (``AutoDateHistogramAggregationBuilder.java``):
+    pick the coarsest calendar interval producing <= target buckets
+    (second/minute/hour/day/month/year ladder), then bucket."""
+    bounds = df.agg(
+        F.min(field).alias("lo"), F.max(field).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return df.sparkSession.createDataFrame([], "key string, doc_count long")
+    span_s = (bounds["hi"] - bounds["lo"]).total_seconds()
+    for unit, secs in [
+        ("second", 1), ("minute", 60), ("hour", 3600),
+        ("day", 86400), ("month", 2592000), ("year", 31536000),
+    ]:
+        if span_s / secs <= target_buckets:
+            break
+    key = F.date_format(F.date_trunc(unit, F.col(field)), "yyyy-MM-dd HH:mm:ss")
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumn("interval", F.lit(unit))
+        .orderBy(F.asc("key"))
+    )
+
+
 def missing_agg(df: DataFrame, field: str) -> DataFrame:
     """``missing`` (``MissingAggregationBuilder.java``)."""
     return df.agg(

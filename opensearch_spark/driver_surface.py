@@ -730,6 +730,105 @@ def ft_highlight(spark, sf_dir):
 
 
 @_q(
+    "ft_distance_feature",
+    _PRE
+    + """
+SELECT doc_id, ROUND(100.0 / (100.0 + abs(CAST(n_chars AS DOUBLE) - 250.0)), 4) AS score
+FROM __docs WHERE n_chars IS NOT NULL
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
+)
+def ft_distance_feature(spark, sf_dir):
+    """``distance_feature`` (DistanceFeatureQueryBuilder.java): score =
+    boost * pivot / (pivot + |x - origin|)."""
+    eng = documents_engine(spark, sf_dir)
+    from opensearch_spark.query import dsl as Q
+
+    return topk(eng, Q.DistanceFeature(field="n_chars", origin=250, pivot=100.0))
+
+
+@_q(
+    "ft_script_score",
+    _PRE
+    + f""", __c1 AS ({_sql_clause({"spark": 1})})
+SELECT c.doc_id, ROUND(c.sc * (1 + dd.n_chars / 1000.0), 4) AS score
+FROM __c1 c JOIN __docs dd ON dd.doc_id = c.doc_id
+ORDER BY score DESC, c.doc_id ASC
+LIMIT 10""",
+)
+def ft_script_score(spark, sf_dir):
+    """``script_score`` (ScriptScoreQueryBuilder.java): Catalyst
+    expression over _score + doc columns (the lang-expression analog)."""
+    eng = documents_engine(spark, sf_dir)
+    return topk(
+        eng,
+        {
+            "script_score": {
+                "query": {"match": {"text": "spark"}},
+                "script": {"source": "_score * (1 + n_chars / 1000.0)"},
+            }
+        },
+    )
+
+
+@_q(
+    "agg_adjacency_matrix",
+    """SELECT * FROM (
+  SELECT 'big' AS key, CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS doc_count FROM events
+  UNION ALL
+  SELECT 'big&errors', CAST(count(*) FILTER (WHERE value > 100 AND event_type = 'error') AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'errors', CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) FROM events
+) WHERE doc_count > 0""",
+)
+def agg_adjacency_matrix(spark, sf_dir):
+    """``adjacency_matrix`` (AdjacencyMatrixAggregationBuilder.java)."""
+    ev = load_table(spark, sf_dir, "events")
+    return aggs.adjacency_matrix(
+        ev, {"big": F.col("value") > 100, "errors": F.col("event_type") == "error"}
+    )
+
+
+@_q(
+    "agg_auto_date_histogram",
+    """SELECT strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       'month' AS interval
+FROM events GROUP BY 1 ORDER BY key ASC""",
+)
+def agg_auto_date_histogram(spark, sf_dir):
+    """``auto_date_histogram`` (AutoDateHistogramAggregationBuilder.java):
+    coarsest calendar interval yielding <= 10 buckets (month for the
+    30-day events span)."""
+    return aggs.auto_date_histogram(load_table(spark, sf_dir, "events"), "ts", 10)
+
+
+@_q(
+    "agg_sampler",
+    _PRE
+    + f""", __c1 AS ({_sql_clause({"spark": 1})}),
+__samp AS (SELECT doc_id FROM __c1 ORDER BY sc DESC, doc_id ASC LIMIT 100)
+SELECT dd.lang AS key, CAST(count(*) AS BIGINT) AS doc_count
+FROM __samp s JOIN __docs dd ON dd.doc_id = s.doc_id
+GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10""",
+)
+def agg_sampler(spark, sf_dir):
+    """``sampler`` agg (SamplerAggregationBuilder.java): sub-agg (terms
+    on lang) over the top-100-scoring docs of the query."""
+    eng = documents_engine(spark, sf_dir)
+    from opensearch_spark.query import dsl as Q
+
+    scored = eng._score(Q.Match("text", "spark"))
+    dm = eng.index.docmap().select("_docid", "doc_id", "lang")
+    sample = (
+        scored.join(dm, "_docid")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    return aggs.terms(sample, "lang")
+
+
+@_q(
     "agg_significant_terms",
     """WITH fg AS (
   SELECT DISTINCT d.doc_id, d.source

@@ -49,16 +49,45 @@ class InvertedIndex:
 
     # ---- raw tables ----
 
+    def persist(self) -> "InvertedIndex":
+        """Pin the index tables in executor memory/disk (the reference's
+        filesystem-cache-resident postings; BASELINE.md measures query
+        latency warm).  Returns self."""
+        from pyspark import StorageLevel
+
+        self.__dict__["_postings_df"] = (
+            self.spark.read.parquet(self.paths["postings"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self.__dict__["_docmap_df"] = self.docmap().persist(StorageLevel.MEMORY_AND_DISK)
+        self.__dict__["_dictionary_df"] = (
+            self.dictionary().persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # materialize
+        self.__dict__["_postings_df"].count()
+        self.__dict__["_docmap_df"].count()
+        self.__dict__["_dictionary_df"].count()
+        return self
+
     def postings(self) -> DataFrame:
+        cached = self.__dict__.get("_postings_df")
+        if cached is not None:
+            return cached
         return self.spark.read.parquet(self.paths["postings"])
 
     def docmap(self) -> DataFrame:
+        cached = self.__dict__.get("_docmap_df")
+        if cached is not None:
+            return cached
         # a merged/compacted index references the source docmap instead
         # of copying it (opensearch_spark.index.merge.merge_index)
         d = self.plan.get("docmap_dir") or self.paths["docmap"]
         return self.spark.read.parquet(d)
 
     def dictionary(self) -> DataFrame:
+        cached = self.__dict__.get("_dictionary_df")
+        if cached is not None:
+            return cached
         d = self.spark.read.parquet(self.paths["dictionary"])
         if self.plan.get("incremental"):
             # streaming builds append per-batch deltas; aggregate on read
@@ -79,20 +108,32 @@ class InvertedIndex:
 
     def term_stats(self, terms: Sequence[str]) -> pd.DataFrame:
         """df/total_tf for the given terms (tiny: collected to the driver,
-        then broadcast into the scoring plan — the DFS phase analog)."""
+        then broadcast into the scoring plan — the DFS phase analog).
+        Per-term results are memoized driver-side (the reference caches
+        term statistics in the query cache; an immutable index makes
+        this always-valid)."""
         if not terms:
             return pd.DataFrame({"term": [], "df": [], "total_tf": []})
-        rows = (
-            self.dictionary()
-            .filter(F.col("term").isin(list(set(terms))))
-            .select("term", "df", "total_tf")
-            .collect()
-        )
+        cache = self.__dict__.setdefault("_term_stats_cache", {})
+        want = sorted(set(terms))
+        missing = [t for t in want if t not in cache]
+        if missing:
+            rows = (
+                self.dictionary()
+                .filter(F.col("term").isin(missing))
+                .select("term", "df", "total_tf")
+                .collect()
+            )
+            for r in rows:
+                cache[r["term"]] = (int(r["df"]), int(r["total_tf"]))
+            for t in missing:
+                cache.setdefault(t, None)  # negative cache: absent term
+        hit = [(t, cache[t]) for t in want if cache[t] is not None]
         return pd.DataFrame(
             {
-                "term": [r["term"] for r in rows],
-                "df": [r["df"] for r in rows],
-                "total_tf": [r["total_tf"] for r in rows],
+                "term": [t for t, _ in hit],
+                "df": [v[0] for _, v in hit],
+                "total_tf": [v[1] for _, v in hit],
             }
         )
 

@@ -156,6 +156,31 @@ class FunctionScore:
 
 
 @dataclasses.dataclass
+class DistanceFeature:
+    """``distance_feature`` (``DistanceFeatureQueryBuilder.java``): boost
+    docs near an origin: score = boost * pivot / (pivot + |x - origin|)."""
+
+    field: str
+    origin: Any
+    pivot: float
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class ScriptScore:
+    """``script_score`` (``ScriptScoreQueryBuilder.java``): replace the
+    score with an expression over ``_score`` and doc columns — the
+    Catalyst-expression analog of Painless (``modules/lang-expression``);
+    ``fn`` optionally supplies a vectorized pandas callable instead."""
+
+    query: "Query"
+    expr: Optional[str] = None  # Spark SQL expression, may reference _score
+    fn: Any = None  # callable(pd.DataFrame) -> pd.Series (pandas UDF path)
+    input_cols: Sequence[str] = ()
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
 class MatchAll:
     """All docs, score 1.0 (``MatchAllQueryBuilder.java``)."""
 
@@ -397,6 +422,20 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             score_mode=body.get("score_mode", "multiply"),
             boost_mode=body.get("boost_mode", "multiply"),
         )
+    if kind == "distance_feature":
+        return DistanceFeature(
+            body["field"], body["origin"], body["pivot"], boost=body.get("boost", 1.0)
+        )
+    if kind == "script_score":
+        return ScriptScore(
+            from_dict(body["query"]),
+            expr=body.get("script", {}).get("source") if isinstance(body.get("script"), dict) else body.get("script"),
+        )
+    if kind == "wrapper":
+        import base64 as _b64
+        import json as _json
+
+        return from_dict(_json.loads(_b64.b64decode(body["query"])))
     if kind == "query_string":
         from opensearch_spark.query.querystring import parse_query_string
 

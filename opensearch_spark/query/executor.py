@@ -241,6 +241,50 @@ class SearchEngine:
             return self._score_mlt(q)
         if isinstance(q, Q.FunctionScore):
             return self._score_function_score(q)
+        if isinstance(q, Q.DistanceFeature):
+            # score = boost * pivot / (pivot + dist) over all docs with
+            # the field (DistanceFeatureQueryBuilder.java)
+            dist = F.abs(F.col(q.field).cast("double") - F.lit(float(q.origin)))
+            score = F.lit(float(q.boost)) * F.lit(float(q.pivot)) / (
+                F.lit(float(q.pivot)) + dist
+            )
+            return (
+                self.index.docmap()
+                .filter(F.col(q.field).isNotNull())
+                .select("_docid", score.cast("double").alias("score"))
+            )
+        if isinstance(q, Q.ScriptScore):
+            base = self._score(q.query)
+            cols = set(q.input_cols)
+            if q.expr:
+                import re as _re
+
+                cand = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", q.expr))
+                cols |= {c for c in cand if c in self.index.docmap().columns}
+            cols.discard("_score")
+            joined = base.withColumnRenamed("score", "_score")
+            if cols:
+                joined = joined.join(
+                    self.index.docmap().select("_docid", *sorted(cols)), "_docid"
+                )
+            if q.fn is not None:
+                import pandas as _pd
+
+                fn = q.fn
+                in_cols = ["_score"] + sorted(cols)
+
+                @F.pandas_udf(T.DoubleType())
+                def script(*series: _pd.Series) -> _pd.Series:
+                    frame = _pd.concat(series, axis=1)
+                    frame.columns = in_cols
+                    return fn(frame).astype("float64")
+
+                new_score = script(*[F.col(c) for c in in_cols])
+            else:
+                new_score = F.expr(q.expr).cast("double")
+            return joined.select(
+                "_docid", (new_score * F.lit(float(q.boost))).alias("score")
+            )
         if isinstance(q, Q.MatchAll):
             return self._all_docs(q.boost)
         if isinstance(q, Q.MatchNone):
