@@ -1,0 +1,124 @@
+"""spark-submit entry points for cluster runs.
+
+Package the library and submit any sub-command to a real cluster
+(the north-rule deployment shape):
+
+    zip -r opensearch_spark.zip opensearch_spark
+    spark-submit --py-files opensearch_spark.zip \
+        opensearch_spark/cli.py build \
+        --input s3://bucket/transcripts --index s3a://bucket/idx \
+        --segments 4096 --waves 8
+
+Sub-commands: ``generate`` (synthetic transcripts), ``build``
+(resumable index build), ``merge`` (segment compaction), ``query``
+(top-k search), ``bench-queries``.  The SparkSession comes from
+``getOrCreate`` so every ``spark-submit --conf`` applies unchanged;
+``--segments`` is the unit of inversion parallelism (size segments to
+~1-4M turns on a large cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+if __package__ in (None, ""):
+    # executed as a script path (spark-submit opensearch_spark/cli.py):
+    # make the package importable from the repo/zip root
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def cmd_generate(args) -> None:
+    from opensearch_spark.transcripts import generate
+
+    spark = _spark("osps-generate")
+    generate(spark, args.convs, seed=args.seed, partitions=args.partitions).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    print(json.dumps({"written": args.out, "convs": args.convs}))
+
+
+def cmd_build(args) -> None:
+    from opensearch_spark.index.builder import IndexConfig, build_index
+
+    spark = _spark("osps-build")
+    docs = spark.read.parquet(args.input)
+    cfg = IndexConfig(
+        n_segments=args.segments,
+        stopwords=args.stopwords,
+        store_positions=not args.no_positions,
+    )
+    stats = build_index(
+        spark, docs, args.index, cfg, waves=args.waves, resume=not args.no_resume
+    )
+    print(json.dumps(stats))
+
+
+def cmd_merge(args) -> None:
+    from opensearch_spark.index.merge import merge_index
+
+    spark = _spark("osps-merge")
+    print(json.dumps(merge_index(spark, args.src, args.dst, hot_blocks=args.hot_blocks)))
+
+
+def cmd_query(args) -> None:
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    spark = _spark("osps-query")
+    eng = SearchEngine(InvertedIndex(spark, args.index))
+    spec = json.loads(args.query)
+    rows = eng.search(spec, size=args.size, prune=args.prune).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="opensearch_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--convs", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--partitions", type=int, default=64)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_generate)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--segments", type=int, default=256)
+    b.add_argument("--waves", type=int, default=1)
+    b.add_argument("--stopwords", default=None)
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--src", required=True)
+    m.add_argument("--dst", required=True)
+    m.add_argument("--hot-blocks", type=int, default=64)
+    m.set_defaults(fn=cmd_merge)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True, help="JSON query DSL")
+    q.add_argument("--size", type=int, default=10)
+    q.add_argument("--prune", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

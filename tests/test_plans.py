@@ -1,0 +1,66 @@
+"""Plan-quality gates: the physical plans must keep the properties the
+100 TB design depends on — predicate pushdown into the Parquet scans,
+column pruning (binary posting columns unread for metadata passes),
+broadcast of the tiny per-term stats, and no full-corpus scan for a
+term-filtered query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_postings_term_filter_pushdown(engine):
+    """The term filter must reach the Parquet scan (PushedFilters), so a
+    query reads only matching row groups."""
+    blocks = engine.index.postings().filter(F.col("term").isin(["error", "timeout"]))
+    plan = _formatted(blocks)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan.replace(" ", "") or "In(term," in plan
+
+
+def test_metadata_pass_prunes_binary_columns(engine):
+    """WAND's bounds pass must not read the packed binary columns."""
+    meta = (
+        engine.index.postings()
+        .filter(F.col("term") == "error")
+        .select("term", "block_id", "base_doc", "max_tf", "min_norm")
+    )
+    plan = _formatted(meta)
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_line, plan
+    rs = schema_line[0]
+    for col in ("docs_bin", "tfs_bin", "norms_bin", "pos_bin"):
+        assert col not in rs, f"{col} read in metadata-only pass:\n{rs}"
+
+
+def test_docmap_filter_pushdown(engine):
+    dm = engine.index.docmap().filter(F.col("role") == "user").select("_docid")
+    plan = _formatted(dm)
+    # cached (InMemoryRelation) or raw scan: either must not read text
+    if "ReadSchema" in plan:
+        rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "text" not in rs
+
+
+def test_term_stats_broadcast(engine):
+    """The per-term stats join in scoring must be a broadcast join (the
+    DFS-stats phase is kilobytes; a shuffle join would be wrong)."""
+    from opensearch_spark.query import dsl as Q
+
+    scored = engine._score(Q.Match("text", "error handling"))
+    plan = _formatted(scored)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_search_plan_no_cartesian(engine):
+    from opensearch_spark.query import dsl as Q
+
+    df = engine.search({"match": {"text": "error handling"}}, size=10)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan
