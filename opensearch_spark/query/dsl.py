@@ -156,6 +156,34 @@ class FunctionScore:
 
 
 @dataclasses.dataclass
+class Intervals:
+    """``intervals`` match source (``IntervalQueryBuilder.java``,
+    ``IntervalsSourceProvider.java``): all terms present within a window
+    whose in-between gap total is <= ``max_gaps``; ``ordered`` requires
+    the terms in query order.  Scored like a phrase clause (summed idf,
+    tf = number of minimal matching intervals)."""
+
+    field: str
+    query: str
+    max_gaps: int = -1  # -1 = unbounded
+    ordered: bool = False
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class SpanNear:
+    """``span_near`` (``SpanNearQueryBuilder.java``): span clauses within
+    ``slop`` positions, optionally ``in_order`` — compiled onto the same
+    interval algebra (slop = max_gaps)."""
+
+    field: str
+    terms: Sequence[str]  # span_term clauses (no analysis)
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
 class DistanceFeature:
     """``distance_feature`` (``DistanceFeatureQueryBuilder.java``): boost
     docs near an origin: score = boost * pivot / (pivot + |x - origin|)."""
@@ -421,6 +449,24 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             functions=fns,
             score_mode=body.get("score_mode", "multiply"),
             boost_mode=body.get("boost_mode", "multiply"),
+        )
+    if kind == "intervals":
+        field, v = next(iter(body.items()))
+        m = v["match"]
+        return Intervals(
+            field,
+            m["query"],
+            max_gaps=m.get("max_gaps", -1),
+            ordered=m.get("ordered", False),
+        )
+    if kind == "span_near":
+        clauses = [c["span_term"] for c in body["clauses"]]
+        field = next(iter(clauses[0]))
+        return SpanNear(
+            field,
+            [c[field] for c in clauses],
+            slop=body.get("slop", 0),
+            in_order=body.get("in_order", True),
         )
     if kind == "distance_feature":
         return DistanceFeature(

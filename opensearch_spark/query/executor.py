@@ -29,9 +29,78 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from opensearch_spark.analysis import smallfloat as sfl
 from opensearch_spark.index.reader import InvertedIndex
 from opensearch_spark.query import bm25
 from opensearch_spark.query import dsl as Q
+
+
+def _count_intervals(
+    pos: dict, terms: List[str], max_gaps: int, ordered: bool
+) -> int:
+    """Count minimal intervals containing all ``terms`` (in order when
+    ``ordered``) with internal gap total (width - #terms) <= max_gaps
+    (-1 = unbounded).  Positions per term are sorted int64 arrays."""
+    uniq = sorted(set(terms))
+    k = len(uniq)
+    if ordered:
+        seq = list(terms)
+        count = 0
+        cur = -1
+        first = pos[seq[0]]
+        while True:
+            i0 = int(np.searchsorted(first, cur + 1))
+            if i0 >= first.size:
+                break
+            chain = [int(first[i0])]
+            ok = True
+            for t in seq[1:]:
+                pt = pos[t]
+                j = int(np.searchsorted(pt, chain[-1] + 1))
+                if j >= pt.size:
+                    ok = False
+                    break
+                chain.append(int(pt[j]))
+            if not ok:
+                break
+            # tighten the start side: walk backward taking the largest
+            # position of each earlier term below its successor
+            for idx in range(len(seq) - 2, -1, -1):
+                pt = pos[seq[idx]]
+                j = int(np.searchsorted(pt, chain[idx + 1])) - 1
+                chain[idx] = int(pt[j])
+            width = chain[-1] - chain[0] + 1
+            if max_gaps < 0 or (width - len(seq)) <= max_gaps:
+                count += 1
+            cur = chain[0]
+        return count
+    # unordered: classic sliding minimal-window enumeration over the
+    # merged, term-tagged position stream
+    events = sorted(
+        (int(p), t) for t in uniq for p in pos[t]
+    )
+    n = len(events)
+    need = {t: 0 for t in uniq}
+    have = 0
+    count = 0
+    l = 0
+    for r in range(n):
+        t = events[r][1]
+        need[t] += 1
+        if need[t] == 1:
+            have += 1
+        while need[events[l][1]] > 1:
+            need[events[l][1]] -= 1
+            l += 1
+        if have == k:
+            width = events[r][0] - events[l][0] + 1
+            if max_gaps < 0 or (width - k) <= max_gaps:
+                count += 1
+            # drop the left term to look for the next minimal window
+            need[events[l][1]] -= 1
+            have -= 1
+            l += 1
+    return count
 
 MAX_TERM_EXPANSIONS = 10_000  # safety cap for multi-term dictionary expansion
 
@@ -54,10 +123,15 @@ class SearchEngine:
         from_: int = 0,
         source_cols: Optional[Sequence[str]] = None,
         prune: bool = False,
+        sort: Optional[Sequence[Tuple[str, str]]] = None,
     ) -> DataFrame:
         """Top-k retrieval: DataFrame of id_cols + score (float64), ordered
         (score desc, id_cols asc). Default size 10 / from 0 mirrors
         ``SearchSourceBuilder.java:168-170``.
+
+        ``sort`` = [(field, "asc"|"desc"), ...] switches to field sort
+        (``FieldSortBuilder.java``: doc-values sort, missing last,
+        ``_score`` usable as a key); id columns always tie-break.
 
         ``prune=True`` enables block-max WAND pruning for plain match/
         term queries (rank-identical; see ``opensearch_spark.query.wand``) —
@@ -65,23 +139,38 @@ class SearchEngine:
         blocks entirely."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
         scored = None
-        if prune:
+        if prune and not sort:
             scored = self._score_pruned(q, size + from_)
         if scored is None:
             scored = self._score(q)
         fetch_cols = list(source_cols) if source_cols else self.id_cols
         fetch_cols = [c for c in dict.fromkeys(self.id_cols + list(fetch_cols))]
-        order = [F.desc("score")] + [F.asc(c) for c in self.id_cols]
+        sort_cols: List[str] = []
+        if sort:
+            order = []
+            for col, direction in sort:
+                c = F.col("score") if col == "_score" else F.col(col)
+                if col not in ("_score",):
+                    sort_cols.append(col)
+                order.append(
+                    c.desc_nulls_last() if direction == "desc" else c.asc_nulls_last()
+                )
+            order += [F.asc(c) for c in self.id_cols]
+        else:
+            order = [F.desc("score")] + [F.asc(c) for c in self.id_cols]
         # tie-break needs the id columns: join a column-pruned projection of
         # the docmap before the distributed top-k (TakeOrderedAndProject)
-        dm_ids = self.index.docmap().select("_docid", *self.id_cols)
+        dm_ids = self.index.docmap().select(
+            "_docid", *dict.fromkeys(list(self.id_cols) + sort_cols)
+        )
         topk = (
             scored.join(dm_ids, "_docid")
             .orderBy(*order)
             .limit(from_ + size)
             .offset(from_)
         )
-        extra = [c for c in fetch_cols if c not in self.id_cols]
+        fetch_cols = list(dict.fromkeys(fetch_cols + sort_cols))
+        extra = [c for c in fetch_cols if c not in self.id_cols and c not in sort_cols]
         if extra:
             # fetch phase: the k winners are tiny -> broadcast them into the
             # docmap join so the stored-fields lookup is a map-side join
@@ -241,6 +330,17 @@ class SearchEngine:
             return self._score_mlt(q)
         if isinstance(q, Q.FunctionScore):
             return self._score_function_score(q)
+        if isinstance(q, Q.Intervals):
+            terms = self.index.analyze(q.query)
+            return self._score_intervals(
+                terms, q.max_gaps, q.ordered, q.boost
+            )
+        if isinstance(q, Q.SpanNear):
+            # span_term clauses are un-analyzed exact terms; slop = the
+            # interval gap budget, in_order = ordered
+            return self._score_intervals(
+                [str(t) for t in q.terms], q.slop, q.in_order, q.boost
+            )
         if isinstance(q, Q.DistanceFeature):
             # score = boost * pivot / (pivot + dist) over all docs with
             # the field (DistanceFeatureQueryBuilder.java)
@@ -690,6 +790,134 @@ class SearchEngine:
         return joined.select(
             "_docid", (score * F.lit(float(q.boost))).alias("score")
         )
+
+    def _score_intervals(
+        self, terms: List[str], max_gaps: int, ordered: bool, boost: float
+    ) -> DataFrame:
+        """Interval algebra over stored positions (SURVEY.md §2.2
+        ``intervals``/span family): a doc matches where all terms occur
+        within a window with total in-between gap <= max_gaps (-1 =
+        unbounded), optionally in query order.  Minimal-interval count
+        is the clause tf; scored like a phrase clause (summed idf)."""
+        if not terms:
+            return self._empty_scored()
+        if len(terms) == 1:
+            return self._score_terms_or({terms[0]: 1}, required=1, boost=boost)
+        uniq = sorted(set(terms))
+        stats = self.index.term_stats(uniq)
+        if len(stats) < len(uniq):
+            return self._empty_scored()
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        idf_sum = float(sum(bm25.idf(int(d), N) for d in stats["df"]))
+        post = self.index.postings_for_terms(uniq, with_positions=True)
+        agg = (
+            post.groupBy("_docid")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("tp"),
+                F.min("norm_byte").alias("norm_byte"),
+                F.count("term").alias("nt"),
+            )
+            .filter(F.col("nt") == F.lit(len(uniq)))
+        )
+        order_terms = list(terms)
+        gap_budget = max_gaps
+        want_ordered = ordered
+
+        @F.pandas_udf(T.IntegerType())
+        def interval_tf(tp: pd.Series) -> pd.Series:
+            def one(entries) -> int:
+                pos = {}
+                for e in entries:
+                    if isinstance(e, dict):
+                        pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
+                    else:
+                        pos[e[0]] = np.asarray(e[1], dtype=np.int64)
+                return _count_intervals(pos, order_terms, gap_budget, want_ordered)
+
+            return tp.map(one).astype("int32")
+
+        scored = (
+            agg.withColumn("itf", interval_tf(F.col("tp")))
+            .filter(F.col("itf") > 0)
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("itf"), F.lit(idf_sum), F.col("dl"), avgdl, self.k1, self.b
+                ),
+            )
+        )
+        return scored.select(
+            "_docid",
+            (F.col("s").cast("double") * F.lit(float(boost))).alias("score"),
+        )
+
+    def explain(self, query, doc_id_tuple) -> dict:
+        """Per-doc score breakdown for match/term queries — the
+        ``_explain`` API analog (SURVEY.md §3.3): per-term tf/df/idf,
+        raw + quantized dl, per-term scores and the total."""
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        if isinstance(q, Q.Term) and q.field == self.text_col:
+            tokens = [str(q.value)]
+        elif isinstance(q, Q.Match):
+            tokens = self.index.analyze(q.query)
+        else:
+            raise NotImplementedError("explain supports match/term queries")
+        weights = dict(Counter(tokens))
+        ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
+        row = self.index.docmap().filter(_null_safe(ids_pred)).collect()
+        if not row:
+            return {"matched": False, "reason": "no such document"}
+        docid = int(row[0]["_docid"])
+        dl_q = int(sfl.byte4_to_int(np.array([row[0]["norm_byte"]]))[0])
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        stats = self.index.term_stats(list(weights))
+        df_by_term = {t: int(d) for t, d in zip(stats["term"], stats["df"])}
+        post = (
+            self.index.postings_for_terms(list(weights))
+            .filter(F.col("_docid") == docid)
+            .collect()
+        )
+        tf_by_term = {r["term"]: int(r["tf"]) for r in post}
+        details = []
+        total = 0.0
+        for t in sorted(weights):
+            if t not in tf_by_term or t not in df_by_term:
+                details.append({"term": t, "matched": False})
+                continue
+            idf_v = bm25.idf(df_by_term[t], N)
+            s = float(
+                bm25.term_score_np(
+                    np.array([tf_by_term[t]]), idf_v, np.array([dl_q]), avgdl,
+                    self.k1, self.b,
+                )[0]
+            )
+            total += s * weights[t]
+            details.append(
+                {
+                    "term": t,
+                    "matched": True,
+                    "tf": tf_by_term[t],
+                    "df": df_by_term[t],
+                    "idf": idf_v,
+                    "dl": int(row[0]["dl"]),
+                    "dl_quantized": dl_q,
+                    "weight": weights[t],
+                    "score": s,
+                }
+            )
+        return {
+            "matched": any(d.get("matched") for d in details),
+            "doc_id": docid,
+            "avgdl": avgdl,
+            "doc_count": N,
+            "k1": self.k1,
+            "b": self.b,
+            "details": details,
+            "total": total,
+        }
 
     def _score_fuzzy(self, q: Q.Fuzzy) -> DataFrame:
         if q.field != self.text_col:

@@ -1,0 +1,124 @@
+"""Intervals/span queries, field sort, and the _explain breakdown.
+
+Interval ground truth is brute-forced over the corpus with an
+INDEPENDENT enumerator (all candidate windows, minimality by
+containment), not the engine's algorithm.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from opensearch_spark.analysis import analyzer as ana
+from opensearch_spark.analysis import smallfloat as sfl
+from opensearch_spark.query import bm25
+from opensearch_spark.query import dsl as Q
+
+
+def _exists_interval(tokens, terms, max_gaps, ordered):
+    """Membership ground truth: does ANY chain of the terms (ordered
+    subsequence when ordered, any arrangement otherwise) fit within the
+    gap budget?  (A satisfying chain contains a minimal interval of
+    equal-or-smaller width, so existence matches the engine's
+    minimal-interval count > 0.)"""
+    import itertools
+
+    pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(terms)}
+    if any(not v for v in pos.values()):
+        return False
+    if ordered:
+        def chains(prev, idx):
+            if idx == len(terms):
+                yield []
+                return
+            for p in pos[terms[idx]]:
+                if p > prev:
+                    for rest in chains(p, idx + 1):
+                        yield [p] + rest
+
+        for ch in chains(-1, 0):
+            if max_gaps < 0 or (ch[-1] - ch[0] + 1 - len(terms)) <= max_gaps:
+                return True
+        return False
+    ts = sorted(set(terms))
+    k = len(ts)
+    for combo in itertools.product(*[pos[t] for t in ts]):
+        if len(set(combo)) < k:
+            continue
+        if max_gaps < 0 or (max(combo) - min(combo) + 1 - k) <= max_gaps:
+            return True
+    return False
+
+
+@pytest.mark.parametrize(
+    "terms,max_gaps,ordered",
+    [
+        (["error", "handling"], 0, True),
+        (["error", "handling"], 3, True),
+        (["handling", "error"], 4, False),
+        (["slow", "planner"], 1, True),
+    ],
+)
+def test_intervals_membership(engine, corpus_pdf, terms, max_gaps, ordered):
+    q = Q.Intervals("text", " ".join(terms), max_gaps=max_gaps, ordered=ordered)
+    rows = engine.search(q, size=5000).collect()
+    got = {(r["conv_id"], r["turn_idx"]) for r in rows}
+    expect = set()
+    for r in corpus_pdf.itertuples():
+        toks = ana.tokenize(r.text)
+        if _exists_interval(toks, terms, max_gaps, ordered):
+            expect.add((r.conv_id, r.turn_idx))
+    assert got == expect
+
+
+def test_span_near_equals_intervals(engine):
+    a = engine.search(
+        Q.SpanNear("text", ["error", "handling"], slop=2, in_order=True), size=100
+    ).collect()
+    b = engine.search(
+        Q.Intervals("text", "error handling", max_gaps=2, ordered=True), size=100
+    ).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in a] == [
+        (r["conv_id"], r["turn_idx"]) for r in b
+    ]
+
+
+def test_field_sort(engine):
+    rows = engine.search(
+        {"match": {"text": "error"}}, size=15, sort=[("ts", "desc")]
+    ).collect()
+    ts = [r["ts"] for r in rows]
+    assert ts == sorted(ts, reverse=True)
+    rows2 = engine.search(
+        {"match": {"text": "error"}}, size=15, sort=[("role", "asc"), ("_score", "desc")]
+    ).collect()
+    roles = [r["role"] for r in rows2]
+    assert roles == sorted(roles)
+
+
+def test_explain_components(engine, corpus_pdf, oracle):
+    rows = engine.search({"match": {"text": "error handling"}}, size=1).collect()
+    key = (rows[0]["conv_id"], rows[0]["turn_idx"])
+    exp = engine.explain({"match": {"text": "error handling"}}, key)
+    assert exp["matched"]
+    # components must recompose to the reported search score
+    assert exp["total"] == pytest.approx(rows[0]["score"], rel=1e-6)
+    toks = {
+        (r.conv_id, r.turn_idx): ana.tokenize(r.text) for r in corpus_pdf.itertuples()
+    }
+    doc_toks = toks[key]
+    for d in exp["details"]:
+        if d.get("matched"):
+            assert d["tf"] == doc_toks.count(d["term"])
+            assert d["dl"] == len(doc_toks)
+            assert d["dl_quantized"] == int(
+                sfl.quantize_len(np.array([len(doc_toks)]))[0]
+            )
+            df_true = sum(1 for t in toks.values() if d["term"] in t)
+            assert d["df"] == df_true
+            assert d["idf"] == pytest.approx(
+                math.log(1 + (exp["doc_count"] - df_true + 0.5) / (df_true + 0.5))
+            )
