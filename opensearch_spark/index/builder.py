@@ -356,6 +356,7 @@ def build_index(
         "store_positions": cfg.store_positions,
         "n_docs": n_docs_total,
         "seg_offsets": {str(k): v for k, v in offsets.items()},
+        "input_fields": orig_cols,
     }
     with open(p["plan"], "w") as f:
         json.dump(plan, f, indent=1)

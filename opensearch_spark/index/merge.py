@@ -66,16 +66,23 @@ _PACK_SCHEMA = T.StructType(
 )
 
 
-def _repack_partition(pdf: pd.DataFrame, block_size: int, with_pos: bool) -> pd.DataFrame:
+def _repack_partition(
+    pdf: pd.DataFrame,
+    block_size: int,
+    with_pos: bool,
+    deleted: Optional[np.ndarray] = None,
+) -> pd.DataFrame:
     """Re-pack ALL (term, salt) runs of one partition in one vectorized
     pass (same reduceat machinery as the builder's ``_invert_segment``).
     Rows must arrive sorted by (term, _salt, base_doc); a run never
-    spans partitions because the shuffle key is (term, _salt)."""
+    spans partitions because the shuffle key is (term, _salt).
+
+    ``deleted`` (sorted docID array) expunges tombstoned postings while
+    repacking — the merge-time physical delete behind soft deletes."""
     if len(pdf) == 0:
         return pd.DataFrame(
             {f.name: pd.Series(dtype="object") for f in _PACK_SCHEMA.fields}
         )
-    nb = len(pdf)
     n_docs_in = pdf["n_docs"].to_numpy(np.int64)
 
     docs = np.concatenate(
@@ -94,19 +101,29 @@ def _repack_partition(pdf: pd.DataFrame, block_size: int, with_pos: bool) -> pd.
             ]
         )
 
-    # group (=(term,salt) run) change detection at block level -> postings
     terms_b = pdf["term"].to_numpy(object)
     salts_b = pdf["_salt"].to_numpy(np.int64)
-    g_change_b = np.ones(nb, dtype=bool)
-    g_change_b[1:] = (terms_b[1:] != terms_b[:-1]) | (salts_b[1:] != salts_b[:-1])
+    post_terms = np.repeat(terms_b, n_docs_in)
+    post_salts = np.repeat(salts_b, n_docs_in)
+
+    if deleted is not None and deleted.size:
+        keep = ~np.isin(docs, deleted)
+        if with_pos:
+            pos = pos[np.repeat(keep, tfs)]
+        docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
+        post_terms, post_salts = post_terms[keep], post_salts[keep]
 
     n = docs.size
-    first_of_block = np.zeros(n, dtype=bool)
-    block_starts_in = np.concatenate(([0], np.cumsum(n_docs_in)[:-1]))
-    first_of_block[block_starts_in] = True
-    g_change = np.zeros(n, dtype=bool)
-    g_change[block_starts_in[g_change_b]] = True
+    if n == 0:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in _PACK_SCHEMA.fields}
+        )
 
+    # (term, salt)-run change detection at the posting level
+    g_change = np.ones(n, dtype=bool)
+    g_change[1:] = (post_terms[1:] != post_terms[:-1]) | (
+        post_salts[1:] != post_salts[:-1]
+    )
     g_start_idx = np.nonzero(g_change)[0]
     g_id = np.cumsum(g_change) - 1
     ordinal = np.arange(n, dtype=np.int64) - g_start_idx[g_id]
@@ -122,8 +139,6 @@ def _repack_partition(pdf: pd.DataFrame, block_size: int, with_pos: bool) -> pd.
     tf_off = np.concatenate(([0], np.cumsum(codec.varint_byte_lengths(tfs.astype(np.uint64)))))
     norms_all = norms.tobytes()
 
-    post_terms = np.repeat(terms_b, n_docs_in)
-    post_salts = np.repeat(salts_b, n_docs_in)
     out = {
         "term": post_terms[starts],
         # globally-unique block ids per term: salt-major ordering
@@ -197,6 +212,19 @@ def merge_index(
         .withColumn("_salt", salt)
     )
 
+    # tombstones to expunge (soft deletes become physical here).  The
+    # delete set is collected and shipped in the task closure — fine up
+    # to ~10^7 tombstones; beyond that, pre-join a `deleted` flag into
+    # the decoded stream instead.
+    from opensearch_spark.index.lifecycle import live_docids
+
+    dels_df = live_docids(spark, src_dir)
+    deleted = (
+        np.sort(np.array([r["_docid"] for r in dels_df.collect()], dtype=np.int64))
+        if dels_df is not None
+        else None
+    )
+
     t0 = time.monotonic()
     parts = term_partitions or max(8, spark.sparkContext.defaultParallelism)
     in_cols = [
@@ -210,7 +238,9 @@ def merge_index(
         # so the partition is materialized first (bounded by `parts`)
         chunks = [c for c in batches if len(c)]
         if chunks:
-            yield _repack_partition(pd.concat(chunks, ignore_index=True), block_size, with_pos)
+            yield _repack_partition(
+                pd.concat(chunks, ignore_index=True), block_size, with_pos, deleted
+            )
 
     packed = (
         salted.select(*in_cols)
@@ -240,14 +270,43 @@ def merge_index(
     )
     wall = time.monotonic() - t0
 
-    # plan/stats carry over; docmap is referenced, not copied
+    # plan/stats carry over; without deletes the docmap is referenced,
+    # not copied; with deletes it is rewritten minus tombstones and the
+    # stats recomputed (delete visibility in stats happens at merge —
+    # reference soft-delete semantics)
     plan_out = dict(plan)
-    plan_out["docmap_dir"] = os.path.join(sp["docmap"])
     plan_out["merged_from"] = src_dir
     os.makedirs(dst_dir, exist_ok=True)
+    if deleted is not None:
+        src_dm = spark.read.parquet(plan.get("docmap_dir") or sp["docmap"])
+        kept = src_dm.join(
+            F.broadcast(dels_df), "_docid", "anti"
+        )
+        kept.write.mode("overwrite").parquet(dp["docmap"])
+        plan_out.pop("docmap_dir", None)
+        agg = (
+            spark.read.parquet(dp["docmap"])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("dc"),
+                F.sum("dl").alias("sdl"),
+            )
+            .collect()[0]
+        )
+        new_stats = {
+            "n_docs": int(agg["n"]),
+            "doc_count": int(agg["dc"] or 0),
+            "sum_dl": int(agg["sdl"] or 0),
+            "avgdl": (int(agg["sdl"] or 0) / int(agg["dc"])) if agg["dc"] else 0.0,
+            "expunged": int(deleted.size),
+        }
+        with open(dp["stats"], "w") as f:
+            json.dump(new_stats, f, indent=1)
+    else:
+        plan_out["docmap_dir"] = os.path.join(sp["docmap"])
+        shutil.copyfile(sp["stats"], dp["stats"])
     with open(dp["plan"], "w") as f:
         json.dump(plan_out, f, indent=1)
-    shutil.copyfile(sp["stats"], dp["stats"])
 
     blocks_in = post.count()
     blocks_out = merged.count()

@@ -143,6 +143,7 @@ class SearchEngine:
             scored = self._score_pruned(q, size + from_)
         if scored is None:
             scored = self._score(q)
+        scored = self._apply_deletes(scored)
         fetch_cols = list(source_cols) if source_cols else self.id_cols
         fetch_cols = [c for c in dict.fromkeys(self.id_cols + list(fetch_cols))]
         sort_cols: List[str] = []
@@ -288,7 +289,22 @@ class SearchEngine:
         """_count entry point: exact hit count (superset of the reference's
         track_total_hits=10000 default, SURVEY.md §2.6)."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
-        return self._score(q).count()
+        return self._apply_deletes(self._score(q)).count()
+
+    def _apply_deletes(self, scored: DataFrame) -> DataFrame:
+        """Hide soft-deleted docs (tombstone anti-join; stats stay
+        unchanged until compaction — the reference's soft-delete
+        semantics, SURVEY.md §2.1)."""
+        from opensearch_spark.index.lifecycle import live_docids
+
+        dels = live_docids(self.spark, self.index.index_dir)
+        if dels is None:
+            return scored
+        return scored.join(F.broadcast(dels), "_docid", "anti")
+
+    def _score_with_deletes_applied(self, query) -> DataFrame:
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        return self._apply_deletes(self._score(q))
 
     def _score_pruned(self, q, k: int) -> Optional[DataFrame]:
         """Block-max pruned scorer for the WAND-able query shapes

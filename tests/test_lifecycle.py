@@ -1,0 +1,88 @@
+"""Document lifecycle: soft deletes hide docs immediately (stats frozen
+until merge — reference semantics), merge expunges tombstones
+physically, update_by_query rewrites matched docs."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.index.builder import IndexConfig, build_index
+from opensearch_spark.index.lifecycle import delete_by_query, update_by_query
+from opensearch_spark.index.merge import merge_index
+from opensearch_spark.index.reader import InvertedIndex
+from opensearch_spark.query.executor import SearchEngine
+from opensearch_spark.transcripts import generate
+
+
+@pytest.fixture()
+def lifecycle_idx(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(spark, generate(spark, 120, partitions=4), d, IndexConfig(n_segments=4))
+    return d
+
+
+def test_soft_delete_hides_docs(spark, lifecycle_idx):
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    q = {"match": {"text": "error handling"}}
+    before = eng.search(q, size=5).collect()
+    assert before
+    victim = (before[0]["conv_id"], before[0]["turn_idx"])
+    n = delete_by_query(eng, {"ids": {"values": [list(victim)]}})
+    assert n == 1
+    after = eng.search(q, size=5).collect()
+    assert victim not in [(r["conv_id"], r["turn_idx"]) for r in after]
+    # scores of surviving docs unchanged: stats frozen until merge
+    surv = {(r["conv_id"], r["turn_idx"]): r["score"] for r in before[1:]}
+    for r in after:
+        k = (r["conv_id"], r["turn_idx"])
+        if k in surv:
+            assert r["score"] == pytest.approx(surv[k], rel=1e-12)
+    # idempotent re-delete
+    assert delete_by_query(eng, {"ids": {"values": [list(victim)]}}) == 0
+
+
+def test_merge_expunges_deletes(spark, lifecycle_idx, tmp_path):
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    q = {"match": {"text": "timeout"}}
+    hit = eng.search(q, size=1).collect()[0]
+    victim = (hit["conv_id"], hit["turn_idx"])
+    delete_by_query(eng, {"ids": {"values": [list(victim)]}})
+    n_before = eng.index.stats["n_docs"]
+
+    dst = str(tmp_path / "merged")
+    merge_index(spark, lifecycle_idx, dst, hot_blocks=4)
+    midx = InvertedIndex(spark, dst)
+    meng = SearchEngine(midx)
+    # physically gone: docmap shrinks, stats updated, postings expunged
+    assert midx.stats["n_docs"] == n_before - 1
+    assert midx.stats["expunged"] == 1
+    assert midx.docmap().filter(
+        (F.col("conv_id") == victim[0]) & (F.col("turn_idx") == victim[1])
+    ).count() == 0
+    got = meng.search(q, size=1000).collect()
+    assert victim not in [(r["conv_id"], r["turn_idx"]) for r in got]
+    # df in the rebuilt dictionary reflects the expunge
+    old_df = {r["term"]: r["df"] for r in eng.index.dictionary().filter(F.col("term") == "timeout").collect()}
+    new_df = {r["term"]: r["df"] for r in midx.dictionary().filter(F.col("term") == "timeout").collect()}
+    assert new_df["timeout"] == old_df["timeout"] - 1
+
+
+def test_update_by_query(spark, lifecycle_idx, tmp_path):
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    dst = str(tmp_path / "updated")
+    update_by_query(
+        spark,
+        eng,
+        {"term": {"role": "tool"}},
+        lambda df: df.withColumn("text", F.concat(F.col("text"), F.lit(" zzupdated"))),
+        dst,
+        IndexConfig(n_segments=4),
+    )
+    ueng = SearchEngine(InvertedIndex(spark, dst))
+    n_tool = eng.count({"term": {"role": "tool"}})
+    assert ueng.count({"term": {"text": "zzupdated"}}) == n_tool
+    # non-matching docs untouched
+    assert ueng.index.docmap().count() == eng.index.docmap().count()
