@@ -393,3 +393,29 @@ def bucket_selector(buckets: DataFrame, cond: Column) -> DataFrame:
 def avg_bucket(buckets: DataFrame, value: str = "doc_count") -> DataFrame:
     """``avg_bucket`` second-level metric over the bucket series."""
     return buckets.agg(F.round(F.avg(F.col(value).cast("double")), 6).alias("avg_bucket"))
+
+
+def stats_bucket(buckets: DataFrame, value: str = "doc_count") -> DataFrame:
+    """``stats_bucket`` / ``min/max/sum_bucket`` family
+    (AvgBucketPipelineAggregator.java siblings)."""
+    c = F.col(value).cast("double")
+    return buckets.agg(
+        F.count(c).alias("count"),
+        F.round(F.min(c), 6).alias("min"),
+        F.round(F.max(c), 6).alias("max"),
+        F.round(F.sum(c), 4).alias("sum"),
+        F.round(F.avg(c), 6).alias("avg"),
+    )
+
+
+def percentiles_bucket(
+    buckets: DataFrame, value: str = "doc_count", percents: Sequence[float] = (50, 95)
+) -> DataFrame:
+    """``percentiles_bucket``: exact quantiles over the bucket series."""
+    aggs_ = [
+        F.round(F.expr(f"percentile({value}, {p / 100.0})").cast("double"), 4).alias(
+            f"p{int(p)}"
+        )
+        for p in percents
+    ]
+    return buckets.agg(*aggs_)

@@ -1180,6 +1180,67 @@ def agg_lineitem_pricing(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_stats_bucket",
+    """WITH b AS (SELECT date_trunc('day', ts) AS key, count(*) AS doc_count FROM events GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS count,
+       ROUND(CAST(min(doc_count) AS DOUBLE), 6) AS min,
+       ROUND(CAST(max(doc_count) AS DOUBLE), 6) AS max,
+       ROUND(CAST(sum(doc_count) AS DOUBLE), 4) AS sum,
+       ROUND(avg(CAST(doc_count AS DOUBLE)), 6) AS avg
+FROM b""",
+)
+def agg_stats_bucket(spark, sf_dir):
+    """``stats_bucket`` over daily buckets."""
+    b = aggs.date_histogram(load_table(spark, sf_dir, "events"), "ts", "day")
+    return aggs.stats_bucket(b)
+
+
+@_q(
+    "agg_percentiles_bucket",
+    """WITH b AS (SELECT date_trunc('day', ts) AS key, count(*) AS doc_count FROM events GROUP BY 1)
+SELECT ROUND(CAST(quantile_cont(doc_count, 0.50) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(doc_count, 0.95) AS DOUBLE), 4) AS p95
+FROM b""",
+)
+def agg_percentiles_bucket(spark, sf_dir):
+    """``percentiles_bucket`` over daily buckets."""
+    b = aggs.date_histogram(load_table(spark, sf_dir, "events"), "ts", "day")
+    return aggs.percentiles_bucket(b, percents=(50, 95))
+
+
+@_q(
+    "agg_mad",
+    """SELECT ROUND(CAST(quantile_cont(abs(value - (SELECT quantile_cont(value, 0.5) FROM events)), 0.5) AS DOUBLE), 4) AS mad
+FROM events""",
+)
+def agg_mad(spark, sf_dir):
+    """``median_absolute_deviation`` exact
+    (MedianAbsoluteDeviationAggregator.java)."""
+    return aggs.median_absolute_deviation(load_table(spark, sf_dir, "events"), "value")
+
+
+@_q(
+    "agg_global",
+    """SELECT 'errors_in_filtered' AS key,
+       CAST((SELECT count(*) FROM events WHERE event_type = 'error' AND value > 100) AS BIGINT) AS doc_count
+UNION ALL
+SELECT 'all_docs', CAST(count(*) AS BIGINT) FROM events""",
+)
+def agg_global(spark, sf_dir):
+    """``global`` agg (GlobalAggregationBuilder.java): escape the query
+    context — a filtered count next to the unfiltered corpus count."""
+    ev = load_table(spark, sf_dir, "events")
+    filtered = ev.filter((F.col("event_type") == "error") & (F.col("value") > 100))
+    a = filtered.agg(F.count(F.lit(1)).alias("doc_count")).select(
+        F.lit("errors_in_filtered").alias("key"), "doc_count"
+    )
+    b = ev.agg(F.count(F.lit(1)).alias("doc_count")).select(
+        F.lit("all_docs").alias("key"), "doc_count"
+    )
+    return a.unionByName(b)
+
+
 # ================================================= sort / pagination
 
 @_q(
