@@ -1181,6 +1181,96 @@ def agg_lineitem_pricing(spark, sf_dir):
 
 
 @_q(
+    "nested_query",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+       ROUND(sum(value), 4) AS score,
+       CAST(count(*) AS BIGINT) AS matched_children
+FROM events
+WHERE event_type = 'error' AND value > 150
+GROUP BY user_id ORDER BY user_id""",
+)
+def nested_query(spark, sf_dir):
+    """``nested`` block-join query (NestedQueryBuilder.java:508): users
+    as parents of their event sub-docs; score_mode=sum over matching
+    children."""
+    from opensearch_spark.query import nested
+
+    ev = load_table(spark, sf_dir, "events")
+    nd = nested.nest(ev, ["user_id"], ["event_id", "event_type", "value"])
+    out = nested.nested_query(
+        nd,
+        ["user_id"],
+        (F.col("_child.event_type") == "error") & (F.col("_child.value") > 150),
+        score_expr=F.col("_child.value"),
+        score_mode="sum",
+    )
+    return out.withColumn("score", F.round(F.col("score"), 4)).orderBy("user_id")
+
+
+@_q(
+    "nested_has_child",
+    """SELECT c.c_custkey, c.c_mktsegment,
+       ROUND(g.score, 4) AS score, g.matched_children
+FROM customer c JOIN (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS matched_children,
+         max(o_totalprice) AS score
+  FROM orders WHERE o_totalprice > 150000
+  GROUP BY o_custkey HAVING count(*) >= 2
+) g ON g.o_custkey = c.c_custkey
+ORDER BY c.c_custkey""",
+)
+def nested_has_child(spark, sf_dir):
+    """``has_child`` (parent-join module): customers with >= 2 big
+    orders, scored by the max matching order price."""
+    from opensearch_spark.query import nested
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    out = nested.has_child(
+        cust,
+        orders,
+        ["c_custkey"],
+        F.col("o_totalprice") > 150000,
+        score_expr=F.col("o_totalprice"),
+        score_mode="max",
+        min_children=2,
+    )
+    return (
+        out.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("score"), 4).alias("score"),
+            "matched_children",
+        )
+        .withColumnRenamed("c_custkey", "c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "nested_reverse",
+    """SELECT CAST(user_id % 5 AS BIGINT) AS key,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS doc_count
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY doc_count DESC, key ASC""",
+)
+def nested_reverse(spark, sf_dir):
+    """``reverse_nested`` (NestedAggregationBuilder.java): count PARENT
+    docs per cohort bucket for a child-level predicate."""
+    from opensearch_spark.query import nested
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 5).cast("long")
+    )
+    nd = nested.nest(ev, ["user_id", "cohort"], ["event_id", "event_type", "value"])
+    return nested.reverse_nested_agg(
+        nd, ["user_id"], F.col("_child.event_type") == "error", "cohort"
+    )
+
+
+@_q(
     "agg_stats_bucket",
     """WITH b AS (SELECT date_trunc('day', ts) AS key, count(*) AS doc_count FROM events GROUP BY 1)
 SELECT CAST(count(*) AS BIGINT) AS count,

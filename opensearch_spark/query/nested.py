@@ -1,0 +1,107 @@
+"""Nested / parent-child queries and aggregations (SURVEY.md §2.2).
+
+The reference stores ``nested`` fields as hidden sub-documents and
+joins them back at query time with a block join
+(``NestedQueryBuilder.java:508``, ``OpenSearchToParentBlockJoinQuery``);
+``has_child``/``has_parent`` live in the parent-join module.  The
+engine's only real joins.
+
+Spark mapping: a nested field IS an ``array<struct>`` column — the
+block join is ``explode`` + ``groupBy(parent)``; parent-child across
+two frames is a plain aggregate-then-join.  ``score_mode``
+(avg/sum/min/max/none) is the grouped aggregate choice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MODES = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def nest(df: DataFrame, parent_cols, struct_cols, nested_col: str = "children") -> DataFrame:
+    """Materialize a nested table: one row per parent with an
+    ``array<struct>`` of its children (how a nested mapping lays out)."""
+    return df.groupBy(*parent_cols).agg(
+        F.collect_list(F.struct(*struct_cols)).alias(nested_col)
+    )
+
+
+def nested_query(
+    nested_df: DataFrame,
+    parent_cols,
+    child_pred: Column,
+    nested_col: str = "children",
+    score_expr: Optional[Column] = None,
+    score_mode: str = "sum",
+) -> DataFrame:
+    """``nested`` query: parents with >= 1 matching child; score combines
+    matching children's scores per ``score_mode``
+    (NestedQueryBuilder.java score_mode avg/sum/min/max/none)."""
+    exploded = nested_df.select(
+        *parent_cols, F.explode(nested_col).alias("_child")
+    ).filter(child_pred)
+    if score_mode == "none" or score_expr is None:
+        return (
+            exploded.groupBy(*parent_cols)
+            .agg(F.count(F.lit(1)).alias("matched_children"))
+            .withColumn("score", F.lit(1.0))
+        )
+    agg = _MODES[score_mode](score_expr.cast("double")).alias("score")
+    return exploded.groupBy(*parent_cols).agg(
+        agg, F.count(F.lit(1)).alias("matched_children")
+    )
+
+
+def has_child(
+    parents: DataFrame,
+    children: DataFrame,
+    join_cols,
+    child_pred: Column,
+    score_expr: Optional[Column] = None,
+    score_mode: str = "sum",
+    min_children: int = 1,
+    max_children: Optional[int] = None,
+) -> DataFrame:
+    """``has_child`` (parent-join module): parents whose child set has
+    min_children..max_children matches; score from children per mode."""
+    matched = children.filter(child_pred)
+    aggs = [F.count(F.lit(1)).alias("matched_children")]
+    if score_expr is not None and score_mode != "none":
+        aggs.append(_MODES[score_mode](score_expr.cast("double")).alias("score"))
+    grouped = matched.groupBy(*join_cols).agg(*aggs)
+    grouped = grouped.filter(F.col("matched_children") >= min_children)
+    if max_children is not None:
+        grouped = grouped.filter(F.col("matched_children") <= max_children)
+    if "score" not in grouped.columns:
+        grouped = grouped.withColumn("score", F.lit(1.0))
+    return parents.join(grouped, list(join_cols))
+
+
+def reverse_nested_agg(
+    nested_df: DataFrame,
+    parent_cols,
+    child_pred: Column,
+    parent_agg_col: str,
+    nested_col: str = "children",
+) -> DataFrame:
+    """``reverse_nested`` (NestedAggregationBuilder.java): bucket by a
+    child-level predicate, aggregate back at the parent level — i.e.
+    count PARENTS (not children) per bucket."""
+    exploded = nested_df.select(
+        *parent_cols, F.col(parent_agg_col), F.explode(nested_col).alias("_child")
+    ).filter(child_pred)
+    parents = exploded.select(*parent_cols, parent_agg_col).distinct()
+    return (
+        parents.groupBy(F.col(parent_agg_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+    )
