@@ -113,7 +113,7 @@ class InvertedIndex:
         term statistics in the query cache; an immutable index makes
         this always-valid)."""
         if not terms:
-            return pd.DataFrame({"term": [], "df": [], "total_tf": []})
+            return pd.DataFrame({"term": [], "df": [], "total_tf": [], "n_blocks": []})
         cache = self.__dict__.setdefault("_term_stats_cache", {})
         want = sorted(set(terms))
         missing = [t for t in want if t not in cache]
@@ -121,11 +121,11 @@ class InvertedIndex:
             rows = (
                 self.dictionary()
                 .filter(F.col("term").isin(missing))
-                .select("term", "df", "total_tf")
+                .select("term", "df", "total_tf", "n_blocks")
                 .collect()
             )
             for r in rows:
-                cache[r["term"]] = (int(r["df"]), int(r["total_tf"]))
+                cache[r["term"]] = (int(r["df"]), int(r["total_tf"]), int(r["n_blocks"]))
             for t in missing:
                 cache.setdefault(t, None)  # negative cache: absent term
         hit = [(t, cache[t]) for t in want if cache[t] is not None]
@@ -134,6 +134,7 @@ class InvertedIndex:
                 "term": [t for t, _ in hit],
                 "df": [v[0] for _, v in hit],
                 "total_tf": [v[1] for _, v in hit],
+                "n_blocks": [v[2] for _, v in hit],
             }
         )
 

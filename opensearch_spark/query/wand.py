@@ -92,9 +92,14 @@ def pruned_match_topk(
         return engine._empty_scored()
 
     bounds = block_bounds_df(engine.index, present, idf_by_term, avgdl, engine.k1, engine.b)
-    # one metadata row per (term, block): collected driver-side (this is
-    # the terms-dictionary scale, not the postings scale; at 10^12 turns
-    # the same alignment is a Spark range-join over block metadata)
+    n_blocks_total = int(stats["n_blocks"].sum()) if "n_blocks" in stats else 0
+    if n_blocks_total > MAX_DRIVER_META_BLOCKS:
+        return _pruned_distributed(
+            engine, present, weights, idf_by_term, avgdl, bounds, k, sample_blocks_per_term
+        )
+    # one metadata row per (term, block): collected driver-side — only
+    # below MAX_DRIVER_META_BLOCKS; bigger queries take the distributed
+    # global-bound path above (no large collect, JVM-side prune filter)
     meta = bounds.select("term", "block_id", "base_doc", "last_doc", "ub").collect()
     import numpy as np
 
@@ -155,6 +160,79 @@ def pruned_match_topk(
     # expose the prune rate for benchmarks/tests
     out = out.withColumn("_pruned_frac", F.lit(float(pruned_frac)))
     return out
+
+
+MAX_DRIVER_META_BLOCKS = 50_000
+
+
+def _pruned_distributed(
+    engine, present, weights, idf_by_term, avgdl, bounds: DataFrame, k: int,
+    sample_blocks_per_term: int,
+) -> DataFrame:
+    """Scale path: no per-block driver collect.  Per-term GLOBAL bounds
+    come from one tiny aggregate; the sample pass takes each term's
+    top-S blocks via a window; the prune predicate
+    ``ub_t(b)*w_t + sum_{t'!=t} gub_t'*w_t' >= t`` runs as a JVM filter
+    over the metadata scan.  Coarser than the doc-range-aligned variant
+    (global instead of overlapping other-term bounds) but identically
+    rank-safe, and the pruned set is never materialized on the driver."""
+    from pyspark.sql import Window
+
+    gub_rows = bounds.groupBy("term").agg(F.max("ub").alias("gub")).collect()
+    gub = {r["term"]: float(r["gub"]) for r in gub_rows}
+    sum_gub = sum(gub.get(t, 0.0) * weights[t] for t in present)
+
+    w = Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_id"))
+    sample_blocks = (
+        bounds.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_blocks_per_term)
+        .drop("_rn", "ub")
+    )
+    sample_scored = _score_block_frame(engine, present, weights, idf_by_term, avgdl, sample_blocks)
+    sample_top = sample_scored.orderBy(F.desc("score")).limit(k).collect()
+    if len(sample_top) < k:
+        return engine._score_terms_or(weights, required=1)
+    t_thresh = float(sample_top[-1]["score"])
+
+    w_map = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(float(weights[t])))])
+    gub_map = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(gub.get(t, 0.0)))])
+    keep_pred = (
+        F.col("ub") * w_map[F.col("term")]
+        + (F.lit(float(sum_gub)) - gub_map[F.col("term")] * w_map[F.col("term")])
+    ) >= F.lit(t_thresh)
+    kept = bounds.filter(keep_pred).drop("ub")
+    out = _score_block_frame(engine, present, weights, idf_by_term, avgdl, kept)
+    return out.filter(F.col("score") >= F.lit(t_thresh))
+
+
+def _score_block_frame(engine, terms, weights, idf_by_term, avgdl, keys_df: DataFrame) -> DataFrame:
+    """Decode + exactly score the block rows identified by ``keys_df``
+    (term, block_id, base_doc) without collecting them."""
+    blocks = (
+        engine.index.postings()
+        .filter(F.col("term").isin(list(terms)))
+        .join(keys_df.select("term", "block_id", "base_doc"), ["term", "block_id", "base_doc"], "semi")
+    )
+    return _score_decoded(engine, terms, weights, idf_by_term, avgdl, blocks)
+
+
+def _score_decoded(engine, terms, weights, idf_by_term, avgdl, blocks: DataFrame) -> DataFrame:
+    decoded = engine.index.decode_blocks(blocks)
+    w_map = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(int(weights[t])))]
+    )
+    idf_map = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(float(idf_by_term[t])))]
+    )
+    per = decoded.withColumn("dl", bm25.norm_decode_col(F.col("norm_byte"))).withColumn(
+        "s",
+        bm25.term_score_col(
+            F.col("tf"), idf_map[F.col("term")], F.col("dl"), avgdl, engine.k1, engine.b
+        ),
+    )
+    return per.groupBy("_docid").agg(
+        F.sum(F.col("s").cast("double") * w_map[F.col("term")]).alias("score")
+    )
 
 
 def _score_blocks(engine, terms, weights, idf_by_term, avgdl, keys) -> DataFrame:

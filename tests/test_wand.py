@@ -41,6 +41,21 @@ def test_pruning_actually_prunes(engine):
         assert frac is not None and frac > 0.0, "no blocks pruned on a skewed query"
 
 
+@pytest.mark.parametrize("qi", [0, 2, 3])
+def test_distributed_prune_path_rank_identical(engine, monkeypatch, qi):
+    """Force the no-driver-collect scale path (global-bound prune) and
+    assert it is still rank-identical."""
+    monkeypatch.setattr(wand, "MAX_DRIVER_META_BLOCKS", 0)
+    q = QUERIES[qi]
+    dense = engine.search(q, size=10).collect()
+    pruned = engine.search(q, size=10, prune=True).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in dense] == [
+        (r["conv_id"], r["turn_idx"]) for r in pruned
+    ]
+    for a, b in zip(dense, pruned):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+
+
 def test_pruned_rare_term_fallback(engine):
     """Fewer hits than k -> dense fallback keeps correctness."""
     q = {"match": {"text": "naïve"}}
