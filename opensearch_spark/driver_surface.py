@@ -1181,6 +1181,69 @@ def agg_lineitem_pricing(spark, sf_dir):
 
 
 @_q(
+    "suggest_term",
+    _PRE
+    + """
+SELECT 'spak' AS token, term AS suggestion, CAST(df AS BIGINT) AS freq,
+       CAST(levenshtein(term, 'spak') AS INT) AS distance
+FROM __df
+WHERE levenshtein(term, 'spak') BETWEEN 1 AND 2
+ORDER BY distance ASC, df DESC, term ASC
+LIMIT 5""",
+)
+def suggest_term(spark, sf_dir):
+    """term suggester (SearchModule.java:863-893): edit-distance
+    corrections ranked by frequency, missing mode."""
+    from opensearch_spark.query import suggest
+
+    eng = documents_engine(spark, sf_dir)
+    return suggest.term_suggest(eng.index, "spak", max_edits=2, size=5)
+
+
+@_q(
+    "suggest_completion",
+    _PRE
+    + """
+SELECT term AS suggestion, CAST(df AS BIGINT) AS freq
+FROM __df WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC
+LIMIT 10""",
+)
+def suggest_completion(spark, sf_dir):
+    """completion suggester: prefix lookup over the term-sorted
+    dictionary ranked by frequency (the FST analog)."""
+    from opensearch_spark.query import suggest
+
+    eng = documents_engine(spark, sf_dir)
+    return suggest.completion_suggest(eng.index, "s", size=10)
+
+
+@_q(
+    "ingest_pipeline",
+    """SELECT doc_id,
+       regexp_replace(text, 'spark', 'sprk', 'g') AS text,
+       'ingested' AS tag,
+       CAST(n_chars AS DOUBLE) AS n_chars_d
+FROM documents ORDER BY doc_id""",
+)
+def ingest_pipeline(spark, sf_dir):
+    """ingest pipeline (§2.8): processor chain compiled to one Catalyst
+    projection (gsub + set + convert)."""
+    from opensearch_spark import ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    out = ingest.apply_pipeline(
+        docs,
+        [
+            {"gsub": {"field": "text", "pattern": "spark", "replacement": "sprk"}},
+            {"set": {"field": "tag", "value": "ingested"}},
+            {"convert": {"field": "n_chars", "type": "double", "target_field": "n_chars_d"}},
+        ],
+    )
+    return out.select("doc_id", "text", "tag", "n_chars_d").orderBy("doc_id")
+
+
+@_q(
     "nested_query",
     """SELECT CAST(user_id AS BIGINT) AS user_id,
        ROUND(sum(value), 4) AS score,

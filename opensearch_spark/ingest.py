@@ -1,0 +1,193 @@
+"""Ingest pipelines: per-doc transform DAG applied before indexing
+(``ingest/IngestService.java``; processors in
+``modules/ingest-common/src/main/java/org/opensearch/ingest/common/``;
+SURVEY.md §2.8).
+
+Each processor is a 1:1 mapping onto ``pyspark.sql.functions`` — the
+whole pipeline compiles to a single Catalyst projection chain, so at
+100 TB it fuses into the ingest scan with zero extra passes.
+
+Spec shape mirrors the reference JSON: a list of single-key dicts,
+``[{"lowercase": {"field": "text"}}, {"split": {...}}, ...]``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _proc_set(df, p):        # SetProcessor.java
+    return df.withColumn(p["field"], F.lit(p["value"]))
+
+
+def _proc_copy(df, p):       # CopyProcessor.java
+    return df.withColumn(p["target_field"], F.col(p["field"]))
+
+
+def _proc_rename(df, p):     # RenameProcessor.java
+    return df.withColumnRenamed(p["field"], p["target_field"])
+
+
+def _proc_remove(df, p):     # RemoveProcessor.java
+    fields = p["field"] if isinstance(p["field"], list) else [p["field"]]
+    return df.drop(*fields)
+
+
+def _proc_lowercase(df, p):  # LowercaseProcessor.java
+    return df.withColumn(p["field"], F.lower(F.col(p["field"])))
+
+
+def _proc_uppercase(df, p):  # UppercaseProcessor.java
+    return df.withColumn(p["field"], F.upper(F.col(p["field"])))
+
+
+def _proc_trim(df, p):       # TrimProcessor.java
+    return df.withColumn(p["field"], F.trim(F.col(p["field"])))
+
+
+def _proc_gsub(df, p):       # GsubProcessor.java
+    return df.withColumn(
+        p["field"], F.regexp_replace(F.col(p["field"]), p["pattern"], p["replacement"])
+    )
+
+
+def _proc_split(df, p):      # SplitProcessor.java
+    return df.withColumn(p["field"], F.split(F.col(p["field"]), p["separator"]))
+
+
+def _proc_join(df, p):       # JoinProcessor.java
+    return df.withColumn(p["field"], F.array_join(F.col(p["field"]), p["separator"]))
+
+
+def _proc_convert(df, p):    # ConvertProcessor.java
+    t = {"integer": "int", "long": "long", "float": "float", "double": "double",
+         "string": "string", "boolean": "boolean"}[p["type"]]
+    return df.withColumn(p.get("target_field", p["field"]), F.col(p["field"]).cast(t))
+
+
+def _proc_date(df, p):       # DateProcessor.java
+    fmt = p.get("format")
+    tgt = p.get("target_field", "@timestamp")
+    c = F.col(p["field"])
+    return df.withColumn(tgt, F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c))
+
+
+def _proc_json(df, p):       # JsonProcessor.java
+    return df.withColumn(
+        p.get("target_field", p["field"]),
+        F.from_json(F.col(p["field"]), p["schema"]),
+    )
+
+
+def _proc_kv(df, p):         # KeyValueProcessor.java
+    return df.withColumn(
+        p.get("target_field", p["field"]),
+        F.str_to_map(
+            F.col(p["field"]),
+            F.lit(p.get("field_split", " ")),
+            F.lit(p.get("value_split", "=")),
+        ),
+    )
+
+
+def _proc_html_strip(df, p):  # HtmlStripProcessor.java
+    return df.withColumn(p["field"], F.regexp_replace(F.col(p["field"]), r"<[^>]*>", ""))
+
+
+def _proc_urldecode(df, p):  # URLDecodeProcessor.java
+    return df.withColumn(p["field"], F.url_decode(F.col(p["field"])))
+
+
+def _proc_bytes(df, p):      # BytesProcessor.java ("1kb" -> 1024)
+    c = F.col(p["field"])
+    num = F.regexp_extract(c, r"(?i)^\s*([\d.]+)", 1).cast("double")
+    unit = F.lower(F.regexp_extract(c, r"(?i)([kmgtp]?b)\s*$", 1))
+    mult = (
+        F.when(unit == "b", 1.0)
+        .when(unit == "kb", 1024.0)
+        .when(unit == "mb", 1024.0**2)
+        .when(unit == "gb", 1024.0**3)
+        .when(unit == "tb", 1024.0**4)
+        .when(unit == "pb", 1024.0**5)
+        .otherwise(1.0)
+    )
+    return df.withColumn(p.get("target_field", p["field"]), (num * mult).cast("long"))
+
+
+def _proc_sort(df, p):       # SortProcessor.java (array sort)
+    asc = p.get("order", "asc") == "asc"
+    return df.withColumn(p["field"], F.array_sort(F.col(p["field"])) if asc
+                         else F.reverse(F.array_sort(F.col(p["field"]))))
+
+
+def _proc_dissect(df, p):    # DissectProcessor.java (simplified %{key} patterns)
+    import re
+
+    pattern = p["pattern"]
+    keys = re.findall(r"%\{(\w+)\}", pattern)
+    literals = re.split(r"%\{\w+\}", pattern)
+    regex = "^" + "(.*?)".join(re.escape(x) for x in literals) + "$"
+    out = df
+    for i, k in enumerate(keys):
+        out = out.withColumn(k, F.regexp_extract(F.col(p["field"]), regex, i + 1))
+    return out
+
+
+def _proc_grok(df, p):       # GrokProcessor.java (named-group regex subset)
+    out = df
+    for name, idx in p["groups"].items():
+        out = out.withColumn(name, F.regexp_extract(F.col(p["field"]), p["pattern"], idx))
+    return out
+
+
+def _proc_append(df, p):     # AppendProcessor.java
+    vals = p["value"] if isinstance(p["value"], list) else [p["value"]]
+    return df.withColumn(
+        p["field"], F.concat(F.col(p["field"]), F.array(*[F.lit(v) for v in vals]))
+    )
+
+
+def _proc_fail(df, p):       # FailProcessor.java
+    raise ValueError(p.get("message", "ingest pipeline failed"))
+
+
+PROCESSORS = {
+    "set": _proc_set,
+    "copy": _proc_copy,
+    "rename": _proc_rename,
+    "remove": _proc_remove,
+    "lowercase": _proc_lowercase,
+    "uppercase": _proc_uppercase,
+    "trim": _proc_trim,
+    "gsub": _proc_gsub,
+    "split": _proc_split,
+    "join": _proc_join,
+    "convert": _proc_convert,
+    "date": _proc_date,
+    "json": _proc_json,
+    "kv": _proc_kv,
+    "html_strip": _proc_html_strip,
+    "urldecode": _proc_urldecode,
+    "bytes": _proc_bytes,
+    "sort": _proc_sort,
+    "dissect": _proc_dissect,
+    "grok": _proc_grok,
+    "append": _proc_append,
+    "fail": _proc_fail,
+}
+
+
+def apply_pipeline(df: DataFrame, pipeline: Sequence[Dict]) -> DataFrame:
+    """Apply an ingest pipeline spec (list of single-key processor
+    dicts) — compiles to one Catalyst projection chain."""
+    for step in pipeline:
+        if len(step) != 1:
+            raise ValueError(f"processor step must have one key: {step}")
+        name, params = next(iter(step.items()))
+        if name not in PROCESSORS:
+            raise ValueError(f"unknown processor: {name}")
+        df = PROCESSORS[name](df, params)
+    return df

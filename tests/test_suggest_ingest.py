@@ -1,0 +1,83 @@
+"""Suggesters + ingest pipeline + _termvectors-style access."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark import ingest
+from opensearch_spark.query import suggest
+
+
+def test_term_suggest(engine):
+    out = suggest.term_suggest(engine.index, "errox handling").collect()
+    toks = {r["token"] for r in out}
+    assert toks == {"errox"}  # "handling" is known -> missing mode skips
+    best = sorted(
+        (r for r in out if r["token"] == "errox"),
+        key=lambda r: (r["distance"], -r["freq"], r["suggestion"]),
+    )[0]
+    assert best["suggestion"] == "error"
+
+
+def test_completion_suggest(engine):
+    out = suggest.completion_suggest(engine.index, "hand").collect()
+    assert out
+    assert out[0]["suggestion"].startswith("hand")
+    freqs = [r["freq"] for r in out]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_phrase_suggest(engine):
+    sugg = suggest.phrase_suggest(engine.index, "errox handlin")
+    assert sugg and "error" in sugg[0].split()
+
+
+def test_ingest_pipeline(spark):
+    df = spark.createDataFrame(
+        [("  Hello <b>World</b>  ", "a=1 b=2", "1kb", "k1,k2", '{"x": 7}')],
+        "raw string, kvs string, sz string, csv string, js string",
+    )
+    out = ingest.apply_pipeline(
+        df,
+        [
+            {"trim": {"field": "raw"}},
+            {"html_strip": {"field": "raw"}},
+            {"lowercase": {"field": "raw"}},
+            {"gsub": {"field": "raw", "pattern": "world", "replacement": "spark"}},
+            {"kv": {"field": "kvs", "target_field": "kvmap"}},
+            {"bytes": {"field": "sz", "target_field": "sz_bytes"}},
+            {"split": {"field": "csv", "separator": ","}},
+            {"json": {"field": "js", "target_field": "obj", "schema": "x int"}},
+            {"set": {"field": "tag", "value": "ingested"}},
+            {"copy": {"field": "tag", "target_field": "tag2"}},
+        ],
+    ).collect()[0]
+    assert out["raw"] == "hello spark"
+    assert dict(out["kvmap"]) == {"a": "1", "b": "2"}
+    assert out["sz_bytes"] == 1024
+    assert out["csv"] == ["k1", "k2"]
+    assert out["obj"]["x"] == 7
+    assert out["tag"] == "ingested" and out["tag2"] == "ingested"
+
+
+def test_ingest_dissect_grok(spark):
+    df = spark.createDataFrame(
+        [("2026-01-02 GET /index.html 200",)], "line string"
+    )
+    out = ingest.apply_pipeline(
+        df,
+        [
+            {"dissect": {"field": "line", "pattern": "%{date} %{verb} %{path} %{code}"}},
+            {"convert": {"field": "code", "type": "integer"}},
+        ],
+    ).collect()[0]
+    assert (out["date"], out["verb"], out["path"], out["code"]) == (
+        "2026-01-02", "GET", "/index.html", 200
+    )
+
+
+def test_ingest_fail(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError):
+        ingest.apply_pipeline(df, [{"fail": {"message": "boom"}}])
