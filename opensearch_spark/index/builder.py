@@ -117,6 +117,7 @@ class IndexConfig:
 
     n_segments: int = 32
     block_size: int = codec.BLOCK_SIZE
+    codec: str = "varint"  # "varint" (LEB128 stream) | "for" (bit-packed FOR)
     stopwords: Optional[object] = None  # None | "_english_" | explicit list
     id_cols: Sequence[str] = ("conv_id", "turn_idx")
     routing_col: Optional[str] = None  # default: id_cols[0]
@@ -215,25 +216,14 @@ def _invert_segment(
         block_ends = np.append(block_starts[1:], nd)
         nblocks = block_starts.size
 
+        bc = codec.get_codec(cfg.codec)
         gaps = np.diff(d_docs, prepend=np.int64(0))
         gaps[block_starts] = 0  # first doc of a block is delta-0 vs base_doc
-        doc_bytes = codec.varint_encode(gaps.astype(np.uint64))
-        doc_boff = np.concatenate(
-            ([0], np.cumsum(codec.varint_byte_lengths(gaps.astype(np.uint64))))
-        )
-        tf_bytes = codec.varint_encode(tf.astype(np.uint64))
-        tf_boff = np.concatenate(
-            ([0], np.cumsum(codec.varint_byte_lengths(tf.astype(np.uint64))))
-        )
         norms_all = d_norms.astype(np.uint8).tobytes()
 
         if cfg.store_positions:
             pos_deltas = np.diff(s_pos, prepend=np.int64(0))
             pos_deltas[doc_starts] = s_pos[doc_starts]
-            pos_bytes = codec.varint_encode(pos_deltas.astype(np.uint64))
-            pos_boff = np.concatenate(
-                ([0], np.cumsum(codec.varint_byte_lengths(pos_deltas.astype(np.uint64))))
-            )
             post_starts = np.append(doc_starts, total)
 
         max_tf = np.maximum.reduceat(tf, block_starts)
@@ -252,24 +242,19 @@ def _invert_segment(
                 "sum_tf": sum_tf.astype(np.int64),
                 "max_tf": max_tf.astype(np.int32),
                 "min_norm": min_norm.astype(np.int32),
-                "docs_bin": [
-                    doc_bytes[doc_boff[s] : doc_boff[e]]
-                    for s, e in zip(block_starts, block_ends)
-                ],
-                "tfs_bin": [
-                    tf_bytes[tf_boff[s] : tf_boff[e]]
-                    for s, e in zip(block_starts, block_ends)
-                ],
+                "docs_bin": bc.encode_blocks(gaps, block_starts, block_ends),
+                "tfs_bin": bc.encode_blocks(tf, block_starts, block_ends),
                 "norms_bin": [
                     norms_all[s:e] for s, e in zip(block_starts, block_ends)
                 ],
             }
         )
         if cfg.store_positions:
-            post["pos_bin"] = [
-                pos_bytes[pos_boff[post_starts[s]] : pos_boff[post_starts[e]]]
-                for s, e in zip(block_starts, block_ends)
-            ]
+            post["pos_bin"] = bc.encode_blocks(
+                pos_deltas,
+                post_starts[block_starts],
+                post_starts[block_ends],
+            )
         frames.append(post)
 
     # ---- manifest row (per-segment lineage + metrics) ----
@@ -349,6 +334,7 @@ def build_index(
         "version": 1,
         "n_segments": cfg.n_segments,
         "block_size": cfg.block_size,
+        "codec": cfg.codec,
         "stopwords": cfg.stopwords,
         "id_cols": list(cfg.id_cols),
         "routing_col": cfg.routing(),

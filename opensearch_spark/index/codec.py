@@ -94,14 +94,13 @@ def pack_positions(positions: np.ndarray, tfs: np.ndarray) -> bytes:
     return varint_encode(deltas.astype(np.uint64))
 
 
-def unpack_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
-    """Inverse of pack_positions -> concatenated absolute positions."""
-    deltas = varint_decode(buf).astype(np.int64)
+def positions_from_deltas(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Segmented cumsum: per-doc delta runs -> absolute positions."""
+    deltas = np.asarray(deltas).astype(np.int64)
     if deltas.size == 0:
         return deltas
     tfs = np.asarray(tfs, dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-    # segmented cumsum: cumsum, then subtract the running total before each doc
     cs = np.cumsum(deltas)
     base = np.zeros_like(deltas)
     base[starts[1:]] = cs[starts[1:] - 1]
@@ -109,8 +108,82 @@ def unpack_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
     return cs - base
 
 
+def unpack_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of pack_positions -> concatenated absolute positions."""
+    return positions_from_deltas(varint_decode(buf), tfs)
+
+
 def block_bounds(n: int, block_size: int = BLOCK_SIZE) -> Tuple[np.ndarray, np.ndarray]:
     """Start/end offsets of fixed-size blocks covering n postings."""
     starts = np.arange(0, n, block_size, dtype=np.int64)
     ends = np.minimum(starts + block_size, n)
     return starts, ends
+
+
+# --------------------------------------------------------------- FOR codec
+
+def for_encode_block(vals: np.ndarray) -> bytes:
+    """Frame-of-reference bit packing for one block: 1 header byte =
+    bit width (max over the block), then the values packed at that
+    width, LSB-first — the Lucene ``ForUtil`` layout idea
+    (``Lucene99PostingsFormat`` 128-doc FOR blocks; SURVEY.md §4.11)."""
+    v = np.asarray(vals).astype(np.uint64)
+    if v.size == 0:
+        return b"\x00"
+    w = int(int(v.max()).bit_length())
+    if w == 0:
+        return b"\x00"
+    bits = ((v[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
+    return bytes([w]) + np.packbits(bits, bitorder="little").tobytes()
+
+
+def for_decode_block(buf: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`for_encode_block` (needs the value count)."""
+    w = buf[0]
+    if w == 0:
+        return np.zeros(int(n), dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8, offset=1), bitorder="little")
+    m = bits[: int(n) * w].reshape(int(n), w).astype(np.uint64)
+    return (m << np.arange(w, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
+class VarintCodec:
+    """LEB128 stream codec: one shared encode pass, blocks sliced by
+    byte offsets (fully vectorized — the build fast path)."""
+
+    name = "varint"
+
+    @staticmethod
+    def encode_blocks(values: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+        v = np.asarray(values).astype(np.uint64)
+        stream = varint_encode(v)
+        off = np.concatenate(([0], np.cumsum(varint_byte_lengths(v))))
+        return [stream[off[s] : off[e]] for s, e in zip(starts, ends)]
+
+    @staticmethod
+    def decode(buf: bytes, n: int) -> np.ndarray:
+        return varint_decode(buf)
+
+
+class ForCodec:
+    """Per-block FOR bit packing (per-block width byte).  Denser than
+    varint for small-gap runs (hot terms), at a per-block Python-loop
+    encode cost."""
+
+    name = "for"
+
+    @staticmethod
+    def encode_blocks(values: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+        v = np.asarray(values).astype(np.uint64)
+        return [for_encode_block(v[s:e]) for s, e in zip(starts, ends)]
+
+    @staticmethod
+    def decode(buf: bytes, n: int) -> np.ndarray:
+        return for_decode_block(buf, n)
+
+
+CODECS = {c.name: c for c in (VarintCodec, ForCodec)}
+
+
+def get_codec(name: str):
+    return CODECS[name or "varint"]

@@ -71,6 +71,7 @@ def _repack_partition(
     block_size: int,
     with_pos: bool,
     deleted: Optional[np.ndarray] = None,
+    codec_name: str = "varint",
 ) -> pd.DataFrame:
     """Re-pack ALL (term, salt) runs of one partition in one vectorized
     pass (same reduceat machinery as the builder's ``_invert_segment``).
@@ -84,11 +85,18 @@ def _repack_partition(
             {f.name: pd.Series(dtype="object") for f in _PACK_SCHEMA.fields}
         )
     n_docs_in = pdf["n_docs"].to_numpy(np.int64)
+    bc = codec.get_codec(codec_name)
 
     docs = np.concatenate(
-        [codec.unpack_doc_deltas(r.docs_bin, r.base_doc) for r in pdf.itertuples()]
+        [
+            np.cumsum(bc.decode(r.docs_bin, int(r.n_docs)).astype(np.int64))
+            + np.int64(r.base_doc)
+            for r in pdf.itertuples()
+        ]
     )
-    tfs_list = [codec.varint_decode(r.tfs_bin).astype(np.int64) for r in pdf.itertuples()]
+    tfs_list = [
+        bc.decode(r.tfs_bin, int(r.n_docs)).astype(np.int64) for r in pdf.itertuples()
+    ]
     tfs = np.concatenate(tfs_list)
     norms = np.concatenate(
         [np.frombuffer(r.norms_bin, dtype=np.uint8) for r in pdf.itertuples()]
@@ -96,7 +104,7 @@ def _repack_partition(
     if with_pos:
         pos = np.concatenate(
             [
-                codec.unpack_positions(r.pos_bin, t)
+                codec.positions_from_deltas(bc.decode(r.pos_bin, int(t.sum())), t)
                 for r, t in zip(pdf.itertuples(), tfs_list)
             ]
         )
@@ -133,10 +141,6 @@ def _repack_partition(
 
     gaps = np.diff(docs, prepend=np.int64(0))
     gaps[starts] = 0
-    doc_bytes = codec.varint_encode(gaps.astype(np.uint64))
-    doc_off = np.concatenate(([0], np.cumsum(codec.varint_byte_lengths(gaps.astype(np.uint64)))))
-    tf_bytes = codec.varint_encode(tfs.astype(np.uint64))
-    tf_off = np.concatenate(([0], np.cumsum(codec.varint_byte_lengths(tfs.astype(np.uint64)))))
     norms_all = norms.tobytes()
 
     out = {
@@ -151,8 +155,8 @@ def _repack_partition(
         "sum_tf": np.add.reduceat(tfs, starts).astype(np.int64),
         "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
         "min_norm": np.minimum.reduceat(norms, starts).astype(np.int32),
-        "docs_bin": [bytes(doc_bytes[doc_off[s] : doc_off[e]]) for s, e in zip(starts, ends)],
-        "tfs_bin": [bytes(tf_bytes[tf_off[s] : tf_off[e]]) for s, e in zip(starts, ends)],
+        "docs_bin": [bytes(b) for b in bc.encode_blocks(gaps, starts, ends)],
+        "tfs_bin": [bytes(b) for b in bc.encode_blocks(tfs, starts, ends)],
         "norms_bin": [norms_all[s:e] for s, e in zip(starts, ends)],
     }
     if with_pos:
@@ -160,13 +164,9 @@ def _repack_partition(
         pos_deltas = np.diff(pos, prepend=np.int64(0)) if pos.size else pos
         if pos.size:
             pos_deltas[occ_starts[:-1]] = pos[occ_starts[:-1]]
-        pos_bytes = codec.varint_encode(pos_deltas.astype(np.uint64))
-        pos_off = np.concatenate(
-            ([0], np.cumsum(codec.varint_byte_lengths(pos_deltas.astype(np.uint64))))
-        )
         out["pos_bin"] = [
-            bytes(pos_bytes[pos_off[occ_starts[s]] : pos_off[occ_starts[e]]])
-            for s, e in zip(starts, ends)
+            bytes(b)
+            for b in bc.encode_blocks(pos_deltas, occ_starts[starts], occ_starts[ends])
         ]
     else:
         out["pos_bin"] = [None] * starts.size
@@ -194,6 +194,7 @@ def merge_index(
         plan = json.load(f)
     block_size = int(plan["block_size"])
     with_pos = bool(plan.get("store_positions", True))
+    codec_name = plan.get("codec", "varint")
     n_docs = int(plan["n_docs"])
 
     post = spark.read.parquet(sp["postings"])
@@ -239,7 +240,8 @@ def merge_index(
         chunks = [c for c in batches if len(c)]
         if chunks:
             yield _repack_partition(
-                pd.concat(chunks, ignore_index=True), block_size, with_pos, deleted
+                pd.concat(chunks, ignore_index=True), block_size, with_pos, deleted,
+                codec_name,
             )
 
     packed = (

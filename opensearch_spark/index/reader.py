@@ -173,12 +173,16 @@ class InvertedIndex:
             fields.append(T.StructField("positions", T.ArrayType(T.LongType())))
         schema = T.StructType(fields)
 
+        bc = codec.get_codec(self.plan.get("codec", "varint"))
+
         def decode(batches):
             for pdf in batches:
                 outs = []
                 for row in pdf.itertuples(index=False):
-                    docs = codec.unpack_doc_deltas(row.docs_bin, row.base_doc)
-                    tfs = codec.varint_decode(row.tfs_bin).astype(np.int64)
+                    n = int(row.n_docs)
+                    gaps = bc.decode(row.docs_bin, n).astype(np.int64)
+                    docs = np.cumsum(gaps) + np.int64(row.base_doc)
+                    tfs = bc.decode(row.tfs_bin, n).astype(np.int64)
                     norms = np.frombuffer(row.norms_bin, dtype=np.uint8)
                     d = {
                         "term": np.repeat(row.term, docs.size),
@@ -188,7 +192,8 @@ class InvertedIndex:
                     }
                     out = pd.DataFrame(d)
                     if with_positions:
-                        pos = codec.unpack_positions(row.pos_bin, tfs)
+                        deltas = bc.decode(row.pos_bin, int(tfs.sum()))
+                        pos = codec.positions_from_deltas(deltas, tfs)
                         starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
                         out["positions"] = [
                             pos[s : s + c] for s, c in zip(starts, tfs)

@@ -46,6 +46,7 @@ def init_index_dir(spark: SparkSession, index_dir: str, cfg: IndexConfig, schema
         "incremental": True,
         "n_segments": cfg.n_segments,
         "block_size": cfg.block_size,
+        "codec": cfg.codec,
         "stopwords": cfg.stopwords,
         "id_cols": list(cfg.id_cols),
         "routing_col": cfg.routing(),
