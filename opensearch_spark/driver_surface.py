@@ -1584,6 +1584,63 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, q, k=5, nlist=16, nprobe=4)
 
 
+@_q(
+    "hybrid_rrf",
+    _PRE
+    + f""", __c1 AS ({_sql_clause({"spark": 1, "join": 1})}),
+__bm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS INT) AS rank
+         FROM __c1 ORDER BY sc DESC, doc_id ASC LIMIT 20),
+__q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+__ann AS (
+  SELECT vec_id AS doc_id, CAST(rank AS INT) AS rank FROM (
+    SELECT c.vec_id,
+           row_number() OVER (
+             ORDER BY ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]), q.qv) /
+                   (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+             c.vec_id ASC
+           ) AS rank
+    FROM embeddings c CROSS JOIN __q0 q
+  ) WHERE rank <= 20
+),
+__u AS (
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM __bm
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM __ann
+)
+SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score
+FROM __u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10""",
+)
+def hybrid_rrf(spark, sf_dir):
+    """Hybrid BM25 + vector retrieval, reciprocal rank fusion (k=60):
+    lexical top-20 for 'spark join' fused with cosine top-20 around the
+    vec_id=0 embedding (doc_id aligns with vec_id in the testdata)."""
+    from opensearch_spark.ops import hybrid, similarity
+    from opensearch_spark.query import dsl as Q
+    from pyspark.sql import Window
+
+    eng = documents_engine(spark, sf_dir)
+    scored = eng._score(Q.Match("text", "spark join"))
+    dm = eng.index.docmap().select("_docid", "doc_id")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = (
+        scored.join(dm, "_docid")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    ann = similarity.cosine_topk(emb, q0, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return hybrid.rrf_fuse([bm, ann], id_col="doc_id", size=10)
+
+
 # ================================================= text analysis
 
 @_q(
