@@ -496,7 +496,13 @@ class SearchEngine:
 
     def _score_phrase(self, p: Q.MatchPhrase) -> DataFrame:
         if p.slop != 0:
-            raise NotImplementedError("match_phrase slop > 0 not implemented yet")
+            # sloppy phrase -> ordered interval with gap budget = slop
+            # (documented deviation: Lucene's slop counts edit moves and
+            # weights sloppy freq by 1/(matchLength+1); we count minimal
+            # ordered intervals within the gap budget and score them as
+            # phrase frequency)
+            tokens = self.index.analyze(p.query)
+            return self._score_intervals(tokens, p.slop, True, p.boost)
         tokens = self.index.analyze(p.query)
         if not tokens:
             return self._empty_scored()

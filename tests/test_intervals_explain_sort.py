@@ -122,3 +122,25 @@ def test_explain_components(engine, corpus_pdf, oracle):
             assert d["idf"] == pytest.approx(
                 math.log(1 + (exp["doc_count"] - df_true + 0.5) / (df_true + 0.5))
             )
+
+
+def test_phrase_slop(engine, corpus_pdf):
+    """slop>0 phrase = ordered interval with gap budget (documented
+    semantics): matches across interleaving tokens, superset of slop=0."""
+    exact = {
+        (r["conv_id"], r["turn_idx"])
+        for r in engine.search({"match_phrase": {"text": "error handling"}}, size=5000).collect()
+    }
+    sloppy = {
+        (r["conv_id"], r["turn_idx"])
+        for r in engine.search(
+            {"match_phrase": {"text": {"query": "error handling", "slop": 2}}}, size=5000
+        ).collect()
+    }
+    assert exact <= sloppy
+    expect = set()
+    for r in corpus_pdf.itertuples():
+        toks = ana.tokenize(r.text)
+        if _exists_interval(toks, ["error", "handling"], 2, True):
+            expect.add((r.conv_id, r.turn_idx))
+    assert sloppy == expect
