@@ -55,6 +55,28 @@ def terms(
     return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
 
 
+def terms_tree(
+    df: DataFrame,
+    field: str,
+    metrics: Dict[str, Column],
+    size: int = 10,
+) -> DataFrame:
+    """Aggregation TREE: a ``terms`` bucket agg with nested metric
+    sub-aggregations computed in the same grouped pass (the reference's
+    agg-tree = sub-aggs collected per bucket, SURVEY.md §2.4; Spark's
+    one groupBy with many aggregate expressions is the partial+final
+    reduce of the whole tree at once)."""
+    aggs_ = [F.count(F.lit(1)).alias("doc_count")] + [
+        expr.alias(name) for name, expr in metrics.items()
+    ]
+    return (
+        df.groupBy(F.col(field).alias("key"))
+        .agg(*aggs_)
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
 def multi_terms(df: DataFrame, fields: Sequence[str], size: int = 10) -> DataFrame:
     """``multi_terms``: buckets keyed by a field tuple."""
     keys = [F.col(f).alias(f"key_{f}") for f in fields]

@@ -871,6 +871,57 @@ def agg_terms(spark, sf_dir):
 
 
 @_q(
+    "agg_terms_tree",
+    """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       ROUND(avg(value), 6) AS avg_value,
+       ROUND(CAST(max(value) AS DOUBLE), 6) AS max_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 10""",
+)
+def agg_terms_tree(spark, sf_dir):
+    """Aggregation tree: terms buckets with nested metric sub-aggs
+    (avg/max/cardinality) in one grouped pass (SURVEY.md §2.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return aggs.terms_tree(
+        ev,
+        "event_type",
+        {
+            "avg_value": F.round(F.avg("value"), 6),
+            "max_value": F.round(F.max("value").cast("double"), 6),
+            "users": F.count_distinct(F.col("user_id")),
+        },
+    )
+
+
+@_q(
+    "sort_search_after_engine",
+    _PRE
+    + f""", __c1 AS ({_sql_clause({"spark": 1, "join": 1})})
+SELECT doc_id, ROUND(sc, 4) AS score FROM (
+  SELECT doc_id, sc, row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS rn
+  FROM __c1
+) WHERE rn BETWEEN 6 AND 10
+ORDER BY score DESC, doc_id ASC""",
+)
+def sort_search_after_engine(spark, sf_dir):
+    """Engine-level ``search_after``: page 2 of the match via the last
+    page-1 hit's raw (score, doc_id) sort key (SearchAfterBuilder.java)
+    — equals ranks 6..10 of the full ordering."""
+    eng = documents_engine(spark, sf_dir)
+    page1 = eng.search({"match": {"text": "spark join"}}, size=5).collect()
+    last = page1[-1]
+    page2 = eng.search(
+        {"match": {"text": "spark join"}},
+        size=5,
+        search_after=(last["score"], last["doc_id"]),
+    )
+    return page2.withColumn("score", F.round(F.col("score"), 4)).select(
+        "doc_id", "score"
+    )
+
+
+@_q(
     "agg_multi_terms",
     """SELECT event_type AS key_event_type, CAST(user_id % 10 AS BIGINT) AS key_bucket,
        CAST(count(*) AS BIGINT) AS doc_count

@@ -124,6 +124,7 @@ class SearchEngine:
         source_cols: Optional[Sequence[str]] = None,
         prune: bool = False,
         sort: Optional[Sequence[Tuple[str, str]]] = None,
+        search_after: Optional[Sequence] = None,
     ) -> DataFrame:
         """Top-k retrieval: DataFrame of id_cols + score (float64), ordered
         (score desc, id_cols asc). Default size 10 / from 0 mirrors
@@ -132,6 +133,11 @@ class SearchEngine:
         ``sort`` = [(field, "asc"|"desc"), ...] switches to field sort
         (``FieldSortBuilder.java``: doc-values sort, missing last,
         ``_score`` usable as a key); id columns always tie-break.
+
+        ``search_after`` = the last hit's sort-key tuple (sort values
+        then id values; for the default score sort: ``(score, *ids)``) —
+        keyset pagination (``SearchAfterBuilder.java``): strictly-after
+        rows only, same cost profile as page one at any depth.
 
         ``prune=True`` enables block-max WAND pruning for plain match/
         term queries (rank-identical; see ``opensearch_spark.query.wand``) —
@@ -164,8 +170,28 @@ class SearchEngine:
         dm_ids = self.index.docmap().select(
             "_docid", *dict.fromkeys(list(self.id_cols) + sort_cols)
         )
+        joined = scored.join(dm_ids, "_docid")
+        if search_after is not None:
+            keys = []
+            if sort:
+                for (col, direction), val in zip(sort, search_after):
+                    keys.append((col if col != "_score" else "score", direction, val))
+                for c, val in zip(self.id_cols, search_after[len(sort):]):
+                    keys.append((c, "asc", val))
+            else:
+                keys.append(("score", "desc", search_after[0]))
+                for c, val in zip(self.id_cols, search_after[1:]):
+                    keys.append((c, "asc", val))
+            cond = F.lit(False)
+            eq = F.lit(True)
+            for col, direction, val in keys:
+                c = F.col(col)
+                cmp = (c < F.lit(val)) if direction == "desc" else (c > F.lit(val))
+                cond = cond | (eq & cmp)
+                eq = eq & (c == F.lit(val))
+            joined = joined.filter(cond)
         topk = (
-            scored.join(dm_ids, "_docid")
+            joined
             .orderBy(*order)
             .limit(from_ + size)
             .offset(from_)
@@ -178,6 +204,23 @@ class SearchEngine:
             dm = self.index.docmap().select("_docid", *extra)
             topk = dm.join(F.broadcast(topk), "_docid")
         return topk.select(*fetch_cols, "score").orderBy(*order)
+
+    def scan(self, query, batch_size: int = 500, source_cols=None):
+        """Scroll the full result set in stable batches (the `scroll` /
+        PIT cursor analog, SURVEY.md §2.6): a search_after loop over the
+        immutable index — generator of row lists."""
+        after = None
+        while True:
+            rows = self.search(
+                query, size=batch_size, source_cols=source_cols, search_after=after
+            ).collect()
+            if not rows:
+                return
+            yield rows
+            last = rows[-1]
+            after = tuple([last["score"]] + [last[c] for c in self.id_cols])
+            if len(rows) < batch_size:
+                return
 
     def rescore(
         self,

@@ -144,3 +144,14 @@ def test_phrase_slop(engine, corpus_pdf):
         if _exists_interval(toks, ["error", "handling"], 2, True):
             expect.add((r.conv_id, r.turn_idx))
     assert sloppy == expect
+
+
+def test_scan_scroll(engine):
+    """scan() pages through the full result set without overlap/loss."""
+    q = {"match": {"text": "error"}}
+    total = engine.count(q)
+    seen = []
+    for batch in engine.scan(q, batch_size=97):
+        seen.extend((r["conv_id"], r["turn_idx"]) for r in batch)
+    assert len(seen) == total
+    assert len(set(seen)) == total  # no duplicates across pages
