@@ -128,6 +128,10 @@ def query_phase(spark, index_dir: str, runs: int = 5):
     from opensearch_spark.index.reader import InvertedIndex
     from opensearch_spark.query.executor import SearchEngine
 
+    # serving config: AQE's per-stage re-planning costs ~0.15s/query on
+    # interactive top-k results; it buys nothing on the query path (the
+    # plans are tiny and skew-free) — builds keep AQE on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     eng = SearchEngine(InvertedIndex(spark, index_dir).persist())
     per_query = {}
     samples = []
@@ -182,6 +186,7 @@ def run_bench(build_only: bool = False, waves: int = 1) -> dict:
     if not build_only:
         per_query, pct = query_phase(spark, index_dir)
         surface = surface_phase(spark, SF_DIR)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         result["queries"] = {**per_query, **surface}
         result["query_p50_sec"] = pct["p50_sec"]
         result["query_p99_sec"] = pct["p99_sec"]
