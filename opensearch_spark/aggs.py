@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -387,6 +388,61 @@ def moving_avg(
     return buckets.withColumn(
         "moving_avg", F.round(F.avg(F.col(value).cast("double")).over(w), 6)
     )
+
+
+def moving_fn(
+    buckets: DataFrame,
+    key: str = "key",
+    value: str = "doc_count",
+    window: int = 5,
+    model: str = "ewma",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """``moving_fn`` / ``moving_avg`` models (MovAvgPipelineAggregator.java:
+    linear / ewma / holt) over the trailing window of the key-ordered
+    bucket series.  The window values are gathered with ``collect_list``
+    over a rows-window and the model runs vectorized in a pandas UDF —
+    the reduce-phase (coordinator-side) evaluation the reference does."""
+    import numpy as np
+    import pandas as pd
+
+    w = Window.orderBy(F.asc(key)).rowsBetween(-(window - 1), Window.currentRow)
+
+    def _model(vals: pd.Series) -> pd.Series:
+        def one(xs):
+            a = np.asarray(xs, dtype=np.float64)
+            if a.size == 0:
+                return None
+            if model == "linear":
+                wts = np.arange(1, a.size + 1, dtype=np.float64)
+                return float((a * wts).sum() / wts.sum())
+            if model == "holt":
+                s, b = a[0], (a[1] - a[0]) if a.size > 1 else 0.0
+                for x in a[1:]:
+                    s_prev = s
+                    s = alpha * x + (1 - alpha) * (s + b)
+                    b = beta * (s - s_prev) + (1 - beta) * b
+                return float(s)
+            # ewma
+            s = a[0]
+            for x in a[1:]:
+                s = alpha * x + (1 - alpha) * s
+            return float(s)
+
+        return vals.map(one)
+
+    model_udf = F.pandas_udf(_model, "double")
+    return buckets.withColumn(
+        "moving_fn",
+        F.round(model_udf(F.collect_list(F.col(value).cast("double")).over(w)), 6),
+    )
+
+
+def bucket_script(buckets: DataFrame, name: str, expr: Column) -> DataFrame:
+    """``bucket_script`` (BucketScriptPipelineAggregator.java): per-bucket
+    arithmetic as a plain projection."""
+    return buckets.withColumn(name, expr)
 
 
 def serial_diff(
