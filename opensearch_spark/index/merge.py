@@ -305,7 +305,11 @@ def merge_index(
         with open(dp["stats"], "w") as f:
             json.dump(new_stats, f, indent=1)
     else:
-        plan_out["docmap_dir"] = os.path.join(sp["docmap"])
+        # a merged source never wrote its own docmap dir — it points at the
+        # original index's; propagate the inherited pointer so a second
+        # merge (merge-of-merged) still resolves (the deletes path above
+        # already reads it this way)
+        plan_out["docmap_dir"] = plan.get("docmap_dir") or os.path.join(sp["docmap"])
         shutil.copyfile(sp["stats"], dp["stats"])
     with open(dp["plan"], "w") as f:
         json.dump(plan_out, f, indent=1)

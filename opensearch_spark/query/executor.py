@@ -145,7 +145,11 @@ class SearchEngine:
         blocks entirely."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
         scored = None
-        if prune and not sort:
+        if prune and not sort and not self._has_deletes():
+            # prune + tombstones is unsafe: the WAND threshold t would be
+            # established from a sample that may rank soft-deleted docs,
+            # overshooting t and pruning blocks holding live top-k docs —
+            # fall back to dense scoring until compaction expunges them
             scored = self._score_pruned(q, size + from_)
         if scored is None:
             scored = self._score(q)
@@ -207,20 +211,41 @@ class SearchEngine:
 
     def scan(self, query, batch_size: int = 500, source_cols=None):
         """Scroll the full result set in stable batches (the `scroll` /
-        PIT cursor analog, SURVEY.md §2.6): a search_after loop over the
-        immutable index — generator of row lists."""
-        after = None
-        while True:
-            rows = self.search(
-                query, size=batch_size, source_cols=source_cols, search_after=after
-            ).collect()
-            if not rows:
-                return
-            yield rows
-            last = rows[-1]
-            after = tuple([last["score"]] + [last[c] for c in self.id_cols])
-            if len(rows) < batch_size:
-                return
+        PIT cursor analog, SURVEY.md §2.6) — generator of row lists.
+
+        The query is scored ONCE; the scored frame is persisted and
+        streamed to the driver partition-by-partition in (id_cols) order
+        via ``toLocalIterator`` (a deep scroll of B pages costs one query
+        execution, not B).  Paging on the deterministic id key — not on
+        float scores, whose distributed summation order is not stable
+        across executions — guarantees no skipped/duplicated boundary
+        docs (scroll is an export cursor; hit order is not a contract,
+        matching the reference's ``scroll`` + ``_doc`` sort fast path)."""
+        from pyspark import StorageLevel
+
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        scored = self._apply_deletes(self._score(q))
+        fetch_cols = list(
+            dict.fromkeys(self.id_cols + list(source_cols or []))
+        )
+        dm = self.index.docmap().select("_docid", *fetch_cols)
+        full = (
+            scored.join(dm, "_docid")
+            .select(*fetch_cols, "score")
+            .orderBy(*[F.asc(c) for c in self.id_cols])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            batch = []
+            for row in full.toLocalIterator(prefetchPartitions=True):
+                batch.append(row)
+                if len(batch) >= batch_size:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
+        finally:
+            full.unpersist()
 
     def rescore(
         self,
@@ -333,6 +358,11 @@ class SearchEngine:
         track_total_hits=10000 default, SURVEY.md §2.6)."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
         return self._apply_deletes(self._score(q)).count()
+
+    def _has_deletes(self) -> bool:
+        from opensearch_spark.index.lifecycle import live_docids
+
+        return live_docids(self.spark, self.index.index_dir) is not None
 
     def _apply_deletes(self, scored: DataFrame) -> DataFrame:
         """Hide soft-deleted docs (tombstone anti-join; stats stay

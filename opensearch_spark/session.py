@@ -23,10 +23,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # task-side output commit: the driver-side sequential file moves
-        # of committer v1 are a serial scaling bottleneck for many-file
-        # partitioned writes (per-wave postings/docmap/manifest commit)
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # committer v1: job-level atomic rename.  v2 commits task output
+        # directly to the destination, so a failed wave/batch leaves
+        # partial files and task-commit retries can duplicate them
+        # (MAPREDUCE-7282) — that breaks the all-or-nothing property the
+        # builder's resume logic and the streaming exactly-once manifest
+        # rely on ("the m-row commits atomically with the wave").  v1's
+        # driver-side rename cost is per-file and amortized across waves;
+        # opt into v2 explicitly only for overwrite-idempotent outputs.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -61,6 +61,112 @@ def init_index_dir(spark: SparkSession, index_dir: str, cfg: IndexConfig, schema
         json.dump({"n_docs": 0, "doc_count": 0, "sum_dl": 0, "avgdl": 0.0}, f)
 
 
+def _apply_batch_stats(p: Dict[str, str], bman: str) -> None:
+    """Fold one committed batch manifest into stats.json, exactly once
+    (``batches_applied`` records which deltas are already in) — closes
+    the crash window between manifest write and stats update."""
+    with open(bman) as f:
+        m = json.load(f)
+    bid = int(m["batch"])
+    with open(p["stats"]) as f:
+        stats = json.load(f)
+    applied = set(stats.get("batches_applied", []))
+    if bid in applied or m.get("status") == "empty":
+        return
+    stats["n_docs"] = max(
+        int(stats["n_docs"]), int(m["doc_offset"]) + int(m["n_docs"])
+    )
+    stats["doc_count"] = int(stats["doc_count"]) + int(m.get("doc_count", 0))
+    stats["sum_dl"] = int(stats["sum_dl"]) + int(m.get("sum_dl", 0))
+    stats["avgdl"] = (
+        stats["sum_dl"] / stats["doc_count"] if stats["doc_count"] else 0.0
+    )
+    stats["batches_applied"] = sorted(applied | {bid})
+    with open(p["stats"], "w") as f:
+        json.dump(stats, f, indent=1)
+
+
+def _recover_batch(
+    spark: SparkSession, p: Dict[str, str], cfg: IndexConfig, batch_id: int, bman: str
+) -> Optional[Dict]:
+    """Crash-window probe (the per-batch analog of the builder's
+    ``_recover_manifests``): if the batch's ``_row=m`` rows are committed
+    in the data but the batch manifest JSON is missing, the data append
+    succeeded — regenerate the manifest (and the dictionary delta if it
+    too is missing) instead of re-appending, which would double df/tf.
+    Returns the recovered result dict, or None when nothing was committed."""
+    seg_base = (int(batch_id) + 1) * cfg.n_segments
+    mdir = os.path.join(p["data"], f"_row={ROW_MANIFEST}")
+    if not os.path.isdir(mdir):
+        return None
+    man = (
+        spark.read.parquet(mdir)
+        .filter((F.col("_seg") >= seg_base) & (F.col("_seg") < seg_base + cfg.n_segments))
+        .select("_seg", "m_n_docs", "m_sum_dl", "m_doc_count")
+        .collect()
+    )
+    if not man:
+        return None
+    # dictionary delta idempotency: deltas are tagged with _batch
+    dict_has_batch = False
+    if os.path.isdir(p["dictionary"]):
+        try:
+            d = spark.read.parquet(p["dictionary"])
+            if "_batch" in d.columns:
+                dict_has_batch = (
+                    d.filter(F.col("_batch") == int(batch_id)).limit(1).count() > 0
+                )
+        except Exception:
+            dict_has_batch = False
+    if not dict_has_batch:
+        _write_dict_delta(spark, p, cfg, batch_id)
+    dm = (
+        spark.read.parquet(os.path.join(p["data"], "_row=d"))
+        .filter((F.col("_seg") >= seg_base) & (F.col("_seg") < seg_base + cfg.n_segments))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("_docid").alias("off"))
+        .collect()[0]
+    )
+    n_new = int(dm["n"])
+    with open(bman, "w") as f:
+        json.dump(
+            {
+                "batch": int(batch_id),
+                "n_docs": n_new,
+                "doc_offset": int(dm["off"]) if n_new else 0,
+                "segments": sorted(int(r["_seg"]) for r in man),
+                "sum_dl": sum(int(r["m_sum_dl"]) for r in man),
+                "doc_count": sum(int(r["m_doc_count"]) for r in man),
+                "status": "done",
+                "recovered": True,
+            },
+            f,
+        )
+    _apply_batch_stats(p, bman)
+    return {"n_docs": n_new, "recovered": True}
+
+
+def _write_dict_delta(
+    spark: SparkSession, p: Dict[str, str], cfg: IndexConfig, batch_id: int
+) -> None:
+    seg_base = (int(batch_id) + 1) * cfg.n_segments
+    batch_posts = (
+        spark.read.parquet(os.path.join(p["data"], "_row=p"))
+        .filter(F.col("_seg") >= seg_base)
+        .filter(F.col("_seg") < seg_base + cfg.n_segments)
+    )
+    (
+        batch_posts.groupBy("term")
+        .agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("total_tf"),
+            F.count(F.lit(1)).cast("int").alias("n_blocks"),
+        )
+        .withColumn("_batch", F.lit(int(batch_id)))
+        .write.mode("append")
+        .parquet(p["dictionary"])
+    )
+
+
 def append_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -71,11 +177,22 @@ def append_batch(
     """Idempotently append one micro-batch as new segments.
 
     Re-delivered batches (streaming retries) are detected by the batch
-    manifest and skipped, so the append is exactly-once."""
+    manifest and skipped; a crash between the data commit and the
+    manifest write is closed by ``_recover_batch``, so the append is
+    exactly-once."""
     p = _paths(index_dir)
     bman = os.path.join(p["manifests"], f"batch-{batch_id:010d}.json")
     if os.path.exists(bman):
+        _apply_batch_stats(p, bman)  # close the manifest->stats window
         return None  # replay after failure: already committed
+    recovered = _recover_batch(spark, p, cfg, batch_id, bman)
+    if recovered is not None:
+        return recovered
+    # fold in any earlier batches whose stats delta is still pending so
+    # the docID high-water mark below is correct
+    for fn in sorted(os.listdir(p["manifests"])):
+        if fn.startswith("batch-") and fn.endswith(".json"):
+            _apply_batch_stats(p, os.path.join(p["manifests"], fn))
     with open(p["plan"]) as f:
         plan = json.load(f)
     with open(p["stats"]) as f:
@@ -117,22 +234,9 @@ def append_batch(
     )
     built.write.partitionBy("_row").mode("append").parquet(p["data"])
 
-    # per-batch dictionary delta (reader aggregates; merge compacts)
-    batch_posts = (
-        spark.read.parquet(os.path.join(p["data"], "_row=p"))
-        .filter(F.col("_seg") >= seg_base)
-        .filter(F.col("_seg") < seg_base + cfg.n_segments)
-    )
-    (
-        batch_posts.groupBy("term")
-        .agg(
-            F.sum("n_docs").cast("long").alias("df"),
-            F.sum("sum_tf").cast("long").alias("total_tf"),
-            F.count(F.lit(1)).cast("int").alias("n_blocks"),
-        )
-        .write.mode("append")
-        .parquet(p["dictionary"])
-    )
+    # per-batch dictionary delta, tagged with _batch for idempotent
+    # recovery (reader aggregates; merge compacts)
+    _write_dict_delta(spark, p, cfg, batch_id)
 
     man_rows = (
         spark.read.parquet(os.path.join(p["data"], f"_row={ROW_MANIFEST}"))
@@ -143,12 +247,9 @@ def append_batch(
     sum_dl = sum(int(r["m_sum_dl"]) for r in man_rows)
     doc_count = sum(int(r["m_doc_count"]) for r in man_rows)
 
-    stats["n_docs"] = acc
-    stats["doc_count"] = int(stats["doc_count"]) + doc_count
-    stats["sum_dl"] = int(stats["sum_dl"]) + sum_dl
-    stats["avgdl"] = stats["sum_dl"] / stats["doc_count"] if stats["doc_count"] else 0.0
-    with open(p["stats"], "w") as f:
-        json.dump(stats, f, indent=1)
+    # commit order: manifest (with the stats delta inside) BEFORE the
+    # stats fold — _apply_batch_stats is idempotent via batches_applied,
+    # so every crash point replays to the same state
     with open(bman, "w") as f:
         json.dump(
             {
@@ -156,11 +257,14 @@ def append_batch(
                 "n_docs": n_new,
                 "doc_offset": hw,
                 "segments": sorted(counts),
+                "sum_dl": sum_dl,
+                "doc_count": doc_count,
                 "wall_ms": int((time.monotonic() - t0) * 1000),
                 "status": "done",
             },
             f,
         )
+    _apply_batch_stats(p, bman)
     return {"n_docs": n_new}
 
 
