@@ -111,7 +111,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: Optional[int] = None,
+    max_shingle_df: Optional[int] = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ``(id_a < id_b, jaccard)``.
 
@@ -119,15 +119,25 @@ def jaccard_pairs(
     per-pair intersection count -> join per-doc set sizes (broadcast) ->
     ``J = inter / (|A| + |B| - inter) >= threshold``.
 
-    ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before the join — the skew guard for the quadratic blow-up on
-    boilerplate shingles at 100 TB (same idea as hot-term salting, but
-    for dedup recall/cost trade-off; dropped shingles only ever lower
-    the computed intersection, never add false positives).
+    ``max_shingle_df`` (default **1000**, ON) drops shingles appearing
+    in more than that many docs before the join — the skew guard for the
+    quadratic blow-up on boilerplate shingles at 100 TB: a shingle with
+    df=d contributes d^2/2 join rows, so one boilerplate header shared
+    by 10M pages would otherwise emit 5*10^13 pairs.  Same idea as
+    hot-term salting, but as a dedup recall/cost trade-off; dropped
+    shingles only ever lower the computed intersection, never add false
+    positives.  Pass ``None`` to disable (exact small-corpus mode).
     """
+    import logging
+
     sh = shingle_sets(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_df is not None:
+        logging.getLogger(__name__).info(
+            "jaccard_pairs: dropping shingles with df > %d before the "
+            "self-join (skew guard); dropped shingles lower recall only",
+            max_shingle_df,
+        )
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("sdf"))
@@ -279,10 +289,15 @@ def simhash_signatures(
 ) -> DataFrame:
     """``(id, simhash: long)`` 64-bit weighted SimHash per document.
 
-    Token hashing is JVM ``xxhash64``; bit-vote accumulation runs in an
-    Arrow-batched grouped pandas UDF with numpy bit ops (one shuffle on
-    the doc id, no per-row Python).
+    Token hashing is JVM ``xxhash64``; the 64 bit-votes are 64 JVM
+    conditional-sum aggregates (``sum(bit_j ? +tf : -tf)``) in ONE
+    grouped pass — the same pattern as the minhash min-aggregates.
+    Entirely whole-stage-codegen: no Python in the per-token path
+    (the earlier per-doc ``applyInPandas`` was one Python call per
+    document — a row-at-a-time bottleneck at corpus scale).
     """
+    from functools import reduce
+
     toks = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy("_id", "tok")
@@ -290,26 +305,26 @@ def simhash_signatures(
         .withColumn("h", F.xxhash64("tok"))
         .select("_id", "h", "tf")
     )
-
-    schema = T.StructType(
-        [
-            T.StructField("_id", T.LongType()),
-            T.StructField("simhash", T.LongType()),
-        ]
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("_id").agg(*votes)
+    bit_cols = [
+        F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    fingerprint = reduce(lambda a, c: a.bitwiseOR(c), bit_cols)
+    return agg.select(
+        F.col("_id").alias(id_col), fingerprint.alias("simhash")
     )
-
-    def sim(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
-        tf = pdf["tf"].to_numpy(dtype=np.int64).astype(np.float64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
-        votes = ((bits * 2.0 - 1.0) * tf[:, None]).sum(axis=0)
-        out = np.uint64(0)
-        for j in range(64):
-            if votes[j] > 0:
-                out |= np.uint64(1) << np.uint64(j)
-        return pd.DataFrame({"_id": [pdf["_id"].iloc[0]], "simhash": [np.int64(out)]})
-
-    return toks.groupBy("_id").applyInPandas(sim, schema=schema).withColumnRenamed("_id", id_col)
 
 
 def simhash_pairs(
