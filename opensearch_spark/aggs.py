@@ -398,12 +398,18 @@ def moving_fn(
     model: str = "ewma",
     alpha: float = 0.3,
     beta: float = 0.1,
+    gamma: float = 0.3,
+    period: int = 7,
 ) -> DataFrame:
     """``moving_fn`` / ``moving_avg`` models (MovAvgPipelineAggregator.java:
-    linear / ewma / holt) over the trailing window of the key-ordered
-    bucket series.  The window values are gathered with ``collect_list``
-    over a rows-window and the model runs vectorized in a pandas UDF —
-    the reduce-phase (coordinator-side) evaluation the reference does."""
+    simple / min / max / sum / linear / ewma / holt / holt_winters) over
+    the trailing window of the key-ordered bucket series.  The window
+    values are gathered with ``collect_list`` over a rows-window and the
+    model runs vectorized in a pandas UDF — the reduce-phase
+    (coordinator-side) evaluation the reference does.  ``holt_winters``
+    is additive triple exponential smoothing seeded from the first
+    ``period`` values (returns null until 2 full periods are in the
+    window, like the reference's minimum-data requirement)."""
     import numpy as np
     import pandas as pd
 
@@ -414,6 +420,14 @@ def moving_fn(
             a = np.asarray(xs, dtype=np.float64)
             if a.size == 0:
                 return None
+            if model == "simple":
+                return float(a.mean())
+            if model == "min":
+                return float(a.min())
+            if model == "max":
+                return float(a.max())
+            if model == "sum":
+                return float(a.sum())
             if model == "linear":
                 wts = np.arange(1, a.size + 1, dtype=np.float64)
                 return float((a * wts).sum() / wts.sum())
@@ -424,6 +438,21 @@ def moving_fn(
                     s = alpha * x + (1 - alpha) * (s + b)
                     b = beta * (s - s_prev) + (1 - beta) * b
                 return float(s)
+            if model == "holt_winters":
+                p = int(period)
+                if a.size < 2 * p:
+                    return None  # HoltWintersModel needs 2 full periods
+                level = float(a[:p].mean())
+                trend = float((a[p : 2 * p].mean() - a[:p].mean()) / p)
+                seas = (a[:p] - level).astype(np.float64)
+                for i in range(p, a.size):
+                    x = a[i]
+                    last_level = level
+                    si = seas[i % p]
+                    level = alpha * (x - si) + (1 - alpha) * (level + trend)
+                    trend = beta * (level - last_level) + (1 - beta) * trend
+                    seas[i % p] = gamma * (x - level) + (1 - gamma) * si
+                return float(level + trend + seas[a.size % p])
             # ewma
             s = a[0]
             for x in a[1:]:
@@ -497,3 +526,227 @@ def percentiles_bucket(
         for p in percents
     ]
     return buckets.agg(*aggs_)
+
+
+# ------------------------------------------- round-2 breadth operators
+
+
+def date_range_agg(
+    df: DataFrame, field: str, ranges: Sequence[Tuple[Optional[str], Optional[str]]]
+) -> DataFrame:
+    """``date_range`` agg (``RangeAggregationBuilder.java`` date variant,
+    ``DateRangeAggregationBuilder``): [from, to) buckets over a timestamp
+    column, bounds as ISO strings; one conditional-sum pass like
+    ``range_agg`` (empty buckets kept, count 0)."""
+    aggs, keys = [], []
+    c = F.col(field)
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (c < F.to_timestamp(F.lit(hi)))
+        key = f"{lo or '*'}-{hi or '*'}"
+        keys.append(key)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(key))
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return row.selectExpr(f"stack({len(keys)}, {stack}) as (key, doc_count)")
+
+
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 -> uint32-as-long (the comparable form of the
+    reference's 16-byte IP points, ``IpFieldMapper.java``)."""
+    part = lambda i: F.split(col, r"\.").getItem(i).cast("long")
+    return part(0) * 16777216 + part(1) * 65536 + part(2) * 256 + part(3)
+
+
+def ip_range_agg(
+    df: DataFrame, field: str, ranges: Sequence[Tuple[Optional[str], Optional[str]]]
+) -> DataFrame:
+    """``ip_range`` agg (``IpRangeAggregationBuilder``): [from, to)
+    buckets over a dotted-quad IPv4 string column, compared numerically."""
+    v = ip_to_long(F.col(field))
+    aggs, keys = [], []
+    for lo, hi in ranges:
+        cond = F.col(field).isNotNull()
+        if lo is not None:
+            cond = cond & (v >= ip_to_long(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (v < ip_to_long(F.lit(hi)))
+        key = f"{lo or '*'}-{hi or '*'}"
+        keys.append(key)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(key))
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return row.selectExpr(f"stack({len(keys)}, {stack}) as (key, doc_count)")
+
+
+def variable_width_histogram(df: DataFrame, field: str, buckets: int = 5) -> DataFrame:
+    """``variable_width_histogram``
+    (``VariableWidthHistogramAggregationBuilder.java``): adaptive buckets
+    sized to the data distribution.  The reference runs an online 1-D
+    clustering per shard; we use equal-population quantile sharding
+    (``ntile`` over the value order) — deterministic, one pass, and
+    distribution-adaptive in the same sense (narrow buckets where data
+    is dense).  Documented deviation: bucket boundaries are quantiles,
+    not cluster centroids.  Emits (bucket, min, max, avg=key, doc_count)."""
+    w = Window.orderBy(F.asc(field))
+    c = F.col(field).cast("double")
+    return (
+        df.filter(F.col(field).isNotNull())
+        .withColumn("_b", F.ntile(buckets).over(w))
+        .groupBy(F.col("_b").alias("bucket"))
+        .agg(
+            F.round(F.min(c), 6).alias("min"),
+            F.round(F.max(c), 6).alias("max"),
+            F.round(F.avg(c), 6).alias("key"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+        .orderBy(F.asc("bucket"))
+    )
+
+
+def diversified_sampler(
+    df: DataFrame,
+    diversity_field: str,
+    score_col: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+    tie_col: Optional[str] = None,
+) -> DataFrame:
+    """``diversified_sampler`` (``DiversifiedAggregationBuilder.java``):
+    the top-``shard_size`` sample by score, allowing at most
+    ``max_docs_per_value`` docs per ``diversity_field`` value — a
+    de-duplicated sampler.  Two windows: per-value rank to enforce the
+    diversity cap, then global top-N."""
+    order = [F.desc(score_col)] + ([F.asc(tie_col)] if tie_col else [])
+    wv = Window.partitionBy(diversity_field).orderBy(*order)
+    capped = (
+        df.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") <= max_docs_per_value)
+        .drop("_vr")
+    )
+    return capped.orderBy(*order).limit(shard_size)
+
+
+def matrix_stats(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """``matrix_stats`` (``modules/aggs-matrix-stats/``): per-field-pair
+    count / means / covariance / correlation in one aggregate pass
+    (``F.covar_samp`` / ``F.corr`` match the reference's sample
+    covariance).  Emits one row per unordered pair (field_a <= field_b)."""
+    rows = []
+    for i, a in enumerate(fields):
+        for b_ in fields[i:]:
+            ca, cb = F.col(a).cast("double"), F.col(b_).cast("double")
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("field_a"),
+                    F.lit(b_).alias("field_b"),
+                    F.count(F.when(ca.isNotNull() & cb.isNotNull(), 1)).alias("count"),
+                    F.round(F.avg(ca), 6).alias("mean_a"),
+                    F.round(F.avg(cb), 6).alias("mean_b"),
+                    F.round(F.covar_samp(ca, cb), 4).alias("covariance"),
+                    F.round(F.corr(ca, cb), 6).alias("correlation"),
+                )
+            )
+    row = df.agg(F.array(*rows).alias("_m"))
+    return row.select(F.explode("_m").alias("m")).select("m.*")
+
+
+def scripted_metric(
+    df: DataFrame,
+    bucket: Optional[str],
+    map_fn,
+    reduce_fn,
+    state_schema: str = "value double",
+    result_name: str = "value",
+):
+    """``scripted_metric`` UDAF (``ScriptedMetricAggregationBuilder.java:63-66``:
+    init/map/combine/reduce scripts).  Spark mapping mirrors the
+    shard/coordinator split exactly:
+
+    - ``map_fn(pdf) -> dict`` runs per PARTITION chunk over the bucket's
+      rows (init+map+combine of one shard) inside ``applyInPandas`` with
+      a partition-salt key, producing one partial-state row per chunk;
+    - ``reduce_fn(list[dict]) -> float`` folds the partial states per
+      bucket on a second tiny grouped pass (the coordinator reduce).
+
+    Both callables are arbitrary Python over pandas — the Painless-UDAF
+    analog — but the per-doc path stays Arrow-batched."""
+    import pandas as pd
+
+    spark_salt = F.spark_partition_id()
+    keys = ([bucket] if bucket else []) + ["_salt"]
+    with_salt = df.withColumn("_salt", spark_salt)
+
+    part_fields = (f"{bucket} string, " if bucket else "") + state_schema
+
+    def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = map_fn(pdf)
+        out = {k: [v] for k, v in state.items()}
+        if bucket:
+            out[bucket] = [pdf[bucket].iloc[0]]
+        return pd.DataFrame(out)
+
+    partials = with_salt.groupBy(*keys).applyInPandas(_partial, part_fields)
+
+    res_fields = (f"{bucket} string, " if bucket else "") + f"{result_name} double"
+
+    def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        drop = [c for c in ([bucket] if bucket else ["_g"]) if c in pdf.columns]
+        states = pdf.drop(columns=drop).to_dict("records")
+        out = {result_name: [float(reduce_fn(states))]}
+        if bucket:
+            out[bucket] = [pdf[bucket].iloc[0]]
+        else:
+            out["_g"] = [1]
+        return pd.DataFrame(out)
+
+    if bucket:
+        return partials.groupBy(bucket).applyInPandas(_reduce, res_fields)
+    return (
+        partials.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(_reduce, "_g int, " + f"{result_name} double")
+        .drop("_g")
+    )
+
+
+def significant_text(
+    df: DataFrame,
+    fg_cond: Column,
+    text_col: str = "text",
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """``significant_text`` (``SignificantTextAggregationBuilder``): JLH
+    over ANALYZED TERMS of the hit set vs the background corpus — the
+    corpus-mining agg (which words characterize the matching docs).
+    Counts are document frequencies (distinct tokens per doc), computed
+    with one explode + two conditional counts; JLH = (fg%-bg%)*(fg%/bg%)."""
+    from opensearch_spark.ops.dedup import tokens_col
+
+    toks = df.select(
+        fg_cond.alias("_fg"), F.explode(F.array_distinct(tokens_col(text_col))).alias("key")
+    )
+    totals = df.agg(
+        F.sum(F.when(fg_cond, 1).otherwise(0)).cast("double").alias("fg_total"),
+        F.count(F.lit(1)).cast("double").alias("bg_total"),
+    ).collect()[0]
+    fg_total, bg_total = float(totals["fg_total"]), float(totals["bg_total"])
+    counts = toks.groupBy("key").agg(
+        F.sum(F.when(F.col("_fg"), 1).otherwise(0)).cast("long").alias("fg_count"),
+        F.count(F.lit(1)).cast("long").alias("bg_count"),
+    )
+    fg_pct = F.col("fg_count") / F.lit(fg_total)
+    bg_pct = F.col("bg_count") / F.lit(bg_total)
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        counts.filter(F.col("fg_count") >= min_doc_count)
+        .withColumn("score", F.round(score.cast("double"), 6))
+        .filter(fg_pct > bg_pct)
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(size)
+        .select("key", "fg_count", "bg_count", "score")
+    )

@@ -23,7 +23,7 @@ from opensearch_spark.query.executor import SearchEngine
 
 # bump when index layout or the derived-docs shape changes: stale cached
 # indexes are keyed away instead of misread
-_LAYOUT_VERSION = "v4"
+_LAYOUT_VERSION = "v5"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,6 +48,17 @@ def documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("req_terms", (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+        # a second ANALYZED text field for multi-field search: the doc's
+        # first 4 tokens (a synthetic "title" — genuinely contributing
+        # terms, deterministically derived so the DuckDB oracle can
+        # rebuild it: array_to_string(toks[1:4], ' '))
+        .withColumn(
+            "title",
+            F.array_join(
+                F.slice(F.filter(F.split(F.col("text"), " "), lambda x: x != ""), 1, 4),
+                " ",
+            ),
+        )
     )
 
 
@@ -82,6 +93,39 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     eng = SearchEngine(InvertedIndex(spark, idx_dir))
     _ENGINES[idx_dir] = eng
     return eng
+
+
+def documents_multi_engine(spark: SparkSession, sf_dir: str):
+    """Per-field engines over aligned docids (SURVEY.md §1.2 text
+    fields; ``query/multifield.py``): ``text`` reuses the main index,
+    ``title`` gets its own field-partitioned index directory
+    (``<cache>/field=title``) built from the SAME docs + routing so
+    docids align.  The production layout would point the title index's
+    docmap at the shared one (plan ``docmap_dir``, as ``merge_index``
+    does); locally the duplicate docmap is kilobytes."""
+    from opensearch_spark.query.multifield import MultiFieldEngine
+
+    text_eng = documents_engine(spark, sf_dir)
+    title_dir = os.path.join(docs_index_dir(sf_dir), "field=title")
+    key = title_dir
+    eng = _ENGINES.get(key)
+    if eng is None or eng.spark is not spark:
+        if not os.path.exists(os.path.join(title_dir, "stats.json")):
+            build_index(
+                spark,
+                documents_df(spark, sf_dir),
+                title_dir,
+                IndexConfig(
+                    n_segments=8,
+                    id_cols=("doc_id",),
+                    routing_col="doc_id",
+                    text_col="title",
+                    dictionary_partitions=2,
+                ),
+            )
+        eng = SearchEngine(InvertedIndex(spark, title_dir))
+        _ENGINES[key] = eng
+    return MultiFieldEngine({"text": text_eng, "title": eng}, "text")
 
 
 def topk(engine: SearchEngine, query, k: int = 10, round_dp: int = 4) -> DataFrame:

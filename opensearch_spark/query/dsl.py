@@ -103,6 +103,7 @@ class MultiMatch:
     fields: Sequence[Tuple[str, float]]  # (field, boost)
     type: str = "best_fields"
     tie_breaker: float = 0.0
+    operator: str = "or"
     boost: float = 1.0
 
 
@@ -164,10 +165,16 @@ class Intervals:
     tf = number of minimal matching intervals)."""
 
     field: str
-    query: str
+    query: str = ""
     max_gaps: int = -1  # -1 = unbounded
     ordered: bool = False
     boost: float = 1.0
+    # composition (IntervalsSourceProvider any_of/all_of): slots of the
+    # (ordered) interval algebra; each slot is a list of alternative
+    # terms (any_of).  When set, ``query`` is ignored.  Scoring: one
+    # clause, idf = sum over distinct member terms (documented
+    # approximation), tf = minimal-interval count with per-slot unions.
+    any_of_groups: Optional[Sequence[Sequence[str]]] = None
 
 
 @dataclasses.dataclass
@@ -180,6 +187,47 @@ class SpanNear:
     terms: Sequence[str]  # span_term clauses (no analysis)
     slop: int = 0
     in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class SpanOr:
+    """``span_or`` (``SpanOrQueryBuilder.java``, registry
+    ``SearchModule.java:1109-1138``): union of span clauses.  Over
+    ``span_term`` clauses (width-1 spans) the union is exactly a
+    disjunction of term scorers — compiled to the OR match machinery
+    (documented deviation: Lucene scores via span frequency; for
+    width-1 spans the matching doc set is identical)."""
+
+    field: str
+    terms: Sequence[str]
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class SpanNot:
+    """``span_not`` (``SpanNotQueryBuilder.java``): positions of the
+    ``include`` term whose [pos-pre, pos+post] window contains no
+    position of any ``exclude`` term; tf = surviving positions, scored
+    as a BM25 clause of the include term."""
+
+    field: str
+    include: str
+    exclude: Sequence[str]
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class SpanFirst:
+    """``span_first`` (``SpanFirstQueryBuilder.java``): the term's span
+    must end within the first ``end`` positions (0-based position <
+    ``end``); tf = qualifying positions."""
+
+    field: str
+    term: str
+    end: int
     boost: float = 1.0
 
 
@@ -416,6 +464,7 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             fields,
             type=body.get("type", "best_fields"),
             tie_breaker=body.get("tie_breaker", 0.0),
+            operator=body.get("operator", "or").lower(),
         )
     if kind == "more_like_this":
         return MoreLikeThis(
@@ -452,12 +501,41 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         )
     if kind == "intervals":
         field, v = next(iter(body.items()))
-        m = v["match"]
+        src = next(iter(v))
+        if src == "match":
+            m = v["match"]
+            return Intervals(
+                field,
+                m["query"],
+                max_gaps=m.get("max_gaps", -1),
+                ordered=m.get("ordered", False),
+            )
+        # any_of / all_of composition: each sub-interval is a match
+        # source or a one-level any_of of match sources
+        def _group(sub) -> List[str]:
+            k = next(iter(sub))
+            if k == "match":
+                return sub["match"]["query"].split()
+            if k == "any_of":
+                out: List[str] = []
+                for s2 in sub["any_of"]["intervals"]:
+                    out.extend(s2["match"]["query"].split())
+                return out
+            raise ValueError(f"unsupported intervals source: {k}")
+
+        if src == "any_of":
+            return Intervals(
+                field,
+                any_of_groups=[_group(v)],
+                max_gaps=-1,
+                ordered=False,
+            )
+        a = v["all_of"]
         return Intervals(
             field,
-            m["query"],
-            max_gaps=m.get("max_gaps", -1),
-            ordered=m.get("ordered", False),
+            any_of_groups=[_group(s) for s in a["intervals"]],
+            max_gaps=a.get("max_gaps", -1),
+            ordered=a.get("ordered", False),
         )
     if kind == "span_near":
         clauses = [c["span_term"] for c in body["clauses"]]
@@ -467,6 +545,45 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             [c[field] for c in clauses],
             slop=body.get("slop", 0),
             in_order=body.get("in_order", True),
+        )
+    if kind == "span_or":
+        clauses = [c["span_term"] for c in body["clauses"]]
+        field = next(iter(clauses[0]))
+        return SpanOr(field, [c[field] for c in clauses])
+    if kind == "span_not":
+        inc = body["include"]["span_term"]
+        field = next(iter(inc))
+        exc = body["exclude"]
+        exc_clauses = (
+            [c["span_term"] for c in exc["span_or"]["clauses"]]
+            if "span_or" in exc
+            else [exc["span_term"]]
+        )
+        return SpanNot(
+            field,
+            inc[field],
+            [c[field] for c in exc_clauses],
+            pre=body.get("pre", 0),
+            post=body.get("post", 0),
+        )
+    if kind == "span_first":
+        m = body["match"]["span_term"]
+        field = next(iter(m))
+        return SpanFirst(field, m[field], end=body["end"])
+    if kind == "simple_query_string":
+        from opensearch_spark.query.querystring import parse_simple_query_string
+
+        fields = []
+        for f in body.get("fields", ["text"]):
+            if "^" in f:
+                name, b = f.split("^", 1)
+                fields.append((name, float(b)))
+            else:
+                fields.append((f, 1.0))
+        return parse_simple_query_string(
+            body["query"],
+            fields=fields,
+            default_operator=body.get("default_operator", "or").lower(),
         )
     if kind == "distance_feature":
         return DistanceFeature(

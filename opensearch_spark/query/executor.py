@@ -420,6 +420,10 @@ class SearchEngine:
         if isinstance(q, Q.FunctionScore):
             return self._score_function_score(q)
         if isinstance(q, Q.Intervals):
+            if q.any_of_groups:
+                return self._score_interval_groups(
+                    [list(g) for g in q.any_of_groups], q.max_gaps, q.ordered, q.boost
+                )
             terms = self.index.analyze(q.query)
             return self._score_intervals(
                 terms, q.max_gaps, q.ordered, q.boost
@@ -430,6 +434,15 @@ class SearchEngine:
             return self._score_intervals(
                 [str(t) for t in q.terms], q.slop, q.in_order, q.boost
             )
+        if isinstance(q, Q.SpanOr):
+            # width-1 span union == disjunction of term scorers (dsl.SpanOr)
+            return self._score_terms_or(
+                {str(t): 1 for t in q.terms}, required=1, boost=q.boost
+            )
+        if isinstance(q, Q.SpanFirst):
+            return self._score_span_first(q)
+        if isinstance(q, Q.SpanNot):
+            return self._score_span_not(q)
         if isinstance(q, Q.DistanceFeature):
             # score = boost * pivot / (pivot + dist) over all docs with
             # the field (DistanceFeatureQueryBuilder.java)
@@ -530,14 +543,14 @@ class SearchEngine:
             required = m.minimum_should_match or 1
         return self._score_terms_or(weights, required=required, boost=m.boost)
 
-    def _score_terms_or(
-        self, weights: dict, required: int, boost: float = 1.0
-    ) -> DataFrame:
-        """OR/AND/minimum_should_match over weighted term scoring clauses
-        (MatchQuery.java:182,321; Operator.java:53-58)."""
+    def _per_term_scores(self, weights: dict) -> Optional[DataFrame]:
+        """(term, _docid, s float, weight int) BM25 clause scores for the
+        given term->weight map, or None when no term exists in the
+        corpus.  Shared by the match scorer and cross_fields multi_match
+        (per-field postings decode + broadcast stats, no shuffle yet)."""
         stats = self.index.term_stats(list(weights))
         if stats.empty:
-            return self._empty_scored()
+            return None
         N = self.index.stats["doc_count"]
         avgdl = self.index.stats["avgdl"]
         rows = [
@@ -548,7 +561,7 @@ class SearchEngine:
             rows, "term string, idf double, weight int"
         )
         post = self.index.postings_for_terms([r[0] for r in rows])
-        per = (
+        return (
             post.join(F.broadcast(stats_df), "term")
             .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
             .withColumn(
@@ -557,7 +570,17 @@ class SearchEngine:
                     F.col("tf"), F.col("idf"), F.col("dl"), avgdl, self.k1, self.b
                 ),
             )
+            .select("term", "_docid", "s", "weight")
         )
+
+    def _score_terms_or(
+        self, weights: dict, required: int, boost: float = 1.0
+    ) -> DataFrame:
+        """OR/AND/minimum_should_match over weighted term scoring clauses
+        (MatchQuery.java:182,321; Operator.java:53-58)."""
+        per = self._per_term_scores(weights)
+        if per is None:
+            return self._empty_scored()
         grouped = per.groupBy("_docid").agg(
             F.sum(F.col("s").cast("double") * F.col("weight")).alias("score"),
             F.sum("weight").alias("matched_clauses"),
@@ -946,6 +969,187 @@ class SearchEngine:
         return scored.select(
             "_docid",
             (F.col("s").cast("double") * F.lit(float(boost))).alias("score"),
+        )
+
+    def _score_span_first(self, q: Q.SpanFirst) -> DataFrame:
+        """``span_first``: tf = positions of the term with 0-based
+        position < end — pure Catalyst array filter over the decoded
+        position lists; scored as a BM25 clause with the adjusted tf."""
+        stats = self.index.term_stats([q.term])
+        if stats.empty:
+            return self._empty_scored()
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        idf_v = float(bm25.idf(int(stats["df"].iloc[0]), N))
+        post = self.index.postings_for_terms([q.term], with_positions=True)
+        end = int(q.end)
+        tf2 = F.size(F.filter(F.col("positions"), lambda p: p < F.lit(end)))
+        scored = (
+            post.withColumn("tf2", tf2)
+            .filter(F.col("tf2") > 0)
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("tf2"), F.lit(idf_v), F.col("dl"), avgdl, self.k1, self.b
+                ),
+            )
+        )
+        return scored.select(
+            "_docid", (F.col("s").cast("double") * F.lit(float(q.boost))).alias("score")
+        )
+
+    def _score_span_not(self, q: Q.SpanNot) -> DataFrame:
+        """``span_not``: include-term positions whose [pos-pre, pos+post]
+        window is free of every exclude-term position; tf = survivors.
+        The exclusion test is a JVM ``exists`` lambda over the per-doc
+        exclude position array (no Python)."""
+        stats = self.index.term_stats([q.include])
+        if stats.empty:
+            return self._empty_scored()
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        idf_v = float(bm25.idf(int(stats["df"].iloc[0]), N))
+        inc = self.index.postings_for_terms([q.include], with_positions=True)
+        exc = (
+            self.index.postings_for_terms([str(t) for t in q.exclude], with_positions=True)
+            .groupBy("_docid")
+            .agg(F.flatten(F.collect_list("positions")).alias("exc_pos"))
+        )
+        pre, post_w = int(q.pre), int(q.post)
+        joined = inc.join(exc, "_docid", "left")
+        surv = F.filter(
+            F.col("positions"),
+            lambda p: ~F.coalesce(
+                F.exists(
+                    F.col("exc_pos"),
+                    lambda e: (e >= p - F.lit(pre)) & (e <= p + F.lit(post_w)),
+                ),
+                F.lit(False),
+            ),
+        )
+        scored = (
+            joined.withColumn("tf2", F.size(surv))
+            .filter(F.col("tf2") > 0)
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("tf2"), F.lit(idf_v), F.col("dl"), avgdl, self.k1, self.b
+                ),
+            )
+        )
+        return scored.select(
+            "_docid", (F.col("s").cast("double") * F.lit(float(q.boost))).alias("score")
+        )
+
+    def _score_interval_groups(
+        self, groups: List[List[str]], max_gaps: int, ordered: bool, boost: float
+    ) -> DataFrame:
+        """Interval composition (IntervalsSourceProvider ``all_of`` over
+        ``match``/``any_of`` sources): slot i of the (possibly ordered)
+        algebra accepts any member of groups[i] — member position lists
+        are merged into one pseudo-term stream per slot, then the same
+        minimal-interval enumeration as ``_score_intervals`` runs.
+        Scoring: one clause, idf = sum over distinct present member
+        terms (documented approximation), tf = interval count."""
+        all_terms = sorted({t for g in groups for t in g})
+        stats = self.index.term_stats(all_terms)
+        present = set(stats["term"])
+        if any(not (set(g) & present) for g in groups):
+            return self._empty_scored()  # a slot with no corpus term
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        idf_sum = float(sum(bm25.idf(int(d), N) for d in stats["df"]))
+        post = self.index.postings_for_terms(sorted(present), with_positions=True)
+        agg = post.groupBy("_docid").agg(
+            F.collect_list(F.struct("term", "positions")).alias("tp"),
+            F.min("norm_byte").alias("norm_byte"),
+        )
+        slot_groups = [list(g) for g in groups]
+        slot_names = [f"\x00g{i}" for i in range(len(groups))]
+        gap_budget, want_ordered = max_gaps, ordered
+
+        @F.pandas_udf(T.IntegerType())
+        def interval_tf(tp: pd.Series) -> pd.Series:
+            def one(entries) -> int:
+                by_term = {}
+                for e in entries:
+                    if isinstance(e, dict):
+                        by_term[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
+                    else:
+                        by_term[e[0]] = np.asarray(e[1], dtype=np.int64)
+                pos = {}
+                for name, members in zip(slot_names, slot_groups):
+                    arrs = [by_term[t] for t in members if t in by_term]
+                    if not arrs:
+                        return 0  # slot unmatched in this doc
+                    pos[name] = np.unique(np.concatenate(arrs))
+                return _count_intervals(pos, slot_names, gap_budget, want_ordered)
+
+            return tp.map(one).astype("int32")
+
+        scored = (
+            agg.withColumn("itf", interval_tf(F.col("tp")))
+            .filter(F.col("itf") > 0)
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("itf"), F.lit(idf_sum), F.col("dl"), avgdl, self.k1, self.b
+                ),
+            )
+        )
+        return scored.select(
+            "_docid",
+            (F.col("s").cast("double") * F.lit(float(boost))).alias("score"),
+        )
+
+    def termvectors(self, doc_id_tuple) -> DataFrame:
+        """``_termvectors`` (SURVEY.md §3.3): per-term tf within one doc
+        plus corpus df/total_tf — a diagnostics oracle surface.  The
+        single doc is fetched by id; its term vector is recomputed with
+        the index analyzer (the reference re-analyzes unless term
+        vectors were stored) and joined to the dictionary stats."""
+        from collections import Counter as _Counter
+
+        ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
+        row = self.index.docmap().filter(_null_safe(ids_pred)).collect()
+        if not row:
+            return self.spark.createDataFrame(
+                [], "term string, tf int, df long, total_tf long"
+            )
+        tf = _Counter(self.index.analyze(row[0][self.text_col] or ""))
+        stats = self.index.term_stats(list(tf))
+        data = [
+            (t, int(tf[t]), int(d), int(ttf))
+            for t, d, ttf in zip(stats["term"], stats["df"], stats["total_tf"])
+        ]
+        return self.spark.createDataFrame(
+            sorted(data), "term string, tf int, df long, total_tf long"
+        )
+
+    def field_caps(self) -> DataFrame:
+        """``_field_caps``: field -> type/searchable summary derived from
+        the docmap schema + index plan (the mapping introspection API)."""
+        visible = set(
+            self.index.plan.get("input_fields")
+            or [c for c in self.index.docmap().columns if not c.startswith("_")]
+        )
+        rows = []
+        for f in self.index.docmap().schema.fields:
+            if f.name not in visible:
+                continue
+            rows.append(
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    f.name == self.text_col,
+                    True,
+                )
+            )
+        return self.spark.createDataFrame(
+            sorted(rows), "field string, type string, full_text boolean, aggregatable boolean"
         )
 
     def explain(self, query, doc_id_tuple) -> dict:

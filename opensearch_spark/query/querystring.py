@@ -19,7 +19,7 @@ Recursive descent:
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from opensearch_spark.query import dsl as Q
 
@@ -163,6 +163,124 @@ def _parse_unary(tk: _Tokens, df: str, dop: str):
         inner = _parse_unary(tk, df, dop)
         return _NotWrap(_unwrap(inner)) if inner is not None else None
     return _parse_primary(tk, df, dop)
+
+
+# ----------------------------------------------------- simple_query_string
+
+_SQS_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<pipe>\|) |
+        (?P<plus>\+) |
+        (?P<minus>-(?=\S)) |
+        (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<word>[^\s()|+"]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+def parse_simple_query_string(
+    s: str,
+    fields: Sequence[Tuple[str, float]] = (("text", 1.0),),
+    default_operator: str = "or",
+) -> Q.Query:
+    """``simple_query_string`` (``SimpleQueryStringBuilder.java`` 617 LoC,
+    parser ``SimpleQueryStringQueryParser.java``): the LENIENT end-user
+    query language — it never raises on malformed input.
+
+    Supported flag set (the reference's default ALL minus NEAR on bare
+    terms): ``+`` AND, ``|`` OR, ``-`` negate the next clause, ``"..."``
+    phrase with optional ``~N`` slop, ``(...)`` grouping, trailing ``*``
+    prefix, ``term~N`` fuzzy, whitespace = ``default_operator``.
+    Operators combine LEFT-ASSOCIATIVELY in input order (the reference's
+    one-pass state machine — no AND-over-OR precedence, unlike
+    ``query_string``).  Each atom expands to a per-field disjunction
+    (scores of matching fields sum) with per-field boosts.
+
+    Leniency: an unmatched ``)`` is skipped; an unmatched quote treats
+    the rest as words; a dangling operator is ignored."""
+    toks: List[Tuple[str, str, str]] = []
+    pos = 0
+    while pos < len(s):
+        m = _SQS_TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            pos += 1  # lenient: skip unrecognized char
+            continue
+        pos = m.end()
+        for name in ("lparen", "rparen", "pipe", "plus", "minus"):
+            if m.group(name):
+                toks.append((name, "", ""))
+                break
+        else:
+            if m.group("phrase") is not None:
+                toks.append(("phrase", m.group("phrase_body"), m.group("slop") or ""))
+            elif m.group("word"):
+                toks.append(("word", m.group("word"), ""))
+    node, _ = _sqs_group(toks, 0, list(fields), default_operator)
+    return node if node is not None else Q.MatchNone()
+
+
+def _sqs_atom(kind: str, body: str, extra: str, fields, dop):
+    def per_field(field: str, boost: float):
+        if kind == "phrase":
+            return Q.MatchPhrase(field, body, slop=int(extra) if extra else 0, boost=boost)
+        word = body
+        m = re.match(r"^(.*?)~(\d+)$", word)
+        if m and m.group(1):
+            return Q.Fuzzy(field, m.group(1), fuzziness=int(m.group(2)), boost=boost)
+        if word.endswith("*") and len(word) > 1:
+            return Q.Prefix(field, word[:-1].lower(), boost=boost)
+        return Q.Match(field, word, boost=boost)
+
+    clauses = [per_field(f, b) for f, b in fields]
+    if len(clauses) == 1:
+        return clauses[0]
+    return Q.Bool(should=clauses, minimum_should_match=1)
+
+
+def _sqs_combine(acc, node, op: str):
+    if isinstance(node, _NotWrap):
+        inner = _unwrap(node)
+        if acc is None:
+            return Q.Bool(must_not=[inner])
+        return Q.Bool(must=[acc], must_not=[inner])
+    if acc is None:
+        return node
+    if op == "and":
+        return Q.Bool(must=[acc, node])
+    return Q.Bool(should=[acc, node], minimum_should_match=1)
+
+
+def _sqs_group(toks, i: int, fields, dop: str):
+    acc = None
+    pending: Optional[str] = None
+    negate = False
+    while i < len(toks):
+        kind, body, extra = toks[i]
+        i += 1
+        if kind == "rparen":
+            return acc, i
+        if kind == "lparen":
+            sub, i = _sqs_group(toks, i, fields, dop)
+            if sub is not None:
+                node = _NotWrap(sub) if negate else sub
+                acc = _sqs_combine(acc, node, pending or dop)
+            pending, negate = None, False
+        elif kind == "pipe":
+            pending = "or"
+        elif kind == "plus":
+            pending = "and"
+        elif kind == "minus":
+            negate = True
+        else:
+            node = _sqs_atom(kind, body, extra, fields, dop)
+            if negate:
+                node = _NotWrap(node)
+            acc = _sqs_combine(acc, node, pending or dop)
+            pending, negate = None, False
+    return acc, i
 
 
 def _parse_primary(tk: _Tokens, df: str, dop: str):
