@@ -69,11 +69,11 @@ SURFACE_SAMPLE = [
     "ft_bool",
     "ft_match_phrase",
     "agg_terms",
-    "agg_date_histogram",
+    "agg_histograms",
     "agg_lineitem_pricing",
     "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "text_quality",
+    "retrieval_suite",
+    "text_suite",
 ]
 
 

@@ -104,6 +104,11 @@ def _count_intervals(
 
 MAX_TERM_EXPANSIONS = 10_000  # safety cap for multi-term dictionary expansion
 
+# AUTO-prune threshold: total posting blocks across the query's terms
+# above which block-max WAND pruning pays for its second pass
+# (2048 blocks = ~256k postings to decode)
+WAND_AUTO_MIN_BLOCKS = 2_048
+
 
 class SearchEngine:
     def __init__(self, index: InvertedIndex, k1: float = bm25.K1, b: float = bm25.B):
@@ -122,7 +127,7 @@ class SearchEngine:
         size: int = 10,
         from_: int = 0,
         source_cols: Optional[Sequence[str]] = None,
-        prune: bool = False,
+        prune: Optional[bool] = None,
         sort: Optional[Sequence[Tuple[str, str]]] = None,
         search_after: Optional[Sequence] = None,
     ) -> DataFrame:
@@ -139,12 +144,19 @@ class SearchEngine:
         keyset pagination (``SearchAfterBuilder.java``): strictly-after
         rows only, same cost profile as page one at any depth.
 
-        ``prune=True`` enables block-max WAND pruning for plain match/
-        term queries (rank-identical; see ``opensearch_spark.query.wand``) —
+        ``prune`` selects block-max WAND pruning for plain match/term
+        queries (rank-identical; see ``opensearch_spark.query.wand``) —
         the 100 TB fast path that skips decoding low-impact posting
-        blocks entirely."""
+        blocks entirely.  Default ``None`` = AUTO: prune exactly when
+        the dictionary metadata says the query's posting lists exceed
+        ``WAND_AUTO_MIN_BLOCKS`` blocks (plan-time decision from the
+        memoized term stats — no extra job), so small queries keep the
+        cheaper single-pass dense plan and big ones take the two-pass
+        pruned plan whose savings dominate."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
         scored = None
+        if prune is None:
+            prune = self._wand_auto(q)
         if prune and not sort and not self._has_deletes():
             # prune + tombstones is unsafe: the WAND threshold t would be
             # established from a sample that may rank soft-deleted docs,
@@ -358,6 +370,26 @@ class SearchEngine:
         track_total_hits=10000 default, SURVEY.md §2.6)."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
         return self._apply_deletes(self._score(q)).count()
+
+    def _wand_auto(self, q) -> bool:
+        """AUTO prune decision: True for WAND-able query shapes whose
+        terms' posting lists total >= WAND_AUTO_MIN_BLOCKS blocks
+        (``n_blocks`` comes from the dictionary via the memoized
+        term-stats cache — metadata only, no decode).  Below the
+        threshold the two-pass pruned plan costs more in job overhead
+        than it saves in decode."""
+        if isinstance(q, Q.Match) and q.operator != "and" and not q.minimum_should_match:
+            tokens = self.index.analyze(q.query)
+        elif isinstance(q, Q.Term) and q.field == self.text_col:
+            tokens = [str(q.value)]
+        else:
+            return False
+        if not tokens:
+            return False
+        stats = self.index.term_stats(tokens)
+        if stats.empty or "n_blocks" not in stats:
+            return False
+        return int(stats["n_blocks"].sum()) >= WAND_AUTO_MIN_BLOCKS
 
     def _has_deletes(self) -> bool:
         from opensearch_spark.index.lifecycle import live_docids

@@ -55,7 +55,7 @@ def block_bounds_df(index, terms: List[str], idf_by_term: Dict[str, float], avgd
     blocks = (
         index.postings()
         .filter(F.col("term").isin(list(terms)))
-        .select("term", "block_id", "base_doc", "last_doc", "max_tf", "min_norm")
+        .select("term", "_seg", "block_id", "base_doc", "last_doc", "max_tf", "min_norm")
     )
     dl_ub = bm25.norm_decode_col(F.col("min_norm"))
     ub = bm25.term_score_col(
@@ -162,25 +162,37 @@ def pruned_match_topk(
     return out
 
 
-MAX_DRIVER_META_BLOCKS = 50_000
+# above this many block-metadata rows the fine-grained driver-side
+# overlap sweep is skipped in favor of the distributed segment-aligned
+# prune (no driver materialization of block metadata)
+MAX_DRIVER_META_BLOCKS = 4_096
 
 
 def _pruned_distributed(
     engine, present, weights, idf_by_term, avgdl, bounds: DataFrame, k: int,
     sample_blocks_per_term: int,
 ) -> DataFrame:
-    """Scale path: no per-block driver collect.  Per-term GLOBAL bounds
-    come from one tiny aggregate; the sample pass takes each term's
-    top-S blocks via a window; the prune predicate
-    ``ub_t(b)*w_t + sum_{t'!=t} gub_t'*w_t' >= t`` runs as a JVM filter
-    over the metadata scan.  Coarser than the doc-range-aligned variant
-    (global instead of overlapping other-term bounds) but identically
-    rank-safe, and the pruned set is never materialized on the driver."""
-    from pyspark.sql import Window
+    """Scale path: no per-block driver collect — the doc-range
+    alignment is done at SEGMENT granularity entirely in-plan.
 
-    gub_rows = bounds.groupBy("term").agg(F.max("ub").alias("gub")).collect()
-    gub = {r["term"]: float(r["gub"]) for r in gub_rows}
-    sum_gub = sum(gub.get(t, 0.0) * weights[t] for t in present)
+    Doc IDs are segment-contiguous (builder: segment offset + local
+    ordinal), so a posting block never spans segments and every block
+    of another term that can overlap block b's doc range lives in the
+    SAME segment.  Hence per-(term, segment) max bounds
+    ``gub_{t,g} = max ub over t's blocks in segment g`` give a prune
+    predicate that is strictly tighter than the global-bound variant
+    and still rank-safe:
+
+        keep b (term t, segment g)  iff
+        ub_b * w_t + sum_{t' != t} w_t' * gub_{t',g}  >=  t_thresh
+
+    The per-(term, segment) table is |terms| x n_segments rows — a
+    broadcast-joined metadata aggregate, never collected.  Pass 2
+    decodes only kept blocks; every returned doc is exactly scored and
+    docs with a pruned contribution are provably below t_thresh (the
+    same safety proof as the module docstring, with segment-max in
+    place of range-max)."""
+    from pyspark.sql import Window
 
     w = Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_id"))
     sample_blocks = (
@@ -195,12 +207,23 @@ def _pruned_distributed(
     t_thresh = float(sample_top[-1]["score"])
 
     w_map = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(float(weights[t])))])
-    gub_map = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(gub.get(t, 0.0)))])
+    # per-(term, segment) bounds and the per-segment weighted total;
+    # align(t, g) = seg_total(g) - w_t * gub_{t,g}
+    gub_ts = bounds.groupBy("term", "_seg").agg(F.max("ub").alias("gub"))
+    seg_tot = (
+        gub_ts.withColumn("wgub", F.col("gub") * w_map[F.col("term")])
+        .groupBy("_seg")
+        .agg(F.sum("wgub").alias("seg_total"))
+    )
+    aligned = (
+        bounds.join(F.broadcast(gub_ts), ["term", "_seg"])
+        .join(F.broadcast(seg_tot), "_seg")
+    )
     keep_pred = (
         F.col("ub") * w_map[F.col("term")]
-        + (F.lit(float(sum_gub)) - gub_map[F.col("term")] * w_map[F.col("term")])
+        + (F.col("seg_total") - F.col("gub") * w_map[F.col("term")])
     ) >= F.lit(t_thresh)
-    kept = bounds.filter(keep_pred).drop("ub")
+    kept = aligned.filter(keep_pred).select("term", "block_id", "base_doc")
     out = _score_block_frame(engine, present, weights, idf_by_term, avgdl, kept)
     return out.filter(F.col("score") >= F.lit(t_thresh))
 
