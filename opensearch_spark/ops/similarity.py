@@ -82,16 +82,46 @@ def cosine_topk(
 
 
 def _centroid_matrix(
-    corpus: DataFrame, nlist: int, id_col: str, vec_col: str
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = 4096,
+    iters: int = 5,
 ) -> np.ndarray:
-    """Deterministic coarse centroids: the first ``nlist`` corpus vectors
-    by id, L2-normalized.  (At scale you would run a few Lloyd
-    iterations over a sample; the assignment plan below is identical.)"""
-    rows = (
-        corpus.orderBy(F.asc(id_col)).limit(nlist).select(vec_col).collect()
+    """Coarse centroids via spherical k-means (Lloyd) on a bounded,
+    DETERMINISTIC sample: vectors are hash-ordered (``xxhash64(id)``)
+    so the same corpus always yields the same centroids, the sample is
+    capped at ``sample_size`` regardless of corpus size (driver memory
+    stays O(sample), not O(corpus)), and ``iters`` Lloyd rounds refine
+    evenly-spaced seeds.  At 100 TB the centroids are computed once and
+    persisted with the cell-partitioned layout (``write_ivf_index``);
+    probing then prunes whole partitions."""
+    sample_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)))
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .limit(int(sample_size))
+        .select(vec_col)
+        .collect()
     )
-    c = np.array([list(r[0]) for r in rows], dtype=np.float64)
-    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    x = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n = x.shape[0]
+    idx = np.linspace(0, max(0, n - 1), num=min(nlist, n)).astype(np.int64)
+    c = x[idx].copy()
+    if c.shape[0] < nlist:  # degenerate tiny corpus: pad by repetition
+        reps = int(np.ceil(nlist / max(1, c.shape[0])))
+        c = np.tile(c, (reps, 1))[:nlist]
+    for _ in range(int(iters)):
+        sims = x @ c.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if members.shape[0] > 0:
+                c[j] = members.mean(axis=0)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
 
 
 def _cell_udf(cn: np.ndarray, topn: int):
@@ -115,15 +145,74 @@ def assign_ivf_cells(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """IVF coarse quantization: adds a ``cell`` column (nearest centroid
     index).  Writing the corpus partitioned by ``cell`` gives
-    partition-pruned probes at query time."""
-    cn = _centroid_matrix(corpus, nlist, id_col, vec_col)
+    partition-pruned probes at query time (``write_ivf_index``)."""
+    cn = (
+        centroids
+        if centroids is not None
+        else _centroid_matrix(corpus, nlist, id_col, vec_col)
+    )
     udf = _cell_udf(cn, 1)
     return corpus.withColumn(
         "cell", udf(F.col(vec_col).cast("array<double>")).getItem(0)
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF layout: corpus parquet PARTITIONED BY cell
+    plus the centroid matrix (``centroids.npy``) — the scale path where
+    a probe reads only ``nprobe`` of ``nlist`` partition directories
+    (Spark partition pruning on the ``cell`` filter; nothing else is
+    even listed)."""
+    import os
+
+    cn = _centroid_matrix(corpus, nlist, id_col, vec_col)
+    cells = assign_ivf_cells(corpus, nlist, id_col, vec_col, centroids=cn)
+    cells.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    np.save(os.path.join(path, "centroids.npy"), cn)
+    return cn
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a materialized IVF index: the ``cell IN probes`` filter is
+    a partition-pruning predicate over the cell-partitioned parquet —
+    only ``nprobe`` directories per query batch are scanned."""
+    import os
+
+    cn = np.load(os.path.join(path, "centroids.npy"))
+    cells = spark.read.parquet(os.path.join(path, "vectors"))
+    udf = _cell_udf(cn, nprobe)
+    probe = queries.select(
+        F.col(query_id_col),
+        F.explode(udf(F.col(vec_col).cast("array<double>"))).alias("probe_cell"),
+    )
+    probe_ids = [
+        int(r["probe_cell"]) for r in probe.select("probe_cell").distinct().collect()
+    ]
+    cand = cells.filter(F.col("cell").isin(probe_ids)).join(
+        F.broadcast(probe), F.col("cell") == F.col("probe_cell")
+    ).drop("probe_cell")
+    return _brute_force_in(cand, queries, k, id_col, vec_col, query_id_col)
 
 
 def ivf_topk(
@@ -137,16 +226,26 @@ def ivf_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest IVF cells per
-    query, brute-force inside them.  Shuffle-light: the probed subset
-    is filtered before any scoring."""
-    cells = assign_ivf_cells(corpus, nlist, id_col, vec_col)
-    # per-query probe list: the nprobe nearest centroids by cosine
-    probe = (
-        _query_probe_cells(corpus, queries, nlist, nprobe, id_col, vec_col, query_id_col)
+    query, brute-force inside them.  Centroids are Lloyd-refined once
+    and shared by the corpus assignment and the query probes."""
+    cn = _centroid_matrix(corpus, nlist, id_col, vec_col)
+    cells = assign_ivf_cells(corpus, nlist, id_col, vec_col, centroids=cn)
+    udf = _cell_udf(cn, nprobe)
+    probe = queries.select(
+        F.col(query_id_col),
+        F.explode(udf(F.col(vec_col).cast("array<double>"))).alias("probe_cell"),
     )
     cand = cells.join(
         F.broadcast(probe), cells["cell"] == probe["probe_cell"]
     ).drop("probe_cell")
+    return _brute_force_in(cand, queries, k, id_col, vec_col, query_id_col)
+
+
+def _brute_force_in(
+    cand: DataFrame, queries: DataFrame, k: int, id_col, vec_col, query_id_col
+) -> DataFrame:
+    """Exact cosine top-k restricted to pre-probed candidates (the
+    shared tail of the IVF paths)."""
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
@@ -165,17 +264,6 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cosine")
-    )
-
-
-def _query_probe_cells(
-    corpus, queries, nlist, nprobe, id_col, vec_col, query_id_col
-) -> DataFrame:
-    cn = _centroid_matrix(corpus, nlist, id_col, vec_col)
-    udf = _cell_udf(cn, nprobe)
-    return queries.select(
-        F.col(query_id_col),
-        F.explode(udf(F.col(vec_col).cast("array<double>"))).alias("probe_cell"),
     )
 
 

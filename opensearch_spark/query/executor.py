@@ -664,12 +664,16 @@ class SearchEngine:
         return scored
 
     def _phrase_score_from_tp(
-        self, agg: DataFrame, qpos_by_term: dict, idf_sum: float, avgdl: float
+        self, agg: DataFrame, qpos_by_term: dict, idf_sum, avgdl: float
     ) -> DataFrame:
         """Shared phrase-frequency scorer: ``agg`` has per-doc
         (tp: list<(term, positions)>, norm_byte); phrase tf = count of
         anchor positions where every query slot's term appears at the
-        right offset (Arrow-batched numpy intersection)."""
+        right offset (Arrow-batched numpy intersection).  ``idf_sum``
+        may be a Python float or a Column (for plan-time-unknown
+        components like the phrase-prefix expansion df)."""
+        if isinstance(idf_sum, (int, float)):
+            idf_sum = F.lit(float(idf_sum))
         qmap = {t: np.asarray(ps, dtype=np.int64) for t, ps in qpos_by_term.items()}
 
         @F.pandas_udf(T.IntegerType())
@@ -704,7 +708,7 @@ class SearchEngine:
             .withColumn(
                 "s",
                 bm25.term_score_col(
-                    F.col("ptf"), F.lit(idf_sum), F.col("dl"), avgdl, self.k1, self.b
+                    F.col("ptf"), idf_sum, F.col("dl"), avgdl, self.k1, self.b
                 ),
             )
         )
@@ -760,14 +764,18 @@ class SearchEngine:
             return self._empty_scored()
         N = self.index.stats["doc_count"]
         avgdl = self.index.stats["avgdl"]
-        # union df of expansions (the pseudo-term's document frequency)
-        exp_only = [t for t in expansions if t not in set(fixed)]
         union_post = self.index.postings_for_terms(expansions, with_positions=True)
-        df_union = union_post.select("_docid").distinct().count()
-        if df_union == 0:
-            return self._empty_scored()
-        idf_sum = float(
-            sum(bm25.idf(int(d), N) for d in stats["df"]) + bm25.idf(df_union, N)
+        # union df of the expansions (the pseudo-term's document
+        # frequency) is computed INSIDE the plan — a 1-row aggregate
+        # broadcast-cross-joined into the scorer — instead of an eager
+        # distinct().count() job at plan time (one job per query saved)
+        fixed_idf = float(sum(bm25.idf(int(d), N) for d in stats["df"]))
+        dfu = union_post.agg(
+            F.count_distinct(F.col("_docid")).cast("double").alias("_dfu")
+        )
+        idf_col = F.lit(fixed_idf) + F.log(
+            F.lit(1.0)
+            + (F.lit(float(N)) - F.col("_dfu") + F.lit(0.5)) / (F.col("_dfu") + F.lit(0.5))
         )
         pseudo = "\x00prefix"
         post_fixed = self.index.postings_for_terms(uniq_fixed, with_positions=True)
@@ -798,8 +806,9 @@ class SearchEngine:
                 F.count("term").alias("nt"),
             )
             .filter(F.col("nt") == F.lit(n_slots_terms))
+            .join(F.broadcast(dfu))
         )
-        scored = self._phrase_score_from_tp(agg, qpos_by_term, idf_sum, avgdl)
+        scored = self._phrase_score_from_tp(agg, qpos_by_term, idf_col, avgdl)
         return scored.withColumn("score", F.col("score") * F.lit(float(q.boost)))
 
     def _score_multi_match(self, q: Q.MultiMatch) -> DataFrame:
