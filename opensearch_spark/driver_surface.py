@@ -2258,15 +2258,10 @@ def dedup_exact_fp(spark, sf_dir):
   WHERE p + 2 <= len(toks)
 ),
 __sz AS (SELECT doc_id, count(*) AS sz FROM __sh GROUP BY 1),
-__cold AS (
-  SELECT shingle FROM (SELECT shingle, count(*) AS sdf FROM __sh GROUP BY 1)
-  WHERE sdf <= 1000
-),
 __inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM __sh a
   JOIN __sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN __cold c ON c.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
@@ -2277,10 +2272,11 @@ WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
 ORDER BY id_a, id_b""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (shingle inverted-index
-    join) with the default df>1000 hot-shingle skew guard ON — the
-    oracle mirrors the cap (set sizes stay uncapped; dropped shingles
-    only lower intersections)."""
+    """Exact 3-gram Jaccard near-dup pairs via a ppjoin-style plan
+    (sorted-prefix candidate filter + size band + exact verification);
+    the default df>1000 hot-shingle cap prunes candidate generation
+    only (recall-only at boilerplate scale, inert on this corpus), so
+    the oracle is the plain exact shingle-join Jaccard."""
     return dedup.jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
     ).orderBy("id_a", "id_b")

@@ -130,37 +130,95 @@ def jaccard_pairs(
     """
     import logging
 
-    sh = shingle_sets(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    from pyspark import StorageLevel
+
+    # ppjoin-style candidate generation instead of the full self-join:
+    #
+    # (1) PREFIX FILTER — under a global total order of shingles
+    #     (lexicographic), any pair with J >= t must share a shingle
+    #     within both docs' first ``sz - ceil(t*sz) + 1`` sorted
+    #     shingles, so only prefixes are self-joined: join volume drops
+    #     by ~(1-t)^2 (t=0.8 -> 25x fewer pair rows).  The prefix is
+    #     sliced from the per-doc sorted shingle ARRAY — pure JVM array
+    #     ops, no windows, no extra shuffles.
+    # (2) SIZE BAND — J <= min(sz)/max(sz): sizes outside [t*sz, sz/t]
+    #     are pruned at the join.
+    # (3) HOT-SHINGLE CAP (``max_shingle_df``) — applied to the PREFIX
+    #     join side only: a df=d shingle would contribute ~((1-t)d)^2
+    #     join rows even post-prefix, so boilerplate shingles above the
+    #     cap are dropped from candidate generation.  Verification and
+    #     the output are TRUE Jaccard; the cap can only miss pairs whose
+    #     every shared prefix shingle is hot (recall-only loss, no false
+    #     positives).
+    # (4) VERIFY — exact intersection computed only for candidates
+    #     (explode candidate A-sides, join back on (id_b, shingle)).
+    t = float(threshold)
+    toks = tokens_col(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        )
+    )
+    base = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .withColumn("_grams", F.array_sort(grams))
+        .withColumn("_sz", F.size("_grams"))
+        # prefix length: sz - ceil(t*sz) + 1, with a 1e-9 slack so float
+        # noise in t*sz can only LENGTHEN the prefix (never breaks the
+        # completeness lemma)
+        .withColumn(
+            "_plen",
+            (F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz") - F.lit(1e-9)) + 1).cast("int"),
+        )
+        .select("_id", "_grams", "_sz", F.slice("_grams", 1, F.col("_plen")).alias("_prefix"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefix = base.select(
+        F.col("_id"), F.col("_sz"), F.explode("_prefix").alias("shingle")
+    )
     if max_shingle_df is not None:
         logging.getLogger(__name__).info(
-            "jaccard_pairs: dropping shingles with df > %d before the "
-            "self-join (skew guard); dropped shingles lower recall only",
+            "jaccard_pairs: dropping shingles with df > %d from candidate "
+            "generation (skew guard); recall-only loss",
             max_shingle_df,
         )
+        sh_all = base.select(F.col("_id"), F.explode("_grams").alias("shingle"))
         hot = (
-            sh.groupBy("shingle")
+            sh_all.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("sdf"))
             .filter(F.col("sdf") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "anti")
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        prefix = prefix.join(F.broadcast(hot), "shingle", "anti")
+    pa = prefix.select(
+        F.col("_id").alias("id_a"), "shingle", F.col("_sz").alias("sz_a")
+    )
+    pb = prefix.select(
+        F.col("_id").alias("id_b"), "shingle", F.col("_sz").alias("sz_b")
+    )
+    cands = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") * t <= F.col("sz_a"))
+            & (F.col("sz_a") * t <= F.col("sz_b"))
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    a_sh = base.select(F.col("_id").alias("id_a"), F.explode("_grams").alias("shingle"))
+    b_sh = base.select(F.col("_id").alias("id_b"), F.explode("_grams").alias("shingle"))
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        cands.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     j = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn("jaccard", F.round(j.cast("double"), 6))
-        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        inter.withColumn("jaccard", F.round(j.cast("double"), 6))
+        .filter(F.col("jaccard") >= F.lit(t))
         .select("id_a", "id_b", "jaccard")
     )
 
