@@ -151,6 +151,66 @@ def query_phase(spark, index_dir: str, runs: int = 5):
     }
 
 
+def wand_phase(spark, runs: int = 3):
+    """Block-max WAND evidence: on a 1M-turn corpus with realistic
+    impact skew (0.3% of conversations carry hot-term bursts — the
+    web-text shape where some docs are far better for a term than
+    others), measure dense vs pruned top-10 latency and rank identity.
+    The pruned path uses the metadata-only achievable-score threshold +
+    segment-aligned prune (query/wand.py); on skew-free corpora its
+    cost gate bails to dense, so AUTO never loses more than the
+    metadata pass."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+    from opensearch_spark.transcripts import generate
+
+    index_dir = os.path.join(tempfile.gettempdir(), f"osps_bench_wand_{CPUS}")
+    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+        docs = generate(spark, 154_000, partitions=max(CPUS, 8))
+        burst = " error timeout " * 12
+        docs = docs.withColumn(
+            "text",
+            F.when(
+                F.pmod(F.xxhash64("conv_id"), F.lit(333)) == 0,
+                F.concat(F.col("text"), F.lit(burst)),
+            ).otherwise(F.col("text")),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        build_index(spark, docs, index_dir, IndexConfig(n_segments=max(CPUS, 8)))
+        docs.unpersist()
+    eng = SearchEngine(InvertedIndex(spark, index_dir).persist())
+    q = {"match": {"text": "the error"}}
+    eng.search(q, size=10, prune=False).collect()  # warm
+    td, tp = [], []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        dense = eng.search(q, size=10, prune=False).collect()
+        td.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        pruned = eng.search(q, size=10, prune=True).collect()
+        tp.append(time.monotonic() - t0)
+    ident = [(r["conv_id"], r["turn_idx"]) for r in dense] == [
+        (r["conv_id"], r["turn_idx"]) for r in pruned
+    ]
+    from opensearch_spark.query import wand as _wand
+
+    stats = dict(_wand.LAST_PRUNE_STATS)
+    out = {
+        "wand_dense_sec": round(min(td), 4),
+        "wand_pruned_sec": round(min(tp), 4),
+        "wand_rank_identical": ident,
+    }
+    if stats.get("total_blocks"):
+        out["wand_blocks_skipped_frac"] = round(
+            1.0 - stats["kept_blocks"] / stats["total_blocks"], 3
+        )
+        out["wand_gate_bailed"] = stats.get("bailed")
+    return out
+
+
 def surface_phase(spark, sf_dir: str):
     from opensearch_spark import driver_surface
     from opensearch_spark.docs_index import documents_engine
@@ -185,9 +245,11 @@ def run_bench(build_only: bool = False, waves: int = 1) -> dict:
     }
     if not build_only:
         per_query, pct = query_phase(spark, index_dir)
+        wand = wand_phase(spark)
         surface = surface_phase(spark, SF_DIR)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         result["queries"] = {**per_query, **surface}
+        result["wand"] = wand
         result["query_p50_sec"] = pct["p50_sec"]
         result["query_p99_sec"] = pct["p99_sec"]
     result["value"] = round(time.monotonic() - t_all, 3)

@@ -75,6 +75,7 @@ _INTERNAL_FIELDS: List[Tuple[str, T.DataType]] = [
     ("sum_tf", T.LongType()),
     ("max_tf", T.IntegerType()),
     ("min_norm", T.IntegerType()),
+    ("max_tf_norm", T.IntegerType()),
     ("docs_bin", T.BinaryType()),
     ("tfs_bin", T.BinaryType()),
     ("norms_bin", T.BinaryType()),
@@ -101,6 +102,7 @@ _PD_DTYPES = {
     "sum_tf": "Int64",
     "max_tf": "Int32",
     "min_norm": "Int32",
+    "max_tf_norm": "Int32",
     "dl": "Int32",
     "norm_byte": "Int32",
     "m_n_docs": "Int64",
@@ -229,6 +231,14 @@ def _invert_segment(
         max_tf = np.maximum.reduceat(tf, block_starts)
         min_norm = np.minimum.reduceat(d_norms, block_starts)
         sum_tf = np.add.reduceat(tf, block_starts)
+        # norm byte of a doc ATTAINING max_tf (smallest norm among them):
+        # score(max_tf, dl(max_tf_norm)) is an ACHIEVABLE per-block score
+        # — the metadata-only WAND threshold (query/wand.py) needs a
+        # lower bound on some real doc's score, which (max_tf, min_norm)
+        # cannot give (they may belong to different docs)
+        blk_idx = np.cumsum(block_start_mask) - 1
+        cand_norm = np.where(tf == max_tf[blk_idx], d_norms, np.int64(255))
+        max_tf_norm = np.minimum.reduceat(cand_norm, block_starts)
 
         post = pd.DataFrame(
             {
@@ -242,6 +252,7 @@ def _invert_segment(
                 "sum_tf": sum_tf.astype(np.int64),
                 "max_tf": max_tf.astype(np.int32),
                 "min_norm": min_norm.astype(np.int32),
+                "max_tf_norm": max_tf_norm.astype(np.int32),
                 "docs_bin": bc.encode_blocks(gaps, block_starts, block_ends),
                 "tfs_bin": bc.encode_blocks(tf, block_starts, block_ends),
                 "norms_bin": [

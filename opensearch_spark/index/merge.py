@@ -58,12 +58,23 @@ _PACK_SCHEMA = T.StructType(
         T.StructField("sum_tf", T.LongType()),
         T.StructField("max_tf", T.IntegerType()),
         T.StructField("min_norm", T.IntegerType()),
+        T.StructField("max_tf_norm", T.IntegerType()),
         T.StructField("docs_bin", T.BinaryType()),
         T.StructField("tfs_bin", T.BinaryType()),
         T.StructField("norms_bin", T.BinaryType()),
         T.StructField("pos_bin", T.BinaryType()),
     ]
 )
+
+
+def _max_tf_norm(tfs: np.ndarray, norms: np.ndarray, starts: np.ndarray, start_mask: np.ndarray) -> np.ndarray:
+    """Norm byte of a doc attaining each block's max tf (smallest norm
+    among them) — the achievable-score metadata used by the WAND
+    metadata-only threshold (see builder._invert_segment)."""
+    blk_max = np.maximum.reduceat(tfs, starts)
+    blk_idx = np.cumsum(start_mask) - 1
+    cand = np.where(tfs == blk_max[blk_idx], norms, np.int64(255))
+    return np.minimum.reduceat(cand, starts)
 
 
 def _repack_partition(
@@ -155,6 +166,9 @@ def _repack_partition(
         "sum_tf": np.add.reduceat(tfs, starts).astype(np.int64),
         "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
         "min_norm": np.minimum.reduceat(norms, starts).astype(np.int32),
+        "max_tf_norm": _max_tf_norm(tfs, norms, starts, out_start_mask).astype(
+            np.int32
+        ),
         "docs_bin": [bytes(b) for b in bc.encode_blocks(gaps, starts, ends)],
         "tfs_bin": [bytes(b) for b in bc.encode_blocks(tfs, starts, ends)],
         "norms_bin": [norms_all[s:e] for s, e in zip(starts, ends)],

@@ -105,9 +105,16 @@ def _count_intervals(
 MAX_TERM_EXPANSIONS = 10_000  # safety cap for multi-term dictionary expansion
 
 # AUTO-prune threshold: total posting blocks across the query's terms
-# above which block-max WAND pruning pays for its second pass
-# (2048 blocks = ~256k postings to decode)
-WAND_AUTO_MIN_BLOCKS = 2_048
+# above which block-max WAND pruning is selected automatically.
+# Measured on this box (BASELINE.md §3): the pruned plan's extra driver
+# actions (~3 metadata jobs) cost more than the decode it saves up to
+# ~10^7-doc posting lists, even when >50% of blocks are provably
+# skippable — local job scheduling, not IO, is the bottleneck.  The
+# default therefore selects pruning only where decode IO dominates
+# (256k blocks = ~33M postings, ~0.5 GB of packed data per query);
+# clusters with slower storage should lower it, and callers can always
+# force prune=True (rank-identical either way).
+WAND_AUTO_MIN_BLOCKS = 262_144
 
 
 class SearchEngine:

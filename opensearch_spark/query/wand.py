@@ -64,6 +64,57 @@ def block_bounds_df(index, terms: List[str], idf_by_term: Dict[str, float], avgd
     return blocks.withColumn("ub", ub)
 
 
+def metadata_threshold(engine, present, weights, idf_by_term, avgdl, k: int):
+    """Rank-safe top-k threshold from BLOCK METADATA ALONE — no posting
+    decode, no binary-column IO.
+
+    Each block stores ``(max_tf, max_tf_norm)`` where ``max_tf_norm`` is
+    the norm byte of a real doc attaining ``max_tf``; hence
+    ``score(max_tf, dl(max_tf_norm))`` is ACHIEVABLE — some doc in the
+    block scores at least that from this term alone (OR semantics: other
+    terms only add).  Blocks of one term hold disjoint docs, so the k-th
+    largest achievable score over a single term's blocks certifies k
+    distinct docs with true score >= it.  t = max over terms of that
+    k-th value.  Returns None when the column is absent (pre-upgrade
+    index) or no term has >= k blocks — callers fall back to the
+    decode-sample threshold."""
+    from pyspark.sql import Window
+
+    post = engine.index.postings()
+    if "max_tf_norm" not in post.columns:
+        return None
+    idf_map = F.create_map(
+        *[x for t in present for x in (F.lit(t), F.lit(float(idf_by_term[t])))]
+    )
+    w_map = F.create_map(
+        *[x for t in present for x in (F.lit(t), F.lit(float(weights[t])))]
+    )
+    blocks = post.filter(F.col("term").isin(list(present))).select(
+        "term", "max_tf", "max_tf_norm"
+    )
+    ach = (
+        bm25.term_score_col(
+            F.col("max_tf"),
+            idf_map[F.col("term")],
+            bm25.norm_decode_col(F.col("max_tf_norm")),
+            avgdl,
+            engine.k1,
+            engine.b,
+        ).cast("double")
+        * w_map[F.col("term")]
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("a"))
+    kth = (
+        blocks.withColumn("a", ach)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == F.lit(int(k)))
+        .agg(F.max("a").alias("t"))
+        .collect()
+    )
+    t = kth[0]["t"] if kth else None
+    return float(t) if t is not None else None
+
+
 def pruned_match_topk(
     engine,
     weights: Dict[str, int],
@@ -115,21 +166,24 @@ def pruned_match_topk(
             "bid": np.array([x[3] for x in rows], dtype=np.int64),
         }
 
-    sample_keys = []
-    for t in present:
-        order = np.argsort(-per[t]["ub"], kind="stable")[:sample_blocks_per_term]
-        sample_keys.extend(
-            (t, int(per[t]["bid"][i]), int(per[t]["base"][i])) for i in order
+    t_thresh = metadata_threshold(engine, present, weights, idf_by_term, avgdl, k)
+    if t_thresh is None:
+        # fallback (pre-upgrade index / tiny posting lists): decode the
+        # top-ub sample blocks to establish the threshold
+        sample_keys = []
+        for t in present:
+            order = np.argsort(-per[t]["ub"], kind="stable")[:sample_blocks_per_term]
+            sample_keys.extend(
+                (t, int(per[t]["bid"][i]), int(per[t]["base"][i])) for i in order
+            )
+        scored_sample = _score_blocks(engine, present, weights, idf_by_term, avgdl, sample_keys)
+        sample_top = (
+            scored_sample.orderBy(F.desc("score")).limit(k).collect()
         )
-
-    scored_sample = _score_blocks(engine, present, weights, idf_by_term, avgdl, sample_keys)
-    sample_top = (
-        scored_sample.orderBy(F.desc("score")).limit(k).collect()
-    )
-    if len(sample_top) < k:
-        # not enough candidates to establish a threshold: dense scoring
-        return engine._score_terms_or(weights, required=1)
-    t_thresh = float(sample_top[-1]["score"])
+        if len(sample_top) < k:
+            # not enough candidates to establish a threshold: dense scoring
+            return engine._score_terms_or(weights, required=1)
+        t_thresh = float(sample_top[-1]["score"])
 
     # doc-range-aligned prune predicate (the block-max WAND alignment):
     # a block of term t is kept only if its own bound plus the max bound
@@ -155,6 +209,9 @@ def pruned_match_topk(
         kept = np.nonzero(total_ub >= t_thresh)[0]
         keep.extend((t, int(bt["bid"][i]), int(bt["base"][i])) for i in kept)
     pruned_frac = 1.0 - (len(keep) / max(1, len(meta)))
+    if len(keep) / max(1, len(meta)) > MAX_KEPT_FRACTION:
+        # little to prune: the two-pass plan can't win — dense scorer
+        return engine._score_terms_or(weights, required=1)
     out = _score_blocks(engine, present, weights, idf_by_term, avgdl, keep)
     out = out.filter(F.col("score") >= F.lit(t_thresh))
     # expose the prune rate for benchmarks/tests
@@ -166,6 +223,26 @@ def pruned_match_topk(
 # overlap sweep is skipped in favor of the distributed segment-aligned
 # prune (no driver materialization of block metadata)
 MAX_DRIVER_META_BLOCKS = 4_096
+
+# if the threshold keeps more than this fraction of blocks, pruning
+# cannot recoup its second pass — bail to the dense scorer
+MAX_KEPT_FRACTION = 0.5
+
+# terms with at most this many posting blocks are "rare": decoded fully
+# (cheap) so their exact per-doc scores can bound the frequent terms'
+# blocks — the asymmetric WAND split (rare terms drive, frequent terms
+# get pruned), the bulk analog of Lucene advancing the frequent
+# iterator to the next rare-term candidate
+RARE_DECODE_MAX_BLOCKS = 8_192
+
+# a frequent-term block spanning more than this many doc-range buckets
+# keeps the conservative global rare bound instead of exploding bucket
+# rows (only ever loosens the bound — rank safety is unaffected)
+MAX_BUCKET_SPAN = 32
+
+# diagnostics of the most recent distributed prune (blocks kept/total,
+# whether the cost gate bailed) — read by bench/tests
+LAST_PRUNE_STATS: dict = {}
 
 
 def _pruned_distributed(
@@ -194,47 +271,172 @@ def _pruned_distributed(
     place of range-max)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_id"))
-    sample_blocks = (
-        bounds.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= sample_blocks_per_term)
-        .drop("_rn", "ub")
-    )
-    sample_scored = _score_block_frame(engine, present, weights, idf_by_term, avgdl, sample_blocks)
-    sample_top = sample_scored.orderBy(F.desc("score")).limit(k).collect()
-    if len(sample_top) < k:
-        return engine._score_terms_or(weights, required=1)
-    t_thresh = float(sample_top[-1]["score"])
+    t_thresh = metadata_threshold(engine, present, weights, idf_by_term, avgdl, k)
+    if t_thresh is None:
+        # fallback: decode-sample threshold (pre-upgrade index layout)
+        w = Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_id"))
+        sample_blocks = (
+            bounds.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= sample_blocks_per_term)
+            .drop("_rn", "ub")
+        )
+        sample_scored = _score_block_frame(engine, present, weights, idf_by_term, avgdl, sample_blocks)
+        sample_top = sample_scored.orderBy(F.desc("score")).limit(k).collect()
+        if len(sample_top) < k:
+            return engine._score_terms_or(weights, required=1)
+        t_thresh = float(sample_top[-1]["score"])
 
     w_map = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(float(weights[t])))])
-    # per-(term, segment) bounds and the per-segment weighted total;
-    # align(t, g) = seg_total(g) - w_t * gub_{t,g}
-    gub_ts = bounds.groupBy("term", "_seg").agg(F.max("ub").alias("gub"))
-    seg_tot = (
-        gub_ts.withColumn("wgub", F.col("gub") * w_map[F.col("term")])
-        .groupBy("_seg")
-        .agg(F.sum("wgub").alias("seg_total"))
+
+    # ---- asymmetric split: decode RARE terms fully, prune FREQUENT ----
+    # rare terms (small posting lists) are decoded exactly; their
+    # per-doc partial scores, max-aggregated over doc-range buckets,
+    # bound what any doc inside a frequent-term block's range can gain
+    # from the rare terms — the bulk analog of Lucene's WAND advancing
+    # 'the' to the next 'zebra' candidate.  This is where real pruning
+    # comes from on multi-term queries: a frequent block survives only
+    # if its OWN bound plus the best rare score IN ITS DOC RANGE reaches
+    # the threshold.
+    n_blocks_by_term = {}
+    try:
+        st = engine.index.term_stats(present)
+        n_blocks_by_term = {
+            t: int(nb) for t, nb in zip(st["term"], st["n_blocks"])
+        }
+    except Exception:
+        pass
+    rare = [t for t in present if n_blocks_by_term.get(t, 0) <= RARE_DECODE_MAX_BLOCKS]
+    freq = [t for t in present if t not in set(rare)]
+
+    rare_scored = None
+    if rare and freq:
+        n_docs_total = int(engine.index.stats.get("n_docs") or 0)
+        bucket_w = max(1024, n_docs_total // 65_536)
+        rare_blocks = bounds.filter(F.col("term").isin(rare)).select(
+            "term", "block_id", "base_doc"
+        )
+        from pyspark import StorageLevel
+
+        # small by construction (<= RARE_DECODE_MAX_BLOCKS * 128 rows);
+        # used twice (bucket maxima + final union) — persist
+        rare_scored = _score_block_frame(
+            engine, rare, {t: weights[t] for t in rare}, idf_by_term, avgdl, rare_blocks
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        rb = (
+            rare_scored.groupBy(
+                (F.col("_docid") / F.lit(bucket_w)).cast("long").alias("_bkt")
+            )
+            .agg(F.max("score").alias("rmax"))
+        )
+        # global rare bound folded in lazily (1-row cross join) — no
+        # separate driver action
+        rg = rb.agg(F.coalesce(F.max("rmax"), F.lit(0.0)).alias("_rg"))
+
+        fb = bounds.filter(F.col("term").isin(freq))
+        span = (F.col("last_doc") / bucket_w).cast("long") - (
+            F.col("base_doc") / bucket_w
+        ).cast("long")
+        narrow = fb.filter(span <= MAX_BUCKET_SPAN)
+        wide = (
+            fb.filter(span > MAX_BUCKET_SPAN)
+            .join(F.broadcast(rg))
+            .withColumn("rbound", F.col("_rg"))
+            .drop("_rg")
+        )
+        exploded = narrow.withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    (F.col("base_doc") / bucket_w).cast("long"),
+                    (F.col("last_doc") / bucket_w).cast("long"),
+                )
+            ),
+        )
+        narrow_b = (
+            exploded.join(F.broadcast(rb), "_bkt", "left")
+            .groupBy("term", "_seg", "block_id", "base_doc", "last_doc", "ub")
+            .agg(F.coalesce(F.max("rmax"), F.lit(0.0)).alias("rbound"))
+        )
+        fbounds = narrow_b.unionByName(
+            wide.select("term", "_seg", "block_id", "base_doc", "last_doc", "ub", "rbound")
+        )
+        # other FREQUENT terms still contribute via segment-aligned gubs
+        gub_ts = fbounds.groupBy("term", "_seg").agg(F.max("ub").alias("gub"))
+        seg_tot = (
+            gub_ts.withColumn("wgub", F.col("gub") * w_map[F.col("term")])
+            .groupBy("_seg")
+            .agg(F.sum("wgub").alias("seg_total"))
+        )
+        aligned = fbounds.join(F.broadcast(gub_ts), ["term", "_seg"]).join(
+            F.broadcast(seg_tot), "_seg"
+        )
+        keep_pred = (
+            F.col("ub") * w_map[F.col("term")]
+            + (F.col("seg_total") - F.col("gub") * w_map[F.col("term")])
+            + F.col("rbound")
+        ) >= F.lit(t_thresh)
+    else:
+        # homogeneous query (all rare or all frequent): per-(term,
+        # segment) bounds; align(t, g) = seg_total(g) - w_t * gub_{t,g}
+        gub_ts = bounds.groupBy("term", "_seg").agg(F.max("ub").alias("gub"))
+        seg_tot = (
+            gub_ts.withColumn("wgub", F.col("gub") * w_map[F.col("term")])
+            .groupBy("_seg")
+            .agg(F.sum("wgub").alias("seg_total"))
+        )
+        aligned = (
+            bounds.join(F.broadcast(gub_ts), ["term", "_seg"])
+            .join(F.broadcast(seg_tot), "_seg")
+        )
+        keep_pred = (
+            F.col("ub") * w_map[F.col("term")]
+            + (F.col("seg_total") - F.col("gub") * w_map[F.col("term")])
+        ) >= F.lit(t_thresh)
+    # metadata-only cost gate: when the threshold prunes little (uniform
+    # impact distributions — e.g. a lone hot term whose blocks all look
+    # alike), pass 2 would decode ~everything and pay the two-pass
+    # overhead for nothing; bail to the single-pass dense scorer.
+    frac_row = aligned.agg(
+        F.sum(F.when(keep_pred, 1).otherwise(0)).alias("kept"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    kept_n, total_n = int(frac_row["kept"]), int(frac_row["total"])
+    LAST_PRUNE_STATS.clear()
+    LAST_PRUNE_STATS.update(
+        {"kept_blocks": kept_n, "total_blocks": total_n, "bailed": False}
     )
-    aligned = (
-        bounds.join(F.broadcast(gub_ts), ["term", "_seg"])
-        .join(F.broadcast(seg_tot), "_seg")
-    )
-    keep_pred = (
-        F.col("ub") * w_map[F.col("term")]
-        + (F.col("seg_total") - F.col("gub") * w_map[F.col("term")])
-    ) >= F.lit(t_thresh)
+    if total_n == 0 or kept_n / total_n > MAX_KEPT_FRACTION:
+        LAST_PRUNE_STATS["bailed"] = True
+        return engine._score_terms_or(weights, required=1)
     kept = aligned.filter(keep_pred).select("term", "block_id", "base_doc")
-    out = _score_block_frame(engine, present, weights, idf_by_term, avgdl, kept)
+    if rare_scored is not None:
+        f_out = _score_block_frame(
+            engine, freq, {t: weights[t] for t in freq}, idf_by_term, avgdl, kept
+        )
+        out = (
+            f_out.unionByName(rare_scored.select("_docid", "score"))
+            .groupBy("_docid")
+            .agg(F.sum("score").alias("score"))
+        )
+    else:
+        out = _score_block_frame(engine, present, weights, idf_by_term, avgdl, kept)
     return out.filter(F.col("score") >= F.lit(t_thresh))
 
 
 def _score_block_frame(engine, terms, weights, idf_by_term, avgdl, keys_df: DataFrame) -> DataFrame:
     """Decode + exactly score the block rows identified by ``keys_df``
-    (term, block_id, base_doc) without collecting them."""
+    (term, block_id, base_doc) without collecting them.  The key frame
+    is 3 small columns (a few MB even for 10^5 kept blocks) and is
+    BROADCAST so the posting scan — whose rows carry the packed binary
+    columns — is never shuffled for the semi-join."""
     blocks = (
         engine.index.postings()
         .filter(F.col("term").isin(list(terms)))
-        .join(keys_df.select("term", "block_id", "base_doc"), ["term", "block_id", "base_doc"], "semi")
+        .join(
+            F.broadcast(keys_df.select("term", "block_id", "base_doc")),
+            ["term", "block_id", "base_doc"],
+            "semi",
+        )
     )
     return _score_decoded(engine, terms, weights, idf_by_term, avgdl, blocks)
 
