@@ -305,7 +305,14 @@ def _pruned_distributed(
         }
     except Exception:
         pass
-    rare = [t for t in present if n_blocks_by_term.get(t, 0) <= RARE_DECODE_MAX_BLOCKS]
+    # the split is RELATIVE: a term is "rare" when decoding it is cheap
+    # both absolutely (<= RARE_DECODE_MAX_BLOCKS) and relative to the
+    # query (< total/4 blocks) — so 'the error' classifies 'the' as
+    # frequent at ANY corpus size, and balanced queries (no asymmetry
+    # to exploit) fall through to the homogeneous segment-bound path
+    total_blocks = sum(n_blocks_by_term.values()) or 1
+    rare_cut = min(RARE_DECODE_MAX_BLOCKS, max(64, total_blocks // 4))
+    rare = [t for t in present if n_blocks_by_term.get(t, 0) <= rare_cut]
     freq = [t for t in present if t not in set(rare)]
 
     rare_scored = None
