@@ -1045,6 +1045,60 @@ __sub_first AS (
     CROSS JOIN __snt_idf i CROSS JOIN __stats s
     ORDER BY score DESC, v.doc_id ASC LIMIT 10
   )
+),
+__stp AS (
+  -- minimal ordered (table, hash) intervals = staircase pairs:
+  -- s = max table-pos before e, and e = min hash-pos after s
+  SELECT b.doc_id,
+         (SELECT max(a2.pos) FROM __pos a2
+          WHERE a2.doc_id = b.doc_id AND a2.term = 'table' AND a2.pos < b.pos) AS s,
+         b.pos AS e
+  FROM __pos b WHERE b.term = 'hash'
+),
+__big AS (
+  SELECT doc_id, s, e FROM __stp
+  WHERE s IS NOT NULL
+    AND e = (SELECT min(b2.pos) FROM __pos b2
+             WHERE b2.doc_id = __stp.doc_id AND b2.term = 'hash' AND b2.pos > __stp.s)
+    AND e - s - 1 <= 2
+),
+__sc_idf AS (
+  SELECT CAST(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS DOUBLE) AS idf
+  FROM __df d CROSS JOIN __stats s WHERE d.term IN ('table', 'hash', 'the')
+),
+__ctn AS (
+  SELECT g.doc_id, CAST(count(*) AS INT) AS itf FROM __big g
+  WHERE EXISTS (SELECT 1 FROM __pos c
+                WHERE c.doc_id = g.doc_id AND c.term = 'the'
+                  AND c.pos BETWEEN g.s AND g.e)
+  GROUP BY g.doc_id
+),
+__sub_ctn AS (
+  SELECT 'span_containing' AS op, doc_id, score FROM (
+    SELECT v.doc_id,
+           ROUND(CAST(CAST(i.idf * 2.2 * v.itf /
+                 (v.itf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+    FROM __ctn v JOIN __qdl q2 ON q2.doc_id = v.doc_id
+    CROSS JOIN __sc_idf i CROSS JOIN __stats s
+    ORDER BY score DESC, v.doc_id ASC LIMIT 10
+  )
+),
+__wtn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS itf FROM (
+    SELECT DISTINCT c.doc_id, c.pos
+    FROM __pos c JOIN __big g ON g.doc_id = c.doc_id AND c.pos BETWEEN g.s AND g.e
+    WHERE c.term = 'the'
+  ) GROUP BY doc_id
+),
+__sub_wtn AS (
+  SELECT 'span_within' AS op, doc_id, score FROM (
+    SELECT v.doc_id,
+           ROUND(CAST(CAST(i.idf * 2.2 * v.itf /
+                 (v.itf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+    FROM __wtn v JOIN __qdl q2 ON q2.doc_id = v.doc_id
+    CROSS JOIN __sc_idf i CROSS JOIN __stats s
+    ORDER BY score DESC, v.doc_id ASC LIMIT 10
+  )
 )
 SELECT * FROM __sub_any
 UNION ALL SELECT * FROM __sub_all
@@ -1052,6 +1106,8 @@ UNION ALL SELECT * FROM __sub_near
 UNION ALL SELECT * FROM __sub_or
 UNION ALL SELECT * FROM __sub_not
 UNION ALL SELECT * FROM __sub_first
+UNION ALL SELECT * FROM __sub_ctn
+UNION ALL SELECT * FROM __sub_wtn
 ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_intervals_span(spark, sf_dir):
@@ -1060,7 +1116,9 @@ def ft_intervals_span(spark, sf_dir):
     composition (IntervalsSourceProvider), ``span_near``
     (SpanNearQueryBuilder.java), ``span_or`` (== disjunction for
     width-1 spans), ``span_not`` (pre/post exclusion window),
-    ``span_first`` (position < end)."""
+    ``span_first`` (position < end), ``span_containing`` /
+    ``span_within`` (big span_near intervals vs a little span_term;
+    SpanContainingQueryBuilder.java / SpanWithinQueryBuilder.java)."""
     eng = documents_engine(spark, sf_dir)
     q_any = {
         "intervals": {
@@ -1122,6 +1180,18 @@ def ft_intervals_span(spark, sf_dir):
         }
     }
     q_first = {"span_first": {"match": {"span_term": {"text": "spark"}}, "end": 3}}
+    big = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "table"}},
+                {"span_term": {"text": "hash"}},
+            ],
+            "slop": 2,
+            "in_order": True,
+        }
+    }
+    q_ctn = {"span_containing": {"big": big, "little": {"span_term": {"text": "the"}}}}
+    q_wtn = {"span_within": {"big": big, "little": {"span_term": {"text": "the"}}}}
     parts = [
         _tag(topk(eng, q_any), "intervals_any_of", "doc_id", "score"),
         _tag(topk(eng, q_all), "intervals_all_of", "doc_id", "score"),
@@ -1129,6 +1199,8 @@ def ft_intervals_span(spark, sf_dir):
         _tag(topk(eng, q_or), "span_or", "doc_id", "score"),
         _tag(topk(eng, q_not), "span_not", "doc_id", "score"),
         _tag(topk(eng, q_first), "span_first", "doc_id", "score"),
+        _tag(topk(eng, q_ctn), "span_containing", "doc_id", "score"),
+        _tag(topk(eng, q_wtn), "span_within", "doc_id", "score"),
     ]
     return _union(*parts).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
@@ -2434,6 +2506,7 @@ SELECT d.doc_id,
        ROUND(CASE WHEN len(d.toks) > 0
              THEN CAST(list_aggregate(list_transform(d.toks, x -> length(x)), 'sum') AS DOUBLE) / len(d.toks)
              ELSE 0.0 END, 4) AS mean_token_len,
+       CAST(len(regexp_extract_all(dd.text, '[a-z0-9]{{1,4}}')) AS INT) AS n_subtokens,
        ROUND(r.stop_ratio, 6) AS stop_ratio,
        ROUND(r.ttr, 6) AS type_token_ratio,
        ROUND(r.len_score, 6) AS length_score,
@@ -2442,6 +2515,7 @@ SELECT d.doc_id,
        CASE WHEN (CASE WHEN m.n > 0 THEN m.n_stop / m.n ELSE 0.0 END) >= 0.2 THEN 'en' ELSE 'und' END AS pred_lang,
        md5(array_to_string(list_sort(list_distinct(d.toks)), ' ')) AS fingerprint
 FROM __docs d
+JOIN documents dd ON dd.doc_id = d.doc_id
 JOIN __r r ON r.doc_id = d.doc_id
 JOIN __m m ON m.doc_id = d.doc_id
 ORDER BY d.doc_id""",
@@ -2466,6 +2540,7 @@ def text_suite(spark, sf_dir):
             "n_tokens",
             "n_distinct",
             "mean_token_len",
+            "n_subtokens",
             "stop_ratio",
             "type_token_ratio",
             "length_score",

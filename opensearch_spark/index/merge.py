@@ -67,6 +67,49 @@ _PACK_SCHEMA = T.StructType(
 )
 
 
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    dst_dir: str,
+    max_segments: int = 64,
+    max_delete_ratio: float = 0.2,
+    **merge_kwargs,
+) -> Optional[dict]:
+    """Tiered-merge trigger policy (the background-merge scheduler
+    analog, ``index/OpenSearchTieredMergePolicy.java:50-56`` — segments
+    per tier + ``deletes_pct_allowed`` default 20%): compact when the
+    index has accumulated more than ``max_segments`` committed segments
+    (batch waves + streaming appends) or when tombstones exceed
+    ``max_delete_ratio`` of live docs.  Returns the merge metrics when
+    a compaction ran, else None.  Intended to be called after streaming
+    batches / delete_by_query bursts; the merge itself is
+    ``merge_index`` (salted hot-term repack, §module docstring)."""
+    from opensearch_spark.index.lifecycle import live_docids
+
+    p = _paths(index_dir)
+    n_segments = 0
+    if os.path.isdir(p["manifests"]):
+        n_segments = sum(
+            1 for fn in os.listdir(p["manifests"]) if fn.startswith(("seg-", "batch-"))
+        )
+    with open(p["stats"]) as f:
+        stats = json.load(f)
+    n_docs = int(stats.get("n_docs") or 0)
+    dels = live_docids(spark, index_dir)
+    n_del = dels.count() if dels is not None else 0
+    ratio = (n_del / n_docs) if n_docs else 0.0
+    if n_segments <= max_segments and ratio <= max_delete_ratio:
+        return None
+    metrics = merge_index(spark, index_dir, dst_dir, **merge_kwargs)
+    metrics["trigger"] = {
+        "n_segments": n_segments,
+        "delete_ratio": round(ratio, 4),
+        "max_segments": max_segments,
+        "max_delete_ratio": max_delete_ratio,
+    }
+    return metrics
+
+
 def _max_tf_norm(tfs: np.ndarray, norms: np.ndarray, starts: np.ndarray, start_mask: np.ndarray) -> np.ndarray:
     """Norm byte of a doc attaining each block's max tf (smallest norm
     among them) — the achievable-score metadata used by the WAND

@@ -26,10 +26,21 @@ from opensearch_spark.ops.dedup import tokens_col
 QUALITY_STOPWORDS = sorted(ana.ENGLISH_STOP_WORDS)
 
 
+# BPE-rate proxy: greedy <=4-char alnum chunks.  A deterministic,
+# regex-only estimate of subword-tokenizer counts (~chars/4 for prose),
+# identical under Java regex and RE2 so the SQL oracle reproduces it.
+BPE_CHUNK_RE = "[a-z0-9]{1,4}"
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-doc token statistics: count, distinct count, mean token
-    length (``token_count`` field-type semantics over the analyzer)."""
-    d = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    """Per-doc token statistics: whitespace/analyzer token count,
+    distinct count, mean token length (``token_count`` field-type
+    semantics), plus ``n_subtokens`` — a BPE-ish subword estimate
+    (greedy 4-char alnum chunking, the budget unit LLM training
+    pipelines meter by)."""
+    d = df.select(
+        F.col(id_col), F.col(text_col).alias("_raw"), tokens_col(text_col).alias("_t")
+    )
     n = F.size("_t")
     return d.select(
         id_col,
@@ -45,6 +56,9 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             ).otherwise(F.lit(0.0)),
             4,
         ).alias("mean_token_len"),
+        F.size(F.regexp_extract_all("_raw", F.lit(BPE_CHUNK_RE), 0))
+        .cast("int")
+        .alias("n_subtokens"),
     )
 
 

@@ -220,6 +220,36 @@ class SpanNot:
 
 
 @dataclasses.dataclass
+class SpanContaining:
+    """``span_containing`` (``SpanContainingQueryBuilder.java``): big
+    spans (a ``span_near`` over ``big_terms``) that fully contain a
+    ``little`` span_term; tf = count of qualifying big intervals,
+    scored as one BM25 clause (idf = sum over involved terms,
+    documented approximation)."""
+
+    field: str
+    big_terms: Sequence[str]
+    little: str
+    big_slop: int = 0
+    big_in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class SpanWithin:
+    """``span_within`` (``SpanWithinQueryBuilder.java``): positions of
+    the ``little`` span_term lying inside some big span; tf = count of
+    qualifying little positions."""
+
+    field: str
+    big_terms: Sequence[str]
+    little: str
+    big_slop: int = 0
+    big_in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
 class SpanFirst:
     """``span_first`` (``SpanFirstQueryBuilder.java``): the term's span
     must end within the first ``end`` positions (0-based position <
@@ -570,6 +600,19 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         m = body["match"]["span_term"]
         field = next(iter(m))
         return SpanFirst(field, m[field], end=body["end"])
+    if kind in ("span_containing", "span_within"):
+        big = body["big"]["span_near"]
+        clauses = [c["span_term"] for c in big["clauses"]]
+        field = next(iter(clauses[0]))
+        little = body["little"]["span_term"][field]
+        cls = SpanContaining if kind == "span_containing" else SpanWithin
+        return cls(
+            field,
+            [c[field] for c in clauses],
+            little,
+            big_slop=big.get("slop", 0),
+            big_in_order=big.get("in_order", True),
+        )
     if kind == "simple_query_string":
         from opensearch_spark.query.querystring import parse_simple_query_string
 

@@ -35,17 +35,18 @@ from opensearch_spark.query import bm25
 from opensearch_spark.query import dsl as Q
 
 
-def _count_intervals(
+def _find_intervals(
     pos: dict, terms: List[str], max_gaps: int, ordered: bool
-) -> int:
-    """Count minimal intervals containing all ``terms`` (in order when
-    ``ordered``) with internal gap total (width - #terms) <= max_gaps
-    (-1 = unbounded).  Positions per term are sorted int64 arrays."""
+) -> List[Tuple[int, int]]:
+    """Enumerate minimal intervals (start_pos, end_pos) containing all
+    ``terms`` (in order when ``ordered``) with internal gap total
+    (width - #terms) <= max_gaps (-1 = unbounded).  Positions per term
+    are sorted int64 arrays."""
     uniq = sorted(set(terms))
     k = len(uniq)
+    out: List[Tuple[int, int]] = []
     if ordered:
         seq = list(terms)
-        count = 0
         cur = -1
         first = pos[seq[0]]
         while True:
@@ -71,9 +72,9 @@ def _count_intervals(
                 chain[idx] = int(pt[j])
             width = chain[-1] - chain[0] + 1
             if max_gaps < 0 or (width - len(seq)) <= max_gaps:
-                count += 1
+                out.append((chain[0], chain[-1]))
             cur = chain[0]
-        return count
+        return out
     # unordered: classic sliding minimal-window enumeration over the
     # merged, term-tagged position stream
     events = sorted(
@@ -82,7 +83,6 @@ def _count_intervals(
     n = len(events)
     need = {t: 0 for t in uniq}
     have = 0
-    count = 0
     l = 0
     for r in range(n):
         t = events[r][1]
@@ -95,12 +95,18 @@ def _count_intervals(
         if have == k:
             width = events[r][0] - events[l][0] + 1
             if max_gaps < 0 or (width - k) <= max_gaps:
-                count += 1
+                out.append((events[l][0], events[r][0]))
             # drop the left term to look for the next minimal window
             need[events[l][1]] -= 1
             have -= 1
             l += 1
-    return count
+    return out
+
+
+def _count_intervals(
+    pos: dict, terms: List[str], max_gaps: int, ordered: bool
+) -> int:
+    return len(_find_intervals(pos, terms, max_gaps, ordered))
 
 MAX_TERM_EXPANSIONS = 10_000  # safety cap for multi-term dictionary expansion
 
@@ -482,6 +488,8 @@ class SearchEngine:
             return self._score_span_first(q)
         if isinstance(q, Q.SpanNot):
             return self._score_span_not(q)
+        if isinstance(q, (Q.SpanContaining, Q.SpanWithin)):
+            return self._score_span_contain(q)
         if isinstance(q, Q.DistanceFeature):
             # score = boost * pivot / (pivot + dist) over all docs with
             # the field (DistanceFeatureQueryBuilder.java)
@@ -1091,6 +1099,81 @@ class SearchEngine:
             "_docid", (F.col("s").cast("double") * F.lit(float(q.boost))).alias("score")
         )
 
+    def _score_span_contain(self, q) -> DataFrame:
+        """``span_containing`` / ``span_within``
+        (SpanContainingQueryBuilder.java / SpanWithinQueryBuilder.java):
+        big = span_near over ``big_terms`` (minimal ordered/unordered
+        intervals with gap <= big_slop), little = a span_term.
+        containing: tf = big intervals [s, e] holding a little position
+        (s <= p <= e); within: tf = little positions inside some big
+        interval.  Scored as one clause, idf = sum over involved terms
+        (documented approximation)."""
+        terms = sorted(set([str(t) for t in q.big_terms] + [str(q.little)]))
+        stats = self.index.term_stats(terms)
+        if len(stats) < len(terms):
+            return self._empty_scored()
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        idf_sum = float(sum(bm25.idf(int(d), N) for d in stats["df"]))
+        post = self.index.postings_for_terms(terms, with_positions=True)
+        agg = (
+            post.groupBy("_docid")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("tp"),
+                F.min("norm_byte").alias("norm_byte"),
+                F.count("term").alias("nt"),
+            )
+            .filter(F.col("nt") == F.lit(len(terms)))
+        )
+        big_seq = [str(t) for t in q.big_terms]
+        little = str(q.little)
+        slop, in_order = int(q.big_slop), bool(q.big_in_order)
+        within = isinstance(q, Q.SpanWithin)
+
+        @F.pandas_udf(T.IntegerType())
+        def contain_tf(tp: pd.Series) -> pd.Series:
+            def one(entries) -> int:
+                pos = {}
+                for e in entries:
+                    if isinstance(e, dict):
+                        pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
+                    else:
+                        pos[e[0]] = np.asarray(e[1], dtype=np.int64)
+                big = _find_intervals(pos, big_seq, slop, in_order)
+                lp = pos[little]
+                if within:
+                    hit = set()
+                    for s, e in big:
+                        lo = int(np.searchsorted(lp, s, side="left"))
+                        hi = int(np.searchsorted(lp, e, side="right"))
+                        hit.update(int(x) for x in lp[lo:hi])
+                    return len(hit)
+                n = 0
+                for s, e in big:
+                    lo = int(np.searchsorted(lp, s, side="left"))
+                    hi = int(np.searchsorted(lp, e, side="right"))
+                    if hi > lo:
+                        n += 1
+                return n
+
+            return tp.map(one).astype("int32")
+
+        scored = (
+            agg.withColumn("ctf", contain_tf(F.col("tp")))
+            .filter(F.col("ctf") > 0)
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("ctf"), F.lit(idf_sum), F.col("dl"), avgdl, self.k1, self.b
+                ),
+            )
+        )
+        return scored.select(
+            "_docid",
+            (F.col("s").cast("double") * F.lit(float(q.boost))).alias("score"),
+        )
+
     def _score_interval_groups(
         self, groups: List[List[str]], max_gaps: int, ordered: bool, boost: float
     ) -> DataFrame:
@@ -1419,16 +1502,27 @@ class SearchEngine:
         if isinstance(q, Q.Terms) and q.field != self.text_col:
             return F.col(q.field).isin(list(q.values))
         if isinstance(q, Q.Range):
+            from opensearch_spark.query import datemath
+
             c = F.col(q.field)
+
+            def val(v, round_up: bool):
+                # date math resolves at plan time (the reference's
+                # query-rewrite phase, RangeQueryBuilder.java +
+                # DateMathParser; gt/lte round UP, gte/lt round DOWN)
+                if datemath.is_date_math(v):
+                    return F.lit(datemath.resolve(v, round_up=round_up))
+                return F.lit(v)
+
             conds = []
             if q.gt is not None:
-                conds.append(c > F.lit(q.gt))
+                conds.append(c > val(q.gt, round_up=True))
             if q.gte is not None:
-                conds.append(c >= F.lit(q.gte))
+                conds.append(c >= val(q.gte, round_up=False))
             if q.lt is not None:
-                conds.append(c < F.lit(q.lt))
+                conds.append(c < val(q.lt, round_up=False))
             if q.lte is not None:
-                conds.append(c <= F.lit(q.lte))
+                conds.append(c <= val(q.lte, round_up=True))
             if not conds:
                 return F.lit(True)
             return reduce(lambda a, b_: a & b_, conds)
