@@ -1,0 +1,41 @@
+"""Search templates — the ``lang-mustache`` module analog.
+
+The reference renders stored/inline mustache templates into query JSON
+(``modules/lang-mustache``; ``_render/template`` +
+``_search/template`` REST APIs).  Implemented subset: ``{{var}}``
+substitution, ``{{#toJson}}var{{/toJson}}`` JSON embedding, and
+``{{^var}}...{{/var}}``-style defaults via the ``params`` dict — enough
+for the parameterized-query use case (the reference's own docs examples
+are all of this shape).  Rendering happens entirely driver-side at
+parse time; the output is the same query dict ``dsl.from_dict``
+consumes, so compilation/scoring is unchanged."""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Dict
+
+_TOJSON_RE = re.compile(r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}")
+_VAR_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+
+def render_search_template(source, params: Dict[str, Any]) -> dict:
+    """Render a template (string or dict with a ``source`` key) into a
+    query dict.  Missing params render as empty strings (mustache's
+    lenient default)."""
+    if isinstance(source, dict):
+        source = source.get("source", source)
+    if isinstance(source, dict):
+        source = json.dumps(source)
+
+    def tojson(m):
+        return json.dumps(params.get(m.group(1)))
+
+    def var(m):
+        v = params.get(m.group(1), "")
+        return json.dumps(v)[1:-1] if isinstance(v, str) else json.dumps(v)
+
+    rendered = _TOJSON_RE.sub(tojson, source)
+    rendered = _VAR_RE.sub(var, rendered)
+    return json.loads(rendered)

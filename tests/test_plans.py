@@ -64,3 +64,56 @@ def test_search_plan_no_cartesian(engine):
     df = engine.search({"match": {"text": "error handling"}}, size=10)
     plan = _formatted(df)
     assert "CartesianProduct" not in plan
+
+
+def test_wand_metadata_threshold_prunes_binaries(engine):
+    """The metadata-only WAND threshold scan must keep the packed
+    binary columns unread (achievable scores come from max_tf +
+    max_tf_norm alone)."""
+    meta = (
+        engine.index.postings()
+        .filter(F.col("term") == "error")
+        .select("term", "max_tf", "max_tf_norm")
+    )
+    plan = _formatted(meta)
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_line, plan
+    for col in ("docs_bin", "tfs_bin", "norms_bin", "pos_bin"):
+        assert col not in schema_line[0]
+
+
+def test_multifield_no_cartesian(spark):
+    """cross_fields multi_match must not produce a cartesian product —
+    per-field clause frames union and hash-aggregate on (term, docid)."""
+    import os
+    import tempfile
+
+    from opensearch_spark.docs_index import documents_multi_engine
+    from opensearch_spark.query import dsl as Q
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    meng = documents_multi_engine(spark, sf)
+    out = meng.score_multi_match(
+        Q.MultiMatch("spark join", [("text", 1.0), ("title", 2.0)], type="cross_fields")
+    )
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_no_cartesian_and_broadcast_sizes(spark):
+    """The ppjoin candidate plan must join prefixes on the shingle key
+    (hash join) with broadcast size/hot frames — never a cartesian."""
+    import os
+
+    from opensearch_spark.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    out = dedup.jaccard_pairs(docs, threshold=0.8)
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

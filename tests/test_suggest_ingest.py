@@ -81,3 +81,27 @@ def test_ingest_fail(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError):
         ingest.apply_pipeline(df, [{"fail": {"message": "boom"}}])
+
+
+def test_search_template_rendering(engine):
+    """lang-mustache analog: template + params -> query dict, executed
+    identically to the literal query."""
+    from opensearch_spark.query.templates import render_search_template
+
+    tpl = '{"match": {"text": {"query": "{{q}}", "operator": "{{op}}"}}}'
+    q = render_search_template(tpl, {"q": "error handling", "op": "and"})
+    assert q == {"match": {"text": {"query": "error handling", "operator": "and"}}}
+    direct = engine.search(
+        {"match": {"text": {"query": "error handling", "operator": "and"}}}, size=5
+    ).collect()
+    templated = engine.search(q, size=5).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in templated]
+
+    # toJson embeds lists; numeric params stay typed
+    tpl2 = '{"terms": {"text": {{#toJson}}vals{{/toJson}}}}'
+    q2 = render_search_template(tpl2, {"vals": ["dup", "traceback"]})
+    assert q2 == {"terms": {"text": ["dup", "traceback"]}}
+    tpl3 = '{"range": {"n_chars": {"gte": {{lo}}}}}'
+    assert render_search_template(tpl3, {"lo": 100}) == {
+        "range": {"n_chars": {"gte": 100}}
+    }
