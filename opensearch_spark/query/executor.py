@@ -108,6 +108,30 @@ def _count_intervals(
 ) -> int:
     return len(_find_intervals(pos, terms, max_gaps, ordered))
 
+
+def resolve_msm(msm, n_clauses: int) -> int:
+    """``minimum_should_match`` value formats
+    (``common/lucene/search/Queries.java`` ``calculateMinShouldMatch``):
+    int / "N" (literal), "-N" (all but N), "P%" (percent of clauses,
+    truncated), "-P%" (all but P percent).  Results clamp to
+    [0, n_clauses] like the reference."""
+    if msm is None:
+        return 1
+    if isinstance(msm, int):
+        return max(0, min(msm, n_clauses))
+    s = str(msm).strip()
+    if s.endswith("%"):
+        p = int(s[:-1])
+        if p < 0:
+            v = n_clauses - int(n_clauses * (-p) / 100.0)
+        else:
+            v = int(n_clauses * p / 100.0)
+    else:
+        v = int(s)
+        if v < 0:
+            v = n_clauses + v
+    return max(0, min(v, n_clauses))
+
 MAX_TERM_EXPANSIONS = 10_000  # safety cap for multi-term dictionary expansion
 
 # AUTO-prune threshold: total posting blocks across the query's terms
@@ -587,7 +611,11 @@ class SearchEngine:
         if m.operator == "and":
             required = n_clauses
         else:
-            required = m.minimum_should_match or 1
+            required = (
+                1
+                if m.minimum_should_match is None
+                else max(1, resolve_msm(m.minimum_should_match, n_clauses))
+            )
         return self._score_terms_or(weights, required=required, boost=m.boost)
 
     def _per_term_scores(self, weights: dict) -> Optional[DataFrame]:
@@ -1394,6 +1422,8 @@ class SearchEngine:
         msm = b.minimum_should_match
         if msm is None:
             msm = 1 if (b.should and not b.must and not b.filter) else 0
+        else:
+            msm = resolve_msm(msm, len(b.should))
 
         if has_scoring:
             parts = []

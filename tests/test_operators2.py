@@ -234,3 +234,29 @@ def test_highlight(engine):
     for r in rows:
         assert "<em>" in r["highlight"]
         assert r["highlight"].replace("<em>", "").replace("</em>", "") == r["text"]
+
+
+def test_minimum_should_match_formats(engine):
+    """msm value formats (Queries.java calculateMinShouldMatch):
+    percentages truncate, negatives mean all-but-N."""
+    from opensearch_spark.query.executor import resolve_msm
+
+    assert resolve_msm(None, 3) == 1
+    assert resolve_msm(2, 3) == 2
+    assert resolve_msm("2", 3) == 2
+    assert resolve_msm("-1", 3) == 2
+    assert resolve_msm("75%", 4) == 3
+    assert resolve_msm("75%", 3) == 2   # truncation, not rounding
+    assert resolve_msm("-25%", 4) == 3
+    assert resolve_msm("100%", 5) == 5
+    assert resolve_msm(9, 3) == 3       # clamp
+
+    base = engine.search(
+        {"match": {"text": {"query": "error timeout traceback", "minimum_should_match": 2}}},
+        size=10,
+    ).collect()
+    pct = engine.search(
+        {"match": {"text": {"query": "error timeout traceback", "minimum_should_match": "67%"}}},
+        size=10,
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in pct]
