@@ -124,3 +124,22 @@ def test_for_codec_index_equivalent(spark, tmp_path, oracle):
     meng = SearchEngine(InvertedIndex(spark, md))
     q = {"match_phrase": {"text": "error handling"}}
     assert dirs["for"].search(q, size=10).collect() == meng.search(q, size=10).collect()
+
+
+def test_simple_query_string_is_lenient():
+    """simple_query_string must NEVER raise on malformed input
+    (SimpleQueryStringQueryParser leniency) — property-tested over
+    adversarial operator soup."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from opensearch_spark.query.querystring import parse_simple_query_string
+
+    alphabet = 'ab c|+-()"*~123 '
+
+    @given(st.text(alphabet=alphabet, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        parse_simple_query_string(s)  # must not raise
+
+    check()
