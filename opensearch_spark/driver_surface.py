@@ -2506,7 +2506,7 @@ SELECT d.doc_id,
        ROUND(CASE WHEN len(d.toks) > 0
              THEN CAST(list_aggregate(list_transform(d.toks, x -> length(x)), 'sum') AS DOUBLE) / len(d.toks)
              ELSE 0.0 END, 4) AS mean_token_len,
-       CAST(len(regexp_extract_all(dd.text, '[a-z0-9]{{1,4}}')) AS INT) AS n_subtokens,
+       CAST(len(regexp_extract_all(lower(dd.text), '[a-z0-9]{{1,4}}')) AS INT) AS n_subtokens,
        ROUND(r.stop_ratio, 6) AS stop_ratio,
        ROUND(r.ttr, 6) AS type_token_ratio,
        ROUND(r.len_score, 6) AS length_score,

@@ -95,10 +95,16 @@ def shingle_sets(
     """
     toks = tokens_col(text_col)
     d = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice("_toks", i, n), " "),
-    )
+    # guard the short-doc case: sequence(1, 0) DESCENDS in Spark and the
+    # resulting slice(start=0) throws — docs with < n tokens must yield
+    # an empty shingle set (CaseWhen short-circuits per row)
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.withColumn("shingle", F.explode(F.array_distinct(grams)))
         .select(F.col("_id").alias(id_col), "shingle")
@@ -155,10 +161,13 @@ def jaccard_pairs(
     t = float(threshold)
     toks = tokens_col(text_col)
     grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice("_toks", i, n), " "),
-        )
+        F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("_toks", i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
     base = (
         df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))

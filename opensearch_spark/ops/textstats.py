@@ -26,9 +26,10 @@ from opensearch_spark.ops.dedup import tokens_col
 QUALITY_STOPWORDS = sorted(ana.ENGLISH_STOP_WORDS)
 
 
-# BPE-rate proxy: greedy <=4-char alnum chunks.  A deterministic,
-# regex-only estimate of subword-tokenizer counts (~chars/4 for prose),
-# identical under Java regex and RE2 so the SQL oracle reproduces it.
+# BPE-rate proxy: greedy <=4-char alnum chunks over the LOWERCASED
+# text.  A deterministic, regex-only estimate of subword-tokenizer
+# counts (~chars/4 for prose), identical under Java regex and RE2 so
+# the SQL oracle reproduces it.
 BPE_CHUNK_RE = "[a-z0-9]{1,4}"
 
 
@@ -56,7 +57,7 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             ).otherwise(F.lit(0.0)),
             4,
         ).alias("mean_token_len"),
-        F.size(F.regexp_extract_all("_raw", F.lit(BPE_CHUNK_RE), 0))
+        F.size(F.regexp_extract_all(F.lower(F.col("_raw")), F.lit(BPE_CHUNK_RE), 0))
         .cast("int")
         .alias("n_subtokens"),
     )

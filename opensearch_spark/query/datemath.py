@@ -92,7 +92,7 @@ def resolve(value: str, now: Optional[dt.datetime] = None, round_up: bool = Fals
             continue
         n = int(num or 1) * (1 if op == "+" else -1)
         if unit == "y":
-            t = t.replace(year=t.year + n)
+            t = _add_months(t, 12 * n)  # clamps Feb 29 anchors
         elif unit == "M":
             t = _add_months(t, n)
         else:

@@ -194,7 +194,10 @@ class SearchEngine:
         scored = None
         if prune is None:
             prune = self._wand_auto(q)
-        if prune and not sort and not self._has_deletes():
+        # prune is top-k-only: it discards docs below the k-th score, so
+        # keyset pages beyond the first window (search_after) and field
+        # sorts must score densely
+        if prune and not sort and search_after is None and not self._has_deletes():
             # prune + tombstones is unsafe: the WAND threshold t would be
             # established from a sample that may rank soft-deleted docs,
             # overshooting t and pruning blocks holding live top-k docs —
@@ -856,11 +859,23 @@ class SearchEngine:
 
     def _score_multi_match(self, q: Q.MultiMatch) -> DataFrame:
         """Per-field match clauses combined best_fields (dis_max) or
-        most_fields (sum) (MultiMatchQueryBuilder.java)."""
+        most_fields (sum) (MultiMatchQueryBuilder.java).  cross_fields
+        needs per-field postings — route those through
+        ``query.multifield.MultiFieldEngine`` (this single-index engine
+        only has one analyzed field)."""
+        if q.type == "cross_fields":
+            raise NotImplementedError(
+                "cross_fields multi_match needs per-field indexes — use "
+                "MultiFieldEngine (query/multifield.py)"
+            )
         parts = []
         for field, boost in q.fields:
             if field == self.text_col:
-                parts.append(self._score(Q.Match(field, q.query, boost=boost)))
+                parts.append(
+                    self._score(
+                        Q.Match(field, q.query, operator=q.operator, boost=boost)
+                    )
+                )
             else:
                 # keyword-style field: exact term match, constant score
                 parts.append(

@@ -3,10 +3,11 @@
 The reference renders stored/inline mustache templates into query JSON
 (``modules/lang-mustache``; ``_render/template`` +
 ``_search/template`` REST APIs).  Implemented subset: ``{{var}}``
-substitution, ``{{#toJson}}var{{/toJson}}`` JSON embedding, and
-``{{^var}}...{{/var}}``-style defaults via the ``params`` dict — enough
+substitution and ``{{#toJson}}var{{/toJson}}`` JSON embedding — enough
 for the parameterized-query use case (the reference's own docs examples
-are all of this shape).  Rendering happens entirely driver-side at
+are all of this shape); mustache sections/inverted sections are NOT
+supported and raise at json.loads rather than silently passing
+through.  Rendering happens entirely driver-side at
 parse time; the output is the same query dict ``dsl.from_dict``
 consumes, so compilation/scoring is unchanged."""
 

@@ -52,9 +52,15 @@ def block_bounds_df(index, terms: List[str], idf_by_term: Dict[str, float], avgd
     idf_map = F.create_map(
         *[x for t in terms for x in (F.lit(t), F.lit(float(idf_by_term[t])))]
     )
+    post = index.postings()
+    if "_seg" not in post.columns:
+        # merged/compacted layout (merge._PACK_SCHEMA) has no segment
+        # column; one global pseudo-segment keeps the segment-aligned
+        # bound SAFE (it degrades to the global bound — coarser, never
+        # wrong; the asymmetric rare-bucket bound is unaffected)
+        post = post.withColumn("_seg", F.lit(0))
     blocks = (
-        index.postings()
-        .filter(F.col("term").isin(list(terms)))
+        post.filter(F.col("term").isin(list(terms)))
         .select("term", "_seg", "block_id", "base_doc", "last_doc", "max_tf", "min_norm")
     )
     dl_ub = bm25.norm_decode_col(F.col("min_norm"))
@@ -244,6 +250,11 @@ MAX_BUCKET_SPAN = 32
 # whether the cost gate bailed) — read by bench/tests
 LAST_PRUNE_STATS: dict = {}
 
+# kept-key frames above this row count are semi-joined with a shuffle
+# instead of broadcast (a driver collect of millions of keys would
+# defeat the point of the distributed path)
+MAX_BROADCAST_KEPT_KEYS = 1_000_000
+
 
 def _pruned_distributed(
     engine, present, weights, idf_by_term, avgdl, bounds: DataFrame, k: int,
@@ -414,11 +425,21 @@ def _pruned_distributed(
     )
     if total_n == 0 or kept_n / total_n > MAX_KEPT_FRACTION:
         LAST_PRUNE_STATS["bailed"] = True
+        if rare_scored is not None:
+            # the dense fallback never reads the rare partials — drop
+            # the pinned cache instead of leaking it per bailed query
+            rare_scored.unpersist(blocking=False)
         return engine._score_terms_or(weights, required=1)
     kept = aligned.filter(keep_pred).select("term", "block_id", "base_doc")
+    # broadcast the kept-key frame only while it is provably small
+    # (kept_n is known from the gate); above the cap a plain semi-join
+    # shuffles the 3 key columns — never the packed binaries — instead
+    # of collecting millions of rows to the driver
+    bcast = kept_n <= MAX_BROADCAST_KEPT_KEYS
     if rare_scored is not None:
         f_out = _score_block_frame(
-            engine, freq, {t: weights[t] for t in freq}, idf_by_term, avgdl, kept
+            engine, freq, {t: weights[t] for t in freq}, idf_by_term, avgdl, kept,
+            broadcast_keys=bcast,
         )
         out = (
             f_out.unionByName(rare_scored.select("_docid", "score"))
@@ -426,24 +447,29 @@ def _pruned_distributed(
             .agg(F.sum("score").alias("score"))
         )
     else:
-        out = _score_block_frame(engine, present, weights, idf_by_term, avgdl, kept)
+        out = _score_block_frame(
+            engine, present, weights, idf_by_term, avgdl, kept, broadcast_keys=bcast
+        )
     return out.filter(F.col("score") >= F.lit(t_thresh))
 
 
-def _score_block_frame(engine, terms, weights, idf_by_term, avgdl, keys_df: DataFrame) -> DataFrame:
+def _score_block_frame(
+    engine, terms, weights, idf_by_term, avgdl, keys_df: DataFrame,
+    broadcast_keys: bool = True,
+) -> DataFrame:
     """Decode + exactly score the block rows identified by ``keys_df``
-    (term, block_id, base_doc) without collecting them.  The key frame
-    is 3 small columns (a few MB even for 10^5 kept blocks) and is
-    BROADCAST so the posting scan — whose rows carry the packed binary
-    columns — is never shuffled for the semi-join."""
+    (term, block_id, base_doc) without collecting them.  With
+    ``broadcast_keys`` the 3-column key frame is broadcast so the
+    posting scan — whose rows carry the packed binary columns — is
+    never shuffled; callers turn it off when the kept set is large
+    (the semi-join then shuffles keys, still never the binaries)."""
+    keys = keys_df.select("term", "block_id", "base_doc")
+    if broadcast_keys:
+        keys = F.broadcast(keys)
     blocks = (
         engine.index.postings()
         .filter(F.col("term").isin(list(terms)))
-        .join(
-            F.broadcast(keys_df.select("term", "block_id", "base_doc")),
-            ["term", "block_id", "base_doc"],
-            "semi",
-        )
+        .join(keys, ["term", "block_id", "base_doc"], "semi")
     )
     return _score_decoded(engine, terms, weights, idf_by_term, avgdl, blocks)
 

@@ -95,6 +95,9 @@ def _recover_batch(
     succeeded — regenerate the manifest (and the dictionary delta if it
     too is missing) instead of re-appending, which would double df/tf.
     Returns the recovered result dict, or None when nothing was committed."""
+    # this probe (one filtered metadata read per FRESH batch) is the
+    # price of exactly-once: it is the only way to distinguish "new
+    # batch" from "crashed after the data commit"
     seg_base = (int(batch_id) + 1) * cfg.n_segments
     mdir = os.path.join(p["data"], f"_row={ROW_MANIFEST}")
     if not os.path.isdir(mdir):
@@ -189,10 +192,19 @@ def append_batch(
     if recovered is not None:
         return recovered
     # fold in any earlier batches whose stats delta is still pending so
-    # the docID high-water mark below is correct
+    # the docID high-water mark below is correct; steady state touches
+    # nothing (applied ids are checked against stats.json ONCE, not per
+    # manifest file)
+    with open(p["stats"]) as f:
+        _applied = set(json.load(f).get("batches_applied", []))
     for fn in sorted(os.listdir(p["manifests"])):
         if fn.startswith("batch-") and fn.endswith(".json"):
-            _apply_batch_stats(p, os.path.join(p["manifests"], fn))
+            try:
+                bid = int(fn[len("batch-"):-len(".json")])
+            except ValueError:
+                continue
+            if bid not in _applied:
+                _apply_batch_stats(p, os.path.join(p["manifests"], fn))
     with open(p["plan"]) as f:
         plan = json.load(f)
     with open(p["stats"]) as f:

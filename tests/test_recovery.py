@@ -121,3 +121,65 @@ def test_maybe_compact_trigger(spark, tmp_path):
     # compacted index answers without tombstones and excludes deleted docs
     eng2 = SearchEngine(InvertedIndex(spark, dst))
     assert eng2.count({"match": {"text": "error"}}) == 0
+
+
+def test_pruned_search_on_merged_index(spark, tmp_path):
+    """The pruned path must work on a compacted index (merge layout has
+    no _seg column -> one safe pseudo-segment) and stay rank-identical."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    docs = generate(spark, 150, partitions=4)
+    build_index(spark, docs, src, IndexConfig(n_segments=4))
+    merge_index(spark, src, dst)
+    eng = SearchEngine(InvertedIndex(spark, dst))
+    q = {"match": {"text": "the error"}}
+    dense = eng.search(q, size=10, prune=False).collect()
+    pruned = eng.search(q, size=10, prune=True).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in dense] == [
+        (r["conv_id"], r["turn_idx"]) for r in pruned
+    ]
+
+
+def test_search_after_never_pruned(spark, tmp_path):
+    """search_after pages must bypass the top-k prune (pruning discards
+    docs below the first window's threshold)."""
+    idx = str(tmp_path / "idx")
+    docs = generate(spark, 200, partitions=4)
+    build_index(spark, docs, idx, IndexConfig(n_segments=4))
+    eng = SearchEngine(InvertedIndex(spark, idx))
+    q = {"match": {"text": "error"}}
+    full = eng.search(q, size=20, prune=False).collect()
+    page1 = eng.search(q, size=10, prune=True).collect()
+    last = page1[-1]
+    page2 = eng.search(
+        q, size=10, prune=True,
+        search_after=(last["score"], last["conv_id"], last["turn_idx"]),
+    ).collect()
+    got = [(r["conv_id"], r["turn_idx"]) for r in page1 + page2]
+    want = [(r["conv_id"], r["turn_idx"]) for r in full]
+    assert got == want
+
+
+def test_shingles_short_docs(spark):
+    """Docs with fewer than n tokens must yield empty shingle sets, not
+    a slice() crash; jaccard over such a corpus runs."""
+    from opensearch_spark.ops import dedup
+
+    df = spark.createDataFrame(
+        [(0, "one"), (1, "two words"), (2, "a b c d e a b c d e")],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingle_sets(df).collect()
+    assert {r["doc_id"] for r in sh} == {2}
+    pairs = dedup.jaccard_pairs(df, threshold=0.5).collect()
+    assert pairs == []
+
+
+def test_datemath_leap_year():
+    import datetime as dt
+
+    from opensearch_spark.query import datemath as dm
+
+    leap = dt.datetime(2024, 2, 29, 12, 0, 0)
+    assert dm.resolve("now+1y", leap) == dt.datetime(2025, 2, 28, 12, 0, 0)
+    assert dm.resolve("2024-02-29||+1y", None) == dt.datetime(2025, 2, 28)
