@@ -1303,6 +1303,24 @@ class SearchEngine:
             sorted(data), "term string, tf int, df long, total_tf long"
         )
 
+    def mtermvectors(self, doc_id_tuples) -> DataFrame:
+        """``_mtermvectors``: batched ``_termvectors`` — one frame with a
+        ``doc`` discriminator column (rest-api-spec mtermvectors.json)."""
+        parts = []
+        for tup in doc_id_tuples:
+            tv = self.termvectors(tuple(tup))
+            parts.append(
+                tv.select(
+                    F.lit(":".join(str(v) for v in tup)).alias("doc"),
+                    "term",
+                    "tf",
+                    "df",
+                    "total_tf",
+                )
+            )
+        out = reduce(DataFrame.unionByName, parts)
+        return out.orderBy("doc", "term")
+
     def field_caps(self) -> DataFrame:
         """``_field_caps``: field -> type/searchable summary derived from
         the docmap schema + index plan (the mapping introspection API)."""

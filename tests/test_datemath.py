@@ -61,3 +61,55 @@ def test_range_query_with_date_math(engine, corpus_pdf):
     lo = "2026-01-01||+30m"
     explicit = corpus_pdf[corpus_pdf["ts"] >= dt.datetime(2026, 1, 1, 0, 30)]
     assert engine.count({"range": {"ts": {"gte": lo}}}) == len(explicit)
+
+
+def test_datemath_grammar_never_crashes_on_valid_ops():
+    """Property: any grammar-valid op chain resolves without raising and
+    rounding is idempotent (floor(floor(x)) == floor(x))."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from opensearch_spark.query import datemath as dm
+
+    units = "yMwdhHms"
+    op = st.one_of(
+        st.tuples(st.sampled_from("+-"), st.integers(0, 500), st.sampled_from(units)).map(
+            lambda t: f"{t[0]}{t[1]}{t[2]}"
+        ),
+        st.sampled_from(units).map(lambda u: f"/{u}"),
+    )
+
+    @given(st.lists(op, max_size=5), st.booleans())
+    @settings(max_examples=200, deadline=None)
+    def check(ops, up):
+        expr = "now" + "".join(ops)
+        t = dm.resolve(expr, dt.datetime(2024, 2, 29, 13, 7, 9), round_up=up)
+        assert isinstance(t, dt.datetime)
+        for u in units:
+            f1 = dm._floor(t, u)
+            assert dm._floor(f1, u) == f1
+
+    check()
+
+
+def test_resolve_msm_never_exceeds_clauses():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from opensearch_spark.query.executor import resolve_msm
+
+    forms = st.one_of(
+        st.integers(-20, 20),
+        st.integers(-20, 20).map(str),
+        st.integers(-150, 150).map(lambda p: f"{p}%"),
+    )
+
+    @given(forms, st.integers(0, 12))
+    @settings(max_examples=300, deadline=None)
+    def check(msm, n):
+        v = resolve_msm(msm, n)
+        assert 0 <= v <= n
+
+    check()

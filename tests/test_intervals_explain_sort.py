@@ -155,3 +155,13 @@ def test_scan_scroll(engine):
         seen.extend((r["conv_id"], r["turn_idx"]) for r in batch)
     assert len(seen) == total
     assert len(set(seen)) == total  # no duplicates across pages
+
+
+def test_mtermvectors(engine):
+    """_mtermvectors = batched termvectors with a doc discriminator."""
+    single = {r["term"]: r["tf"] for r in engine.termvectors(("conv-00000001", 0)).collect()}
+    batch = engine.mtermvectors([("conv-00000001", 0), ("conv-00000002", 0)]).collect()
+    docs = {r["doc"] for r in batch}
+    assert docs == {"conv-00000001:0", "conv-00000002:0"}
+    got = {r["term"]: r["tf"] for r in batch if r["doc"] == "conv-00000001:0"}
+    assert got == single
