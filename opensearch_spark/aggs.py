@@ -237,21 +237,54 @@ def composite(
 
 
 def significant_terms(
-    df: DataFrame, fg_cond: Column, field: str, size: int = 10
+    df: DataFrame, fg_cond: Column, field: str, size: int = 10, heuristic: str = "jlh"
 ) -> DataFrame:
     """``significant_terms`` (``SignificantTermsAggregationBuilder.java``):
     buckets over-represented in the foreground (query) set vs the
-    background corpus, scored with the JLH heuristic
-    ``(fg% - bg%) * (fg% / bg%)``."""
+    background corpus.  Heuristics (``search/aggregations/bucket/terms/
+    heuristic/``): ``jlh`` (default, ``JLHScore.java``:
+    ``(fg% - bg%) * (fg% / bg%)``), ``chi_square``
+    (``ChiSquare.java``, include_negatives=false semantics),
+    ``mutual_information`` (``MutualInformation.java``), ``gnd``
+    (``GND.java``, normalized Google distance)."""
+    import math as _math
+
     fg = df.filter(fg_cond)
     fgc = fg.groupBy(F.col(field).alias("key")).agg(F.count(F.lit(1)).alias("fg_count"))
     bgc = df.groupBy(F.col(field).alias("key")).agg(F.count(F.lit(1)).alias("bg_count"))
-    fg_total = fg.count()
-    bg_total = df.count()
+    fg_total = float(fg.count())
+    bg_total = float(df.count())
     j = fgc.join(bgc, "key")
-    fg_pct = F.col("fg_count") / F.lit(float(fg_total))
-    bg_pct = F.col("bg_count") / F.lit(float(bg_total))
-    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    fg_pct = F.col("fg_count") / F.lit(fg_total)
+    bg_pct = F.col("bg_count") / F.lit(bg_total)
+    if heuristic == "chi_square":
+        # (N * (ad - bc)^2) / ((a+b)(a+c)(b+d)(c+d)) over the 2x2 table
+        a = F.col("fg_count").cast("double")
+        b_ = (F.col("bg_count") - F.col("fg_count")).cast("double")
+        c = F.lit(fg_total) - a
+        d = F.lit(bg_total - fg_total) - b_
+        n = F.lit(bg_total)
+        score = (
+            n * F.pow(a * d - b_ * c, F.lit(2.0))
+            / ((a + b_) * (a + c) * (b_ + d) * (c + d))
+        )
+    elif heuristic == "mutual_information":
+        # pointwise MI of (term present, in foreground)
+        a = F.col("fg_count").cast("double")
+        score = F.log2(
+            (a / F.lit(bg_total))
+            / ((F.col("bg_count") / F.lit(bg_total)) * F.lit(fg_total / bg_total))
+        )
+    elif heuristic == "gnd":
+        # normalized Google distance similarity (GND.java): higher = closer
+        fx = F.log(F.lit(fg_total))
+        fy = F.log(F.col("bg_count").cast("double"))
+        fxy = F.log(F.col("fg_count").cast("double"))
+        logn = F.lit(_math.log(bg_total))
+        dist = (F.greatest(fx, fy) - fxy) / (logn - F.least(fx, fy))
+        score = F.lit(1.0) - dist
+    else:  # jlh
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
     return (
         j.withColumn("score", F.round(score.cast("double"), 6))
         .filter(fg_pct > bg_pct)

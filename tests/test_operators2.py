@@ -260,3 +260,46 @@ def test_minimum_should_match_formats(engine):
         size=10,
     ).collect()
     assert [tuple(r) for r in base] == [tuple(r) for r in pct]
+
+
+def test_significance_heuristics(spark):
+    """significant_terms heuristics vs hand-computed 2x2-table values
+    (JLHScore.java / ChiSquare.java / MutualInformation.java / GND.java)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from opensearch_spark import aggs
+
+    # corpus: 100 docs; 20 foreground; key 'x' in 15 fg docs + 10 bg-only
+    rows = []
+    i = 0
+    for _ in range(15):
+        rows.append((i, 1, "x")); i += 1
+    for _ in range(5):
+        rows.append((i, 1, "y")); i += 1
+    for _ in range(10):
+        rows.append((i, 0, "x")); i += 1
+    for _ in range(70):
+        rows.append((i, 0, "y")); i += 1
+    df = spark.createDataFrame(rows, "id long, fg int, key string")
+    cond = F.col("fg") == 1
+
+    got = {r["key"]: r for r in aggs.significant_terms(df, cond, "key").collect()}
+    fgp, bgp = 15 / 20, 25 / 100
+    assert got["x"]["score"] == pytest.approx(round((fgp - bgp) * (fgp / bgp), 6))
+    assert "y" not in got  # under-represented keys filtered
+
+    a, b, c, d, n = 15.0, 10.0, 5.0, 70.0, 100.0
+    chi = {r["key"]: r for r in aggs.significant_terms(df, cond, "key", heuristic="chi_square").collect()}
+    want_chi = n * (a * d - b * c) ** 2 / ((a + b) * (a + c) * (b + d) * (c + d))
+    assert chi["x"]["score"] == pytest.approx(round(want_chi, 6))
+
+    mi = {r["key"]: r for r in aggs.significant_terms(df, cond, "key", heuristic="mutual_information").collect()}
+    want_mi = math.log2((a / n) / ((25 / n) * (20 / n)))
+    assert mi["x"]["score"] == pytest.approx(round(want_mi, 6))
+
+    gnd = {r["key"]: r for r in aggs.significant_terms(df, cond, "key", heuristic="gnd").collect()}
+    fx, fy, fxy, logn = math.log(20), math.log(25), math.log(15), math.log(100)
+    want_gnd = 1.0 - (max(fx, fy) - fxy) / (logn - min(fx, fy))
+    assert gnd["x"]["score"] == pytest.approx(round(want_gnd, 6))
