@@ -269,20 +269,45 @@ def significant_terms(
             / ((a + b_) * (a + c) * (b_ + d) * (c + d))
         )
     elif heuristic == "mutual_information":
-        # pointwise MI of (term present, in foreground)
-        a = F.col("fg_count").cast("double")
-        score = F.log2(
-            (a / F.lit(bg_total))
-            / ((F.col("bg_count") / F.lit(bg_total)) * F.lit(fg_total / bg_total))
+        # Full 4-term MI over the 2x2 (term presence x foreground
+        # membership) contingency table (MutualInformation.java
+        # getScore/getMITerm), with the reference's 0*log(0)=0 guard.
+        n = F.lit(bg_total)
+        n11 = F.col("fg_count").cast("double")  # term & fg
+        n01 = (F.col("bg_count") - F.col("fg_count")).cast("double")  # term & !fg
+        n10 = F.lit(fg_total) - n11  # !term & fg
+        n00 = F.lit(bg_total - fg_total) - n01  # !term & !fg
+        nt1 = F.col("bg_count").cast("double")  # term marginal
+        nt0 = n - nt1
+        nc1 = F.lit(fg_total)  # class (fg) marginal
+        nc0 = F.lit(bg_total - fg_total)
+
+        def _mi_term(nij, nt, nc):
+            return F.when(
+                nij > 0, (nij / n) * F.log2(n * nij / (nt * nc))
+            ).otherwise(F.lit(0.0))
+
+        score = (
+            _mi_term(n11, nt1, nc1)
+            + _mi_term(n01, nt1, nc0)
+            + _mi_term(n10, nt0, nc1)
+            + _mi_term(n00, nt0, nc0)
         )
     elif heuristic == "gnd":
-        # normalized Google distance similarity (GND.java): higher = closer
+        # normalized Google distance similarity (GND.java:113): the
+        # reference returns exp(-dist) ("we must invert the order")
+        # and short-circuits fxy==0 -> 0.0 and the perfect
+        # co-occurrence case fx==fy==fxy -> 1.0 (zero denominator).
         fx = F.log(F.lit(fg_total))
         fy = F.log(F.col("bg_count").cast("double"))
         fxy = F.log(F.col("fg_count").cast("double"))
         logn = F.lit(_math.log(bg_total))
         dist = (F.greatest(fx, fy) - fxy) / (logn - F.least(fx, fy))
-        score = F.lit(1.0) - dist
+        score = (
+            F.when(F.col("fg_count") == 0, F.lit(0.0))
+            .when((fx == fy) & (fy == fxy), F.lit(1.0))
+            .otherwise(F.exp(-dist))
+        )
     else:  # jlh
         score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
     return (

@@ -183,6 +183,11 @@ def jaccard_pairs(
         .select("_id", "_grams", "_sz", F.slice("_grams", 1, F.col("_plen")).alias("_prefix"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # bounded registry: evicts older pins so repeated dedup calls don't
+    # accumulate pinned blocks for the life of the session
+    from opensearch_spark.pinned import DEFAULT as _pinned
+
+    _pinned.pin(base)
     prefix = base.select(
         F.col("_id"), F.col("_sz"), F.explode("_prefix").alias("shingle")
     )

@@ -113,12 +113,15 @@ def resolve_msm(msm, n_clauses: int) -> int:
     """``minimum_should_match`` value formats
     (``common/lucene/search/Queries.java`` ``calculateMinShouldMatch``):
     int / "N" (literal), "-N" (all but N), "P%" (percent of clauses,
-    truncated), "-P%" (all but P percent).  Results clamp to
-    [0, n_clauses] like the reference."""
+    truncated), "-P%" (all but P percent).  Like the reference, only
+    the LOW side clamps (``result < 0 ? 0 : result``): a
+    minimum_should_match greater than the number of optional clauses
+    is returned as-is, so the query matches nothing (BooleanQuery
+    semantics — ``matched`` can never reach ``required``)."""
     if msm is None:
         return 1
     if isinstance(msm, int):
-        return max(0, min(msm, n_clauses))
+        return max(0, msm)
     s = str(msm).strip()
     if s.endswith("%"):
         p = int(s[:-1])
@@ -130,7 +133,7 @@ def resolve_msm(msm, n_clauses: int) -> int:
         v = int(s)
         if v < 0:
             v = n_clauses + v
-    return max(0, min(v, n_clauses))
+    return max(0, v)
 
 MAX_TERM_EXPANSIONS = 10_000  # safety cap for multi-term dictionary expansion
 
@@ -155,6 +158,16 @@ class SearchEngine:
         self.b = b
         self.text_col = index.plan["text_col"]
         self.id_cols: List[str] = list(index.plan["id_cols"])
+        # bounded cache for persisted intermediates whose terminal action
+        # runs caller-side (WAND rare partials); LRUQueryCache analog
+        from opensearch_spark.pinned import PinnedLRU
+
+        self._pinned = PinnedLRU(cap=4)
+
+    def release_caches(self) -> None:
+        """Unpersist every intermediate this engine pinned (explicit
+        cleanup for long-lived sessions)."""
+        self._pinned.release()
 
     # ------------------------------------------------------------------ api
 

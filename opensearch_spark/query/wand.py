@@ -336,10 +336,14 @@ def _pruned_distributed(
         from pyspark import StorageLevel
 
         # small by construction (<= RARE_DECODE_MAX_BLOCKS * 128 rows);
-        # used twice (bucket maxima + final union) — persist
-        rare_scored = _score_block_frame(
-            engine, rare, {t: weights[t] for t in rare}, idf_by_term, avgdl, rare_blocks
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # used twice (bucket maxima + final union) — persist, tracked in
+        # the engine's bounded LRU so repeated queries can't accumulate
+        # pinned blocks for the life of the session
+        rare_scored = engine._pinned.pin(
+            _score_block_frame(
+                engine, rare, {t: weights[t] for t in rare}, idf_by_term, avgdl, rare_blocks
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
         rb = (
             rare_scored.groupBy(
                 (F.col("_docid") / F.lit(bucket_w)).cast("long").alias("_bkt")

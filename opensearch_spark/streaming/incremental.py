@@ -86,6 +86,20 @@ def _apply_batch_stats(p: Dict[str, str], bman: str) -> None:
         json.dump(stats, f, indent=1)
 
 
+def _intent_path(p: Dict[str, str], batch_id: int) -> str:
+    return os.path.join(p["manifests"], f"batch-{int(batch_id):010d}-intent.json")
+
+
+class PartialBatchError(RuntimeError):
+    """A crashed batch left a PARTIAL data commit (committer v1 renames
+    files sequentially, so a crash mid job-commit can materialize a
+    subset of the batch's segment files).  Auto-recovery would silently
+    drop the missing segments from stats and future queries, so the
+    append refuses and surfaces the damage for manual repair
+    (delete the batch's ``_seg`` range and the intent file, or
+    compact)."""
+
+
 def _recover_batch(
     spark: SparkSession, p: Dict[str, str], cfg: IndexConfig, batch_id: int, bman: str
 ) -> Optional[Dict]:
@@ -94,21 +108,62 @@ def _recover_batch(
     in the data but the batch manifest JSON is missing, the data append
     succeeded — regenerate the manifest (and the dictionary delta if it
     too is missing) instead of re-appending, which would double df/tf.
-    Returns the recovered result dict, or None when nothing was committed."""
+
+    "Succeeded" is judged against the batch's INTENT sentinel (written
+    before the data write, recording the expected segment set): with
+    committer v1's sequential per-file rename a crash mid-commit can
+    leave a partial subset of the segment files, so an observed
+    ``_row=m`` segment set smaller than the intent raises
+    :class:`PartialBatchError` instead of auto-recovering over the
+    missing segments.  Returns the recovered result dict, or None when
+    nothing was committed."""
     # this probe (one filtered metadata read per FRESH batch) is the
     # price of exactly-once: it is the only way to distinguish "new
     # batch" from "crashed after the data commit"
     seg_base = (int(batch_id) + 1) * cfg.n_segments
+    in_range = (F.col("_seg") >= seg_base) & (F.col("_seg") < seg_base + cfg.n_segments)
+    intent = None
+    ipath = _intent_path(p, batch_id)
+    if os.path.exists(ipath):
+        with open(ipath) as f:
+            intent = json.load(f)
     mdir = os.path.join(p["data"], f"_row={ROW_MANIFEST}")
-    if not os.path.isdir(mdir):
-        return None
-    man = (
-        spark.read.parquet(mdir)
-        .filter((F.col("_seg") >= seg_base) & (F.col("_seg") < seg_base + cfg.n_segments))
-        .select("_seg", "m_n_docs", "m_sum_dl", "m_doc_count")
-        .collect()
-    )
-    if not man:
+    man = []
+    if os.path.isdir(mdir):
+        man = (
+            spark.read.parquet(mdir)
+            .filter(in_range)
+            .select("_seg", "m_n_docs", "m_sum_dl", "m_doc_count")
+            .collect()
+        )
+    if intent is not None:
+        expected = set(int(s) for s in intent["segments"])
+        observed = set(int(r["_seg"]) for r in man)
+        if not man:
+            # crash before the manifest partition committed — but data
+            # partitions may still hold a partial subset (rename order
+            # across partitions is not guaranteed); probe before
+            # declaring the batch clean for re-append
+            ddir = os.path.join(p["data"], "_row=d")
+            partial = (
+                os.path.isdir(ddir)
+                and spark.read.parquet(ddir).filter(in_range).limit(1).count() > 0
+            )
+            if partial:
+                raise PartialBatchError(
+                    f"batch {batch_id}: data rows committed without manifest "
+                    f"rows (crash mid job-commit); manual repair required "
+                    f"(drop _seg in [{seg_base}, {seg_base + cfg.n_segments}) "
+                    f"and {ipath})"
+                )
+            return None  # nothing committed: safe to (re-)append
+        if observed != expected:
+            raise PartialBatchError(
+                f"batch {batch_id}: observed segment set {sorted(observed)} "
+                f"!= intended {sorted(expected)} (partial commit); refusing "
+                f"auto-recovery — repair or compact, then remove {ipath}"
+            )
+    elif not man:
         return None
     # dictionary delta idempotency: deltas are tagged with _batch
     dict_has_batch = False
@@ -237,6 +292,13 @@ def append_batch(
         with open(bman, "w") as f:
             json.dump({"batch": batch_id, "n_docs": 0, "status": "empty"}, f)
         return {"n_docs": 0}
+
+    # intent sentinel BEFORE the data write: records the expected
+    # segment set so _recover_batch can tell a complete commit from a
+    # partial one (committer v1 renames sequentially; see
+    # PartialBatchError)
+    with open(_intent_path(p, batch_id), "w") as f:
+        json.dump({"batch": int(batch_id), "segments": sorted(counts)}, f)
 
     t0 = time.monotonic()
     routed = routed.repartition(max(1, len(counts)), "_seg")

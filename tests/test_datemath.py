@@ -94,7 +94,11 @@ def test_datemath_grammar_never_crashes_on_valid_ops():
     check()
 
 
-def test_resolve_msm_never_exceeds_clauses():
+def test_resolve_msm_low_clamp_only():
+    """Queries.calculateMinShouldMatch clamps only the low side: the
+    result is never negative, percent forms never exceed n_clauses,
+    and literal ints > n_clauses pass through unchanged (the query
+    then matches nothing, per BooleanQuery semantics)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -110,6 +114,11 @@ def test_resolve_msm_never_exceeds_clauses():
     @settings(max_examples=300, deadline=None)
     def check(msm, n):
         v = resolve_msm(msm, n)
-        assert 0 <= v <= n
+        assert v >= 0
+        s = str(msm)
+        if s.endswith("%") and int(s[:-1]) <= 100:
+            assert v <= n
+        if isinstance(msm, int) and msm > n:
+            assert v == msm  # pass-through: match-nothing semantics
 
     check()

@@ -249,7 +249,10 @@ def test_minimum_should_match_formats(engine):
     assert resolve_msm("75%", 3) == 2   # truncation, not rounding
     assert resolve_msm("-25%", 4) == 3
     assert resolve_msm("100%", 5) == 5
-    assert resolve_msm(9, 3) == 3       # clamp
+    # reference clamps ONLY the low side (Queries.calculateMinShouldMatch):
+    # msm > n_clauses passes through and the query matches nothing
+    assert resolve_msm(9, 3) == 9
+    assert resolve_msm("-5", 3) == 0    # low clamp
 
     base = engine.search(
         {"match": {"text": {"query": "error timeout traceback", "minimum_should_match": 2}}},
@@ -296,10 +299,25 @@ def test_significance_heuristics(spark):
     assert chi["x"]["score"] == pytest.approx(round(want_chi, 6))
 
     mi = {r["key"]: r for r in aggs.significant_terms(df, cond, "key", heuristic="mutual_information").collect()}
-    want_mi = math.log2((a / n) / ((25 / n) * (20 / n)))
+    # full 4-term MI over the 2x2 table (MutualInformation.java):
+    # cells (term, fg): n11=15, n01=10, n10=5, n00=70; marginals
+    # term=25/75, fg=20/80; N=100
+    def mi_term(nij, nt, nc):
+        return 0.0 if nij == 0 else (nij / n) * math.log2(n * nij / (nt * nc))
+
+    want_mi = (
+        mi_term(15, 25, 20) + mi_term(10, 25, 80)
+        + mi_term(5, 75, 20) + mi_term(70, 75, 80)
+    )
     assert mi["x"]["score"] == pytest.approx(round(want_mi, 6))
 
     gnd = {r["key"]: r for r in aggs.significant_terms(df, cond, "key", heuristic="gnd").collect()}
     fx, fy, fxy, logn = math.log(20), math.log(25), math.log(15), math.log(100)
-    want_gnd = 1.0 - (max(fx, fy) - fxy) / (logn - min(fx, fy))
+    want_gnd = math.exp(-(max(fx, fy) - fxy) / (logn - min(fx, fy)))
     assert gnd["x"]["score"] == pytest.approx(round(want_gnd, 6))
+    # GND perfect co-occurrence guard (GND.java short-circuit):
+    # term 'z' present in ALL fg docs and ONLY fg docs -> fx==fy==fxy
+    rows2 = [(i, 1, "z") for i in range(20)] + [(i + 20, 0, "w") for i in range(80)]
+    df2 = spark.createDataFrame(rows2, "id long, fg int, key string")
+    gnd2 = {r["key"]: r for r in aggs.significant_terms(df2, F.col("fg") == 1, "key", heuristic="gnd").collect()}
+    assert gnd2["z"]["score"] == pytest.approx(1.0)

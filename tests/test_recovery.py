@@ -62,6 +62,41 @@ def test_append_batch_crash_window_recovery(spark, tmp_path):
     assert _postings_rows(spark, idx) == rows_before
 
 
+def test_append_batch_partial_commit_refused(spark, tmp_path):
+    """Committer v1 renames per-file, so a crash mid job-commit can leave
+    a PARTIAL segment set; recovery must refuse (PartialBatchError), not
+    silently regenerate a manifest that drops the missing segments."""
+    idx = str(tmp_path / "idx")
+    docs = generate(spark, 60, partitions=2)
+    cfg = IndexConfig(n_segments=4)
+    inc.init_index_dir(spark, idx, cfg, docs.schema)
+    assert inc.append_batch(spark, docs, idx, cfg, batch_id=0) is not None
+    p = _paths(idx)
+    os.remove(os.path.join(p["manifests"], "batch-0000000000.json"))
+    # tamper the intent to expect one more segment than was committed —
+    # equivalent to one segment's files missing after a partial rename
+    ipath = inc._intent_path(p, 0)
+    with open(ipath) as f:
+        intent = json.load(f)
+    intent["segments"] = sorted(set(intent["segments"]) | {9999})
+    with open(ipath, "w") as f:
+        json.dump(intent, f)
+    with pytest.raises(inc.PartialBatchError):
+        inc.append_batch(spark, docs, idx, cfg, batch_id=0)
+
+    # second shape: data rows committed but NO manifest rows at all
+    idx2 = str(tmp_path / "idx2")
+    inc.init_index_dir(spark, idx2, cfg, docs.schema)
+    inc.append_batch(spark, docs, idx2, cfg, batch_id=0)
+    p2 = _paths(idx2)
+    os.remove(os.path.join(p2["manifests"], "batch-0000000000.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(p2["data"], "_row=m"))
+    with pytest.raises(inc.PartialBatchError):
+        inc.append_batch(spark, docs, idx2, cfg, batch_id=0)
+
+
 def test_append_batch_dictionary_delta_not_duplicated(spark, tmp_path):
     """Recovery must not re-append the dictionary delta when it was
     already committed (the _batch tag makes the check possible)."""
