@@ -333,14 +333,20 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify: exact Jaccard restricted to candidate pairs (semi-join keeps
-    # the verification cost proportional to |candidates|)
+    # verify: exact Jaccard restricted to candidate pairs.  Join ORDER
+    # matters at scale: explode the (small) candidate set first and
+    # probe the shingle table — cands ⋈ a-shingles on id_a, then
+    # ⋈ b-shingles on (id_b, shingle) — so the work is
+    # O(|candidates| x shingles/doc).  Joining shingles to shingles on
+    # the bare shingle key first (then semi-joining candidates) would
+    # materialize the full quadratic shingle self-join Catalyst cannot
+    # push the pair-key semi-join below — exactly the blow-up LSH
+    # exists to avoid (same pattern as jaccard_pairs above).
     sh = shingle_sets(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
-        sh.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .join(cands, ["id_a", "id_b"], "semi")
+        cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

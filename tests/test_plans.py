@@ -102,6 +102,32 @@ def test_multifield_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_verify_no_full_shingle_self_join(spark):
+    """minhash_lsh_pairs verification must explode the candidate set and
+    probe the shingle table (cands ⋈ id_a, then ⋈ (id_b, shingle)) —
+    NEVER equi-join shingles to shingles on the bare shingle key, which
+    materializes the quadratic self-join LSH exists to avoid (Catalyst
+    cannot push a pair-key semi-join below a shingle-keyed join)."""
+    import os
+    import re
+
+    from opensearch_spark.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
+    # every join that touches the shingle column must also key on a doc id
+    for m in re.finditer(r"Left keys \[(\d+)\]: \[([^\]]*)\]", plan):
+        keys = m.group(2)
+        if "shingle" in keys:
+            assert "id_" in keys, f"bare shingle-keyed join in plan:\n{keys}"
+    assert not re.search(r"Left keys \[1\]: \[shingle#", plan)
+
+
 def test_jaccard_no_cartesian_and_broadcast_sizes(spark):
     """The ppjoin candidate plan must join prefixes on the shingle key
     (hash join) with broadcast size/hot frames — never a cartesian."""
