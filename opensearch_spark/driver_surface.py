@@ -294,23 +294,61 @@ def ft_term_level(spark, sf_dir):
 __pidf AS (
   SELECT CAST(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS DOUBLE) AS idf
   FROM __df d CROSS JOIN __stats s WHERE d.term IN ('table', 'hash')
+),
+__slA AS (SELECT doc_id, pos FROM __pos WHERE term = 'table'),
+__slB AS (SELECT doc_id, pos FROM __pos WHERE term = 'hash'),
+__slmn AS (
+  SELECT b.doc_id, max(a.pos) AS pa, b.pos AS pb
+  FROM __slB b JOIN __slA a ON a.doc_id = b.doc_id AND a.pos < b.pos
+  GROUP BY b.doc_id, b.pos
+),
+__slmin AS (SELECT doc_id, pa, min(pb) AS pb FROM __slmn GROUP BY doc_id, pa),
+__sfreq AS (
+  SELECT doc_id,
+         CAST(SUM(1.0 / (1.0 + (pb - pa - 1))) AS DOUBLE) AS stf
+  FROM __slmin WHERE pb - pa - 1 <= 2
+  GROUP BY doc_id
 )
-SELECT p.doc_id,
-       ROUND(CAST(CAST(i.idf * 2.2 * p.ptf /
-             (p.ptf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
-FROM __phr p
-JOIN __qdl q2 ON q2.doc_id = p.doc_id
-CROSS JOIN __pidf i CROSS JOIN __stats s
-ORDER BY score DESC, p.doc_id ASC
-LIMIT 10""",
+SELECT 'slop0' AS op, doc_id, score FROM (
+  SELECT p.doc_id,
+         ROUND(CAST(CAST(i.idf * 2.2 * p.ptf /
+               (p.ptf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+  FROM __phr p
+  JOIN __qdl q2 ON q2.doc_id = p.doc_id
+  CROSS JOIN __pidf i CROSS JOIN __stats s
+  ORDER BY score DESC, p.doc_id ASC
+  LIMIT 10
+)
+UNION ALL
+SELECT 'sloppy' AS op, doc_id, score FROM (
+  SELECT p.doc_id,
+         ROUND(CAST(CAST(i.idf * 2.2 * p.stf /
+               (p.stf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+  FROM __sfreq p
+  JOIN __qdl q2 ON q2.doc_id = p.doc_id
+  CROSS JOIN __pidf i CROSS JOIN __stats s
+  ORDER BY score DESC, p.doc_id ASC
+  LIMIT 10
+)
+ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_match_phrase(spark, sf_dir):
-    """``match_phrase`` slop=0 (MatchPhraseQueryBuilder.java;
-    MatchQuery.java:332): phrase frequency scored as one clause with
-    summed idf — positions intersect via the stored posting positions.
-    slop>0 is pinned by tests/test_intervals_explain_sort.py fixtures."""
+    """Suite: ``match_phrase`` slop=0 + slop=2
+    (MatchPhraseQueryBuilder.java; MatchQuery.java:332).  slop=0:
+    phrase frequency scored as one clause with summed idf — positions
+    intersect via the stored posting positions.  slop=2 (r3, was
+    pytest-only): Lucene SLOPPY-FREQUENCY weighting — each minimal
+    ordered interval contributes ``1/(1 + matchLength)`` (gap 0 -> 1,
+    gap 1 -> 0.5, gap 2 -> 0.333), fractional tf through the same BM25
+    clause; the oracle enumerates the minimal (max-a-below-b,
+    min-b-above-a) pairs in SQL.  Out-of-order matches within slop
+    remain a documented deviation (tests/test_sloppy_fixture.py)."""
     eng = documents_engine(spark, sf_dir)
-    return topk(eng, {"match_phrase": {"text": "table hash"}})
+    a = topk(eng, {"match_phrase": {"text": "table hash"}})
+    b = topk(eng, {"match_phrase": {"text": {"query": "table hash", "slop": 2}}})
+    return _union(
+        _tag(a, "slop0", "doc_id", "score"), _tag(b, "sloppy", "doc_id", "score")
+    ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 
 @_q(

@@ -109,6 +109,21 @@ def _count_intervals(
     return len(_find_intervals(pos, terms, max_gaps, ordered))
 
 
+def _sloppy_freq(pos: dict, terms: List[str], slop: int) -> float:
+    """Lucene sloppy phrase frequency over minimal ordered intervals:
+    each match contributes ``1 / (1 + matchLength)`` where matchLength
+    is the total internal gap (width - n_terms) — the number of edit
+    moves for an in-order match (SloppyPhraseMatcher via
+    ``PhraseScorer``; MatchQuery.java:332).  Lucene additionally counts
+    OUT-OF-ORDER matches within slop (transpositions cost 2 moves
+    each); those are not enumerated here — a documented deviation
+    pinned by tests/test_sloppy_fixture.py (in-order matches, the
+    dominant case, weigh identically to Lucene)."""
+    iv = _find_intervals(pos, terms, slop, True)
+    n = len(terms)
+    return float(sum(1.0 / (1.0 + (e - s + 1 - n)) for s, e in iv))
+
+
 def resolve_msm(msm, n_clauses: int) -> int:
     """``minimum_should_match`` value formats
     (``common/lucene/search/Queries.java`` ``calculateMinShouldMatch``):
@@ -683,13 +698,11 @@ class SearchEngine:
 
     def _score_phrase(self, p: Q.MatchPhrase) -> DataFrame:
         if p.slop != 0:
-            # sloppy phrase -> ordered interval with gap budget = slop
-            # (documented deviation: Lucene's slop counts edit moves and
-            # weights sloppy freq by 1/(matchLength+1); we count minimal
-            # ordered intervals within the gap budget and score them as
-            # phrase frequency)
+            # sloppy phrase: Lucene sloppy-frequency weighting over
+            # minimal ordered intervals (see _sloppy_freq; r3 — was an
+            # unweighted interval count through r2)
             tokens = self.index.analyze(p.query)
-            return self._score_intervals(tokens, p.slop, True, p.boost)
+            return self._score_sloppy_phrase(tokens, p.slop, p.boost)
         tokens = self.index.analyze(p.query)
         if not tokens:
             return self._empty_scored()
@@ -1075,6 +1088,69 @@ class SearchEngine:
                 "s",
                 bm25.term_score_col(
                     F.col("itf"), F.lit(idf_sum), F.col("dl"), avgdl, self.k1, self.b
+                ),
+            )
+        )
+        return scored.select(
+            "_docid",
+            (F.col("s").cast("double") * F.lit(float(boost))).alias("score"),
+        )
+
+    def _score_sloppy_phrase(
+        self, tokens: List[str], slop: int, boost: float
+    ) -> DataFrame:
+        """``match_phrase`` slop>0 (MatchQuery.java:332 ->
+        SloppyPhraseMatcher): phrase tf = the SLOPPY FREQUENCY — the sum
+        of ``1/(1 + matchLength)`` over minimal ordered interval matches
+        with total gap <= slop (``_sloppy_freq``) — scored as one BM25
+        clause with summed idf, exactly like the exact-phrase path but
+        with a fractional tf.  Same plan shape as ``_score_intervals``
+        (per-doc position-list aggregation, Arrow-batched UDF)."""
+        if not tokens:
+            return self._empty_scored()
+        if len(tokens) == 1:
+            return self._score_terms_or({tokens[0]: 1}, required=1, boost=boost)
+        uniq = sorted(set(tokens))
+        stats = self.index.term_stats(uniq)
+        if len(stats) < len(uniq):
+            return self._empty_scored()
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        idf_sum = float(sum(bm25.idf(int(d), N) for d in stats["df"]))
+        post = self.index.postings_for_terms(uniq, with_positions=True)
+        agg = (
+            post.groupBy("_docid")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("tp"),
+                F.min("norm_byte").alias("norm_byte"),
+                F.count("term").alias("nt"),
+            )
+            .filter(F.col("nt") == F.lit(len(uniq)))
+        )
+        order_terms = list(tokens)
+        gap_budget = int(slop)
+
+        @F.pandas_udf(T.DoubleType())
+        def sloppy_tf(tp: pd.Series) -> pd.Series:
+            def one(entries) -> float:
+                pos = {}
+                for e in entries:
+                    if isinstance(e, dict):
+                        pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
+                    else:
+                        pos[e[0]] = np.asarray(e[1], dtype=np.int64)
+                return _sloppy_freq(pos, order_terms, gap_budget)
+
+            return tp.map(one).astype("float64")
+
+        scored = (
+            agg.withColumn("stf", sloppy_tf(F.col("tp")))
+            .filter(F.col("stf") > 0)
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("stf"), F.lit(idf_sum), F.col("dl"), avgdl, self.k1, self.b
                 ),
             )
         )

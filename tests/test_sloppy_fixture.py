@@ -1,23 +1,25 @@
-"""Pin the slop>0 phrase semantics (the documented deviation).
+"""Pin the slop>0 phrase semantics (Lucene sloppy-freq parity, r3).
 
 The reference scores sloppy phrases with Lucene's sloppy frequency:
 each match contributes ``1 / (1 + matchLength)`` where matchLength is
 the edit distance the terms moved (``ExactPhraseMatcher`` /
-``SloppyPhraseMatcher``; ``PhraseQuery`` docs).  Our engine instead
-counts MINIMAL ORDERED INTERVALS whose internal gap total is <= slop
-and uses that count as the phrase tf (executor._score_phrase ->
-_score_intervals; documented in-code at executor.py).
+``SloppyPhraseMatcher``; ``PhraseQuery`` docs).  Since r3 the engine
+implements exactly that weighting over its minimal ORDERED interval
+enumeration (executor._sloppy_freq): in-order matches — the dominant
+case — score identically to Lucene (gap 0 -> 1, gap 1 -> 1/2,
+gap 2 -> 1/3).  The one remaining documented deviation: Lucene also
+counts OUT-OF-ORDER matches within slop (a transposition costs 2
+moves, so "b a" matches "a b"~2 with weight 1/3); our ordered
+enumeration scores those 0.
 
-This fixture makes the deviation a MEASURED contract, not prose:
+This fixture makes the contract MEASURED, not prose:
 
 1. the engine's slop-2 scores are asserted EXACTLY against a pure-
-   Python oracle implementing the chosen interval-count semantics on a
-   hand-built corpus (so any drift in the engine breaks the pin), and
+   Python oracle implementing the weighted semantics on a hand-built
+   corpus (any drift in the engine breaks the pin), and
 2. the Lucene-style sloppy freq is computed side-by-side; the test
-   asserts where the two AGREE (adjacent matches: weight 1 == count 1)
-   and where they DIVERGE (a gap-2 match: Lucene would weight it
-   1/(1+2)=0.333 while we count 1.0 — i.e. our slop>0 scores are an
-   upper bound, rank order preserved for single-match docs).
+   asserts agreement on every in-order case and pins the out-of-order
+   case as the sole divergence.
 """
 
 from __future__ import annotations
@@ -90,7 +92,9 @@ def sloppy_engine(spark, tmp_path_factory):
 
 
 def test_engine_matches_chosen_semantics_exactly(sloppy_engine):
-    """Engine slop-2 scores == BM25(interval_count) per the pin."""
+    """Engine slop-2 scores == BM25(weighted sloppy freq) per the pin."""
+    from opensearch_spark.query.executor import _sloppy_freq
+
     eng = sloppy_engine
     out = {
         (r["conv_id"], r["turn_idx"]): r["score"]
@@ -104,7 +108,10 @@ def test_engine_matches_chosen_semantics_exactly(sloppy_engine):
     idf_sum = float(sum(bm25.idf(int(d_), N) for d_ in stats["df"]))
     expected = {}
     for cid, tix, text in DOCS:
-        tf = interval_count(text, ["alpha", "beta"], slop=2)
+        pos = {t: _positions(text, t) for t in ("alpha", "beta")}
+        if any(p.size == 0 for p in pos.values()):
+            continue
+        tf = _sloppy_freq(pos, ["alpha", "beta"], 2)
         if tf == 0:
             continue
         dl = len(text.split())
@@ -121,23 +128,35 @@ def test_engine_matches_chosen_semantics_exactly(sloppy_engine):
 
 
 def test_deviation_from_lucene_quantified():
-    """Where the chosen semantics and Lucene sloppy freq agree/diverge."""
-    # adjacent match: both give 1.0 -> scores agree
-    assert interval_count(DOCS[0][2], ["alpha", "beta"], 2) == 1
+    """Weighted engine semantics == Lucene sloppy freq on every
+    in-order case; the out-of-order case is the sole pinned deviation."""
+    from opensearch_spark.query.executor import _sloppy_freq
+
+    def ours(text, slop=2):
+        pos = {t: _positions(text, t) for t in ("alpha", "beta")}
+        if any(p.size == 0 for p in pos.values()):
+            return 0.0
+        return _sloppy_freq(pos, ["alpha", "beta"], slop)
+
+    # adjacent match: both 1.0
+    assert ours(DOCS[0][2]) == 1.0
     assert lucene_sloppy_freq(DOCS[0][2], "alpha", "beta", 2) == 1.0
-    # two adjacent matches: both give 2.0
-    assert interval_count(DOCS[5][2], ["alpha", "beta"], 2) == 2
-    assert lucene_sloppy_freq(DOCS[5][2], "alpha", "beta", 2) == 2.0
-    # gap-2 match: we count 1.0, Lucene weights 1/3 — the measured
-    # deviation: our tf is an upper bound (>=) of sloppy freq
-    assert interval_count(DOCS[2][2], ["alpha", "beta"], 2) == 1
+    # gap 1: both 1/2;  gap 2: both 1/3 (the r2 deviation, now closed)
+    assert ours(DOCS[1][2]) == pytest.approx(1 / 2)
+    assert ours(DOCS[2][2]) == pytest.approx(1 / 3)
     assert lucene_sloppy_freq(DOCS[2][2], "alpha", "beta", 2) == pytest.approx(1 / 3)
+    # two adjacent matches: both 2.0
+    assert ours(DOCS[5][2]) == 2.0
+    assert lucene_sloppy_freq(DOCS[5][2], "alpha", "beta", 2) == 2.0
     # outside slop: both 0
-    assert interval_count(DOCS[3][2], ["alpha", "beta"], 2) == 0
+    assert ours(DOCS[3][2]) == 0.0
     assert lucene_sloppy_freq(DOCS[3][2], "alpha", "beta", 2) == 0.0
-    # wrong order: both 0 (in_order phrase)
-    assert interval_count(DOCS[4][2], ["alpha", "beta"], 2) == 0
+    # REMAINING deviation: out-of-order within slop.  True Lucene would
+    # score "beta alpha" ~2 with matchLength 2 -> 1/3; our ordered
+    # enumeration scores 0 (documented in _sloppy_freq).
+    assert ours(DOCS[4][2]) == 0.0
+    # full in-order agreement across the corpus
     for cid, tix, text in DOCS:
-        assert interval_count(text, ["alpha", "beta"], 2) >= lucene_sloppy_freq(
-            text, "alpha", "beta", 2
-        ) - 1e-12
+        assert ours(text) == pytest.approx(
+            lucene_sloppy_freq(text, "alpha", "beta", 2)
+        ), (cid, tix)
