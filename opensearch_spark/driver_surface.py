@@ -682,14 +682,70 @@ def ft_multi_match(spark, sf_dir):
 
 @_q(
     "ft_query_string",
-    _sql_match({"spark": 1, "merge": 1}, required=2),
+    _PRE
+    + f""", __qsand AS ({_sql_match_sub({"spark": 1, "merge": 1}, required=2, k=10, op="and")}),
+__qsfz AS (
+  SELECT term FROM __df WHERE levenshtein(term, 'sprak') <= 1
+  ORDER BY df DESC, term ASC LIMIT 50
+),
+__qsb AS ({_sql_clause({"spark": 1})}),
+__qsf AS (
+  SELECT t.doc_id, SUM(CAST({_SCORE} AS DOUBLE)) AS sc
+  FROM __tf t JOIN __df d USING (term)
+  JOIN __qsfz ON __qsfz.term = t.term
+  JOIN __qdl q2 ON q2.doc_id = t.doc_id
+  CROSS JOIN __stats s
+  GROUP BY t.doc_id
+),
+__qsbf AS (
+  SELECT 'boost_fuzzy' AS op, doc_id, score FROM (
+    SELECT doc_id, ROUND(SUM(sc), 4) AS score
+    FROM (SELECT doc_id, sc * 2 AS sc FROM __qsb
+          UNION ALL SELECT doc_id, sc FROM __qsf)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+  )
+)
+SELECT * FROM __qsand
+UNION ALL
+SELECT * FROM __qsbf
+UNION ALL
+SELECT 'scoped_range' AS op, doc_id, CAST(3.0 AS DOUBLE) AS score
+FROM __docs WHERE lang IN ('de', 'fr') AND n_chars BETWEEN 120 AND 180
+UNION ALL
+SELECT 'ineq' AS op, doc_id, CAST(2.0 AS DOUBLE) AS score
+FROM __docs WHERE source = 'src3' AND n_chars > 450
+ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_query_string(spark, sf_dir):
-    """``query_string`` mini-parser (QueryStringQueryBuilder.java):
-    'spark AND merge' compiles to bool-must of match clauses = the AND
-    match plan."""
+    """Suite: ``query_string`` mini-parser
+    (QueryStringQueryBuilder.java / QueryStringQueryParser.java) — r3
+    adds the grammar tail (VERDICT r2 #7):
+
+    - ``and``: 'spark AND merge' -> bool-must of match clauses.
+    - ``boost_fuzzy``: 'spark^2 OR sprak~1' -> ``^boost`` on a term +
+      ``~N`` fuzzy (Levenshtein expansion scored as an OR), clause
+      scores summed.
+    - ``scoped_range``: 'lang:(de OR fr)^2 AND n_chars:[120 TO 180]'
+      -> field-scoped group (keyword terms), group ``^boost``, bracket
+      range; constant-score conjunction.
+    - ``ineq``: 'source:src3 AND n_chars:>450' -> inequality range
+      form."""
     eng = documents_engine(spark, sf_dir)
-    return topk(eng, {"query_string": {"query": "spark AND merge"}})
+    a = topk(eng, {"query_string": {"query": "spark AND merge"}})
+    b = topk(eng, {"query_string": {"query": "spark^2 OR sprak~1"}})
+    c = docset(
+        eng,
+        {"query_string": {"query": "lang:(de OR fr)^2 AND n_chars:[120 TO 180]"}},
+    )
+    d = docset(eng, {"query_string": {"query": "source:src3 AND n_chars:>450"}})
+    return _union(
+        _tag(a, "and", "doc_id", "score"),
+        _tag(b, "boost_fuzzy", "doc_id", "score"),
+        _tag(c, "scoped_range", "doc_id", "score"),
+        _tag(d, "ineq", "doc_id", "score"),
+    ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 
 @_q(
