@@ -1204,6 +1204,75 @@ __sub_wtn AS (
     CROSS JOIN __sc_idf i CROSS JOIN __stats s
     ORDER BY score DESC, v.doc_id ASC LIMIT 10
   )
+),
+__smn AS (
+  -- span_multi(prefix ha) as a span_near slot: adjacency with the
+  -- slot-2 union = every dictionary term LIKE 'ha%'
+  SELECT a.doc_id, CAST(count(*) AS INT) AS itf
+  FROM __pos a JOIN __pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term LIKE 'ha%'
+  GROUP BY a.doc_id
+),
+__smn_idf AS (
+  SELECT CAST(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS DOUBLE) AS idf
+  FROM __df d CROSS JOIN __stats s WHERE d.term = 'table' OR d.term LIKE 'ha%'
+),
+__sub_smulti AS (
+  SELECT 'span_multi' AS op, doc_id, score FROM (
+    SELECT v.doc_id,
+           ROUND(CAST(CAST(i.idf * 2.2 * v.itf /
+                 (v.itf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+    FROM __smn v JOIN __qdl q2 ON q2.doc_id = v.doc_id
+    CROSS JOIN __smn_idf i CROSS JOIN __stats s
+    ORDER BY score DESC, v.doc_id ASC LIMIT 10
+  )
+),
+__ipf AS (
+  -- intervals prefix source: all_of ordered [match merge, prefix jo]
+  SELECT a.doc_id, CAST(count(*) AS INT) AS itf
+  FROM __pos a JOIN __pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term LIKE 'jo%'
+  GROUP BY a.doc_id
+),
+__ipf_idf AS (
+  SELECT CAST(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS DOUBLE) AS idf
+  FROM __df d CROSS JOIN __stats s WHERE d.term = 'merge' OR d.term LIKE 'jo%'
+),
+__sub_iprefix AS (
+  SELECT 'intervals_prefix' AS op, doc_id, score FROM (
+    SELECT v.doc_id,
+           ROUND(CAST(CAST(i.idf * 2.2 * v.itf /
+                 (v.itf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+    FROM __ipf v JOIN __qdl q2 ON q2.doc_id = v.doc_id
+    CROSS JOIN __ipf_idf i CROSS JOIN __stats s
+    ORDER BY score DESC, v.doc_id ASC LIMIT 10
+  )
+),
+__fms AS (
+  -- field_masking_span: title-sourced 'spark' (positions 1..4 = the
+  -- title prefix of text) followed by text 'query'
+  SELECT a.doc_id, CAST(count(*) AS INT) AS itf
+  FROM __pos a JOIN __pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'spark' AND a.pos <= 4 AND b.term = 'query'
+  GROUP BY a.doc_id
+),
+__fms_idf AS (
+  -- idf: 'spark' against the TITLE field's own stats, 'query' against
+  -- text; norms/avgdl from the mask (text) field below
+  SELECT CAST(ln(1 + (ts.tn - td.df + 0.5) / (td.df + 0.5))
+            + ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS DOUBLE) AS idf
+  FROM __tdf td CROSS JOIN __tstats ts CROSS JOIN __df d CROSS JOIN __stats s
+  WHERE td.term = 'spark' AND d.term = 'query'
+),
+__sub_fmask AS (
+  SELECT 'field_masking' AS op, doc_id, score FROM (
+    SELECT v.doc_id,
+           ROUND(CAST(CAST(i.idf * 2.2 * v.itf /
+                 (v.itf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+    FROM __fms v JOIN __qdl q2 ON q2.doc_id = v.doc_id
+    CROSS JOIN __fms_idf i CROSS JOIN __stats s
+    ORDER BY score DESC, v.doc_id ASC LIMIT 10
+  )
 )
 SELECT * FROM __sub_any
 UNION ALL SELECT * FROM __sub_all
@@ -1213,6 +1282,9 @@ UNION ALL SELECT * FROM __sub_not
 UNION ALL SELECT * FROM __sub_first
 UNION ALL SELECT * FROM __sub_ctn
 UNION ALL SELECT * FROM __sub_wtn
+UNION ALL SELECT * FROM __sub_smulti
+UNION ALL SELECT * FROM __sub_iprefix
+UNION ALL SELECT * FROM __sub_fmask
 ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_intervals_span(spark, sf_dir):
@@ -1223,7 +1295,13 @@ def ft_intervals_span(spark, sf_dir):
     width-1 spans), ``span_not`` (pre/post exclusion window),
     ``span_first`` (position < end), ``span_containing`` /
     ``span_within`` (big span_near intervals vs a little span_term;
-    SpanContainingQueryBuilder.java / SpanWithinQueryBuilder.java)."""
+    SpanContainingQueryBuilder.java / SpanWithinQueryBuilder.java);
+    r3 adds ``span_multi`` (SpanMultiTermQueryBuilder.java — a prefix
+    expansion as a span_near slot's any_of group), ``intervals``
+    prefix sources (IntervalsSourceProvider.Prefix), and
+    ``field_masking_span`` (FieldMaskingSpanQueryBuilder.java — a
+    title-sourced span clause joined positionally with a text clause
+    via the per-field index bundle; mask-field norms, per-field idf)."""
     eng = documents_engine(spark, sf_dir)
     q_any = {
         "intervals": {
@@ -1297,6 +1375,39 @@ def ft_intervals_span(spark, sf_dir):
     }
     q_ctn = {"span_containing": {"big": big, "little": {"span_term": {"text": "the"}}}}
     q_wtn = {"span_within": {"big": big, "little": {"span_term": {"text": "the"}}}}
+    # r3 tail (VERDICT r2 #8): span_multi clause, intervals prefix
+    # source, field_masking_span cross-field composition
+    q_smulti = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "table"}},
+                {"span_multi": {"match": {"prefix": {"text": {"value": "ha"}}}}},
+            ],
+            "slop": 0,
+            "in_order": True,
+        }
+    }
+    q_iprefix = {
+        "intervals": {
+            "text": {
+                "all_of": {
+                    "ordered": True,
+                    "max_gaps": 0,
+                    "intervals": [
+                        {"match": {"query": "merge"}},
+                        {"prefix": {"prefix": "jo"}},
+                    ],
+                }
+            }
+        }
+    }
+    meng = documents_multi_engine(spark, sf_dir)
+    fmask = meng._topk_frame(
+        meng.score_span_near_masked(
+            [("title", "spark"), ("text", "query")], slop=0, in_order=True
+        ),
+        10,
+    )
     parts = [
         _tag(topk(eng, q_any), "intervals_any_of", "doc_id", "score"),
         _tag(topk(eng, q_all), "intervals_all_of", "doc_id", "score"),
@@ -1306,6 +1417,9 @@ def ft_intervals_span(spark, sf_dir):
         _tag(topk(eng, q_first), "span_first", "doc_id", "score"),
         _tag(topk(eng, q_ctn), "span_containing", "doc_id", "score"),
         _tag(topk(eng, q_wtn), "span_within", "doc_id", "score"),
+        _tag(topk(eng, q_smulti), "span_multi", "doc_id", "score"),
+        _tag(topk(eng, q_iprefix), "intervals_prefix", "doc_id", "score"),
+        _tag(fmask, "field_masking", "doc_id", "score"),
     ]
     return _union(*parts).orderBy("op", F.desc("score"), F.asc("doc_id"))
 

@@ -262,6 +262,41 @@ class SpanFirst:
 
 
 @dataclasses.dataclass
+class SpanMulti:
+    """``span_multi`` (``SpanMultiTermQueryBuilder.java``; registry
+    ``SearchModule.java:1109-1138``): wraps a multi-term query
+    (prefix/wildcard/regexp/fuzzy) as a span — the dictionary expansion
+    becomes a width-1 span disjunction (the top-terms span rewrite).
+    Standalone it scores as an OR of per-term BM25 scorers (the SpanOr
+    convention); as a ``span_near`` clause the expansion becomes that
+    slot's any_of group in the interval algebra."""
+
+    field: str
+    match: Query  # Prefix | Wildcard | Regexp | Fuzzy
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class FieldMaskingSpan:
+    """``field_masking_span`` (``FieldMaskingSpanQueryBuilder.java``):
+    a span clause whose positions come from ``source_field``'s postings
+    but which participates in a span composition on the mask ``field``.
+    Positions align across the per-field indexes by construction (every
+    field index is built from the same docs + routing, and derived
+    fields like ``title`` are positional prefixes of ``text``), so the
+    mask performs a real cross-field positional join
+    (``query/multifield.py:score_span_near_masked``).  Like the
+    reference, the mask field's norms drive length normalization; idf
+    comes from the source field's own statistics (documented deviation
+    from Lucene, which uses the mask field's weights throughout)."""
+
+    field: str  # the mask (combining) field
+    source_field: str  # where positions and term statistics come from
+    term: str
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
 class DistanceFeature:
     """``distance_feature`` (``DistanceFeatureQueryBuilder.java``): boost
     docs near an origin: score = boost * pivot / (pivot + |x - origin|)."""
@@ -542,14 +577,24 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             )
         # any_of / all_of composition: each sub-interval is a match
         # source or a one-level any_of of match sources
-        def _group(sub) -> List[str]:
+        def _group(sub) -> List[Any]:
+            # group members are terms (str) or unexpanded multi-term
+            # source markers (dict) — the executor expands markers
+            # against the term dictionary at compile time
+            # (IntervalsSourceProvider Prefix/Wildcard sources)
             k = next(iter(sub))
             if k == "match":
                 return sub["match"]["query"].split()
+            if k == "prefix":
+                p = sub["prefix"]
+                return [{"prefix": p["prefix"] if isinstance(p, dict) else p}]
+            if k == "wildcard":
+                w = sub["wildcard"]
+                return [{"wildcard": w.get("pattern") if isinstance(w, dict) else w}]
             if k == "any_of":
-                out: List[str] = []
+                out: List[Any] = []
                 for s2 in sub["any_of"]["intervals"]:
-                    out.extend(s2["match"]["query"].split())
+                    out.extend(_group(s2))
                 return out
             raise ValueError(f"unsupported intervals source: {k}")
 
@@ -560,6 +605,10 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                 max_gaps=-1,
                 ordered=False,
             )
+        if src in ("prefix", "wildcard"):
+            return Intervals(
+                field, any_of_groups=[_group(v)], max_gaps=-1, ordered=False
+            )
         a = v["all_of"]
         return Intervals(
             field,
@@ -568,14 +617,49 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             ordered=a.get("ordered", False),
         )
     if kind == "span_near":
-        clauses = [c["span_term"] for c in body["clauses"]]
-        field = next(iter(clauses[0]))
+
+        def _span_clause(c):
+            # -> (term | marker dict | FieldMaskingSpan, field_or_None)
+            ck = next(iter(c))
+            if ck == "span_term":
+                f = next(iter(c["span_term"]))
+                return c["span_term"][f], f
+            if ck == "span_multi":
+                inner = from_dict(c["span_multi"]["match"])
+                if isinstance(inner, Prefix):
+                    return {"prefix": inner.value}, inner.field
+                if isinstance(inner, Wildcard):
+                    return {"wildcard": inner.value}, inner.field
+                if isinstance(inner, Regexp):
+                    return {"regexp": inner.value}, inner.field
+                if isinstance(inner, Fuzzy):
+                    return {"fuzzy": inner.value, "fuzziness": inner.fuzziness}, inner.field
+                raise ValueError(f"span_multi cannot wrap {type(inner)}")
+            if ck == "field_masking_span":
+                fm = c["field_masking_span"]
+                st = fm["query"]["span_term"]
+                sfield = next(iter(st))
+                return (
+                    FieldMaskingSpan(fm["field"], sfield, st[sfield]),
+                    fm["field"],
+                )
+            raise ValueError(f"unsupported span_near clause: {ck}")
+
+        parsed = [_span_clause(c) for c in body["clauses"]]
+        field = next(f for _, f in parsed if f is not None)
         return SpanNear(
             field,
-            [c[field] for c in clauses],
+            [t for t, _ in parsed],
             slop=body.get("slop", 0),
             in_order=body.get("in_order", True),
         )
+    if kind == "span_multi":
+        inner = from_dict(body["match"])
+        return SpanMulti(getattr(inner, "field", "text"), inner)
+    if kind == "field_masking_span":
+        st = body["query"]["span_term"]
+        sfield = next(iter(st))
+        return FieldMaskingSpan(body["field"], sfield, st[sfield])
     if kind == "span_or":
         clauses = [c["span_term"] for c in body["clauses"]]
         field = next(iter(clauses[0]))

@@ -529,6 +529,20 @@ class SearchEngine:
                 terms, q.max_gaps, q.ordered, q.boost
             )
         if isinstance(q, Q.SpanNear):
+            if any(isinstance(t, Q.FieldMaskingSpan) for t in q.terms):
+                raise NotImplementedError(
+                    "span_near with field_masking_span clauses joins "
+                    "positions across per-field indexes — use "
+                    "MultiFieldEngine.score_span_near_masked "
+                    "(query/multifield.py)"
+                )
+            if any(isinstance(t, dict) for t in q.terms):
+                # span_multi clauses: each multi-term marker expands to
+                # that slot's any_of group in the interval algebra
+                groups = [[t] if not isinstance(t, list) else t for t in q.terms]
+                return self._score_interval_groups(
+                    groups, q.slop, q.in_order, q.boost
+                )
             # span_term clauses are un-analyzed exact terms; slop = the
             # interval gap budget, in_order = ordered
             return self._score_intervals(
@@ -538,6 +552,25 @@ class SearchEngine:
             # width-1 span union == disjunction of term scorers (dsl.SpanOr)
             return self._score_terms_or(
                 {str(t): 1 for t in q.terms}, required=1, boost=q.boost
+            )
+        if isinstance(q, Q.SpanMulti):
+            # standalone span_multi == width-1 span disjunction over the
+            # dictionary expansion (SpanMultiTermQueryBuilder.java); the
+            # SpanOr convention scores it as an OR of per-term BM25
+            terms = self._expand_span_source(q.match)
+            if not terms:
+                return self._empty_scored()
+            return self._score_terms_or(
+                {t: 1 for t in terms}, required=1, boost=q.boost
+            )
+        if isinstance(q, Q.FieldMaskingSpan):
+            # standalone, the mask is a no-op: score the wrapped span on
+            # its source field — meaningful only when that field shares
+            # this index's postings; cross-field composition lives in
+            # MultiFieldEngine.score_span_near_masked
+            raise NotImplementedError(
+                "standalone field_masking_span requires the per-field "
+                "index bundle — use MultiFieldEngine.score_span_near_masked"
             )
         if isinstance(q, Q.SpanFirst):
             return self._score_span_first(q)
@@ -1315,7 +1348,27 @@ class SearchEngine:
         are merged into one pseudo-term stream per slot, then the same
         minimal-interval enumeration as ``_score_intervals`` runs.
         Scoring: one clause, idf = sum over distinct present member
-        terms (documented approximation), tf = interval count."""
+        terms (documented approximation), tf = interval count.
+
+        Group members may be unexpanded multi-term source markers
+        (``{"prefix": ...}`` / ``{"wildcard": ...}`` / ``{"regexp":
+        ...}`` / ``{"fuzzy": ...}`` — IntervalsSourceProvider's
+        Prefix/Wildcard sources and span_multi clauses); they expand
+        against the term dictionary here, at compile time."""
+        groups = [
+            sorted(
+                {
+                    t
+                    for m in g
+                    for t in (
+                        [m] if isinstance(m, str) else self._expand_span_source_marker(m)
+                    )
+                }
+            )
+            for g in groups
+        ]
+        if any(not g for g in groups):
+            return self._empty_scored()  # a multi-term slot expanded to nothing
         all_terms = sorted({t for g in groups for t in g})
         stats = self.index.term_stats(all_terms)
         present = set(stats["term"])
@@ -1499,12 +1552,12 @@ class SearchEngine:
             "total": total,
         }
 
-    def _score_fuzzy(self, q: Q.Fuzzy) -> DataFrame:
-        if q.field != self.text_col:
-            raise ValueError("fuzzy supported on the indexed text field only")
+    def _expand_fuzzy(self, q: Q.Fuzzy) -> List[str]:
+        """Levenshtein dictionary expansion, AUTO fuzziness from length
+        (MatchQueryBuilder.java:100-104), df-desc/term-asc cap order."""
         v = q.value
         d = q.fuzziness
-        if d is None:  # AUTO (MatchQueryBuilder.java:100-104)
+        if d is None:  # AUTO
             d = 0 if len(v) < 3 else (1 if len(v) <= 5 else 2)
         cond = F.levenshtein(F.col("term"), F.lit(v)) <= F.lit(int(d))
         if q.prefix_length:
@@ -1516,10 +1569,15 @@ class SearchEngine:
             .limit(q.max_expansions)
             .collect()
         )
-        if not rows:
+        return [r["term"] for r in rows]
+
+    def _score_fuzzy(self, q: Q.Fuzzy) -> DataFrame:
+        if q.field != self.text_col:
+            raise ValueError("fuzzy supported on the indexed text field only")
+        terms = self._expand_fuzzy(q)
+        if not terms:
             return self._empty_scored()
-        weights = {r["term"]: 1 for r in rows}
-        return self._score_terms_or(weights, required=1, boost=q.boost)
+        return self._score_terms_or({t: 1 for t in terms}, required=1, boost=q.boost)
 
     def _score_terms_set(self, q: Q.TermsSet) -> DataFrame:
         if q.field != self.text_col:
@@ -1721,6 +1779,30 @@ class SearchEngine:
     def _docset_text_terms(self, terms: Sequence[str]) -> DataFrame:
         post = self.index.postings_for_terms(list(terms))
         return post.select("_docid").distinct()
+
+    def _expand_span_source(self, q) -> List[str]:
+        """Expansion for span_multi-wrapped multi-term queries: Fuzzy
+        expands via the Levenshtein path, the rest via the dictionary
+        rewrite."""
+        if isinstance(q, Q.Fuzzy):
+            return self._expand_fuzzy(q)
+        return self._expand_terms(q)
+
+    def _expand_span_source_marker(self, m: dict) -> List[str]:
+        """Dict-marker form of ``_expand_span_source`` (interval group
+        members and span_near clauses carry unexpanded sources as plain
+        dicts so the DSL stays JSON-round-trippable)."""
+        if "prefix" in m:
+            return self._expand_terms(Q.Prefix(self.text_col, m["prefix"]))
+        if "wildcard" in m:
+            return self._expand_terms(Q.Wildcard(self.text_col, m["wildcard"]))
+        if "regexp" in m:
+            return self._expand_terms(Q.Regexp(self.text_col, m["regexp"]))
+        if "fuzzy" in m:
+            return self._expand_fuzzy(
+                Q.Fuzzy(self.text_col, m["fuzzy"], fuzziness=m.get("fuzziness"))
+            )
+        raise ValueError(f"unknown multi-term span source marker: {m}")
 
     def _expand_terms(self, q) -> List[str]:
         """Multi-term query: expand against the term dictionary

@@ -32,6 +32,8 @@ from __future__ import annotations
 from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -120,6 +122,9 @@ class MultiFieldEngine:
     def topk(self, q: Q.MultiMatch, k: int = 10, round_dp: int = 4) -> DataFrame:
         """Driver-comparable top-k (same contract as docs_index.topk)."""
         scored = self.score_multi_match(q)
+        return self._topk_frame(scored, k, round_dp)
+
+    def _topk_frame(self, scored: DataFrame, k: int, round_dp: int = 4) -> DataFrame:
         eng = self.default
         dm = eng.index.docmap().select("_docid", *eng.id_cols)
         order = [F.desc("score")] + [F.asc(c) for c in eng.id_cols]
@@ -129,4 +134,119 @@ class MultiFieldEngine:
             .orderBy(*order)
             .limit(k)
             .select(*eng.id_cols, "score")
+        )
+
+    def score_span_near_masked(
+        self,
+        clauses: Sequence[Tuple[str, str]],
+        slop: int = 0,
+        in_order: bool = True,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """``span_near`` whose clauses may live in DIFFERENT per-field
+        indexes — the ``field_masking_span`` composition
+        (``FieldMaskingSpanQueryBuilder.java``; registry
+        ``SearchModule.java:1109-1138``).
+
+        ``clauses`` = ordered [(field, span_term), ...].  Positions for
+        each clause come from that field's own postings; they share one
+        coordinate space because every per-field index is built from
+        the same docs + routing and derived fields (``title``) are
+        positional prefixes of the default field.  The minimal-interval
+        algebra then runs over the merged per-doc position lists exactly
+        as in the single-field ``span_near``.
+
+        Scoring follows the reference's masking contract where
+        expressible: length normalization uses the MASK (default)
+        field's norms; idf sums each term against its OWN field's
+        statistics (documented deviation — Lucene uses the mask field's
+        weights throughout, which a per-field-stats engine cannot
+        reproduce without cross-field df blending)."""
+        from functools import reduce
+
+        from pyspark.sql import types as T
+
+        from opensearch_spark.query import bm25
+        from opensearch_spark.query.executor import _count_intervals
+
+        if not any(f == self.default_field for f, _ in clauses):
+            raise ValueError(
+                "at least one clause must be on the mask (default) field "
+                "— its norms drive length normalization"
+            )
+        deng = self.default
+        slot_names = [f"\x00m{i}" for i in range(len(clauses))]
+        idf_sum = 0.0
+        parts: List[DataFrame] = []
+        for i, (f, t) in enumerate(clauses):
+            eng = self.engines[f]
+            st = eng.index.term_stats([t])
+            if st.empty:
+                return deng._empty_scored()
+            idf_sum += bm25.idf(
+                int(st["df"].iloc[0]), eng.index.stats["doc_count"]
+            )
+            post = eng.index.postings_for_terms([t], with_positions=True)
+            norm_t = post.schema["norm_byte"].dataType
+            norm = (
+                F.col("norm_byte")
+                if f == self.default_field
+                else F.lit(None).cast(norm_t)
+            )
+            parts.append(
+                post.select(
+                    "_docid",
+                    F.lit(slot_names[i]).alias("slot"),
+                    "positions",
+                    norm.alias("norm_byte"),
+                )
+            )
+        unioned = reduce(DataFrame.unionByName, parts)
+        agg = (
+            unioned.groupBy("_docid")
+            .agg(
+                F.collect_list(F.struct("slot", "positions")).alias("tp"),
+                F.min("norm_byte").alias("norm_byte"),  # mask-field norm
+                F.countDistinct("slot").alias("nt"),
+            )
+            .filter(F.col("nt") == F.lit(len(clauses)))
+        )
+        gap_budget, want_ordered = int(slop), bool(in_order)
+        names = list(slot_names)
+
+        @F.pandas_udf(T.IntegerType())
+        def interval_tf(tp: pd.Series) -> pd.Series:
+            def one(entries) -> int:
+                pos = {}
+                for e in entries:
+                    key = e["slot"] if isinstance(e, dict) else e[0]
+                    arr = np.asarray(
+                        e["positions"] if isinstance(e, dict) else e[1],
+                        dtype=np.int64,
+                    )
+                    pos[key] = (
+                        np.unique(np.concatenate([pos[key], arr]))
+                        if key in pos
+                        else arr
+                    )
+                return _count_intervals(pos, names, gap_budget, want_ordered)
+
+            return tp.map(one).astype("int32")
+
+        avgdl = deng.index.stats["avgdl"]
+        scored = (
+            agg.withColumn("itf", interval_tf(F.col("tp")))
+            .filter(F.col("itf") > 0)
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("itf"), F.lit(float(idf_sum)), F.col("dl"), avgdl,
+                    deng.k1, deng.b,
+                ),
+            )
+        )
+        return scored.select(
+            "_docid",
+            (F.col("s").cast("double") * F.lit(float(boost))).alias("score"),
         )
