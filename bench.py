@@ -65,7 +65,7 @@ QUERY_SET = {
 }
 
 SURFACE_SAMPLE = [
-    "ft_match_modes",  # r3: includes the former ft_match_or (op=or) + and/msm
+    "ft_match_modes",
     "ft_bool",
     "ft_match_phrase",
     "agg_terms",
@@ -75,6 +75,18 @@ SURFACE_SAMPLE = [
     "retrieval_suite",
     "text_suite",
 ]
+
+# VERDICT r2 #10: suite entries are transport envelopes whose operator
+# composition can change between rounds; this map records the CURRENT
+# composition so round-over-round latency comparisons stay meaningful.
+# (Emitted as "surface_composition" in the bench JSON.)
+SURFACE_COMPOSITION = {
+    "ft_match_modes": "r3: 3 ops (or [former ft_match_or entry] + and + msm); r2 had 2",
+    "ft_bool": "2 engine bool queries (unchanged since r2 repack)",
+    "ft_match_phrase": "r3: 2 ops (slop0 + sloppy slop=2); r2 had 1",
+    "agg_histograms": "4 ops (unchanged since r2 repack)",
+    "text_suite": "4 text ops + 3 id-joins (unchanged since r2 repack)",
+}
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -290,6 +302,7 @@ def run_bench(build_only: bool = False, waves: int = 1) -> dict:
         surface = surface_phase(spark, SF_DIR)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         result["queries"] = {**per_query, **surface}
+        result["surface_composition"] = SURFACE_COMPOSITION
         result["wand"] = wand
         result["query_p50_sec"] = pct["p50_sec"]
         result["query_p99_sec"] = pct["p99_sec"]
