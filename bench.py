@@ -84,6 +84,7 @@ SURFACE_COMPOSITION = {
     "ft_match_modes": "r3: 3 ops (or [former ft_match_or entry] + and + msm); r2 had 2",
     "ft_bool": "2 engine bool queries (unchanged since r2 repack)",
     "ft_match_phrase": "r3: 2 ops (slop0 + sloppy slop=2); r2 had 1",
+    "dedup_ngram_jaccard": "r3: 2 ops (pair + connected-component cluster); r2 had pairs only",
     "agg_histograms": "4 ops (unchanged since r2 repack)",
     "text_suite": "4 text ops + 3 id-joins (unchanged since r2 repack)",
 }

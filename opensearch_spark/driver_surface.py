@@ -1453,14 +1453,26 @@ SELECT 'field_caps' AS op, k, v FROM (VALUES
   ('doc_id', 0.0), ('lang', 0.0), ('n_chars', 0.0), ('req_terms', 0.0),
   ('source', 0.0), ('src_alt', 0.0), ('text', 1.0), ('title', 0.0)
 ) AS fc(k, v)
-ORDER BY op, k""".replace("{score}", _SCORE),
+UNION ALL
+SELECT 'scan' AS op,
+       CAST(CAST((rn - 1) // 100 AS INT) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS k,
+       ROUND(sc, 6) AS v
+FROM (
+  SELECT doc_id, sc, row_number() OVER (ORDER BY doc_id ASC) AS rn
+  FROM ({scan_clause})
+)
+ORDER BY op, k""".replace("{score}", _SCORE).replace(
+        "{scan_clause}", _sql_clause({"dup": 1})
+    ),
 )
 def ft_diagnostics(spark, sf_dir):
     """Suite: diagnostics entry points (SURVEY.md §3.3) — ``_count``
     (exact hit count), ``_explain`` (per-term score breakdown for one
     doc, TransportExplainAction analog), ``_termvectors`` (per-doc
-    tf + corpus df), ``_field_caps`` (mapping introspection) — in a
-    long (op, k, v) shape."""
+    tf + corpus df), ``_field_caps`` (mapping introspection), and the
+    ``scan``/scroll export cursor (r3: full scored set in stable
+    id-ordered batches, batch index in the checked key) — in a long
+    (op, k, v) shape."""
     eng = documents_engine(spark, sf_dir)
     from opensearch_spark.query import dsl as Q
 
@@ -1481,6 +1493,16 @@ def ft_diagnostics(spark, sf_dir):
         rows.append(("termvectors_df", r["term"], float(r["df"])))
     for r in eng.field_caps().collect():
         rows.append(("field_caps", r["field"], 1.0 if r["full_text"] else 0.0))
+    # scan/scroll export cursor (r3 — was pytest-only): the generator
+    # pages the FULL scored set in stable id-ordered batches; the batch
+    # index is part of the checked key, pinning the paging semantics
+    # (score once, deterministic boundaries)
+    i = 0
+    for batch in eng.scan({"match": {"text": "dup"}}, batch_size=100):
+        bi = i // 100
+        for r in batch:
+            rows.append(("scan", f"{bi}:{r['doc_id']}", float(r["score"])))
+            i += 1
     # round in Spark (HALF_UP like SQL ROUND) — Python round() is
     # banker's and disagrees on .5-boundary doubles
     return (
@@ -2823,7 +2845,7 @@ def dedup_exact_fp(spark, sf_dir):
 
 @_q(
     "dedup_ngram_jaccard",
-    _PRE
+    _PRE.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
     + """, __sh AS (
   SELECT DISTINCT doc_id, array_to_string(toks[p : p + 2], ' ') AS shingle
   FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS p FROM __docs)
@@ -2835,23 +2857,61 @@ __inter AS (
   FROM __sh a
   JOIN __sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM __inter
-JOIN __sz sa ON sa.doc_id = id_a
-JOIN __sz sb ON sb.doc_id = id_b
-WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
-ORDER BY id_a, id_b""",
+),
+__pairs AS (
+  SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jac
+  FROM __inter
+  JOIN __sz sa ON sa.doc_id = id_a
+  JOIN __sz sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
+),
+__e AS (
+  SELECT id_a AS s, id_b AS t FROM __pairs
+  UNION ALL SELECT id_b, id_a FROM __pairs
+),
+__cc AS (
+  -- reachability closure: (node, label-of-a-node-reaching-it); UNION
+  -- (set semantics) terminates, min per node = the component min
+  SELECT s AS node, s AS lab FROM __e
+  UNION
+  SELECT e.t AS node, c.lab FROM __cc c JOIN __e e ON e.s = c.node
+),
+__canon AS (SELECT node, min(lab) AS canon FROM __cc GROUP BY node),
+__csz AS (SELECT canon, count(*) AS sz FROM __canon GROUP BY canon)
+SELECT 'pair' AS op, id_a, id_b, jac AS metric FROM __pairs
+UNION ALL
+SELECT 'cluster' AS op, c.node AS id_a, c.canon AS id_b,
+       CAST(z.sz AS DOUBLE) AS metric
+FROM __canon c JOIN __csz z USING (canon)
+ORDER BY op, id_a, id_b""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs via a ppjoin-style plan
-    (sorted-prefix candidate filter + size band + exact verification);
-    the default df>1000 hot-shingle cap prunes candidate generation
-    only (recall-only at boilerplate scale, inert on this corpus), so
-    the oracle is the plain exact shingle-join Jaccard."""
-    return dedup.jaccard_pairs(
+    """Suite: exact 3-gram Jaccard near-dup PAIRS via a ppjoin-style
+    plan (sorted-prefix candidate filter + size band + exact
+    verification; the default df>1000 hot-shingle cap prunes candidate
+    generation only, inert on this corpus, so the oracle is the plain
+    exact shingle-join Jaccard) + r3 ``cluster``: connected components
+    over those pairs (hash-to-min label propagation, ``dup_clusters``)
+    emitting (member, canonical=component-min, component size) — the
+    survivor-selection step of a dedup pipeline, oracle-checked against
+    a DuckDB recursive-CTE reachability closure."""
+    pairs = dedup.jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
-    ).orderBy("id_a", "id_b")
+    )
+    cl = dedup.dup_clusters(pairs)
+    sizes = cl.groupBy("canon").agg(F.count(F.lit(1)).alias("sz"))
+    cluster = cl.join(sizes, "canon").select(
+        F.col("doc_id").alias("id_a"),
+        F.col("canon").alias("id_b"),
+        F.col("sz").cast("double").alias("metric"),
+    )
+    return _union(
+        _tag(
+            pairs.withColumnRenamed("jaccard", "metric"),
+            "pair", "id_a", "id_b", "metric",
+        ),
+        _tag(cluster, "cluster", "id_a", "id_b", "metric"),
+    ).orderBy("op", "id_a", "id_b")
 
 
 @_q(

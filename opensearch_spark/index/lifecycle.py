@@ -86,8 +86,16 @@ def update_by_query(
     """``_update_by_query``: rebuild the index with ``transform`` applied
     to the docs matching ``query`` (non-matching docs unchanged).  An
     immutable-segment design updates by rewrite — the reference does the
-    same via delete+reindex of each hit."""
+    same via delete+reindex of each hit.
+
+    Soft-deleted docs are EXCLUDED from the rebuild (r3 fix): the
+    reference's scroll+bulk only ever sees live docs, so a tombstoned
+    doc must not be resurrected by an unrelated update — the rewritten
+    index starts with no tombstones and no deleted content."""
     dm = engine.index.docmap()
+    dels = live_docids(spark, engine.index.index_dir)
+    if dels is not None:
+        dm = dm.join(F.broadcast(dels), "_docid", "anti")
     matched = engine._score_with_deletes_applied(query).select("_docid")
     src_cols = engine.index.plan.get("input_fields") or [
         c for c in dm.columns if not c.startswith("_") and c not in ("dl", "norm_byte")

@@ -479,3 +479,61 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------- cluster / survivor selection
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> ``(doc_id, canon)``
+    with ``canon`` = the minimum doc id in the component — the
+    survivor-selection step of a dedup pipeline (keep ``canon``, drop
+    every other member).  Rows cover EVERY member of every non-trivial
+    component, including the canonical doc itself.
+
+    Algorithm: hash-to-min label propagation — each round every node
+    takes the min label over itself and its neighbors (two shuffle
+    joins per round), iterated to a fixpoint.  Near-dup graphs are
+    union-of-cliques-ish (LSH banding links all members of a boilerplate
+    cluster directly), so the diameter — and the round count — is tiny
+    (O(log d) rounds, d = component diameter); ``max_iters`` bounds the
+    pathological chain case.  Each round's frame is localCheckpoint()ed
+    so the lineage does not grow with iterations (the classic iterative-
+    algorithm driver pattern; at 100 TB each round is two groupBys on
+    the already-bucketed pair output, no driver materialization beyond
+    the 1-row convergence count)."""
+    e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+    edges = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .select(F.col("t").alias("node"), "lab")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("canon"))

@@ -591,6 +591,11 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             if k == "wildcard":
                 w = sub["wildcard"]
                 return [{"wildcard": w.get("pattern") if isinstance(w, dict) else w}]
+            if k == "fuzzy":
+                fz = sub["fuzzy"]
+                if isinstance(fz, dict):
+                    return [{"fuzzy": fz["term"], "fuzziness": fz.get("fuzziness")}]
+                return [{"fuzzy": fz, "fuzziness": None}]
             if k == "any_of":
                 out: List[Any] = []
                 for s2 in sub["any_of"]["intervals"]:
@@ -605,7 +610,7 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                 max_gaps=-1,
                 ordered=False,
             )
-        if src in ("prefix", "wildcard"):
+        if src in ("prefix", "wildcard", "fuzzy"):
             return Intervals(
                 field, any_of_groups=[_group(v)], max_gaps=-1, ordered=False
             )

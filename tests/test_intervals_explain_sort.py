@@ -165,3 +165,35 @@ def test_mtermvectors(engine):
     assert docs == {"conv-00000001:0", "conv-00000002:0"}
     got = {r["term"]: r["tf"] for r in batch if r["doc"] == "conv-00000001:0"}
     assert got == single
+
+
+def test_intervals_multiterm_sources(engine):
+    """intervals prefix/wildcard/fuzzy sources expand against the term
+    dictionary and behave as that slot's any_of union
+    (IntervalsSourceProvider Prefix/Wildcard/Fuzzy; r3)."""
+    from opensearch_spark.query import dsl as Q
+
+    # prefix source must equal the explicit any_of over its expansions
+    exp = engine._expand_terms(Q.Prefix("text", "error"))
+    assert exp, "fixture corpus has no 'error*' terms?"
+    via_prefix = {
+        r["_docid"]: r["score"]
+        for r in engine._score(
+            Q.from_dict({"intervals": {"text": {"prefix": {"prefix": "error"}}}})
+        ).collect()
+    }
+    via_any_of = {
+        r["_docid"]: r["score"]
+        for r in engine._score(
+            Q.Intervals("text", any_of_groups=[list(exp)], max_gaps=-1, ordered=False)
+        ).collect()
+    }
+    assert via_prefix == via_any_of and via_prefix
+    # fuzzy source parses and matches at least the exact term's docs
+    fz = engine._score(
+        Q.from_dict({"intervals": {"text": {"fuzzy": {"term": "error", "fuzziness": 1}}}})
+    ).count()
+    exact = engine._score(
+        Q.Intervals("text", any_of_groups=[["error"]], max_gaps=-1, ordered=False)
+    ).count()
+    assert fz >= exact > 0

@@ -86,3 +86,28 @@ def test_update_by_query(spark, lifecycle_idx, tmp_path):
     assert ueng.count({"term": {"text": "zzupdated"}}) == n_tool
     # non-matching docs untouched
     assert ueng.index.docmap().count() == eng.index.docmap().count()
+
+
+def test_update_by_query_does_not_resurrect_deleted(spark, lifecycle_idx, tmp_path):
+    """A tombstoned doc must not reappear (live) in the index rebuilt by
+    update_by_query — the reference's scroll+bulk only sees live docs."""
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    q = {"match": {"text": "error handling"}}
+    victim_row = eng.search(q, size=1).collect()[0]
+    victim = (victim_row["conv_id"], victim_row["turn_idx"])
+    assert delete_by_query(eng, {"ids": {"values": [list(victim)]}}) == 1
+    n_live = eng.index.docmap().count() - 1
+
+    dst = str(tmp_path / "upd_after_delete")
+    update_by_query(
+        spark,
+        eng,
+        {"term": {"role": "tool"}},
+        lambda df: df.withColumn("text", F.concat(F.col("text"), F.lit(" zzupdated"))),
+        dst,
+        IndexConfig(n_segments=4),
+    )
+    ueng = SearchEngine(InvertedIndex(spark, dst))
+    assert ueng.index.docmap().count() == n_live
+    hits = ueng.search(q, size=10).collect()
+    assert victim not in [(r["conv_id"], r["turn_idx"]) for r in hits]

@@ -82,3 +82,24 @@ def test_ivf_indexed_partition_pruning(spark, vectors, tmp_path):
     )
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "cell" in plan  # the cell filter reaches the scan
+
+
+def test_dup_clusters_components(spark):
+    """Connected components over pair lists: chains merge transitively,
+    the canonical label is the component min, sizes are exact, and
+    nodes absent from any pair do not appear (singletons are implicit
+    survivors)."""
+    from opensearch_spark.ops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> one component {1,2,3,4}
+         (10, 11), (10, 12),              # star  -> {10,11,12}
+         (20, 21)],                       # pair  -> {20,21}
+        "id_a long, id_b long",
+    )
+    got = {(r["doc_id"], r["canon"]) for r in dup_clusters(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
