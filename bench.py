@@ -86,7 +86,7 @@ SURFACE_COMPOSITION = {
     "ft_match_phrase": "r3: 2 ops (slop0 + sloppy slop=2); r2 had 1",
     "dedup_ngram_jaccard": "r3: 2 ops (pair + connected-component cluster); r2 had pairs only",
     "agg_histograms": "4 ops (unchanged since r2 repack)",
-    "text_suite": "4 text ops + 3 id-joins (unchanged since r2 repack)",
+    "text_suite": "r3: 4 text ops via single-pass text_profile (one tokenizer eval, no joins); r2 joined 4 frames",
 }
 
 

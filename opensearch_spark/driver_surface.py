@@ -986,12 +986,20 @@ __c2 AS ({_sql_clause({"merge": 1, "group": 1})}),
 __r1 AS (SELECT 'q1' AS query_id, doc_id, ROUND(sc, 4) AS score FROM __c1
          ORDER BY score DESC, doc_id ASC LIMIT 5),
 __r2 AS (SELECT 'q2' AS query_id, doc_id, ROUND(sc, 4) AS score FROM __c2
-         ORDER BY score DESC, doc_id ASC LIMIT 5)
-SELECT * FROM __r1 UNION ALL SELECT * FROM __r2""",
+         ORDER BY score DESC, doc_id ASC LIMIT 5),
+__r3 AS (SELECT op AS query_id, doc_id, score
+         FROM ({_sql_match_sub({"batch": 1, "window": 1}, required=2, k=5, op="q3_template")}))
+SELECT * FROM __r1 UNION ALL SELECT * FROM __r2 UNION ALL SELECT * FROM __r3""",
 )
 def ft_msearch(spark, sf_dir):
     """``_msearch`` batching: independent queries unioned with a
-    query_id column (rest-api-spec/api/msearch.json; SURVEY.md §2.7)."""
+    query_id column (rest-api-spec/api/msearch.json; SURVEY.md §2.7).
+    The third query arrives as a rendered SEARCH TEMPLATE (r3 — the
+    lang-mustache analog was pytest-only): ``{{var}}`` substitution
+    into a match + minimum_should_match body, executed like any other
+    batched query, so template rendering is now under the oracle."""
+    from opensearch_spark.query.templates import render_search_template
+
     eng = documents_engine(spark, sf_dir)
     a = topk(eng, {"match": {"text": "spark join"}}, k=5).withColumn(
         "query_id", F.lit("q1")
@@ -999,7 +1007,15 @@ def ft_msearch(spark, sf_dir):
     b = topk(eng, {"match": {"text": "merge group"}}, k=5).withColumn(
         "query_id", F.lit("q2")
     )
-    return a.unionByName(b).select("query_id", "doc_id", "score")
+    q3 = render_search_template(
+        {
+            "source": '{"match": {"text": {"query": "{{q}}", '
+            '"minimum_should_match": {{msm}}}}}'
+        },
+        {"q": "batch window", "msm": 2},
+    )
+    c = topk(eng, q3, k=5).withColumn("query_id", F.lit("q3_template"))
+    return a.unionByName(b).unionByName(c).select("query_id", "doc_id", "score")
 
 
 @_q(
@@ -3084,33 +3100,11 @@ def text_suite(spark, sf_dir):
     """Suite: the text-analysis pipeline ops in one per-doc frame —
     token statistics (token_count semantics), heuristic quality scoring
     (length/stopword/type-token ratios), language-ID (function-word hit
-    rate), and the OpenRefine-style fingerprint key.  One tokenize pass
-    feeds all four (pure Catalyst after the Arrow-batched tokenizer)."""
+    rate), and the OpenRefine-style fingerprint key — computed by the
+    single-pass ``text_profile`` (r3: ONE tokenizer evaluation, zero
+    id-joins; was 4 per-op frames + 3 joins)."""
     docs = load_table(spark, sf_dir, "documents")
-    ts = textstats.token_stats(docs)
-    qs = textstats.quality_scores(docs)
-    li = textstats.language_id(docs)
-    fp = textstats.fingerprints(docs)
-    return (
-        ts.join(qs, "doc_id")
-        .join(li, "doc_id")
-        .join(fp, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_distinct",
-            "mean_token_len",
-            "n_subtokens",
-            "stop_ratio",
-            "type_token_ratio",
-            "length_score",
-            "quality",
-            "en_rate",
-            "pred_lang",
-            "fingerprint",
-        )
-        .orderBy("doc_id")
-    )
+    return textstats.text_profile(docs).orderBy("doc_id")
 
 
 # ============================== probabilistic / approximate (rows-only)

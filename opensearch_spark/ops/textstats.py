@@ -122,3 +122,54 @@ def fingerprints(
         F.array_join(F.array_sort(F.array_distinct("_t")), " ").cast("binary")
     )
     return d.select(id_col, key.alias("fingerprint"))
+
+
+def text_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """All four text-analysis profiles in ONE pass — token statistics,
+    quality scoring, language-ID, fingerprint — from a single tokenizer
+    evaluation (the Arrow-batched UDF output is materialized once per
+    row, every downstream column is JVM-side arithmetic over it).  At
+    100 TB this is one corpus scan instead of four scans and three
+    id-joins; the per-op functions above remain for à-la-carte use and
+    produce column-identical results (pinned by text_suite's oracle)."""
+    d = df.select(
+        F.col(id_col), F.col(text_col).alias("_raw"), tokens_col(text_col).alias("_t")
+    )
+    n = F.size("_t")
+    n_d = n.cast("double")
+    uniq = F.size(F.array_distinct("_t"))
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter("_t", lambda t: F.array_contains(stop_arr, t))).cast("double")
+    stop_ratio = F.when(n_d > 0, n_stop / n_d).otherwise(F.lit(0.0))
+    ttr = F.when(n_d > 0, uniq.cast("double") / n_d).otherwise(F.lit(0.0))
+    len_score = F.least(n_d / F.lit(64.0), F.lit(1.0))
+    score = F.lit(0.4) * len_score + F.lit(0.3) * ttr + F.lit(0.3) * (
+        F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))
+    )
+    return d.select(
+        id_col,
+        n.cast("int").alias("n_tokens"),
+        uniq.cast("int").alias("n_distinct"),
+        F.round(
+            F.when(
+                n > 0,
+                F.aggregate("_t", F.lit(0.0), lambda acc, t: acc + F.length(t))
+                / n_d,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_token_len"),
+        F.size(F.regexp_extract_all(F.lower(F.col("_raw")), F.lit(BPE_CHUNK_RE), 0))
+        .cast("int")
+        .alias("n_subtokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(len_score, 6).alias("length_score"),
+        F.round(score, 6).alias("quality"),
+        F.round(stop_ratio, 6).alias("en_rate"),
+        F.when(stop_ratio >= 0.2, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct("_t")), " ").cast("binary")
+        ).alias("fingerprint"),
+    )
