@@ -988,8 +988,11 @@ __r1 AS (SELECT 'q1' AS query_id, doc_id, ROUND(sc, 4) AS score FROM __c1
 __r2 AS (SELECT 'q2' AS query_id, doc_id, ROUND(sc, 4) AS score FROM __c2
          ORDER BY score DESC, doc_id ASC LIMIT 5),
 __r3 AS (SELECT op AS query_id, doc_id, score
-         FROM ({_sql_match_sub({"batch": 1, "window": 1}, required=2, k=5, op="q3_template")}))
-SELECT * FROM __r1 UNION ALL SELECT * FROM __r2 UNION ALL SELECT * FROM __r3""",
+         FROM ({_sql_match_sub({"batch": 1, "window": 1}, required=2, k=5, op="q3_template")})),
+__r4 AS (SELECT 'q4_wrapper' AS query_id, doc_id, ROUND(sc, 4) AS score FROM __c2
+         ORDER BY score DESC, doc_id ASC LIMIT 5)
+SELECT * FROM __r1 UNION ALL SELECT * FROM __r2
+UNION ALL SELECT * FROM __r3 UNION ALL SELECT * FROM __r4""",
 )
 def ft_msearch(spark, sf_dir):
     """``_msearch`` batching: independent queries unioned with a
@@ -997,7 +1000,12 @@ def ft_msearch(spark, sf_dir):
     The third query arrives as a rendered SEARCH TEMPLATE (r3 — the
     lang-mustache analog was pytest-only): ``{{var}}`` substitution
     into a match + minimum_should_match body, executed like any other
-    batched query, so template rendering is now under the oracle."""
+    batched query, so template rendering is now under the oracle.  The
+    fourth is a ``wrapper`` query (base64-encoded JSON body,
+    WrapperQueryBuilder.java) decoding to the q2 match — the decode
+    path must reproduce q2's scores exactly."""
+    import base64
+
     from opensearch_spark.query.templates import render_search_template
 
     eng = documents_engine(spark, sf_dir)
@@ -1015,7 +1023,18 @@ def ft_msearch(spark, sf_dir):
         {"q": "batch window", "msm": 2},
     )
     c = topk(eng, q3, k=5).withColumn("query_id", F.lit("q3_template"))
-    return a.unionByName(b).unionByName(c).select("query_id", "doc_id", "score")
+    wrapped = base64.b64encode(
+        b'{"match": {"text": "merge group"}}'
+    ).decode("ascii")
+    d = topk(eng, {"wrapper": {"query": wrapped}}, k=5).withColumn(
+        "query_id", F.lit("q4_wrapper")
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(d)
+        .select("query_id", "doc_id", "score")
+    )
 
 
 @_q(
