@@ -301,30 +301,10 @@ def minhash_lsh_pairs(
     output has no false positives (recall follows the LSH S-curve
     ``1 - (1 - J^r)^b``).
     """
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
-    bucket_rows = sig.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
-                                    lambda c: c.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    bucket_rows = _minhash_band_rows(sig, id_col, num_perm, bands).select(
+        F.col(id_col).alias("_id"), "band", "bucket"
+    )
     a = bucket_rows.select(F.col("_id").alias("id_a"), "band", "bucket")
     b = bucket_rows.select(F.col("_id").alias("id_b"), "band", "bucket")
     cands = (
@@ -537,3 +517,136 @@ def dup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("canon"))
+
+
+# ----------------------------------------- persisted incremental MinHash index
+
+def _minhash_band_rows(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """``(id, band, bucket)`` LSH band-bucket rows from a signature
+    frame (shared by the in-memory pair join and the persisted index)."""
+    rows_per_band = num_perm // bands
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                                    lambda c: c.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded MinHash index of a corpus as parquet tables —
+    the STANDING dedup state that makes 100 TB dedup incremental:
+    index the corpus once, then every new batch probes (and appends to)
+    the index instead of re-joining the full corpus against itself.
+
+    Layout: ``<path>/bands`` = (id, band, bucket) partitioned by band
+    (bounded fan-out; per-band files keep the probe join's shuffle key
+    space split and make per-band compaction natural) and
+    ``<path>/sigs`` = (id, sig array<long>) for signature-estimated
+    Jaccard verification at probe time — no shingle or text storage.
+    ``mode="append"`` adds a new batch to an existing index (same
+    n/num_perm/bands/seed required; signatures are deterministic in the
+    seed, so index and probe always agree)."""
+    import os as _os
+
+    sig = minhash_signatures(docs, id_col, text_col, n, num_perm, seed)
+    rows = _minhash_band_rows(sig, id_col, num_perm, bands)
+    rows.write.mode(mode).partitionBy("band").parquet(_os.path.join(path, "bands"))
+    sig.write.mode(mode).parquet(_os.path.join(path, "sigs"))
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 7,
+    append: bool = False,
+) -> DataFrame:
+    """Probe a persisted MinHash index with a NEW batch: returns
+    ``(new_id, indexed_id, est_jaccard)`` pairs with
+    ``est_jaccard`` = the fraction of matching signature slots (the
+    standard unbiased MinHash Jaccard estimator) ``>= threshold``.
+
+    The candidate join is a hash join of the batch's band rows against
+    the index's — O(batch x collisions), never O(corpus^2) and never
+    re-reading corpus text.  With ``append=True`` the batch's rows are
+    added to the index afterwards, so subsequent batches dedup against
+    it too (the incremental-ingest loop: probe -> drop dups ->
+    append survivors)."""
+    import os as _os
+
+    sig_new = minhash_signatures(new_docs, id_col, text_col, n, num_perm, seed)
+    rows_new = _minhash_band_rows(sig_new, id_col, num_perm, bands)
+    idx_rows = spark.read.parquet(_os.path.join(path, "bands"))
+    idx_sigs = spark.read.parquet(_os.path.join(path, "sigs"))
+    cands = (
+        rows_new.select(F.col(id_col).alias("new_id"), "band", "bucket")
+        .join(
+            idx_rows.select(F.col(id_col).alias("indexed_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "indexed_id")
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(num_perm))
+    out = (
+        cands.join(
+            sig_new.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a")),
+            "new_id",
+        )
+        .join(
+            idx_sigs.select(
+                F.col(id_col).alias("indexed_id"), F.col("sig").alias("sig_b")
+            ),
+            "indexed_id",
+        )
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+        .select("new_id", "indexed_id", "est_jaccard")
+    )
+    if append:
+        out = out.localCheckpoint()  # materialize BEFORE the index grows
+        write_minhash_index(
+            new_docs, path, id_col, text_col, n, num_perm, bands, seed, mode="append"
+        )
+    return out

@@ -103,3 +103,48 @@ def test_dup_clusters_components(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_minhash_index_incremental(spark, tmp_path):
+    """Persisted MinHash index: a new batch's exact clones hit their
+    indexed originals at est_jaccard 1.0, fresh docs produce no
+    high-threshold hits, and append=True makes a later batch dedup
+    against the earlier one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.ops.dedup import probe_minhash_index, write_minhash_index
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata absent")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    base = docs.filter(F.col("doc_id") < 450)
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(base, idx)
+
+    clones = (
+        base.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000))
+    )
+    fresh = docs.filter(F.col("doc_id") >= 450)
+    batch1 = clones.unionByName(fresh)
+    hits = probe_minhash_index(spark, idx, batch1, threshold=0.9, append=True)
+    got = {(r["new_id"], r["indexed_id"]): r["est_jaccard"] for r in hits.collect()}
+    for i in range(5):
+        assert got.get((10_000 + i, i)) == 1.0, got
+    assert all(nid < 10_005 for nid, _ in got), "fresh docs should not near-dup"
+
+    # a second batch cloning batch-1's fresh docs must hit the APPENDED rows
+    batch2 = fresh.filter(F.col("doc_id") < 455).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(20_000)
+    )
+    hits2 = {
+        (r["new_id"], r["indexed_id"])
+        for r in probe_minhash_index(spark, idx, batch2, threshold=0.9).collect()
+    }
+    for i in range(450, 455):
+        assert (20_000 + i, i) in hits2, hits2
