@@ -808,3 +808,33 @@ def significant_text(
         .limit(size)
         .select("key", "fg_count", "bg_count", "score")
     )
+
+
+def geo_centroid(
+    df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """``geo_centroid`` (GeoCentroidAggregationBuilder; metrics/
+    GeoCentroidAggregator.java): doc-count-weighted mean of the points
+    — one row (lat, lon, count).  Simple arithmetic mean of the
+    coordinates (the reference accumulates in the same lat/lon space);
+    longitude wrap-around near the antimeridian is not special-cased
+    (documented simplification)."""
+    return df.agg(
+        F.round(F.avg(F.col(lat_col)), 6).alias("lat"),
+        F.round(F.avg(F.col(lon_col)), 6).alias("lon"),
+        F.count(F.lit(1)).cast("long").alias("count"),
+    )
+
+
+def geo_bounds(
+    df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """``geo_bounds`` (GeoBoundsAggregationBuilder): the tightest
+    non-wrapping bounding box of the points — one row
+    (top, bottom, left, right)."""
+    return df.agg(
+        F.max(F.col(lat_col)).alias("top"),
+        F.min(F.col(lat_col)).alias("bottom"),
+        F.min(F.col(lon_col)).alias("left"),
+        F.max(F.col(lon_col)).alias("right"),
+    )

@@ -23,7 +23,7 @@ from opensearch_spark.query.executor import SearchEngine
 
 # bump when index layout or the derived-docs shape changes: stale cached
 # indexes are keyed away instead of misread
-_LAYOUT_VERSION = "v6"
+_LAYOUT_VERSION = "v7"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,6 +48,23 @@ def documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("req_terms", (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+        # deterministic geo_point pair (SURVEY §2.2 geo family; the raw
+        # table has no coordinates): pure integer arithmetic on doc_id
+        # so the DuckDB oracle reproduces the DOUBLES bit-exactly —
+        # lat in [-90, 90), lon in [-180, 180), scattered by coprime
+        # multipliers
+        .withColumn(
+            "lat",
+            ((F.col("doc_id") * 7919 % 18000) / F.lit(100.0) - F.lit(90.0)).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "lon",
+            ((F.col("doc_id") * 104729 % 36000) / F.lit(100.0) - F.lit(180.0)).cast(
+                "double"
+            ),
+        )
         # a second ANALYZED text field for multi-field search: the doc's
         # first 4 tokens (a synthetic "title" — genuinely contributing
         # terms, deterministically derived so the DuckDB oracle can

@@ -63,7 +63,9 @@ WITH __docs AS (
          list_filter(string_split(text, ' '), x -> x <> '') AS toks,
          lang, source, n_chars,
          CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src_alt,
-         CAST(1 + doc_id % 3 AS INT) AS req_terms
+         CAST(1 + doc_id % 3 AS INT) AS req_terms,
+         CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE) AS lat,
+         CAST((doc_id * 104729 % 36000) / 100.0 - 180.0 AS DOUBLE) AS lon
   FROM documents
 ),
 __dl AS (SELECT doc_id, len(toks) AS dl FROM __docs),
@@ -545,21 +547,56 @@ FROM __docs WHERE src_alt IS NOT NULL
 UNION ALL
 SELECT 'ids' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs WHERE doc_id IN (3, 5, 144)
+UNION ALL
+SELECT 'geo_distance' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs
+WHERE 2 * 6371.0088 * asin(sqrt(
+        pow(sin((radians(lat) - radians(10.0)) / 2), 2)
+        + cos(radians(10.0)) * cos(radians(lat))
+          * pow(sin((radians(lon) - radians(20.0)) / 2), 2)
+      )) <= 3000.0
+UNION ALL
+SELECT 'geo_bbox' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs
+WHERE lat <= 60.0 AND lat >= 20.0 AND (lon >= 150.0 OR lon <= -150.0)
 ORDER BY op, doc_id ASC""",
 )
 def ft_filters(spark, sf_dir):
     """Suite: ``range`` on a numeric doc-values column (Catalyst pushes
     the predicate into the parquet scan; RangeQueryBuilder.java) +
     ``exists`` non-null doc value (ExistsQueryBuilder.java) + ``ids``
-    lookup (IdsQueryBuilder.java)."""
+    lookup (IdsQueryBuilder.java) + r3 geo subset over the
+    deterministic lat/lon pair: ``geo_distance`` (haversine arc on the
+    mean earth radius, GeoDistanceQueryBuilder.java — the chosen radius
+    sits 51 km from the nearest doc, so float rounding cannot flip
+    membership) and ``geo_bounding_box`` crossing the antimeridian
+    (left 150 > right -150 splits into an OR of lon ranges,
+    GeoBoundingBoxQueryBuilder.java's dateline handling)."""
     eng = documents_engine(spark, sf_dir)
     a = docset(eng, {"range": {"n_chars": {"gte": 100, "lt": 300}}})
     b = docset(eng, {"exists": {"field": "src_alt"}})
     c = docset(eng, {"ids": {"values": [3, 5, 144]}})
+    d = docset(
+        eng,
+        {"geo_distance": {"distance": "3000km", "location": {"lat": 10.0, "lon": 20.0}}},
+    )
+    e = docset(
+        eng,
+        {
+            "geo_bounding_box": {
+                "location": {
+                    "top_left": {"lat": 60.0, "lon": 150.0},
+                    "bottom_right": {"lat": 20.0, "lon": -150.0},
+                }
+            }
+        },
+    )
     return _union(
         _tag(a, "range", "doc_id", "score"),
         _tag(b, "exists", "doc_id", "score"),
         _tag(c, "ids", "doc_id", "score"),
+        _tag(d, "geo_distance", "doc_id", "score"),
+        _tag(e, "geo_bbox", "doc_id", "score"),
     ).orderBy("op", F.asc("doc_id"))
 
 
@@ -1485,7 +1522,8 @@ SELECT 'termvectors_df' AS op, t.term AS k, d.df AS v
 FROM __tf t JOIN __df d USING (term) WHERE t.doc_id = 2
 UNION ALL
 SELECT 'field_caps' AS op, k, v FROM (VALUES
-  ('doc_id', 0.0), ('lang', 0.0), ('n_chars', 0.0), ('req_terms', 0.0),
+  ('doc_id', 0.0), ('lang', 0.0), ('lat', 0.0), ('lon', 0.0),
+  ('n_chars', 0.0), ('req_terms', 0.0),
   ('source', 0.0), ('src_alt', 0.0), ('text', 1.0), ('title', 0.0)
 ) AS fc(k, v)
 UNION ALL
@@ -1967,6 +2005,25 @@ SELECT 'percentiles' AS op, metric, value FROM (
 UNION ALL
 SELECT 'mad' AS op, 'mad' AS metric,
        ROUND(CAST(quantile_cont(abs(value - (SELECT quantile_cont(value, 0.5) FROM events)), 0.5) AS DOUBLE), 4) FROM events
+UNION ALL
+SELECT 'geo_centroid' AS op, metric, value FROM (
+  WITH g AS (SELECT CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE) AS lat,
+                    CAST((doc_id * 104729 % 36000) / 100.0 - 180.0 AS DOUBLE) AS lon
+             FROM documents)
+  SELECT 'lat' AS metric, ROUND(avg(lat), 6) AS value FROM g
+  UNION ALL SELECT 'lon', ROUND(avg(lon), 6) FROM g
+  UNION ALL SELECT 'count', CAST(count(*) AS DOUBLE) FROM g
+)
+UNION ALL
+SELECT 'geo_bounds' AS op, metric, value FROM (
+  WITH g AS (SELECT CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE) AS lat,
+                    CAST((doc_id * 104729 % 36000) / 100.0 - 180.0 AS DOUBLE) AS lon
+             FROM documents)
+  SELECT 'top' AS metric, max(lat) AS value FROM g
+  UNION ALL SELECT 'bottom', min(lat) FROM g
+  UNION ALL SELECT 'left', min(lon) FROM g
+  UNION ALL SELECT 'right', max(lon) FROM g
+)
 ORDER BY op, metric""",
 )
 def agg_metrics(spark, sf_dir):
@@ -1976,7 +2033,9 @@ def agg_metrics(spark, sf_dir):
     ``weighted_avg`` (InternalWeightedAvg.java), ``cardinality`` exact
     (CardinalityAggregator.java; the HLL++ path is in approx_suite),
     ``percentiles`` exact (t-digest path in approx_suite),
-    ``median_absolute_deviation``."""
+    ``median_absolute_deviation``, and r3 ``geo_centroid`` /
+    ``geo_bounds`` (GeoCentroidAggregator.java /
+    GeoBoundsAggregationBuilder) over the documents' lat/lon pair."""
     ev = load_table(spark, sf_dir, "events")
 
     def melt(row_df, op):
@@ -1996,6 +2055,10 @@ def agg_metrics(spark, sf_dir):
         melt(aggs.percentiles(ev, "value", (50, 95, 99)), "percentiles"),
         melt(aggs.median_absolute_deviation(ev, "value"), "mad"),
     ]
+    # r3 geo metric aggs over the documents' deterministic lat/lon pair
+    gdf = documents_df(spark, sf_dir).select("lat", "lon")
+    parts.append(melt(aggs.geo_centroid(gdf), "geo_centroid"))
+    parts.append(melt(aggs.geo_bounds(gdf), "geo_bounds"))
     return _union(*parts).orderBy("op", "metric")
 
 

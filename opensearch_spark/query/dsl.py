@@ -442,6 +442,39 @@ class Fuzzy:
 
 
 @dataclasses.dataclass
+class GeoDistance:
+    """``geo_distance`` (``GeoDistanceQueryBuilder.java``): docs whose
+    point lies within ``distance_km`` of the origin, arc (haversine)
+    distance — the reference's default ``GeoDistance.ARC`` on the mean
+    earth radius.  Geo points are modeled as a COLUMN PAIR
+    (``<field>_lat``/``<field>_lon``; the conventional field name
+    ``location`` maps to bare ``lat``/``lon``) — the Spark-native
+    analog of the geo_point doc-values encoding; the predicate is a
+    pure Catalyst trig expression over doc values (no postings)."""
+
+    field: str
+    lat: float
+    lon: float
+    distance_km: float
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class GeoBoundingBox:
+    """``geo_bounding_box`` (``GeoBoundingBoxQueryBuilder.java``): pure
+    comparisons on the lat/lon column pair; a lon range crossing the
+    antimeridian (left > right) splits into an OR of two ranges (the
+    reference's dateline handling)."""
+
+    field: str
+    top: float
+    left: float
+    bottom: float
+    right: float
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
 class Bool:
     """Boolean composition (``BoolQueryBuilder.java:66-74``): ``must`` AND +
     scores, ``filter`` AND no score, ``should`` OR + scores with
@@ -725,6 +758,35 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         return ScriptScore(
             from_dict(body["query"]),
             expr=body.get("script", {}).get("source") if isinstance(body.get("script"), dict) else body.get("script"),
+        )
+    if kind == "geo_distance":
+        # {"geo_distance": {"distance": "200km", "location": {"lat": .., "lon": ..}}}
+        dist = body["distance"]
+        if isinstance(dist, str):
+            d = dist.strip().lower()
+            if d.endswith("km"):
+                km = float(d[:-2])
+            elif d.endswith("mi"):
+                km = float(d[:-2]) * 1.609344
+            elif d.endswith("m"):
+                km = float(d[:-1]) / 1000.0
+            else:
+                km = float(d)
+        else:
+            km = float(dist)
+        field = next(k for k in body if k != "distance")
+        pt = body[field]
+        return GeoDistance(field, float(pt["lat"]), float(pt["lon"]), km)
+    if kind == "geo_bounding_box":
+        field = next(iter(body))
+        box = body[field]
+        tl, br = box["top_left"], box["bottom_right"]
+        return GeoBoundingBox(
+            field,
+            top=float(tl["lat"]),
+            left=float(tl["lon"]),
+            bottom=float(br["lat"]),
+            right=float(br["lon"]),
         )
     if kind == "wrapper":
         import base64 as _b64

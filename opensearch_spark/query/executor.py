@@ -109,6 +109,33 @@ def _count_intervals(
     return len(_find_intervals(pos, terms, max_gaps, ordered))
 
 
+EARTH_MEAN_RADIUS_KM = 6371.0088  # Lucene GeoUtils.EARTH_MEAN_RADIUS / 1000
+
+
+def _geo_cols(field: str):
+    """geo_point column-pair convention: the conventional field name
+    ``location`` maps to bare ``lat``/``lon`` columns, any other field
+    to ``<field>_lat``/``<field>_lon``."""
+    if field == "location":
+        return F.col("lat"), F.col("lon")
+    return F.col(f"{field}_lat"), F.col(f"{field}_lon")
+
+
+def _haversine_km(lat_c: Column, lon_c: Column, olat: float, olon: float) -> Column:
+    """Arc distance in km (haversine on the mean earth radius) as a
+    pure Catalyst expression — whole-stage-codegen trig over doc
+    values, reproducible term-for-term by the SQL oracle."""
+    la1 = F.radians(F.lit(float(olat)))
+    lo1 = F.radians(F.lit(float(olon)))
+    la2 = F.radians(lat_c)
+    lo2 = F.radians(lon_c)
+    h = (
+        F.pow(F.sin((la2 - la1) / 2), 2)
+        + F.cos(la1) * F.cos(la2) * F.pow(F.sin((lo2 - lo1) / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_MEAN_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
 def _sloppy_freq(pos: dict, terms: List[str], slop: int) -> float:
     """Lucene sloppy phrase frequency over minimal ordered intervals:
     each match contributes ``1 / (1 + matchLength)`` where matchLength
@@ -638,7 +665,7 @@ class SearchEngine:
             return self._pred_docset(self._predicate(q), q.boost)
         if isinstance(q, Q.TermsSet):
             return self._score_terms_set(q)
-        if isinstance(q, (Q.Range, Q.Exists, Q.Ids)):
+        if isinstance(q, (Q.Range, Q.Exists, Q.Ids, Q.GeoDistance, Q.GeoBoundingBox)):
             return self._pred_docset(self._predicate(q), q.boost)
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp)):
             terms = self._expand_terms(q)
@@ -1738,6 +1765,19 @@ class SearchEngine:
             return reduce(lambda a, b_: a & b_, conds)
         if isinstance(q, Q.Exists):
             return F.col(q.field).isNotNull()
+        if isinstance(q, Q.GeoBoundingBox):
+            lat_c, lon_c = _geo_cols(q.field)
+            lat_ok = (lat_c <= F.lit(float(q.top))) & (lat_c >= F.lit(float(q.bottom)))
+            if q.left <= q.right:
+                lon_ok = (lon_c >= F.lit(float(q.left))) & (lon_c <= F.lit(float(q.right)))
+            else:  # antimeridian crossing: two disjoint lon ranges
+                lon_ok = (lon_c >= F.lit(float(q.left))) | (lon_c <= F.lit(float(q.right)))
+            return lat_ok & lon_ok
+        if isinstance(q, Q.GeoDistance):
+            lat_c, lon_c = _geo_cols(q.field)
+            return _haversine_km(lat_c, lon_c, q.lat, q.lon) <= F.lit(
+                float(q.distance_km)
+            )
         if isinstance(q, Q.Ids):
             conds = []
             for tup in q.values:

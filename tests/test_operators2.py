@@ -321,3 +321,72 @@ def test_significance_heuristics(spark):
     df2 = spark.createDataFrame(rows2, "id long, fg int, key string")
     gnd2 = {r["key"]: r for r in aggs.significant_terms(df2, F.col("fg") == 1, "key", heuristic="gnd").collect()}
     assert gnd2["z"]["score"] == pytest.approx(1.0)
+
+
+def test_geo_queries_and_aggs(spark):
+    """Geo subset (r3): distance-unit parsing, haversine membership,
+    dateline-crossing bounding box, centroid/bounds aggs."""
+    import math
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("driver testdata absent")
+    from opensearch_spark import aggs
+    from opensearch_spark.docs_index import docset, documents_df, documents_engine
+    from opensearch_spark.query import dsl as Q
+
+    # unit parsing
+    assert Q.from_dict(
+        {"geo_distance": {"distance": "1500m", "location": {"lat": 0, "lon": 0}}}
+    ).distance_km == _pytest.approx(1.5)
+    assert Q.from_dict(
+        {"geo_distance": {"distance": "10mi", "location": {"lat": 0, "lon": 0}}}
+    ).distance_km == _pytest.approx(16.09344)
+
+    eng = documents_engine(spark, sf)
+    hits = {
+        r["doc_id"]
+        for r in docset(
+            eng,
+            {"geo_distance": {"distance": "3000km", "location": {"lat": 10.0, "lon": 20.0}}},
+        ).collect()
+    }
+    # python haversine twin over the derived coordinates
+    def hav(lat, lon):
+        la1, lo1, la2, lo2 = map(math.radians, (10.0, 20.0, lat, lon))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    rows = documents_df(spark, sf).select("doc_id", "lat", "lon").collect()
+    expect = {r["doc_id"] for r in rows if hav(r["lat"], r["lon"]) <= 3000.0}
+    assert hits == expect and hits
+
+    # dateline-crossing box = OR of the two lon ranges
+    box = {
+        "geo_bounding_box": {
+            "location": {
+                "top_left": {"lat": 60.0, "lon": 150.0},
+                "bottom_right": {"lat": 20.0, "lon": -150.0},
+            }
+        }
+    }
+    got = {r["doc_id"] for r in docset(eng, box).collect()}
+    exp = {
+        r["doc_id"]
+        for r in rows
+        if 20.0 <= r["lat"] <= 60.0 and (r["lon"] >= 150.0 or r["lon"] <= -150.0)
+    }
+    assert got == exp and got
+
+    g = documents_df(spark, sf).select("lat", "lon")
+    c = aggs.geo_centroid(g).collect()[0]
+    assert c["count"] == len(rows)
+    b = aggs.geo_bounds(g).collect()[0]
+    assert b["top"] == max(r["lat"] for r in rows)
+    assert b["left"] == min(r["lon"] for r in rows)
