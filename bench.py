@@ -249,12 +249,14 @@ def wand_phase_inner(runs: int = 3) -> dict:
         (r["conv_id"], r["turn_idx"]) for r in pruned
     ]
     stats = dict(_wand.LAST_PRUNE_STATS)
+    with open(os.path.join(WAND_IDX_DIR, "stats.json")) as f:
+        idx_stats = json.load(f)
     out = {
         "wand_dense_sec": round(min(td), 4),
         "wand_pruned_sec": round(min(tp), 4),
         "wand_rank_identical": ident,
         "wand_cpus": CPUS,
-        "wand_turns": 4_003_984,
+        "wand_turns": int(idx_stats["n_docs"]),
         "wand_corpus": "0.1% of convs carry 24x hot-term bursts",
     }
     if stats.get("total_blocks"):

@@ -310,6 +310,12 @@ def significant_terms(
         )
     else:  # jlh
         score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    # the shared fg_pct > bg_pct filter IS the reference's
+    # include_negatives=false semantics (NXYSignificanceHeuristic.java:
+    # score = -inf when N11/N_1 < N10/N_0): the overall rate is a
+    # weighted mean of the fg rate and the complement rate, so
+    # fg_rate > overall_rate <=> fg_rate > complement_rate —
+    # foreground-depleted terms never surface for ANY heuristic
     return (
         j.withColumn("score", F.round(score.cast("double"), 6))
         .filter(fg_pct > bg_pct)

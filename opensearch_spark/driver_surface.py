@@ -3235,7 +3235,10 @@ def approx_suite(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact5 = similarity.cosine_topk(emb, q, k=5)
+    # the brute-force oracles are reused by several recall rows of the
+    # final union — localCheckpoint so each is computed once, not once
+    # per branch (exact5 feeds 3 recall rows; truth feeds 2)
+    exact5 = similarity.cosine_topk(emb, q, k=5).localCheckpoint(eager=False)
     ivf = similarity.ivf_topk(emb, q, k=5, nlist=16, nprobe=4).select(
         F.lit("ann_ivf").alias("op"),
         F.format_string("%d:%d", F.col("query_id"), F.col("rank")).alias("k"),
@@ -3257,8 +3260,10 @@ def approx_suite(spark, sf_dir):
         F.col("cosine").cast("double").alias("v"),
     )
     parts.append(hl)
-    aug = similarity.planted_neardup_corpus(emb)
-    truth = dedup.embedding_dup_pairs(aug, threshold=0.85)
+    aug = similarity.planted_neardup_corpus(emb).localCheckpoint(eager=False)
+    truth = dedup.embedding_dup_pairs(aug, threshold=0.85).localCheckpoint(
+        eager=False
+    )
     for label, bands in (("banded_4x4", 4), ("full_sketch", 1)):
         got = similarity.hyperplane_lsh_pairs(aug, threshold=0.85, bands=bands)
         parts.append(

@@ -49,8 +49,11 @@ def delete_by_query(engine, query) -> int:
     return n
 
 
-def live_docids(spark: SparkSession, index_dir: str) -> Optional[DataFrame]:
-    """The tombstone set, or None when nothing was ever deleted."""
+def tombstone_docids(spark: SparkSession, index_dir: str) -> Optional[DataFrame]:
+    """The tombstone set (the DELETED ``_docid`` rows), or None when
+    nothing was ever deleted.  (Renamed from the r2 ``live_docids`` —
+    that name said the opposite of what it returns and invited an
+    inverted join; the alias below keeps old callers working.)"""
     ddir = deletes_dir(index_dir)
     if not os.path.isdir(ddir):
         return None
@@ -93,7 +96,7 @@ def update_by_query(
     doc must not be resurrected by an unrelated update — the rewritten
     index starts with no tombstones and no deleted content."""
     dm = engine.index.docmap()
-    dels = live_docids(spark, engine.index.index_dir)
+    dels = tombstone_docids(spark, engine.index.index_dir)
     if dels is not None:
         dm = dm.join(F.broadcast(dels), "_docid", "anti")
     matched = engine._score_with_deletes_applied(query).select("_docid")
@@ -104,3 +107,7 @@ def update_by_query(
     miss = dm.join(matched, "_docid", "anti").select(*src_cols)
     new_docs = transform(hit).select(*src_cols).unionByName(miss)
     return build_index(spark, new_docs, dst_index_dir, cfg or IndexConfig())
+
+
+# backwards-compatible alias for the r2 name (misleading; prefer tombstone_docids)
+live_docids = tombstone_docids

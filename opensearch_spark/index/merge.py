@@ -84,7 +84,7 @@ def maybe_compact(
     a compaction ran, else None.  Intended to be called after streaming
     batches / delete_by_query bursts; the merge itself is
     ``merge_index`` (salted hot-term repack, §module docstring)."""
-    from opensearch_spark.index.lifecycle import live_docids
+    from opensearch_spark.index.lifecycle import tombstone_docids
 
     p = _paths(index_dir)
     n_segments = 0
@@ -95,7 +95,7 @@ def maybe_compact(
     with open(p["stats"]) as f:
         stats = json.load(f)
     n_docs = int(stats.get("n_docs") or 0)
-    dels = live_docids(spark, index_dir)
+    dels = tombstone_docids(spark, index_dir)
     n_del = dels.count() if dels is not None else 0
     ratio = (n_del / n_docs) if n_docs else 0.0
     if n_segments <= max_segments and ratio <= max_delete_ratio:
@@ -274,9 +274,9 @@ def merge_index(
     # delete set is collected and shipped in the task closure — fine up
     # to ~10^7 tombstones; beyond that, pre-join a `deleted` flag into
     # the decoded stream instead.
-    from opensearch_spark.index.lifecycle import live_docids
+    from opensearch_spark.index.lifecycle import tombstone_docids
 
-    dels_df = live_docids(spark, src_dir)
+    dels_df = tombstone_docids(spark, src_dir)
     deleted = (
         np.sort(np.array([r["_docid"] for r in dels_df.collect()], dtype=np.int64))
         if dels_df is not None

@@ -475,17 +475,20 @@ def dup_clusters(
     every other member).  Rows cover EVERY member of every non-trivial
     component, including the canonical doc itself.
 
-    Algorithm: hash-to-min label propagation — each round every node
-    takes the min label over itself and its neighbors (two shuffle
-    joins per round), iterated to a fixpoint.  Near-dup graphs are
-    union-of-cliques-ish (LSH banding links all members of a boilerplate
-    cluster directly), so the diameter — and the round count — is tiny
-    (O(log d) rounds, d = component diameter); ``max_iters`` bounds the
-    pathological chain case.  Each round's frame is localCheckpoint()ed
-    so the lineage does not grow with iterations (the classic iterative-
-    algorithm driver pattern; at 100 TB each round is two groupBys on
-    the already-bucketed pair output, no driver materialization beyond
-    the 1-row convergence count)."""
+    Algorithm: hash-to-min label propagation WITH label shortcutting —
+    each round every node takes the min label over itself and its
+    neighbors, then labels are pointer-jumped (``lab := lab(lab)``), so
+    the min travels ~2^k hops after k rounds: O(log diameter) rounds on
+    any graph, the shuffle-join analog of the large-star/small-star
+    doubling trick.  Each round's frame is localCheckpoint()ed so the
+    lineage does not grow with iterations (the classic
+    iterative-algorithm driver pattern; at 100 TB each round is a few
+    groupBys on the already-bucketed pair output, no driver
+    materialization beyond the 1-row convergence count).  If the loop
+    exits without converging (``max_iters`` too small for a
+    pathological chain), a RuntimeError is raised rather than silently
+    returning split components — wrong survivor selection must never
+    look like success."""
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
     edges = e.unionByName(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
@@ -496,15 +499,27 @@ def dup_clusters(
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges["s"] == labels["node"])
             .select(F.col("t").alias("node"), "lab")
         )
-        new_labels = (
+        merged = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
+        )
+        # shortcut (pointer jumping): follow the label's own label —
+        # min labels propagate exponentially instead of one hop/round
+        lab_of_lab = merged.select(
+            F.col("node").alias("lab"), F.col("lab").alias("lab2")
+        )
+        new_labels = (
+            merged.join(lab_of_lab, "lab", "left")
+            .select(
+                "node", F.least(F.col("lab"), F.coalesce("lab2", "lab")).alias("lab")
+            )
             .localCheckpoint(eager=False)
         )
         changed = (
@@ -515,7 +530,13 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            "raise max_iters (components wider than ~2^max_iters hops)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("canon"))
 
 

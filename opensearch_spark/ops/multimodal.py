@@ -203,9 +203,17 @@ def _decode_wav(payload: bytes) -> np.ndarray:
         nch = w.getnchannels()
         nfr = w.getnframes()
         sw = w.getsampwidth()
-        pcm = np.frombuffer(
-            w.readframes(nfr), dtype={1: np.int8, 2: np.int16, 4: np.int32}[sw]
-        ).astype(np.float64)
+        if sw not in (1, 2, 4):
+            raise NotImplementedError(f"{8 * sw}-bit WAV PCM is not supported")
+        raw = w.readframes(nfr)
+    if sw == 1:
+        # 8-bit WAV PCM is UNSIGNED, centered at 0x80 (the spec's one
+        # unsigned sample format)
+        pcm = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        pcm = np.frombuffer(raw, dtype={2: np.int16, 4: np.int32}[sw]).astype(
+            np.float64
+        )
     if nch > 1:
         pcm = pcm.reshape(-1, nch).mean(axis=1)
     x = pcm / float(2 ** (8 * sw - 1))

@@ -763,15 +763,20 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         # {"geo_distance": {"distance": "200km", "location": {"lat": .., "lon": ..}}}
         dist = body["distance"]
         if isinstance(dist, str):
+            # DistanceUnit suffixes, longest first so 'nmi' never hits
+            # the 'mi' branch and 'cm'/'mm' never hit 'm'
+            units = [
+                ("nmi", 1.852), ("km", 1.0), ("mi", 1.609344),
+                ("yd", 0.0009144), ("ft", 0.0003048), ("in", 0.0000254),
+                ("cm", 0.00001), ("mm", 0.000001), ("m", 0.001),
+            ]
             d = dist.strip().lower()
-            if d.endswith("km"):
-                km = float(d[:-2])
-            elif d.endswith("mi"):
-                km = float(d[:-2]) * 1.609344
-            elif d.endswith("m"):
-                km = float(d[:-1]) / 1000.0
+            for suf, km_per in units:
+                if d.endswith(suf):
+                    km = float(d[: -len(suf)]) * km_per
+                    break
             else:
-                km = float(d)
+                km = float(d)  # bare number treated as km
         else:
             km = float(dist)
         field = next(k for k in body if k != "distance")

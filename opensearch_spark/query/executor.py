@@ -487,17 +487,17 @@ class SearchEngine:
         return int(stats["n_blocks"].sum()) >= WAND_AUTO_MIN_BLOCKS
 
     def _has_deletes(self) -> bool:
-        from opensearch_spark.index.lifecycle import live_docids
+        from opensearch_spark.index.lifecycle import tombstone_docids
 
-        return live_docids(self.spark, self.index.index_dir) is not None
+        return tombstone_docids(self.spark, self.index.index_dir) is not None
 
     def _apply_deletes(self, scored: DataFrame) -> DataFrame:
         """Hide soft-deleted docs (tombstone anti-join; stats stay
         unchanged until compaction — the reference's soft-delete
         semantics, SURVEY.md §2.1)."""
-        from opensearch_spark.index.lifecycle import live_docids
+        from opensearch_spark.index.lifecycle import tombstone_docids
 
-        dels = live_docids(self.spark, self.index.index_dir)
+        dels = tombstone_docids(self.spark, self.index.index_dir)
         if dels is None:
             return scored
         return scored.join(F.broadcast(dels), "_docid", "anti")

@@ -85,24 +85,28 @@ def test_ivf_indexed_partition_pruning(spark, vectors, tmp_path):
 
 
 def test_dup_clusters_components(spark):
-    """Connected components over pair lists: chains merge transitively,
-    the canonical label is the component min, sizes are exact, and
-    nodes absent from any pair do not appear (singletons are implicit
-    survivors)."""
+    """Connected components over pair lists: chains merge transitively
+    (including a 41-node chain in 10 rounds — the label-shortcutting
+    doubling, not one-hop propagation), the canonical label is the
+    component min, and nodes absent from any pair do not appear
+    (singletons are implicit survivors)."""
     from opensearch_spark.ops.dedup import dup_clusters
 
+    long_chain = [(100 + i, 100 + i + 1) for i in range(40)]  # 41-node chain
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4),          # chain -> one component {1,2,3,4}
          (10, 11), (10, 12),              # star  -> {10,11,12}
-         (20, 21)],                       # pair  -> {20,21}
+         (20, 21)]                        # pair  -> {20,21}
+        + long_chain,                     # pointer jumping: > max_iters hops
         "id_a long, id_b long",
     )
-    got = {(r["doc_id"], r["canon"]) for r in dup_clusters(pairs).collect()}
-    assert got == {
+    got = {(r["doc_id"], r["canon"]) for r in dup_clusters(pairs, max_iters=10).collect()}
+    expect = {
         (1, 1), (2, 1), (3, 1), (4, 1),
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
-    }
+    } | {(100 + i, 100) for i in range(41)}
+    assert got == expect
 
 
 def test_minhash_index_incremental(spark, tmp_path):
