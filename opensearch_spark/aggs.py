@@ -844,3 +844,34 @@ def geo_bounds(
         F.min(F.col(lon_col)).alias("left"),
         F.max(F.col(lon_col)).alias("right"),
     )
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    origin_lat: float,
+    origin_lon: float,
+    ranges,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """``geo_distance`` bucket agg (GeoDistanceAggregationBuilder.java):
+    [from, to) km buckets around an origin, arc (haversine) distance —
+    one conditional-sum pass over the computed distance column, same
+    shape as ``range_agg``."""
+    from opensearch_spark.query.executor import _haversine_km
+
+    km = _haversine_km(F.col(lat_col), F.col(lon_col), origin_lat, origin_lon)
+    aggs_ = []
+    keys = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (km >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (km < F.lit(float(hi)))
+        key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        keys.append(key)
+        aggs_.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(key))
+    row = df.agg(*aggs_)
+    stack = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return row.selectExpr(f"stack({len(keys)}, {stack}) as (key, doc_count)")

@@ -1840,6 +1840,20 @@ SELECT 'global' AS op, key, doc_count FROM (
   UNION ALL
   SELECT 'all_docs', CAST(count(*) AS BIGINT) FROM events
 )
+UNION ALL
+SELECT 'geo_distance' AS op, key, doc_count FROM (
+  WITH gd AS (
+    SELECT 2 * 6371.0088 * asin(sqrt(
+        pow(sin((radians(CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE)) - radians(10.0)) / 2), 2)
+        + cos(radians(10.0)) * cos(radians(CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE)))
+          * pow(sin((radians(CAST((doc_id * 104729 % 36000) / 100.0 - 180.0 AS DOUBLE)) - radians(20.0)) / 2), 2)
+      )) AS km
+    FROM documents
+  )
+  SELECT '*-3000' AS key, CAST(count(*) FILTER (WHERE km < 3000) AS BIGINT) AS doc_count FROM gd
+  UNION ALL SELECT '3000-7000', CAST(count(*) FILTER (WHERE km >= 3000 AND km < 7000) AS BIGINT) FROM gd
+  UNION ALL SELECT '7000-*', CAST(count(*) FILTER (WHERE km >= 7000) AS BIGINT) FROM gd
+)
 ORDER BY op, key""",
 )
 def agg_ranges(spark, sf_dir):
@@ -1884,6 +1898,9 @@ def agg_ranges(spark, sf_dir):
     g2 = ev.agg(F.count(F.lit(1)).alias("doc_count")).select(
         F.lit("all_docs").alias("key"), "doc_count"
     )
+    gd = aggs.geo_distance_agg(
+        docs, 10.0, 20.0, [(None, 3000), (3000, 7000), (7000, None)]
+    )
     return _union(
         _tag(r, "range", "key", "doc_count"),
         _tag(dr, "date_range", "key", "doc_count"),
@@ -1892,6 +1909,7 @@ def agg_ranges(spark, sf_dir):
         _tag(adj, "adjacency", "key", "doc_count"),
         _tag(mi, "missing", "key", "doc_count"),
         _tag(g1.unionByName(g2), "global", "key", "doc_count"),
+        _tag(gd, "geo_distance", "key", "doc_count"),
     ).orderBy("op", "key")
 
 
