@@ -875,3 +875,26 @@ def geo_distance_agg(
     row = df.agg(*aggs_)
     stack = ", ".join(f"'{k}', `{k}`" for k in keys)
     return row.selectExpr(f"stack({len(keys)}, {stack}) as (key, doc_count)")
+
+
+def percentile_ranks(
+    df: DataFrame, field: str, values: Sequence[float]
+) -> DataFrame:
+    """``percentile_ranks`` (PercentileRanksAggregationBuilder;
+    HDR/TDigestPercentileRanksAggregator): for each given value, the
+    percentage of observations <= it — the inverse of ``percentiles``.
+    EXACT variant (one conditional-sum pass); the reference's t-digest
+    estimate is the approximate path, same family as
+    ``percentiles(exact=False)``."""
+    n = F.count(F.col(field)).cast("double")
+    aggs_ = [n.alias("_n")] + [
+        F.sum(F.when(F.col(field) <= F.lit(float(v)), 1).otherwise(0))
+        .cast("double")
+        .alias(f"_le{i}")
+        for i, v in enumerate(values)
+    ]
+    row = df.agg(*aggs_)
+    stack = ", ".join(
+        f"'{v}', 100.0 * `_le{i}` / `_n`" for i, v in enumerate(values)
+    )
+    return row.selectExpr(f"stack({len(values)}, {stack}) as (key, rank_pct)")

@@ -2024,6 +2024,13 @@ UNION ALL
 SELECT 'mad' AS op, 'mad' AS metric,
        ROUND(CAST(quantile_cont(abs(value - (SELECT quantile_cont(value, 0.5) FROM events)), 0.5) AS DOUBLE), 4) FROM events
 UNION ALL
+SELECT 'percentile_ranks' AS op, metric, value FROM (
+  SELECT '50.0' AS metric,
+         ROUND(100.0 * count(*) FILTER (WHERE value <= 50.0) / count(value), 6) AS value FROM events
+  UNION ALL
+  SELECT '150.0', ROUND(100.0 * count(*) FILTER (WHERE value <= 150.0) / count(value), 6) FROM events
+)
+UNION ALL
 SELECT 'geo_centroid' AS op, metric, value FROM (
   WITH g AS (SELECT CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE) AS lat,
                     CAST((doc_id * 104729 % 36000) / 100.0 - 180.0 AS DOUBLE) AS lon
@@ -2051,7 +2058,8 @@ def agg_metrics(spark, sf_dir):
     ``weighted_avg`` (InternalWeightedAvg.java), ``cardinality`` exact
     (CardinalityAggregator.java; the HLL++ path is in approx_suite),
     ``percentiles`` exact (t-digest path in approx_suite),
-    ``median_absolute_deviation``, and r3 ``geo_centroid`` /
+    ``median_absolute_deviation``, ``percentile_ranks`` exact (the
+    t-digest inverse-quantile, r3), and r3 ``geo_centroid`` /
     ``geo_bounds`` (GeoCentroidAggregator.java /
     GeoBoundsAggregationBuilder) over the documents' lat/lon pair."""
     ev = load_table(spark, sf_dir, "events")
@@ -2072,6 +2080,11 @@ def agg_metrics(spark, sf_dir):
         melt(aggs.cardinality(ev, "user_id", exact=True), "cardinality"),
         melt(aggs.percentiles(ev, "value", (50, 95, 99)), "percentiles"),
         melt(aggs.median_absolute_deviation(ev, "value"), "mad"),
+        aggs.percentile_ranks(ev, "value", (50.0, 150.0)).select(
+            F.lit("percentile_ranks").alias("op"),
+            F.col("key").alias("metric"),
+            F.round(F.col("rank_pct"), 6).alias("value"),
+        ),
     ]
     # r3 geo metric aggs over the documents' deterministic lat/lon pair
     gdf = documents_df(spark, sf_dir).select("lat", "lon")
