@@ -1677,7 +1677,7 @@ class SearchEngine:
             combined = reduce(lambda a, c: a & c, preds)
             ds = (
                 self.index.docmap()
-                .filter(_null_safe(combined))
+                .filter(combined)  # positive context: bare pred pushes down
                 .select("_docid")
             )
             scored = scored.join(ds, "_docid", "semi")
@@ -1813,7 +1813,8 @@ class SearchEngine:
         """DataFrame (_docid) of docs matching q, in filter context."""
         pred = self._predicate(q)
         if pred is not None:
-            return self.index.docmap().filter(_null_safe(pred)).select("_docid")
+            # bare predicate: NULL rows drop anyway, and it pushes down
+            return self.index.docmap().filter(pred).select("_docid")
         return self._score(q).select("_docid")
 
     def _docset_text_terms(self, terms: Sequence[str]) -> DataFrame:
@@ -1870,9 +1871,15 @@ class SearchEngine:
         return self.spark.createDataFrame([], "_docid long, score double")
 
     def _pred_docset(self, pred: Column, boost: float) -> DataFrame:
+        # positive filter context: Spark's filter() already drops rows
+        # where the predicate evaluates NULL (SQL 3-valued logic ==
+        # the reference's no-match), and the BARE predicate — unlike
+        # coalesce(pred, false) — is pushable into the parquet scan
+        # (tests/test_plans.py::test_geo_bbox_predicate_pushdown);
+        # _null_safe stays only where predicates are NEGATED
         return (
             self.index.docmap()
-            .filter(_null_safe(pred))
+            .filter(pred)
             .select("_docid", F.lit(float(boost)).alias("score"))
         )
 

@@ -143,3 +143,32 @@ def test_jaccard_no_cartesian_and_broadcast_sizes(spark):
     plan = _formatted(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_geo_bbox_predicate_pushdown(spark):
+    """geo_bounding_box compiles to plain lat/lon comparisons that
+    Catalyst pushes into the docmap parquet scan (PushedFilters) —
+    spatial filtering costs row-group pruning, not a full scan."""
+    import os
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata absent")
+    from opensearch_spark.docs_index import docset, documents_engine
+
+    eng = documents_engine(spark, "/root/testdata/sf0.001")
+    df = docset(
+        eng,
+        {
+            "geo_bounding_box": {
+                "location": {
+                    "top_left": {"lat": 60.0, "lon": 150.0},
+                    "bottom_right": {"lat": 20.0, "lon": -150.0},
+                }
+            }
+        },
+    )
+    plan = _formatted(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = pushed[0]
+    assert "lat" in line and "lon" in line, line
