@@ -21,7 +21,7 @@ from __future__ import annotations
 import fnmatch
 from collections import Counter
 from functools import reduce
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -264,11 +264,33 @@ class SearchEngine:
         fetch_cols = list(source_cols) if source_cols else self.id_cols
         fetch_cols = [c for c in dict.fromkeys(self.id_cols + list(fetch_cols))]
         sort_cols: List[str] = []
+        geo_sort_exprs: Dict[str, Column] = {}
         if sort:
             order = []
             for col, direction in sort:
-                c = F.col("score") if col == "_score" else F.col(col)
-                if col not in ("_score",):
+                if isinstance(col, dict) and "_geo_distance" in col:
+                    # ``_geo_distance`` sort (GeoDistanceSortBuilder.java):
+                    # a computed haversine-km column over the doc-values
+                    # lat/lon pair, arc distance like the geo_distance
+                    # query; the source columns ride the docmap join and
+                    # the expression is added post-join
+                    spec = col["_geo_distance"]
+                    gfield = next(k for k in spec if k not in ("order", "unit"))
+                    pt = spec[gfield]
+                    lat_c, lon_c = _geo_cols(gfield)
+                    name = f"_geo_km_{len(geo_sort_exprs)}"
+                    geo_sort_exprs[name] = _haversine_km(
+                        lat_c, lon_c, float(pt["lat"]), float(pt["lon"])
+                    )
+                    for src_c in ("lat", "lon") if gfield == "location" else (
+                        f"{gfield}_lat", f"{gfield}_lon"
+                    ):
+                        sort_cols.append(src_c)
+                    c = F.col(name)
+                elif col == "_score":
+                    c = F.col("score")
+                else:
+                    c = F.col(col)
                     sort_cols.append(col)
                 order.append(
                     c.desc_nulls_last() if direction == "desc" else c.asc_nulls_last()
@@ -282,11 +304,18 @@ class SearchEngine:
             "_docid", *dict.fromkeys(list(self.id_cols) + sort_cols)
         )
         joined = scored.join(dm_ids, "_docid")
+        for name, expr in geo_sort_exprs.items():
+            joined = joined.withColumn(name, expr)
         if search_after is not None:
             keys = []
             if sort:
+                gi = 0
                 for (col, direction), val in zip(sort, search_after):
-                    keys.append((col if col != "_score" else "score", direction, val))
+                    if isinstance(col, dict) and "_geo_distance" in col:
+                        keys.append((f"_geo_km_{gi}", direction, val))
+                        gi += 1
+                    else:
+                        keys.append((col if col != "_score" else "score", direction, val))
                 for c, val in zip(self.id_cols, search_after[len(sort):]):
                     keys.append((c, "asc", val))
             else:

@@ -390,3 +390,43 @@ def test_geo_queries_and_aggs(spark):
     b = aggs.geo_bounds(g).collect()[0]
     assert b["top"] == max(r["lat"] for r in rows)
     assert b["left"] == min(r["lon"] for r in rows)
+
+
+def test_geo_distance_sort(spark):
+    """_geo_distance sort (GeoDistanceSortBuilder): nearest-first
+    ordering by the computed haversine column, with keyset pagination
+    continuing strictly after the last (km, id) key."""
+    import math
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("driver testdata absent")
+    from opensearch_spark.docs_index import documents_df, documents_engine
+
+    eng = documents_engine(spark, sf)
+    gsort = [({"_geo_distance": {"location": {"lat": 10.0, "lon": 20.0}}}, "asc")]
+    hits = eng.search({"match_all": {}}, size=5, sort=gsort).collect()
+
+    def hav(lat, lon):
+        la1, lo1, la2, lo2 = map(math.radians, (10.0, 20.0, lat, lon))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    rows = documents_df(spark, sf).select("doc_id", "lat", "lon").collect()
+    expect = sorted((hav(r["lat"], r["lon"]), r["doc_id"]) for r in rows)[:5]
+    assert [r["doc_id"] for r in hits] == [d for _, d in expect]
+
+    # keyset page 2: strictly after the page-1 tail (km, doc_id)
+    last_km = expect[-1][0]
+    page2 = eng.search(
+        {"match_all": {}}, size=5, sort=gsort,
+        search_after=[last_km, expect[-1][1]],
+    ).collect()
+    expect2 = sorted((hav(r["lat"], r["lon"]), r["doc_id"]) for r in rows)[5:10]
+    assert [r["doc_id"] for r in page2] == [d for _, d in expect2]
