@@ -1499,9 +1499,40 @@ def ft_intervals_span(spark, sf_dir):
 @_q(
     "ft_diagnostics",
     _PRE
-    + """, __exp AS (
+    + f""", __rc1 AS ({_sql_clause({"spark": 1, "join": 1})}),
+__rc2 AS ({_sql_clause({"merge": 1, "group": 1})}),
+__rr AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 2 ELSE doc_id % 2 END AS rating
+  FROM __docs WHERE doc_id % 3 <> 2
+),
+__rh AS (
+  SELECT 0 AS query_id, doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY ROUND(sc, 4) DESC, doc_id ASC) AS rank FROM __rc1
+  ) WHERE rank <= 10
+  UNION ALL
+  SELECT 1, doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY ROUND(sc, 4) DESC, doc_id ASC) AS rank FROM __rc2
+  ) WHERE rank <= 10
+),
+__rj AS (SELECT h.query_id, h.rank, h.doc_id, r.rating
+         FROM __rh h LEFT JOIN __rr r USING (doc_id)),
+__rper AS (
+  SELECT query_id,
+         CAST(count(*) AS DOUBLE) AS retrieved,
+         CAST(count(*) FILTER (WHERE rating >= 1) AS DOUBLE) AS rel_ret,
+         CAST(min(rank) FILTER (WHERE rating >= 1) AS DOUBLE) AS first_rel,
+         SUM((pow(2.0, rating) - 1) / log2(rank + 1)) AS dcg
+  FROM __rj GROUP BY 1
+),
+__rnrel AS (SELECT CAST(count(*) AS DOUBLE) AS n_rel FROM __rr WHERE rating >= 1),
+__ridcg AS (
+  SELECT SUM((pow(2.0, rating) - 1) / log2(rn + 1)) AS idcg FROM (
+    SELECT rating, row_number() OVER (ORDER BY rating DESC, doc_id ASC) AS rn FROM __rr
+  ) WHERE rn <= 10
+),
+__exp AS (
   SELECT t.term,
-         CAST({score} AS DOUBLE) AS v
+         CAST({{score}} AS DOUBLE) AS v
   FROM __tf t JOIN __df d USING (term)
   JOIN __qdl q2 ON q2.doc_id = t.doc_id
   CROSS JOIN __stats s
@@ -1527,12 +1558,24 @@ SELECT 'field_caps' AS op, k, v FROM (VALUES
   ('source', 0.0), ('src_alt', 0.0), ('text', 1.0), ('title', 0.0)
 ) AS fc(k, v)
 UNION ALL
+SELECT 'rank_eval' AS op, CAST(p.query_id AS VARCHAR) || ':' || m.name AS k,
+       ROUND(CASE m.name
+         WHEN 'precision' THEN p.rel_ret / p.retrieved
+         WHEN 'recall' THEN p.rel_ret / n.n_rel
+         WHEN 'mean_reciprocal_rank' THEN COALESCE(1.0 / p.first_rel, 0.0)
+         WHEN 'dcg' THEN COALESCE(p.dcg, 0.0)
+         ELSE COALESCE(p.dcg, 0.0) / i.idcg
+       END, 6) AS v
+FROM __rper p CROSS JOIN __rnrel n CROSS JOIN __ridcg i
+CROSS JOIN (VALUES ('precision'), ('recall'), ('mean_reciprocal_rank'),
+            ('dcg'), ('ndcg')) AS m(name)
+UNION ALL
 SELECT 'scan' AS op,
        CAST(CAST((rn - 1) // 100 AS INT) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS k,
        ROUND(sc, 6) AS v
 FROM (
   SELECT doc_id, sc, row_number() OVER (ORDER BY doc_id ASC) AS rn
-  FROM ({scan_clause})
+  FROM ({{scan_clause}})
 )
 ORDER BY op, k""".replace("{score}", _SCORE).replace(
         "{scan_clause}", _sql_clause({"dup": 1})
@@ -1566,6 +1609,46 @@ def ft_diagnostics(spark, sf_dir):
         rows.append(("termvectors_df", r["term"], float(r["df"])))
     for r in eng.field_caps().collect():
         rows.append(("field_caps", r["field"], 1.0 if r["full_text"] else 0.0))
+    # rank_eval (modules/rank-eval analog, r3): precision/recall/MRR/
+    # DCG/NDCG@10 of two live engine queries against a deterministic
+    # rating table (doc_id%3==2 unrated; rating 2 on multiples of 5,
+    # else doc_id%2) — metrics are grouped Catalyst aggregates
+    # (query/rankeval.py), the 10 result rows ride this suite's (op,k,v)
+    from pyspark.sql import Window
+
+    from opensearch_spark.query.rankeval import rank_eval
+
+    w_re = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    hits = _union(
+        topk(eng, {"match": {"text": "spark join"}}).withColumn(
+            "query_id", F.lit(0)
+        ),
+        topk(eng, {"match": {"text": "merge group"}}).withColumn(
+            "query_id", F.lit(1)
+        ),
+    ).withColumn("rank", F.row_number().over(w_re)).select(
+        "query_id", "rank", "doc_id"
+    )
+    rated = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 2)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(2))
+            .otherwise((F.col("doc_id") % 2).cast("int"))
+            .alias("rating"),
+        )
+    )
+    ratings = _union(
+        rated.withColumn("query_id", F.lit(0)),
+        rated.withColumn("query_id", F.lit(1)),
+    )
+    for r in rank_eval(hits, ratings, k=10).collect():
+        rows.append(
+            ("rank_eval", f"{int(r['query_id'])}:{r['metric']}", float(r["value"]))
+        )
     # scan/scroll export cursor (r3 — was pytest-only): the generator
     # pages the FULL scored set in stable id-ordered batches; the batch
     # index is part of the checked key, pinning the paging semantics
