@@ -3107,9 +3107,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     emitting (member, canonical=component-min, component size) — the
     survivor-selection step of a dedup pipeline, oracle-checked against
     a DuckDB recursive-CTE reachability closure."""
+    # checkpoint: the ppjoin pair plan feeds BOTH the 'pair' rows and
+    # the clustering iterations — compute it once, not per consumer
     pairs = dedup.jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
-    )
+    ).localCheckpoint(eager=False)
     cl = dedup.dup_clusters(pairs)
     sizes = cl.groupBy("canon").agg(F.count(F.lit(1)).alias("sz"))
     cluster = cl.join(sizes, "canon").select(
