@@ -861,20 +861,9 @@ def geo_distance_agg(
     from opensearch_spark.query.executor import _haversine_km
 
     km = _haversine_km(F.col(lat_col), F.col(lon_col), origin_lat, origin_lon)
-    aggs_ = []
-    keys = []
-    for lo, hi in ranges:
-        cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (km >= F.lit(float(lo)))
-        if hi is not None:
-            cond = cond & (km < F.lit(float(hi)))
-        key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
-        keys.append(key)
-        aggs_.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(key))
-    row = df.agg(*aggs_)
-    stack = ", ".join(f"'{k}', `{k}`" for k in keys)
-    return row.selectExpr(f"stack({len(keys)}, {stack}) as (key, doc_count)")
+    # same [from, to) bucket semantics, keys and melt as range_agg —
+    # delegate over the computed distance column instead of duplicating
+    return range_agg(df.withColumn("_gd_km", km), "_gd_km", ranges)
 
 
 def percentile_ranks(

@@ -550,11 +550,11 @@ FROM __docs WHERE doc_id IN (3, 5, 144)
 UNION ALL
 SELECT 'geo_distance' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs
-WHERE 2 * 6371.0088 * asin(sqrt(
+WHERE 2 * 6371.0088 * asin(sqrt(least(
         pow(sin((radians(lat) - radians(10.0)) / 2), 2)
         + cos(radians(10.0)) * cos(radians(lat))
           * pow(sin((radians(lon) - radians(20.0)) / 2), 2)
-      )) <= 3000.0
+      , 1.0))) <= 3000.0
 UNION ALL
 SELECT 'geo_bbox' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs
@@ -1926,11 +1926,11 @@ SELECT 'global' AS op, key, doc_count FROM (
 UNION ALL
 SELECT 'geo_distance' AS op, key, doc_count FROM (
   WITH gd AS (
-    SELECT 2 * 6371.0088 * asin(sqrt(
+    SELECT 2 * 6371.0088 * asin(sqrt(least(
         pow(sin((radians(CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE)) - radians(10.0)) / 2), 2)
         + cos(radians(10.0)) * cos(radians(CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE)))
           * pow(sin((radians(CAST((doc_id * 104729 % 36000) / 100.0 - 180.0 AS DOUBLE)) - radians(20.0)) / 2), 2)
-      )) AS km
+      , 1.0))) AS km
     FROM documents
   )
   SELECT '*-3000' AS key, CAST(count(*) FILTER (WHERE km < 3000) AS BIGINT) AS doc_count FROM gd

@@ -509,6 +509,7 @@ def dup_clusters(
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=False)  # self-joined below: one agg, not two
         )
         # shortcut (pointer jumping): follow the label's own label —
         # min labels propagate exponentially instead of one hop/round

@@ -776,14 +776,20 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                     km = float(d[: -len(suf)]) * km_per
                     break
             else:
-                km = float(d)  # bare number treated as km
+                # unitless: METERS (the reference's DistanceUnit.DEFAULT)
+                km = float(d) / 1000.0
         else:
-            km = float(dist)
-        field = next(k for k in body if k != "distance")
+            km = float(dist) / 1000.0  # unitless numbers are meters
+        _gd_opts = {
+            "distance", "distance_type", "validation_method",
+            "ignore_unmapped", "_name", "boost",
+        }
+        field = next(k for k in body if k not in _gd_opts)
         pt = body[field]
         return GeoDistance(field, float(pt["lat"]), float(pt["lon"]), km)
     if kind == "geo_bounding_box":
-        field = next(iter(body))
+        _gbb_opts = {"validation_method", "type", "ignore_unmapped", "_name", "boost"}
+        field = next(k for k in body if k not in _gbb_opts)
         box = body[field]
         tl, br = box["top_left"], box["bottom_right"]
         return GeoBoundingBox(

@@ -112,19 +112,30 @@ def _count_intervals(
 EARTH_MEAN_RADIUS_KM = 6371.0088  # Lucene GeoUtils.EARTH_MEAN_RADIUS / 1000
 
 
-def _geo_cols(field: str):
+def _geo_col_names(field: str) -> Tuple[str, str]:
     """geo_point column-pair convention: the conventional field name
     ``location`` maps to bare ``lat``/``lon`` columns, any other field
-    to ``<field>_lat``/``<field>_lon``."""
+    to ``<field>_lat``/``<field>_lon``.  Single owner of the mapping —
+    predicates, aggs and the _geo_distance sort all resolve through
+    here."""
     if field == "location":
-        return F.col("lat"), F.col("lon")
-    return F.col(f"{field}_lat"), F.col(f"{field}_lon")
+        return "lat", "lon"
+    return f"{field}_lat", f"{field}_lon"
+
+
+def _geo_cols(field: str):
+    lat_n, lon_n = _geo_col_names(field)
+    return F.col(lat_n), F.col(lon_n)
 
 
 def _haversine_km(lat_c: Column, lon_c: Column, olat: float, olon: float) -> Column:
     """Arc distance in km (haversine on the mean earth radius) as a
     pure Catalyst expression — whole-stage-codegen trig over doc
-    values, reproducible term-for-term by the SQL oracle."""
+    values, reproducible term-for-term by the SQL oracle.  The
+    haversine term is clamped to 1.0: float rounding pushes it one ulp
+    above 1 for near-antipodal pairs, and an unclamped asin(sqrt(h))
+    would be NaN there — silently dropping antipodal docs from
+    distance filters (NaN compares greatest in Spark)."""
     la1 = F.radians(F.lit(float(olat)))
     lo1 = F.radians(F.lit(float(olon)))
     la2 = F.radians(lat_c)
@@ -133,7 +144,9 @@ def _haversine_km(lat_c: Column, lon_c: Column, olat: float, olon: float) -> Col
         F.pow(F.sin((la2 - la1) / 2), 2)
         + F.cos(la1) * F.cos(la2) * F.pow(F.sin((lo2 - lo1) / 2), 2)
     )
-    return F.lit(2.0 * EARTH_MEAN_RADIUS_KM) * F.asin(F.sqrt(h))
+    return F.lit(2.0 * EARTH_MEAN_RADIUS_KM) * F.asin(
+        F.sqrt(F.least(h, F.lit(1.0)))
+    )
 
 
 def _sloppy_freq(pos: dict, terms: List[str], slop: int) -> float:
@@ -282,10 +295,7 @@ class SearchEngine:
                     geo_sort_exprs[name] = _haversine_km(
                         lat_c, lon_c, float(pt["lat"]), float(pt["lon"])
                     )
-                    for src_c in ("lat", "lon") if gfield == "location" else (
-                        f"{gfield}_lat", f"{gfield}_lon"
-                    ):
-                        sort_cols.append(src_c)
+                    sort_cols.extend(_geo_col_names(gfield))
                     c = F.col(name)
                 elif col == "_score":
                     c = F.col("score")

@@ -65,12 +65,26 @@ def rank_eval(
             ).alias("idcg")
         )
     )
+    # every query id present in EITHER frame gets metric rows — a rated
+    # request with zero hits reports zeroed metrics (the reference's
+    # RankEvalResponse lists every rated request), never a silent gap
+    qids = (
+        hits.select("query_id")
+        .unionByName(ratings.select("query_id"))
+        .distinct()
+    )
     out = (
-        per.join(n_rel, "query_id", "left")
+        qids.join(per, "query_id", "left")
+        .join(n_rel, "query_id", "left")
         .join(idcg, "query_id", "left")
         .select(
             "query_id",
-            (F.col("rel_ret") / F.col("retrieved")).alias("precision"),
+            F.when(
+                F.coalesce(F.col("retrieved"), F.lit(0.0)) > 0,
+                F.col("rel_ret") / F.col("retrieved"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
             F.when(
                 F.coalesce(F.col("n_rel"), F.lit(0.0)) > 0,
                 F.col("rel_ret") / F.col("n_rel"),

@@ -422,11 +422,15 @@ def test_geo_distance_sort(spark):
     expect = sorted((hav(r["lat"], r["lon"]), r["doc_id"]) for r in rows)[:5]
     assert [r["doc_id"] for r in hits] == [d for _, d in expect]
 
-    # keyset page 2: strictly after the page-1 tail (km, doc_id)
-    last_km = expect[-1][0]
+    # keyset page 2: cursor placed mid-gap between the page-1 tail and
+    # the next distance (the exact boundary value differs by a libm-vs-
+    # Java-Math ulp between this Python oracle and the Spark column —
+    # the mid-gap cursor is insensitive to that)
+    all_sorted = sorted((hav(r["lat"], r["lon"]), r["doc_id"]) for r in rows)
+    cursor_km = (all_sorted[4][0] + all_sorted[5][0]) / 2
     page2 = eng.search(
         {"match_all": {}}, size=5, sort=gsort,
-        search_after=[last_km, expect[-1][1]],
+        search_after=[cursor_km, -1],
     ).collect()
-    expect2 = sorted((hav(r["lat"], r["lon"]), r["doc_id"]) for r in rows)[5:10]
+    expect2 = all_sorted[5:10]
     assert [r["doc_id"] for r in page2] == [d for _, d in expect2]
