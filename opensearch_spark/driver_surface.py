@@ -79,6 +79,8 @@ __tok AS (SELECT doc_id, unnest(toks) AS term FROM __docs),
 __tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM __tok GROUP BY 1, 2),
 __df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM __tf GROUP BY 1),
 __pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM __docs),
+__ctf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS ttf FROM __tf GROUP BY 1),
+__sums AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl FROM __dl),
 __tdocs AS (SELECT doc_id, toks[1:4] AS ttoks FROM __docs),
 __tdl AS (SELECT doc_id, len(ttoks) AS tdl FROM __tdocs),
 __tqdl AS (SELECT doc_id, CAST(list_extract({_QT}, tdl + 1) AS DOUBLE) AS tqdl FROM __tdl),
@@ -171,6 +173,46 @@ def _sql_match_sub(terms: Dict[str, int], required: int, k: int, op: str) -> str
   ORDER BY score DESC, doc_id ASC
   LIMIT {k}
 )"""
+
+
+def _sql_match_sim(terms: Dict[str, int], per_term: str, op: str, k: int = 10) -> str:
+    """A tagged top-k match sub-result under a NON-BM25 per-term score
+    expression (similarities.py; SimilarityProviders.java).  ``per_term``
+    may reference t.tf, q2.qdl, c.ttf, d.df, s.n, m.sum_dl and must
+    CAST to REAL itself (float32 narrowing parity with the engine)."""
+    vals = ", ".join(f"('{t}', {w})" for t, w in terms.items())
+    return f"""SELECT '{op}' AS op, doc_id, score FROM (
+  SELECT t.doc_id AS doc_id,
+         ROUND(SUM(CAST({per_term} AS DOUBLE) * v.w), 4) AS score
+  FROM __tf t
+  JOIN __df d ON d.term = t.term
+  JOIN __ctf c ON c.term = t.term
+  JOIN (SELECT * FROM (VALUES {vals}) AS x(term, w)) v ON v.term = t.term
+  JOIN __qdl q2 ON q2.doc_id = t.doc_id
+  CROSS JOIN __stats s CROSS JOIN __sums m
+  GROUP BY t.doc_id
+  ORDER BY score DESC, t.doc_id ASC
+  LIMIT {k}
+)"""
+
+
+# per-term score expressions for the similarity ops (float32-narrowed,
+# mirroring similarities.py score_col exactly)
+_SIM_LMD = (
+    "CAST(greatest(ln(1 + t.tf / (2000.0 * (c.ttf + 1.0) / (m.sum_dl + 1.0)))"
+    " + ln(2000.0 / (q2.qdl + 2000.0)), 0.0) AS REAL)"
+)
+_SIM_LMJM = (
+    "CAST(greatest(ln(1 + (0.7 * t.tf / q2.qdl) /"
+    " (0.3 * (c.ttf + 1.0) / (m.sum_dl + 1.0))), 0.0) AS REAL)"
+)
+_SIM_BOOL = "CAST(1.0 AS REAL)"
+_SIM_DFI_CHI = (
+    "CASE WHEN t.tf <= ((c.ttf + 1.0) / (m.sum_dl + 1.0)) * q2.qdl THEN CAST(0.0 AS REAL)"
+    " ELSE CAST(ln((t.tf - ((c.ttf + 1.0) / (m.sum_dl + 1.0)) * q2.qdl)"
+    " * (t.tf - ((c.ttf + 1.0) / (m.sum_dl + 1.0)) * q2.qdl)"
+    " / (((c.ttf + 1.0) / (m.sum_dl + 1.0)) * q2.qdl) + 1.0) / ln(2) AS REAL) END"
+)
 
 
 # ---------------------------------------------------------------- registry
@@ -918,6 +960,14 @@ UNION ALL
 SELECT 'script_score' AS op, doc_id, score FROM __ss
 UNION ALL
 SELECT 'distance_feature' AS op, doc_id, score FROM __dfq
+UNION ALL
+{_sql_match_sim({"spark": 1, "join": 1}, _SIM_LMD, "sim_lmdirichlet")}
+UNION ALL
+{_sql_match_sim({"spark": 1, "join": 1}, _SIM_LMJM, "sim_lmjelinekmercer")}
+UNION ALL
+{_sql_match_sim({"spark": 1, "join": 1}, _SIM_BOOL, "sim_boolean")}
+UNION ALL
+{_sql_match_sim({"table": 1, "hash": 1}, _SIM_DFI_CHI, "sim_dfi_chisquared")}
 ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_scoring(spark, sf_dir):
@@ -925,9 +975,14 @@ def ft_scoring(spark, sf_dir):
     boost_mode (functionscore/FunctionScoreQueryBuilder.java) +
     ``script_score`` Catalyst expression over _score + doc columns
     (ScriptScoreQueryBuilder.java) + ``distance_feature``
-    boost*pivot/(pivot+|x-origin|) (DistanceFeatureQueryBuilder.java)."""
+    boost*pivot/(pivot+|x-origin|) (DistanceFeatureQueryBuilder.java) +
+    the non-BM25 similarity modules (SimilarityProviders.java /
+    query/similarities.py): LMDirichlet(mu=2000),
+    LMJelinekMercer(lambda=0.3), boolean, DFI(chisquared), each scoring
+    the same match query under the swapped per-field similarity."""
     eng = documents_engine(spark, sf_dir)
     from opensearch_spark.query import dsl as Q
+    from opensearch_spark.query.executor import SearchEngine
 
     a = topk(
         eng,
@@ -958,10 +1013,28 @@ def ft_scoring(spark, sf_dir):
         },
     )
     c = topk(eng, Q.DistanceFeature(field="n_chars", origin=250, pivot=100.0))
+    sim_q = {"match": {"text": "spark join"}}
+    d = topk(SearchEngine(eng.index, similarity={"type": "LMDirichlet"}), sim_q)
+    e = topk(
+        SearchEngine(eng.index, similarity={"type": "LMJelinekMercer", "lambda": 0.3}),
+        sim_q,
+    )
+    f = topk(SearchEngine(eng.index, similarity={"type": "boolean"}), sim_q)
+    g = topk(
+        SearchEngine(
+            eng.index,
+            similarity={"type": "DFI", "independence_measure": "chisquared"},
+        ),
+        {"match": {"text": "table hash"}},
+    )
     return _union(
         _tag(a, "function_score", "doc_id", "score"),
         _tag(b, "script_score", "doc_id", "score"),
         _tag(c, "distance_feature", "doc_id", "score"),
+        _tag(d, "sim_lmdirichlet", "doc_id", "score"),
+        _tag(e, "sim_lmjelinekmercer", "doc_id", "score"),
+        _tag(f, "sim_boolean", "doc_id", "score"),
+        _tag(g, "sim_dfi_chisquared", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 

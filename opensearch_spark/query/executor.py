@@ -206,11 +206,29 @@ WAND_AUTO_MIN_BLOCKS = 262_144
 
 
 class SearchEngine:
-    def __init__(self, index: InvertedIndex, k1: float = bm25.K1, b: float = bm25.B):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        k1: float = bm25.K1,
+        b: float = bm25.B,
+        similarity=None,
+    ):
         self.index = index
         self.spark = index.spark
         self.k1 = k1
         self.b = b
+        # per-field similarity (SimilarityService.java:72-90); a dict spec
+        # ({"type": "LMDirichlet", "mu": 2000}) or a Similarity instance.
+        # Applies to the term/match scoring family; positional queries and
+        # WAND pruning stay BM25 (similarities.py docstring).
+        from opensearch_spark.query import similarities as _sims
+
+        self.similarity = _sims.from_spec(
+            similarity if similarity is not None else {"type": "BM25", "k1": k1, "b": b},
+            avgdl=float(index.stats["avgdl"]),
+        )
+        if isinstance(self.similarity, _sims.BM25):
+            self.k1, self.b = self.similarity.k1, self.similarity.b
         self.text_col = index.plan["text_col"]
         self.id_cols: List[str] = list(index.plan["id_cols"])
         # bounded cache for persisted intermediates whose terminal action
@@ -265,7 +283,15 @@ class SearchEngine:
         # prune is top-k-only: it discards docs below the k-th score, so
         # keyset pages beyond the first window (search_after) and field
         # sorts must score densely
-        if prune and not sort and search_after is None and not self._has_deletes():
+        if (
+            prune
+            and not sort
+            and search_after is None
+            and not self._has_deletes()
+            # block-max bounds are derived from the BM25 formula; any other
+            # configured similarity scores densely (similarities.py scope)
+            and self.similarity.is_bm25
+        ):
             # prune + tombstones is unsafe: the WAND threshold t would be
             # established from a sample that may rank soft-deleted docs,
             # overshooting t and pruning blocks holding live top-k docs —
@@ -758,23 +784,37 @@ class SearchEngine:
             return None
         N = self.index.stats["doc_count"]
         avgdl = self.index.stats["avgdl"]
+        sum_dl = float(self.index.stats["sum_dl"])
+        sim = self.similarity
         rows = [
-            (t, float(bm25.idf(int(df_), N)), int(weights[t]))
-            for t, df_ in zip(stats["term"], stats["df"])
+            (
+                t,
+                float(sim.term_const(int(df_), int(ttf_), N, sum_dl)),
+                float(df_),
+                float(ttf_),
+                int(weights[t]),
+            )
+            for t, df_, ttf_ in zip(stats["term"], stats["df"], stats["total_tf"])
         ]
         stats_df = self.spark.createDataFrame(
-            rows, "term string, idf double, weight int"
+            rows, "term string, idf double, df double, ttf double, weight int"
         )
+        from opensearch_spark.query.similarities import Scripted
+
+        if isinstance(sim, Scripted):
+            score_col = lambda: sim.score_full_col(  # noqa: E731
+                F.col("tf"), F.col("dl"), F.col("df"), F.col("ttf"),
+                float(N), sum_dl, float(avgdl),
+            )
+        else:
+            score_col = lambda: sim.score_col(  # noqa: E731
+                F.col("tf"), F.col("idf"), F.col("dl")
+            )
         post = self.index.postings_for_terms([r[0] for r in rows])
         return (
             post.join(F.broadcast(stats_df), "term")
             .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
-            .withColumn(
-                "s",
-                bm25.term_score_col(
-                    F.col("tf"), F.col("idf"), F.col("dl"), avgdl, self.k1, self.b
-                ),
-            )
+            .withColumn("s", score_col())
             .select("term", "_docid", "s", "weight")
         )
 
