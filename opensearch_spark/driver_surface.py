@@ -299,6 +299,9 @@ SELECT 'terms_set' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score FROM (
   GROUP BY t.doc_id
   HAVING count(DISTINCT t.term) >= max(1 + t.doc_id % 3)
 )
+UNION ALL
+SELECT 'terms_lookup' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs WHERE lang IN (SELECT lang FROM __docs WHERE doc_id = 7)
 ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_term_level(spark, sf_dir):
@@ -319,10 +322,12 @@ def ft_term_level(spark, sf_dir):
             minimum_should_match_field="req_terms",
         ),
     )
+    d = docset(eng, {"terms": {"lang": {"id": 7, "path": "lang"}}})
     return _union(
         _tag(a, "term", "doc_id", "score"),
         _tag(b, "terms", "doc_id", "score"),
         _tag(c, "terms_set", "doc_id", "score"),
+        _tag(d, "terms_lookup", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 

@@ -24,6 +24,7 @@ Query = Union[
     "MatchNone",
     "Term",
     "Terms",
+    "TermsLookup",
     "TermsSet",
     "Range",
     "Exists",
@@ -352,6 +353,24 @@ class Terms:
 
     field: str
     values: Sequence[Any]
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class TermsLookup:
+    """Terms lookup variant (``TermsQueryBuilder.java`` fetch-based
+    rewrite / ``indices/TermsLookup.java``): GET the document ``id`` and
+    use the exact values found at ``path`` as the terms list — a
+    semi-join against another doc's field.  The engine resolves the
+    lookup at plan time (one pushdown point-read on the docmap — the
+    analog of the reference's synchronous GET in
+    ``TermsQueryBuilder.rewrite``) and rewrites to a plain Terms query;
+    no values -> match_none (MatchNoDocsQuery parity).  ``id`` is a
+    value for the primary id column or a dict of id_col -> value."""
+
+    field: str
+    id: Any
+    path: str
     boost: float = 1.0
 
 
@@ -825,6 +844,11 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         return Term(field, v)
     if kind == "terms":
         field, vals = next(iter(body.items()))
+        if isinstance(vals, dict):  # lookup form: {"id": ..., "path": ...}
+            return TermsLookup(
+                field, id=vals["id"], path=vals["path"],
+                boost=vals.get("boost", 1.0),
+            )
         return Terms(field, vals)
     if kind == "range":
         field, v = next(iter(body.items()))

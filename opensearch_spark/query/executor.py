@@ -728,6 +728,8 @@ class SearchEngine:
                 ds = self._docset_text_terms([str(v) for v in q.values])
                 return ds.withColumn("score", F.lit(float(q.boost)))
             return self._pred_docset(self._predicate(q), q.boost)
+        if isinstance(q, Q.TermsLookup):
+            return self._score(self._resolve_terms_lookup(q))
         if isinstance(q, Q.TermsSet):
             return self._score_terms_set(q)
         if isinstance(q, (Q.Range, Q.Exists, Q.Ids, Q.GeoDistance, Q.GeoBoundingBox)):
@@ -1815,7 +1817,11 @@ class SearchEngine:
         postings docset."""
         if isinstance(q, Q.Term) and q.field != self.text_col:
             return F.col(q.field) == F.lit(q.value)
+        if isinstance(q, Q.TermsLookup):
+            return self._predicate(self._resolve_terms_lookup(q))
         if isinstance(q, Q.Terms) and q.field != self.text_col:
+            if not q.values:
+                return F.lit(False)  # empty lookup -> MatchNoDocsQuery
             return F.col(q.field).isin(list(q.values))
         if isinstance(q, Q.Range):
             from opensearch_spark.query import datemath
@@ -1895,6 +1901,28 @@ class SearchEngine:
             # bare predicate: NULL rows drop anyway, and it pushes down
             return self.index.docmap().filter(pred).select("_docid")
         return self._score(q).select("_docid")
+
+    def _resolve_terms_lookup(self, q) -> "Q.Terms":
+        """Plan-time resolution of a terms lookup (TermsQueryBuilder.rewrite
+        / indices/TermsLookup.java): one pushdown point-read on the docmap
+        (the reference's synchronous GET), then rewrite to plain Terms.
+        Array values expand to the list; NULL/missing doc -> no terms."""
+        idv = q.id if isinstance(q.id, dict) else {self.id_cols[0]: q.id}
+        unknown = set(idv) - set(self.id_cols)
+        if unknown:
+            raise ValueError(f"terms lookup id keys {unknown} are not id columns")
+        pred = reduce(
+            lambda a, b_: a & b_, [F.col(k) == F.lit(v) for k, v in idv.items()]
+        )
+        rows = (
+            self.index.docmap().filter(pred).select(q.path).limit(1).collect()
+        )
+        vals: List = []
+        if rows and rows[0][0] is not None:
+            v = rows[0][0]
+            vals = [x for x in (v if isinstance(v, (list, tuple)) else [v])
+                    if x is not None]
+        return Q.Terms(q.field, vals, boost=q.boost)
 
     def _docset_text_terms(self, terms: Sequence[str]) -> DataFrame:
         post = self.index.postings_for_terms(list(terms))

@@ -434,3 +434,42 @@ def test_geo_distance_sort(spark):
     ).collect()
     expect2 = all_sorted[5:10]
     assert [r["doc_id"] for r in page2] == [d for _, d in expect2]
+
+
+# ------------------------------------------------------- terms lookup
+
+
+def test_terms_lookup_resolves_to_terms(engine, corpus_pdf):
+    """TermsQueryBuilder.rewrite / indices/TermsLookup.java: fetch the
+    doc, use its field values as the terms list; missing doc or null
+    value -> MatchNoDocsQuery."""
+    row = corpus_pdf.iloc[5]
+    q = Q.from_dict(
+        {"terms": {"role": {
+            "id": {"conv_id": row.conv_id, "turn_idx": int(row.turn_idx)},
+            "path": "role",
+        }}}
+    )
+    assert isinstance(q, Q.TermsLookup)
+    got = _ids(engine.search(q, size=10_000).collect())
+    want = _ids(engine.search(Q.Terms("role", [row.role]), size=10_000).collect())
+    assert got == want and got
+
+    # filter context (inside bool.filter) goes through _predicate
+    got_f = _ids(
+        engine.search(
+            Q.Bool(filter=[q], must=[Q.MatchAll()]), size=10_000
+        ).collect()
+    )
+    assert got_f == want
+
+    # missing doc -> no terms -> match_none
+    missing = Q.TermsLookup(
+        "role", id={"conv_id": "no-such-conv", "turn_idx": 0}, path="role"
+    )
+    assert engine.search(missing, size=10).count() == 0
+
+
+def test_terms_lookup_bad_id_col(engine):
+    with pytest.raises(ValueError):
+        engine.search(Q.TermsLookup("role", id={"nope": 1}, path="role"), size=1)
