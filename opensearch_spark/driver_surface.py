@@ -2907,25 +2907,27 @@ def streaming_percolate(spark, sf_dir):
 def _pre_chain(src: str, p: str) -> str:
     """Continuation CTE chain (no ``WITH``): the ``_PRE`` text-field
     corpus model computed over an arbitrary docs source ``src`` with
-    every CTE name prefixed ``__{p}`` — lets one oracle statement carry
+    every CTE name prefixed ``__{p}_`` (underscore-separated so a
+    prefix can never collide with a ``_PRE`` name — ``c``+``tf`` once
+    shadowed ``__ctf``) — lets one oracle statement carry
     several corpora (pre-delete, post-compaction, post-append) without
     CTE name shadowing."""
-    return f"""__{p}docs AS (
+    return f"""__{p}_docs AS (
   SELECT doc_id,
          list_filter(string_split(text, ' '), x -> x <> '') AS toks,
          lang, source, n_chars
   FROM {src}
 ),
-__{p}dl AS (SELECT doc_id, len(toks) AS dl FROM __{p}docs),
-__{p}qdl AS (SELECT doc_id, CAST(list_extract({_QT}, dl + 1) AS DOUBLE) AS qdl FROM __{p}dl),
-__{p}stats AS (
+__{p}_dl AS (SELECT doc_id, len(toks) AS dl FROM __{p}_docs),
+__{p}_qdl AS (SELECT doc_id, CAST(list_extract({_QT}, dl + 1) AS DOUBLE) AS qdl FROM __{p}_dl),
+__{p}_stats AS (
   SELECT CAST(count(*) FILTER (WHERE dl > 0) AS DOUBLE) AS n,
          CAST(sum(dl) AS DOUBLE) / CAST(count(*) FILTER (WHERE dl > 0) AS DOUBLE) AS avgdl
-  FROM __{p}dl
+  FROM __{p}_dl
 ),
-__{p}tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf
-            FROM (SELECT doc_id, unnest(toks) AS term FROM __{p}docs) GROUP BY 1, 2),
-__{p}df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM __{p}tf GROUP BY 1)"""
+__{p}_tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM __{p}_docs) GROUP BY 1, 2),
+__{p}_df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM __{p}_tf GROUP BY 1)"""
 
 
 def _sql_match_over(
@@ -2936,6 +2938,7 @@ def _sql_match_over(
     a tombstone anti-filter) AFTER scoring, so statistics stay those of
     the full ``__{p}`` corpus — the soft-delete visibility model."""
     vals = ", ".join(f"('{t}', {w})" for t, w in terms.items())
+    p = f"{p}_" if p else ""  # empty prefix = the base _PRE corpus
     return f"""SELECT '{op}' AS op, doc_id, score FROM (
   SELECT doc_id, score FROM (
     SELECT t.doc_id,
@@ -2990,7 +2993,7 @@ _LC_Q = {"spark": 1, "join": 1}
     + """
 UNION ALL
 SELECT 'upd_docset' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
-FROM __cdocs WHERE source = 'src3'
+FROM __c_docs WHERE source = 'src3'
 UNION ALL
 """
     + _sql_match_over(_LC_Q, 1, 10, "post_append", p="a")
