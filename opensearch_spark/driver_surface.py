@@ -261,14 +261,26 @@ UNION ALL
 SELECT * FROM ({_sql_match_sub({"spark": 1, "join": 1}, required=2, k=10, op="and")})
 UNION ALL
 SELECT * FROM ({_sql_match_sub({"spark": 1, "merge": 1, "vector": 1}, required=2, k=10, op="msm")})
+UNION ALL
+SELECT 'common' AS op, doc_id, score FROM (
+  -- common terms, cutoff 0.5: 'dup' (df 5%) = low/required group,
+  -- 'the' (df 76%) = high/should group scoring only low-matched docs
+  SELECT l.doc_id, ROUND(l.sc + COALESCE(h.sc, 0.0), 4) AS score
+  FROM ({_sql_clause({"dup": 1})}) l
+  LEFT JOIN ({_sql_clause({"the": 1})}) h USING (doc_id)
+  ORDER BY score DESC, l.doc_id ASC LIMIT 10
+)
 ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_match_modes(spark, sf_dir):
     """Suite: ``match`` default OR (MatchQueryBuilder.java:85-88) +
     operator AND (Operator.java:53-58) + ``match``
-    minimum_should_match=2 of 3 (MatchQueryBuilder.java).  The OR form
-    was its own entry (ft_match_or) through round 2; merged here in r3
-    to free a registry slot for lifecycle_suite."""
+    minimum_should_match=2 of 3 (MatchQueryBuilder.java) + ``common``
+    terms (CommonTermsQueryBuilder.java -> Lucene CommonTermsQuery:
+    analyzed terms split at the df cutoff; low-frequency group required,
+    high-frequency group adds score to already-matched docs only).  The
+    OR form was its own entry (ft_match_or) through round 2; merged here
+    in r3 to free a registry slot for lifecycle_suite."""
     eng = documents_engine(spark, sf_dir)
     o = topk(eng, {"match": {"text": {"query": "spark join"}}})
     a = topk(eng, {"match": {"text": {"query": "spark join", "operator": "and"}}})
@@ -276,10 +288,14 @@ def ft_match_modes(spark, sf_dir):
         eng,
         {"match": {"text": {"query": "spark merge vector", "minimum_should_match": 2}}},
     )
+    c = topk(
+        eng, {"common": {"text": {"query": "the dup", "cutoff_frequency": 0.5}}}
+    )
     return _union(
         _tag(o, "or", "doc_id", "score"),
         _tag(a, "and", "doc_id", "score"),
         _tag(b, "msm", "doc_id", "score"),
+        _tag(c, "common", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 
@@ -606,6 +622,9 @@ UNION ALL
 SELECT 'geo_bbox' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs
 WHERE lat <= 60.0 AND lat >= 20.0 AND (lon >= 150.0 OR lon <= -150.0)
+UNION ALL
+SELECT 'script' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs WHERE n_chars % 7 = 0 AND lang = 'en'
 ORDER BY op, doc_id ASC""",
 )
 def ft_filters(spark, sf_dir):
@@ -618,11 +637,18 @@ def ft_filters(spark, sf_dir):
     sits 51 km from the nearest doc, so float rounding cannot flip
     membership) and ``geo_bounding_box`` crossing the antimeridian
     (left 150 > right -150 splits into an OR of lon ranges,
-    GeoBoundingBoxQueryBuilder.java's dateline handling)."""
+    GeoBoundingBoxQueryBuilder.java's dateline handling); plus the
+    ``script`` filter query (ScriptQueryBuilder.java — boolean
+    expression over doc columns in filter context, constant score;
+    Painless -> Spark SQL is the documented script-language
+    deviation)."""
     eng = documents_engine(spark, sf_dir)
     a = docset(eng, {"range": {"n_chars": {"gte": 100, "lt": 300}}})
     b = docset(eng, {"exists": {"field": "src_alt"}})
     c = docset(eng, {"ids": {"values": [3, 5, 144]}})
+    f = docset(
+        eng, {"script": {"script": {"source": "n_chars % 7 = 0 AND lang = 'en'"}}}
+    )
     d = docset(
         eng,
         {"geo_distance": {"distance": "3000km", "location": {"lat": 10.0, "lon": 20.0}}},
@@ -644,6 +670,7 @@ def ft_filters(spark, sf_dir):
         _tag(c, "ids", "doc_id", "score"),
         _tag(d, "geo_distance", "doc_id", "score"),
         _tag(e, "geo_bbox", "doc_id", "score"),
+        _tag(f, "script", "doc_id", "score"),
     ).orderBy("op", F.asc("doc_id"))
 
 
@@ -1406,6 +1433,24 @@ __fms AS (
   WHERE a.term = 'spark' AND a.pos <= 4 AND b.term = 'query'
   GROUP BY a.doc_id
 ),
+__sgp AS (
+  -- span_near [table, span_gap(1), hash] slop=0 ordered: the gap
+  -- reserves exactly one position, so hash must sit at table_pos + 2
+  SELECT a.doc_id, CAST(count(*) AS INT) AS itf
+  FROM __pos a JOIN __pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2
+  WHERE a.term = 'table' AND b.term = 'hash'
+  GROUP BY a.doc_id
+),
+__sub_gap AS (
+  SELECT 'span_gap' AS op, doc_id, score FROM (
+    SELECT v.doc_id,
+           ROUND(CAST(CAST(i.idf * 2.2 * v.itf /
+                 (v.itf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+    FROM __sgp v JOIN __qdl q2 ON q2.doc_id = v.doc_id
+    CROSS JOIN __snr_idf i CROSS JOIN __stats s
+    ORDER BY score DESC, v.doc_id ASC LIMIT 10
+  )
+),
 __fms_idf AS (
   -- idf: 'spark' against the TITLE field's own stats, 'query' against
   -- text; norms/avgdl from the mask (text) field below
@@ -1435,6 +1480,7 @@ UNION ALL SELECT * FROM __sub_wtn
 UNION ALL SELECT * FROM __sub_smulti
 UNION ALL SELECT * FROM __sub_iprefix
 UNION ALL SELECT * FROM __sub_fmask
+UNION ALL SELECT * FROM __sub_gap
 ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_intervals_span(spark, sf_dir):
@@ -1448,10 +1494,14 @@ def ft_intervals_span(spark, sf_dir):
     SpanContainingQueryBuilder.java / SpanWithinQueryBuilder.java);
     r3 adds ``span_multi`` (SpanMultiTermQueryBuilder.java — a prefix
     expansion as a span_near slot's any_of group), ``intervals``
-    prefix sources (IntervalsSourceProvider.Prefix), and
+    prefix sources (IntervalsSourceProvider.Prefix),
     ``field_masking_span`` (FieldMaskingSpanQueryBuilder.java — a
     title-sourced span clause joined positionally with a text clause
-    via the per-field index bundle; mask-field norms, per-field idf)."""
+    via the per-field index bundle; mask-field norms, per-field idf),
+    and ``span_gap`` (SpanGapQueryBuilder -> SpanNearQuery.addGap — a
+    fixed-width positional hole between adjacent span_near clauses,
+    counted as matched length rather than slop; ordered-only like
+    Lucene)."""
     eng = documents_engine(spark, sf_dir)
     q_any = {
         "intervals": {
@@ -1551,6 +1601,17 @@ def ft_intervals_span(spark, sf_dir):
             }
         }
     }
+    q_gap = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "table"}},
+                {"span_gap": {"text": 1}},
+                {"span_term": {"text": "hash"}},
+            ],
+            "slop": 0,
+            "in_order": True,
+        }
+    }
     meng = documents_multi_engine(spark, sf_dir)
     fmask = meng._topk_frame(
         meng.score_span_near_masked(
@@ -1570,6 +1631,7 @@ def ft_intervals_span(spark, sf_dir):
         _tag(topk(eng, q_smulti), "span_multi", "doc_id", "score"),
         _tag(topk(eng, q_iprefix), "intervals_prefix", "doc_id", "score"),
         _tag(fmask, "field_masking", "doc_id", "score"),
+        _tag(topk(eng, q_gap), "span_gap", "doc_id", "score"),
     ]
     return _union(*parts).orderBy("op", F.desc("score"), F.asc("doc_id"))
 

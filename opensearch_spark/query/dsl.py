@@ -43,6 +43,15 @@ Query = Union[
 
 
 @dataclasses.dataclass
+class _Gap:
+    """Parse-time marker for a ``span_gap`` clause inside ``span_near``
+    (``SpanGapQueryBuilder``); folded into ``SpanNear.gaps`` — never a
+    standalone query."""
+
+    width: int
+
+
+@dataclasses.dataclass
 class Match:
     """Full-text match (``index/query/MatchQueryBuilder.java:59,85,88``):
     analyze the query text with the field analyzer, OR (default) or AND the
@@ -189,6 +198,10 @@ class SpanNear:
     slop: int = 0
     in_order: bool = True
     boost: float = 1.0
+    # gaps[i] = fixed positions reserved between terms[i] and
+    # terms[i+1] (``span_gap`` clauses, ``SpanGapQueryBuilder`` ->
+    # ``SpanNearQuery.addGap``; ordered-only, like Lucene)
+    gaps: Optional[Sequence[int]] = None
 
 
 @dataclasses.dataclass
@@ -319,6 +332,41 @@ class ScriptScore:
     expr: Optional[str] = None  # Spark SQL expression, may reference _score
     fn: Any = None  # callable(pd.DataFrame) -> pd.Series (pandas UDF path)
     input_cols: Sequence[str] = ()
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class ScriptQuery:
+    """``script`` query (``ScriptQueryBuilder.java``): filter context —
+    keep docs where a boolean expression over doc columns evaluates
+    true; constant score.  Expression language = Spark SQL (the
+    Catalyst analog of Painless, same documented deviation as
+    ``ScriptScore.expr``)."""
+
+    expr: str
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
+class CommonTerms:
+    """``common`` terms query (``CommonTermsQueryBuilder.java`` ->
+    Lucene ``CommonTermsQuery``; deprecated upstream but still
+    registered, ``SearchModule.java``).  Analyzed terms are split by
+    document frequency at the ``cutoff_frequency`` threshold (a
+    fraction of doc_count when < 1, absolute df otherwise,
+    ``CommonTermsQuery.rewrite``): low-frequency terms form the
+    required clause group, high-frequency terms a should-only group
+    that adds score to docs already matched by the low group.  When
+    every term is high-frequency the high group is required on its
+    own (Lucene's fallback)."""
+
+    field: str
+    query: str
+    cutoff_frequency: float = 0.01
+    low_freq_operator: str = "or"  # 'or' | 'and'
+    high_freq_operator: str = "or"
+    minimum_should_match: Optional[Any] = None  # low_freq msm, or
+    # {"low_freq": ..., "high_freq": ...} (CommonTermsQueryBuilder.java:104-106)
     boost: float = 1.0
 
 
@@ -700,15 +748,41 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                     FieldMaskingSpan(fm["field"], sfield, st[sfield]),
                     fm["field"],
                 )
+            if ck == "span_gap":
+                # {"span_gap": {field: width}} — a fixed-width hole in
+                # the clause sequence (SpanNearQueryBuilder.java:315-318)
+                gf = next(iter(c["span_gap"]))
+                return _Gap(int(c["span_gap"][gf])), gf
             raise ValueError(f"unsupported span_near clause: {ck}")
 
         parsed = [_span_clause(c) for c in body["clauses"]]
         field = next(f for _, f in parsed if f is not None)
+        # fold span_gap pseudo-clauses into per-adjacency gap widths
+        terms: list = []
+        gaps: list = []
+        pending = 0
+        for t, _f in parsed:
+            if isinstance(t, _Gap):
+                pending += t.width
+                continue
+            if terms:
+                gaps.append(pending)
+            elif pending:
+                raise ValueError("span_gap before the first span clause is unsupported")
+            pending = 0
+            terms.append(t)
+        if pending:
+            raise ValueError("span_gap after the last span clause is unsupported")
+        if not terms:
+            raise ValueError("span_near needs at least one non-gap clause")
+        if any(gaps) and not body.get("in_order", True):
+            raise ValueError("span_gap requires in_order=true (SpanNearQuery.addGap)")
         return SpanNear(
             field,
-            [t for t, _ in parsed],
+            terms,
             slop=body.get("slop", 0),
             in_order=body.get("in_order", True),
+            gaps=gaps if any(gaps) else None,
         )
     if kind == "span_multi":
         inner = from_dict(body["match"])
@@ -777,6 +851,28 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         return ScriptScore(
             from_dict(body["query"]),
             expr=body.get("script", {}).get("source") if isinstance(body.get("script"), dict) else body.get("script"),
+        )
+    if kind == "script":
+        # {"script": {"script": {"source": "..."}}} (ScriptQueryBuilder.java)
+        s = body.get("script", body)
+        return ScriptQuery(
+            expr=s["source"] if isinstance(s, dict) else str(s),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "common":
+        # {"common": {field: {"query": ..., "cutoff_frequency": ...}}}
+        field = next(k for k in body if k not in ("boost", "_name"))
+        b = body[field]
+        if isinstance(b, str):
+            return CommonTerms(field, b, boost=body.get("boost", 1.0))
+        return CommonTerms(
+            field,
+            b["query"],
+            cutoff_frequency=float(b.get("cutoff_frequency", 0.01)),
+            low_freq_operator=str(b.get("low_freq_operator", "or")).lower(),
+            high_freq_operator=str(b.get("high_freq_operator", "or")).lower(),
+            minimum_should_match=b.get("minimum_should_match"),
+            boost=float(b.get("boost", body.get("boost", 1.0))),
         )
     if kind == "geo_distance":
         # {"geo_distance": {"distance": "200km", "location": {"lat": .., "lon": ..}}}

@@ -36,17 +36,32 @@ from opensearch_spark.query import dsl as Q
 
 
 def _find_intervals(
-    pos: dict, terms: List[str], max_gaps: int, ordered: bool
+    pos: dict, terms: List[str], max_gaps: int, ordered: bool,
+    gaps: Optional[List[int]] = None,
 ) -> List[Tuple[int, int]]:
     """Enumerate minimal intervals (start_pos, end_pos) containing all
     ``terms`` (in order when ``ordered``) with internal gap total
     (width - #terms) <= max_gaps (-1 = unbounded).  Positions per term
-    are sorted int64 arrays."""
+    are sorted int64 arrays.
+
+    ``gaps[i]`` reserves a fixed run of that many positions between
+    terms[i] and terms[i+1] (``span_gap`` clauses,
+    ``SpanNearQueryBuilder.java:256`` -> ``SpanNearQuery.addGap``): the
+    successor must start >= gaps[i]+1 after the predecessor, and the
+    reserved run counts as matched length, not slop — the budget check
+    becomes (width - #terms - sum(gaps)) <= max_gaps.  Like Lucene,
+    gaps require ordered matching."""
     uniq = sorted(set(terms))
     k = len(uniq)
     out: List[Tuple[int, int]] = []
+    if gaps is not None and not any(gaps):
+        gaps = None
+    if gaps is not None and not ordered:
+        raise ValueError("span gaps require in_order=true (SpanNearQuery.addGap)")
     if ordered:
         seq = list(terms)
+        step = [1 + (gaps[i] if gaps else 0) for i in range(len(seq) - 1)]
+        total_len = len(seq) + (sum(gaps) if gaps else 0)
         cur = -1
         first = pos[seq[0]]
         while True:
@@ -55,9 +70,9 @@ def _find_intervals(
                 break
             chain = [int(first[i0])]
             ok = True
-            for t in seq[1:]:
+            for ti, t in enumerate(seq[1:]):
                 pt = pos[t]
-                j = int(np.searchsorted(pt, chain[-1] + 1))
+                j = int(np.searchsorted(pt, chain[-1] + step[ti]))
                 if j >= pt.size:
                     ok = False
                     break
@@ -68,10 +83,10 @@ def _find_intervals(
             # position of each earlier term below its successor
             for idx in range(len(seq) - 2, -1, -1):
                 pt = pos[seq[idx]]
-                j = int(np.searchsorted(pt, chain[idx + 1])) - 1
+                j = int(np.searchsorted(pt, chain[idx + 1] - step[idx] + 1)) - 1
                 chain[idx] = int(pt[j])
             width = chain[-1] - chain[0] + 1
-            if max_gaps < 0 or (width - len(seq)) <= max_gaps:
+            if max_gaps < 0 or (width - total_len) <= max_gaps:
                 out.append((chain[0], chain[-1]))
             cur = chain[0]
         return out
@@ -104,9 +119,10 @@ def _find_intervals(
 
 
 def _count_intervals(
-    pos: dict, terms: List[str], max_gaps: int, ordered: bool
+    pos: dict, terms: List[str], max_gaps: int, ordered: bool,
+    gaps: Optional[List[int]] = None,
 ) -> int:
-    return len(_find_intervals(pos, terms, max_gaps, ordered))
+    return len(_find_intervals(pos, terms, max_gaps, ordered, gaps))
 
 
 EARTH_MEAN_RADIUS_KM = 6371.0088  # Lucene GeoUtils.EARTH_MEAN_RADIUS / 1000
@@ -633,12 +649,13 @@ class SearchEngine:
                 # that slot's any_of group in the interval algebra
                 groups = [[t] if not isinstance(t, list) else t for t in q.terms]
                 return self._score_interval_groups(
-                    groups, q.slop, q.in_order, q.boost
+                    groups, q.slop, q.in_order, q.boost, gaps=q.gaps
                 )
             # span_term clauses are un-analyzed exact terms; slop = the
             # interval gap budget, in_order = ordered
             return self._score_intervals(
-                [str(t) for t in q.terms], q.slop, q.in_order, q.boost
+                [str(t) for t in q.terms], q.slop, q.in_order, q.boost,
+                gaps=q.gaps,
             )
         if isinstance(q, Q.SpanOr):
             # width-1 span union == disjunction of term scorers (dsl.SpanOr)
@@ -718,6 +735,13 @@ class SearchEngine:
             return self._all_docs(q.boost)
         if isinstance(q, Q.MatchNone):
             return self._empty_scored()
+        if isinstance(q, Q.ScriptQuery):
+            # filter context: constant score where the Catalyst
+            # expression holds (ScriptQueryBuilder.java; Painless ->
+            # Spark SQL is the documented script-language deviation)
+            return self._pred_docset(F.expr(q.expr).cast("boolean"), q.boost)
+        if isinstance(q, Q.CommonTerms):
+            return self._score_common_terms(q)
         if isinstance(q, Q.Term):
             if q.field == self.text_col:
                 return self._score_terms_or({str(q.value): 1}, required=1, boost=q.boost)
@@ -818,6 +842,73 @@ class SearchEngine:
             .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
             .withColumn("s", score_col())
             .select("term", "_docid", "s", "weight")
+        )
+
+    def _score_common_terms(self, q: "Q.CommonTerms") -> DataFrame:
+        """``common`` terms query (Lucene ``CommonTermsQuery.rewrite``,
+        ``CommonTermsQueryBuilder.java``): analyzed terms split at the
+        df threshold — cutoff_frequency * doc_count when < 1, absolute
+        df otherwise; df STRICTLY above the threshold = high-frequency
+        (``CommonTermsQuery`` uses ``df > maxTermFrequency``).  Low
+        terms are the required group (operator/minimum_should_match
+        semantics of ``_score_terms_or``); high terms contribute score
+        only to docs the low group already matched (must + should in
+        the rewritten BooleanQuery).  All-high fallback: the high group
+        is required on its own.  Terms absent from the dictionary have
+        df=0 and land in the low group, exactly like Lucene."""
+        tokens = self.index.analyze(q.query)
+        if not tokens:
+            return self._empty_scored()
+        weights: Dict[str, int] = {}
+        for t in tokens:
+            weights[t] = weights.get(t, 0) + 1
+        stats = self.index.term_stats(sorted(weights))
+        df_by_term = dict(zip(stats["term"], (int(d) for d in stats["df"])))
+        N = float(self.index.stats["doc_count"])
+        cutoff = float(q.cutoff_frequency)
+        thresh = cutoff * N if cutoff < 1.0 else cutoff
+        low = {t: w for t, w in weights.items() if df_by_term.get(t, 0) <= thresh}
+        high = {t: w for t, w in weights.items() if t not in low}
+
+        msm = q.minimum_should_match
+        low_msm = msm.get("low_freq") if isinstance(msm, dict) else msm
+        high_msm = msm.get("high_freq") if isinstance(msm, dict) else None
+
+        def _required(group: dict, operator: str, spec) -> int:
+            n = sum(group.values())
+            if operator == "and":
+                return n
+            if spec is None:
+                return 1  # all-SHOULD BooleanQuery still needs >= 1
+            return max(1, resolve_msm(spec, n))
+
+        if not low:
+            return self._score_terms_or(
+                high, _required(high, q.high_freq_operator, high_msm), boost=q.boost
+            )
+        low_scored = self._score_terms_or(
+            low, _required(low, q.low_freq_operator, low_msm), boost=1.0
+        )
+        if not high:
+            return low_scored.select(
+                "_docid", (F.col("score") * F.lit(float(q.boost))).alias("score")
+            )
+        high_scored = self._score_terms_or(
+            high, _required(high, q.high_freq_operator, high_msm), boost=1.0
+        )
+        return (
+            low_scored.alias("l")
+            .join(high_scored.alias("h"), "_docid", "left")
+            .select(
+                "_docid",
+                (
+                    (
+                        F.col("l.score")
+                        + F.coalesce(F.col("h.score"), F.lit(0.0))
+                    )
+                    * F.lit(float(q.boost))
+                ).alias("score"),
+            )
         )
 
     def _score_terms_or(
@@ -1176,7 +1267,8 @@ class SearchEngine:
         )
 
     def _score_intervals(
-        self, terms: List[str], max_gaps: int, ordered: bool, boost: float
+        self, terms: List[str], max_gaps: int, ordered: bool, boost: float,
+        gaps: Optional[List[int]] = None,
     ) -> DataFrame:
         """Interval algebra over stored positions (SURVEY.md §2.2
         ``intervals``/span family): a doc matches where all terms occur
@@ -1207,6 +1299,7 @@ class SearchEngine:
         order_terms = list(terms)
         gap_budget = max_gaps
         want_ordered = ordered
+        fixed_gaps = list(gaps) if gaps else None
 
         @F.pandas_udf(T.IntegerType())
         def interval_tf(tp: pd.Series) -> pd.Series:
@@ -1217,7 +1310,9 @@ class SearchEngine:
                         pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
                     else:
                         pos[e[0]] = np.asarray(e[1], dtype=np.int64)
-                return _count_intervals(pos, order_terms, gap_budget, want_ordered)
+                return _count_intervals(
+                    pos, order_terms, gap_budget, want_ordered, fixed_gaps
+                )
 
             return tp.map(one).astype("int32")
 
@@ -1448,7 +1543,8 @@ class SearchEngine:
         )
 
     def _score_interval_groups(
-        self, groups: List[List[str]], max_gaps: int, ordered: bool, boost: float
+        self, groups: List[List[str]], max_gaps: int, ordered: bool, boost: float,
+        gaps: Optional[List[int]] = None,
     ) -> DataFrame:
         """Interval composition (IntervalsSourceProvider ``all_of`` over
         ``match``/``any_of`` sources): slot i of the (possibly ordered)
@@ -1493,6 +1589,7 @@ class SearchEngine:
         slot_groups = [list(g) for g in groups]
         slot_names = [f"\x00g{i}" for i in range(len(groups))]
         gap_budget, want_ordered = max_gaps, ordered
+        fixed_gaps = list(gaps) if gaps else None
 
         @F.pandas_udf(T.IntegerType())
         def interval_tf(tp: pd.Series) -> pd.Series:
@@ -1509,7 +1606,9 @@ class SearchEngine:
                     if not arrs:
                         return 0  # slot unmatched in this doc
                     pos[name] = np.unique(np.concatenate(arrs))
-                return _count_intervals(pos, slot_names, gap_budget, want_ordered)
+                return _count_intervals(
+                    pos, slot_names, gap_budget, want_ordered, fixed_gaps
+                )
 
             return tp.map(one).astype("int32")
 

@@ -473,3 +473,153 @@ def test_terms_lookup_resolves_to_terms(engine, corpus_pdf):
 def test_terms_lookup_bad_id_col(engine):
     with pytest.raises(ValueError):
         engine.search(Q.TermsLookup("role", id={"nope": 1}, path="role"), size=1)
+
+
+# ------------------------------------------------------- span_gap
+
+
+def test_span_gap_parse_fold():
+    """SpanGapQueryBuilder: gap pseudo-clauses fold into per-adjacency
+    widths on the SpanNear, never into the term list."""
+    q = Q.from_dict(
+        {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}},
+            {"span_gap": {"text": 2}},
+            {"span_term": {"text": "b"}},
+            {"span_term": {"text": "c"}},
+        ], "slop": 0, "in_order": True}}
+    )
+    assert isinstance(q, Q.SpanNear)
+    assert q.terms == ["a", "b", "c"]
+    assert q.gaps == [2, 0]
+
+    # adjacent gaps accumulate
+    q2 = Q.from_dict(
+        {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}},
+            {"span_gap": {"text": 1}},
+            {"span_gap": {"text": 1}},
+            {"span_term": {"text": "b"}},
+        ], "slop": 0, "in_order": True}}
+    )
+    assert q2.gaps == [2]
+
+    with pytest.raises(ValueError):  # leading gap
+        Q.from_dict({"span_near": {"clauses": [
+            {"span_gap": {"text": 1}}, {"span_term": {"text": "a"}},
+        ], "slop": 0, "in_order": True}})
+    with pytest.raises(ValueError):  # trailing gap
+        Q.from_dict({"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_gap": {"text": 1}},
+        ], "slop": 0, "in_order": True}})
+    with pytest.raises(ValueError):  # unordered (SpanNearQuery.addGap)
+        Q.from_dict({"span_near": {"clauses": [
+            {"span_term": {"text": "a"}},
+            {"span_gap": {"text": 1}},
+            {"span_term": {"text": "b"}},
+        ], "slop": 0, "in_order": False}})
+
+
+def test_span_gap_membership(engine, corpus_pdf):
+    """slop=0 with one reserved gap position == exact distance-2 pairs;
+    ground truth recomputed from the corpus token streams."""
+    toks = _corpus_tokens(corpus_pdf)
+    # pick a (t1, t2) pair that occurs at distance exactly 2 somewhere
+    from collections import Counter
+
+    pair_docs: dict = {}
+    for key, ts in toks.items():
+        for i in range(len(ts) - 2):
+            pair_docs.setdefault((ts[i], ts[i + 2]), set()).add(key)
+    (t1, t2), want = max(pair_docs.items(), key=lambda kv: len(kv[1]))
+    rows = engine.search(
+        Q.from_dict({"span_near": {"clauses": [
+            {"span_term": {"text": t1}},
+            {"span_gap": {"text": 1}},
+            {"span_term": {"text": t2}},
+        ], "slop": 0, "in_order": True}}),
+        size=10_000,
+    ).collect()
+    assert _ids(rows) == want
+
+    # the same query WITHOUT the gap must be a (non-strict) subset
+    # shifted to distance-1 pairs: verify budget accounting by slop=1
+    # without gap covering distances 1..2 — a superset of the gap form
+    rows_slop = engine.search(
+        Q.from_dict({"span_near": {"clauses": [
+            {"span_term": {"text": t1}},
+            {"span_term": {"text": t2}},
+        ], "slop": 1, "in_order": True}}),
+        size=10_000,
+    ).collect()
+    assert _ids(rows) <= _ids(rows_slop)
+
+
+# ------------------------------------------------------- script query
+
+
+def test_script_query_filter_context(engine, corpus_pdf):
+    """ScriptQueryBuilder: boolean expression over doc columns, filter
+    context, constant score = boost."""
+    rows = engine.search(
+        Q.from_dict({"script": {"script": {"source": "turn_idx % 2 = 0 AND role = 'user'"}}}),
+        size=100_000,
+    ).collect()
+    want = {
+        (r.conv_id, r.turn_idx)
+        for r in corpus_pdf.itertuples()
+        if r.turn_idx % 2 == 0 and r.role == "user" and ana.tokenize(r.text)
+    }
+    assert _ids(rows) == want
+    assert {r["score"] for r in rows} == {1.0}
+
+
+# ------------------------------------------------------- common terms
+
+
+def test_common_terms_split_and_score(engine, corpus_pdf):
+    """CommonTermsQuery.rewrite: low group required, high group adds
+    score only to docs the low group matched; all-high fallback."""
+    from collections import Counter
+
+    toks = _corpus_tokens(corpus_pdf)
+    df = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] += 1
+    n_docs = sum(1 for ts in toks.values() if ts)
+    hi = df.most_common(1)[0][0]          # clearly above any cutoff
+    lo = next(t for t, d in df.most_common() if d <= 0.1 * n_docs)
+
+    q = Q.from_dict({"common": {"text": {
+        "query": f"{hi} {lo}", "cutoff_frequency": 0.5,
+    }}})
+    assert isinstance(q, Q.CommonTerms)
+    rows = engine.search(q, size=10_000).collect()
+    # membership: exactly the low-term docs
+    want = {k for k, ts in toks.items() if lo in ts}
+    assert _ids(rows) == want
+
+    # score = match(lo) + match(hi, only where doc matched): docs with
+    # both terms score strictly above their pure-low score
+    lo_rows = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in engine.search({"match": {"text": lo}}, size=10_000).collect()
+    }
+    for r in rows:
+        key = (r["conv_id"], r["turn_idx"])
+        if hi in toks[key]:
+            assert r["score"] > lo_rows[key]
+        else:
+            assert r["score"] == pytest.approx(lo_rows[key], rel=1e-6)
+
+    # all-high fallback: every term above cutoff -> high group required
+    hi2 = df.most_common(2)[1][0]
+    fb = engine.search(
+        Q.from_dict({"common": {"text": {
+            "query": f"{hi} {hi2}", "cutoff_frequency": 0.0001,
+        }}}),
+        size=10_000,
+    ).collect()
+    ref = engine.search({"match": {"text": f"{hi} {hi2}"}}, size=10_000).collect()
+    assert _ids(fb) == _ids(ref)
