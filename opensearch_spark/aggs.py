@@ -148,6 +148,13 @@ def range_agg(
     return row.selectExpr(f"stack({len(keys)}, {stack}) as (key, doc_count)")
 
 
+def filter_agg(df: DataFrame, cond: Column) -> DataFrame:
+    """``filter`` single-bucket agg (``FilterAggregationBuilder.java``):
+    one bucket counting docs matching the predicate; sub-aggs run over
+    the filtered frame (compose by aggregating ``df.filter(cond)``)."""
+    return df.filter(cond).agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+
+
 def filters_agg(df: DataFrame, named: Dict[str, Column]) -> DataFrame:
     """``filters`` agg (``FiltersAggregationBuilder.java``): one bucket
     per named predicate; docs may match several (conditional sums — no
@@ -576,6 +583,39 @@ def stats_bucket(buckets: DataFrame, value: str = "doc_count") -> DataFrame:
         F.round(F.max(c), 6).alias("max"),
         F.round(F.sum(c), 4).alias("sum"),
         F.round(F.avg(c), 6).alias("avg"),
+    )
+
+
+def extended_stats_bucket(
+    buckets: DataFrame, value: str = "doc_count", sigma: float = 2.0
+) -> DataFrame:
+    """``extended_stats_bucket``
+    (ExtendedStatsBucketPipelineAggregationBuilder.java): the sibling
+    series' extended stats — population variance (sum_sq/n - avg², the
+    reference's InternalExtendedStats.getVariance) and sigma std
+    bounds."""
+    c = F.col(value).cast("double")
+    raw = buckets.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("_min"),
+        F.max(c).alias("_max"),
+        F.sum(c).alias("_sum"),
+        F.avg(c).alias("_avg"),
+        F.sum(c * c).alias("_sum_sq"),
+    )
+    var = F.col("_sum_sq") / F.col("count") - F.col("_avg") * F.col("_avg")
+    std = F.sqrt(var)
+    return raw.select(
+        F.col("count").cast("double").alias("count"),
+        F.round(F.col("_min"), 6).alias("min"),
+        F.round(F.col("_max"), 6).alias("max"),
+        F.round(F.col("_sum"), 4).alias("sum"),
+        F.round(F.col("_avg"), 6).alias("avg"),
+        F.round(F.col("_sum_sq"), 4).alias("sum_of_squares"),
+        F.round(var, 6).alias("variance"),
+        F.round(std, 6).alias("std_deviation"),
+        F.round(F.col("_avg") + F.lit(float(sigma)) * std, 6).alias("std_upper"),
+        F.round(F.col("_avg") - F.lit(float(sigma)) * std, 6).alias("std_lower"),
     )
 
 

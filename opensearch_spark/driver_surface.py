@@ -215,6 +215,33 @@ _SIM_DFI_CHI = (
 )
 
 
+# polygon used by both the ft_filters geo_polygon op and its oracle —
+# vertices chosen with no two adjacent points sharing a latitude (the
+# engine drops horizontal edges at plan time; keeping them out of the
+# fixture keeps the SQL mirror a literal transcription)
+_POLY = [(-60.3, -120.7), (70.2, -10.5), (-20.6, 150.4)]
+
+
+def _sql_polygon_pred(pts) -> str:
+    """Even-odd ray-cast membership as a SQL predicate over lat/lon —
+    identical literals and op order as the engine's Catalyst expression
+    (edge deltas precomputed in Python on both sides so the doubles are
+    bit-identical)."""
+    terms = []
+    for i in range(len(pts)):
+        yi, xi = pts[i]
+        yj, xj = pts[(i + 1) % len(pts)]
+        if yi == yj:
+            continue
+        dx, dy = xj - xi, yj - yi
+        terms.append(
+            f"CASE WHEN (({yi!r} > lat) <> ({yj!r} > lat))"
+            f" AND (lon < {dx!r} * (lat - {yi!r}) / {dy!r} + {xi!r})"
+            f" THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -625,7 +652,10 @@ WHERE lat <= 60.0 AND lat >= 20.0 AND (lon >= 150.0 OR lon <= -150.0)
 UNION ALL
 SELECT 'script' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs WHERE n_chars % 7 = 0 AND lang = 'en'
-ORDER BY op, doc_id ASC""",
+UNION ALL
+SELECT 'geo_polygon' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs WHERE {poly}
+ORDER BY op, doc_id ASC""".replace("{poly}", _sql_polygon_pred(_POLY)),
 )
 def ft_filters(spark, sf_dir):
     """Suite: ``range`` on a numeric doc-values column (Catalyst pushes
@@ -640,14 +670,25 @@ def ft_filters(spark, sf_dir):
     GeoBoundingBoxQueryBuilder.java's dateline handling); plus the
     ``script`` filter query (ScriptQueryBuilder.java — boolean
     expression over doc columns in filter context, constant score;
-    Painless -> Spark SQL is the documented script-language
-    deviation)."""
+    Painless -> Spark SQL is the documented script-language deviation)
+    and ``geo_polygon`` (GeoPolygonQueryBuilder.java — even-odd
+    ray-cast membership unrolled into one Catalyst expression)."""
     eng = documents_engine(spark, sf_dir)
     a = docset(eng, {"range": {"n_chars": {"gte": 100, "lt": 300}}})
     b = docset(eng, {"exists": {"field": "src_alt"}})
     c = docset(eng, {"ids": {"values": [3, 5, 144]}})
     f = docset(
         eng, {"script": {"script": {"source": "n_chars % 7 = 0 AND lang = 'en'"}}}
+    )
+    g = docset(
+        eng,
+        {
+            "geo_polygon": {
+                "location": {
+                    "points": [{"lat": la, "lon": lo} for la, lo in _POLY]
+                }
+            }
+        },
     )
     d = docset(
         eng,
@@ -671,6 +712,7 @@ def ft_filters(spark, sf_dir):
         _tag(d, "geo_distance", "doc_id", "score"),
         _tag(e, "geo_bbox", "doc_id", "score"),
         _tag(f, "script", "doc_id", "score"),
+        _tag(g, "geo_polygon", "doc_id", "score"),
     ).orderBy("op", F.asc("doc_id"))
 
 
@@ -2054,6 +2096,9 @@ SELECT 'adjacency' AS op, key, doc_count FROM (
   ) WHERE doc_count > 0
 )
 UNION ALL
+SELECT 'filter' AS op, 'filter' AS key,
+       CAST(count(*) FILTER (WHERE value < 25) AS BIGINT) FROM events
+UNION ALL
 SELECT 'missing' AS op, 'src_alt' AS key,
        CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) FROM documents
 UNION ALL
@@ -2083,7 +2128,8 @@ def agg_ranges(spark, sf_dir):
     """Suite: bucket predicates in one conditional-sum pass each —
     ``range`` (RangeAggregationBuilder.java), ``date_range`` +
     ``ip_range`` (date/IP variants), ``filters``
-    (FiltersAggregationBuilder.java), ``adjacency_matrix``
+    (FiltersAggregationBuilder.java) + single-bucket ``filter``
+    (FilterAggregationBuilder.java), ``adjacency_matrix``
     (AdjacencyMatrixAggregationBuilder.java), ``missing``
     (MissingAggregationBuilder.java), ``global``
     (GlobalAggregationBuilder.java: escape the query context)."""
@@ -2108,6 +2154,9 @@ def agg_ranges(spark, sf_dir):
     fl = aggs.filters_agg(
         ev, {"errors": F.col("event_type") == "error", "big": F.col("value") > 100}
     )
+    f1 = aggs.filter_agg(ev, F.col("value") < 25).select(
+        F.lit("filter").alias("key"), "doc_count"
+    )
     adj = aggs.adjacency_matrix(
         ev, {"big": F.col("value") > 100, "errors": F.col("event_type") == "error"}
     )
@@ -2129,6 +2178,7 @@ def agg_ranges(spark, sf_dir):
         _tag(dr, "date_range", "key", "doc_count"),
         _tag(ir, "ip_range", "key", "doc_count"),
         _tag(fl, "filters", "key", "doc_count"),
+        _tag(f1, "filter", "key", "doc_count"),
         _tag(adj, "adjacency", "key", "doc_count"),
         _tag(mi, "missing", "key", "doc_count"),
         _tag(g1.unionByName(g2), "global", "key", "doc_count"),
@@ -2608,12 +2658,36 @@ SELECT 'percentiles_bucket' AS op, metric, value FROM (
   SELECT 'p50' AS metric, ROUND(CAST(quantile_cont(doc_count, 0.50) AS DOUBLE), 4) AS value FROM __b
   UNION ALL SELECT 'p95', ROUND(CAST(quantile_cont(doc_count, 0.95) AS DOUBLE), 4) FROM __b
 )
+UNION ALL
+SELECT 'extended_stats_bucket' AS op, metric, value FROM (
+  WITH __es AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(min(doc_count) AS DOUBLE) AS mn,
+           CAST(max(doc_count) AS DOUBLE) AS mx,
+           CAST(sum(doc_count) AS DOUBLE) AS sm,
+           avg(CAST(doc_count AS DOUBLE)) AS av,
+           CAST(sum(CAST(doc_count AS DOUBLE) * CAST(doc_count AS DOUBLE)) AS DOUBLE) AS sq
+    FROM __b
+  )
+  SELECT 'count' AS metric, n AS value FROM __es
+  UNION ALL SELECT 'min', ROUND(mn, 6) FROM __es
+  UNION ALL SELECT 'max', ROUND(mx, 6) FROM __es
+  UNION ALL SELECT 'sum', ROUND(sm, 4) FROM __es
+  UNION ALL SELECT 'avg', ROUND(av, 6) FROM __es
+  UNION ALL SELECT 'sum_of_squares', ROUND(sq, 4) FROM __es
+  UNION ALL SELECT 'variance', ROUND(sq / n - av * av, 6) FROM __es
+  UNION ALL SELECT 'std_deviation', ROUND(sqrt(sq / n - av * av), 6) FROM __es
+  UNION ALL SELECT 'std_upper', ROUND(av + 2.0 * sqrt(sq / n - av * av), 6) FROM __es
+  UNION ALL SELECT 'std_lower', ROUND(av - 2.0 * sqrt(sq / n - av * av), 6) FROM __es
+)
 ORDER BY op, metric""",
 )
 def agg_bucket_stats(spark, sf_dir):
     """Suite: sibling-bucket metrics over the daily series —
-    ``avg_bucket``, ``stats_bucket``, ``percentiles_bucket``
-    (AvgBucketPipelineAggregator.java family)."""
+    ``avg_bucket``, ``stats_bucket`` (the min/max/sum_bucket family),
+    ``percentiles_bucket``, and ``extended_stats_bucket`` with sigma=2
+    bounds (AvgBucketPipelineAggregator.java family,
+    ExtendedStatsBucketPipelineAggregationBuilder.java)."""
     ev = load_table(spark, sf_dir, "events")
     b = aggs.date_histogram(ev, "ts", "day")
 
@@ -2628,6 +2702,7 @@ def agg_bucket_stats(spark, sf_dir):
         melt(aggs.avg_bucket(b), "avg_bucket"),
         melt(aggs.stats_bucket(b), "stats_bucket"),
         melt(aggs.percentiles_bucket(b, percents=(50, 95)), "percentiles_bucket"),
+        melt(aggs.extended_stats_bucket(b, sigma=2.0), "extended_stats_bucket"),
     ]
     return _union(*parts).orderBy("op", "metric")
 
@@ -2775,6 +2850,11 @@ FROM customer c JOIN (
   GROUP BY o_custkey HAVING count(*) >= 2
 ) g ON g.o_custkey = c.c_custkey
 UNION ALL
+SELECT 'has_parent' AS op, CAST(o.o_orderkey AS VARCHAR) AS k,
+       ROUND(CAST(c.c_acctbal AS DOUBLE), 4) AS v1, CAST(NULL AS BIGINT) AS v2
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_acctbal > 9900
+UNION ALL
 SELECT 'reverse_nested' AS op, CAST(user_id % 5 AS VARCHAR) AS k,
        CAST(NULL AS DOUBLE) AS v1, CAST(count(DISTINCT user_id) AS BIGINT) AS v2
 FROM events WHERE event_type = 'error'
@@ -2784,7 +2864,9 @@ ORDER BY op, k""",
 def nested_suite(spark, sf_dir):
     """Suite: ``nested`` block-join query with score_mode=sum
     (NestedQueryBuilder.java:508), ``has_child`` with min_children and
-    score_mode=max (parent-join module), ``reverse_nested`` parent
+    score_mode=max (parent-join module), ``has_parent`` with
+    score=true — children inheriting the matched parent's score
+    (HasParentQueryBuilder.java) — and ``reverse_nested`` parent
     counts per cohort (NestedAggregationBuilder.java)."""
     from opensearch_spark.query import nested
 
@@ -2818,6 +2900,18 @@ def nested_suite(spark, sf_dir):
         F.round(F.col("score"), 4).alias("v1"),
         F.col("matched_children").alias("v2"),
     )
+    hp = nested.has_parent(
+        cust,
+        orders,
+        ["c_custkey"],
+        F.col("c_acctbal") > 9900,
+        score_expr=F.col("c_acctbal"),
+        score=True,
+    ).select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.round(F.col("score"), 4).alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+    )
     ev2 = ev.withColumn("cohort", (F.col("user_id") % 5).cast("long"))
     nd2 = nested.nest(ev2, ["user_id", "cohort"], ["event_id", "event_type", "value"])
     rn = nested.reverse_nested_agg(
@@ -2830,6 +2924,7 @@ def nested_suite(spark, sf_dir):
     return _union(
         _tag(nq, "nested_query", "k", "v1", "v2"),
         _tag(hc, "has_child", "k", "v1", "v2"),
+        _tag(hp, "has_parent", "k", "v1", "v2"),
         _tag(rn, "reverse_nested", "k", "v1", "v2"),
     ).orderBy("op", "k")
 

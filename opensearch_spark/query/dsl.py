@@ -542,6 +542,23 @@ class GeoBoundingBox:
 
 
 @dataclasses.dataclass
+class GeoPolygon:
+    """``geo_polygon`` (``GeoPolygonQueryBuilder.java``): docs whose
+    point lies inside the closed polygon.  Even-odd ray casting on the
+    (lon, lat) plane — the planar analog of Lucene's
+    ``Polygon2D.contains``; vertices are plan-time literals, so the
+    per-edge crossing tests unroll into one pure Catalyst boolean
+    expression over the lat/lon column pair (whole-stage codegen, no
+    UDF).  Documented deviation: planar edges, not geodesics — for the
+    small polygons the reference test suites use the memberships
+    agree."""
+
+    field: str
+    points: Sequence[Tuple[float, float]]  # (lat, lon) vertices, open ring
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
 class Bool:
     """Boolean composition (``BoolQueryBuilder.java:66-74``): ``must`` AND +
     scores, ``filter`` AND no score, ``should`` OR + scores with
@@ -914,6 +931,28 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             bottom=float(br["lat"]),
             right=float(br["lon"]),
         )
+    if kind == "geo_polygon":
+        # {"geo_polygon": {field: {"points": [{"lat":..,"lon":..} |
+        #  [lon, lat] | "lat,lon", ...]}}} (GeoPolygonQueryBuilder.java;
+        #  GeoUtils.parseGeoPoint accepts all three vertex encodings)
+        _gp_opts = {"validation_method", "ignore_unmapped", "_name", "boost"}
+        field = next(k for k in body if k not in _gp_opts)
+
+        def _vertex(p) -> Tuple[float, float]:
+            if isinstance(p, dict):
+                return float(p["lat"]), float(p["lon"])
+            if isinstance(p, str):
+                la, lo = p.split(",")
+                return float(la), float(lo)
+            lo, la = p  # GeoJSON-style [lon, lat] array
+            return float(la), float(lo)
+
+        pts = [_vertex(p) for p in body[field]["points"]]
+        if pts and pts[0] == pts[-1]:
+            pts = pts[:-1]  # accept a pre-closed ring
+        if len(pts) < 3:
+            raise ValueError("geo_polygon needs at least 3 distinct points")
+        return GeoPolygon(field, pts, boost=float(body.get("boost", 1.0)))
     if kind == "wrapper":
         import base64 as _b64
         import json as _json

@@ -756,7 +756,9 @@ class SearchEngine:
             return self._score(self._resolve_terms_lookup(q))
         if isinstance(q, Q.TermsSet):
             return self._score_terms_set(q)
-        if isinstance(q, (Q.Range, Q.Exists, Q.Ids, Q.GeoDistance, Q.GeoBoundingBox)):
+        if isinstance(
+            q, (Q.Range, Q.Exists, Q.Ids, Q.GeoDistance, Q.GeoBoundingBox, Q.GeoPolygon)
+        ):
             return self._pred_docset(self._predicate(q), q.boost)
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp)):
             terms = self._expand_terms(q)
@@ -1962,6 +1964,33 @@ class SearchEngine:
             return _haversine_km(lat_c, lon_c, q.lat, q.lon) <= F.lit(
                 float(q.distance_km)
             )
+        if isinstance(q, Q.GeoPolygon):
+            # even-odd ray casting (GeoPolygonQueryBuilder.java ->
+            # Lucene Polygon2D.contains, planar): cast a ray east from
+            # the point and count edge crossings; vertices are literals
+            # so the whole test is one codegen'd boolean expression.
+            # Horizontal edges never straddle a latitude, so they are
+            # dropped at plan time (also keeps the edge-slope division
+            # away from ANSI-mode divide-by-zero).
+            lat_c, lon_c = _geo_cols(q.field)
+            crossings = F.lit(0)
+            pts = list(q.points)
+            for i in range(len(pts)):
+                ylat_i, xlon_i = pts[i]
+                ylat_j, xlon_j = pts[(i + 1) % len(pts)]
+                if ylat_i == ylat_j:
+                    continue
+                straddles = (F.lit(ylat_i) > lat_c) != (F.lit(ylat_j) > lat_c)
+                x_cross = (
+                    F.lit(xlon_j - xlon_i)
+                    * (lat_c - F.lit(ylat_i))
+                    / F.lit(ylat_j - ylat_i)
+                    + F.lit(xlon_i)
+                )
+                crossings = crossings + F.when(
+                    straddles & (lon_c < x_cross), F.lit(1)
+                ).otherwise(F.lit(0))
+            return crossings % 2 == 1
         if isinstance(q, Q.Ids):
             conds = []
             for tup in q.values:

@@ -86,6 +86,29 @@ def has_child(
     return parents.join(grouped, list(join_cols))
 
 
+def has_parent(
+    parents: DataFrame,
+    children: DataFrame,
+    join_cols,
+    parent_pred: Column,
+    score_expr: Optional[Column] = None,
+    score: bool = False,
+) -> DataFrame:
+    """``has_parent`` (parent-join module, HasParentQueryBuilder.java):
+    children whose parent matches the inner query.  ``score=false``
+    (the reference default) gives constant 1.0; ``score=true``
+    propagates the parent's score to every child
+    (ParentConstantScoreQuery vs ParentQuery).  One equi-join on the
+    parent key — Catalyst broadcasts the matched-parent side when it is
+    small (the usual case: parents are the filtered dimension)."""
+    matched = parents.filter(parent_pred)
+    if score and score_expr is not None:
+        sel = matched.select(*join_cols, score_expr.cast("double").alias("score"))
+    else:
+        sel = matched.select(*join_cols).withColumn("score", F.lit(1.0))
+    return children.join(sel, list(join_cols))
+
+
 def reverse_nested_agg(
     nested_df: DataFrame,
     parent_cols,

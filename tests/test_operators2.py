@@ -623,3 +623,112 @@ def test_common_terms_split_and_score(engine, corpus_pdf):
     ).collect()
     ref = engine.search({"match": {"text": f"{hi} {hi2}"}}, size=10_000).collect()
     assert _ids(fb) == _ids(ref)
+
+
+# ------------------------------------------------------- geo_polygon
+
+
+def test_geo_polygon_membership(spark):
+    """Ray-cast membership vs an independent pure-Python point-in-polygon
+    over the deterministic lat/lon derivation."""
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("driver testdata absent")
+    from opensearch_spark.docs_index import docset, documents_df, documents_engine
+
+    poly = [(-60.3, -120.7), (70.2, -10.5), (-20.6, 150.4)]
+    eng = documents_engine(spark, sf)
+    hits = {
+        r["doc_id"]
+        for r in docset(
+            eng,
+            {"geo_polygon": {"location": {"points": [
+                {"lat": la, "lon": lo} for la, lo in poly
+            ]}}},
+        ).collect()
+    }
+
+    def inside(lat, lon):
+        n, c = len(poly), False
+        for i in range(n):
+            yi, xi = poly[i]
+            yj, xj = poly[(i + 1) % n]
+            if (yi > lat) != (yj > lat) and lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+                c = not c
+        return c
+
+    pdf = documents_df(spark, sf).select("doc_id", "lat", "lon").toPandas()
+    want = {int(r.doc_id) for r in pdf.itertuples() if inside(r.lat, r.lon)}
+    assert hits == want and want  # non-empty on this fixture
+
+
+def test_geo_polygon_parse_forms():
+    from opensearch_spark.query import dsl as Q
+
+    # dict / GeoJSON [lon, lat] / "lat,lon" string vertices, closed ring
+    q = Q.from_dict({"geo_polygon": {"location": {"points": [
+        {"lat": 0.0, "lon": 0.0}, [10.0, 5.0], "5.0,-10.0",
+        {"lat": 0.0, "lon": 0.0},
+    ]}}})
+    assert isinstance(q, Q.GeoPolygon)
+    assert q.points == [(0.0, 0.0), (5.0, 10.0), (5.0, -10.0)]
+    with pytest.raises(ValueError):
+        Q.from_dict({"geo_polygon": {"location": {"points": [
+            {"lat": 0, "lon": 0}, {"lat": 1, "lon": 1},
+        ]}}})
+
+
+# ------------------------------------------------------- parent-join / pipeline tail
+
+
+def test_has_parent_propagates_score(spark):
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.query import nested
+
+    parents = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0)], "pid int, weight double"
+    )
+    children = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "pid int, name string"
+    )
+    got = nested.has_parent(
+        parents, children, ["pid"], F.col("weight") > 40,
+        score_expr=F.col("weight"), score=True,
+    ).select("pid", "name", "score").collect()
+    by_name = {r["name"]: (r["pid"], r["score"]) for r in got}
+    assert by_name == {"c": (2, 99.0), "d": (3, 50.0)}
+
+    # score=false (reference default): constant 1.0
+    flat = nested.has_parent(
+        parents, children, ["pid"], F.col("weight") > 40
+    ).select("score").collect()
+    assert {r["score"] for r in flat} == {1.0}
+
+
+def test_extended_stats_bucket_and_filter_agg(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from opensearch_spark import aggs as A
+
+    b = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_count int")
+    row = A.extended_stats_bucket(b, sigma=2.0).collect()[0]
+    vals = [1.0, 2.0, 3.0, 4.0]
+    n = len(vals)
+    avg = sum(vals) / n
+    var = sum(v * v for v in vals) / n - avg * avg
+    assert row["count"] == n and row["min"] == 1.0 and row["max"] == 4.0
+    assert row["sum"] == 10.0 and row["avg"] == avg
+    assert row["variance"] == pytest.approx(var, abs=1e-6)
+    assert row["std_deviation"] == pytest.approx(math.sqrt(var), abs=1e-6)
+    assert row["std_upper"] == pytest.approx(avg + 2 * math.sqrt(var), abs=1e-6)
+    assert row["std_lower"] == pytest.approx(avg - 2 * math.sqrt(var), abs=1e-6)
+
+    f = A.filter_agg(b, F.col("doc_count") >= 3).collect()[0]
+    assert f["doc_count"] == 2
