@@ -221,6 +221,11 @@ _SIM_DFI_CHI = (
 # fixture keeps the SQL mirror a literal transcription)
 _POLY = [(-60.3, -120.7), (70.2, -10.5), (-20.6, 150.4)]
 
+# geo_shape fixture: quad outer ring with a triangular hole (even-odd
+# XOR of the two ray casts); same no-horizontal-edges constraint
+_SHAPE_OUTER = [(-50.1, -100.3), (65.7, -80.2), (55.3, 90.6), (-40.9, 110.4)]
+_SHAPE_HOLE = [(-10.2, -20.7), (25.4, 5.3), (-5.8, 30.1)]
+
 
 def _sql_polygon_pred(pts) -> str:
     """Even-odd ray-cast membership as a SQL predicate over lat/lon —
@@ -655,7 +660,12 @@ FROM __docs WHERE n_chars % 7 = 0 AND lang = 'en'
 UNION ALL
 SELECT 'geo_polygon' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs WHERE {poly}
-ORDER BY op, doc_id ASC""".replace("{poly}", _sql_polygon_pred(_POLY)),
+UNION ALL
+SELECT 'geo_shape' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs WHERE ({shape_outer}) <> ({shape_hole})
+ORDER BY op, doc_id ASC""".replace("{poly}", _sql_polygon_pred(_POLY))
+    .replace("{shape_outer}", _sql_polygon_pred(_SHAPE_OUTER))
+    .replace("{shape_hole}", _sql_polygon_pred(_SHAPE_HOLE)),
 )
 def ft_filters(spark, sf_dir):
     """Suite: ``range`` on a numeric doc-values column (Catalyst pushes
@@ -670,9 +680,12 @@ def ft_filters(spark, sf_dir):
     GeoBoundingBoxQueryBuilder.java's dateline handling); plus the
     ``script`` filter query (ScriptQueryBuilder.java — boolean
     expression over doc columns in filter context, constant score;
-    Painless -> Spark SQL is the documented script-language deviation)
-    and ``geo_polygon`` (GeoPolygonQueryBuilder.java — even-odd
-    ray-cast membership unrolled into one Catalyst expression)."""
+    Painless -> Spark SQL is the documented script-language deviation),
+    ``geo_polygon`` (GeoPolygonQueryBuilder.java — even-odd ray-cast
+    membership unrolled into one Catalyst expression), and
+    ``geo_shape`` over point docs (GeoShapeQueryBuilder.java — here a
+    polygon with a hole: per-ring ray casts XORed, Polygon2D
+    even-odd)."""
     eng = documents_engine(spark, sf_dir)
     a = docset(eng, {"range": {"n_chars": {"gte": 100, "lt": 300}}})
     b = docset(eng, {"exists": {"field": "src_alt"}})
@@ -686,6 +699,22 @@ def ft_filters(spark, sf_dir):
             "geo_polygon": {
                 "location": {
                     "points": [{"lat": la, "lon": lo} for la, lo in _POLY]
+                }
+            }
+        },
+    )
+    h = docset(
+        eng,
+        {
+            "geo_shape": {
+                "location": {
+                    "shape": {
+                        "type": "polygon",
+                        "coordinates": [
+                            [[lo, la] for la, lo in _SHAPE_OUTER],
+                            [[lo, la] for la, lo in _SHAPE_HOLE],
+                        ],
+                    }
                 }
             }
         },
@@ -713,6 +742,7 @@ def ft_filters(spark, sf_dir):
         _tag(e, "geo_bbox", "doc_id", "score"),
         _tag(f, "script", "doc_id", "score"),
         _tag(g, "geo_polygon", "doc_id", "score"),
+        _tag(h, "geo_shape", "doc_id", "score"),
     ).orderBy("op", F.asc("doc_id"))
 
 

@@ -559,6 +559,31 @@ class GeoPolygon:
 
 
 @dataclasses.dataclass
+class GeoShape:
+    """``geo_shape`` (``GeoShapeQueryBuilder.java``) restricted to
+    POINT-indexed documents: the doc side is the lat/lon column pair,
+    so every spatial relation reduces to a point-membership predicate
+    over plan-time shape literals (one Catalyst boolean, no UDF).
+    ``shape`` is the reference's inline GeoJSON-ish dict
+    (``ShapeBuilder`` forms): ``envelope`` (top-left/bottom-right,
+    dateline-splitting like geo_bounding_box), ``polygon`` with holes
+    (per-ring even-odd ray cast XORed — Lucene ``Polygon2D`` analog,
+    planar), ``point``, ``circle`` (center + radius, haversine),
+    ``multipoint`` / ``multipolygon`` / ``geometrycollection`` (OR of
+    members).  Relations (``ShapeRelation.java``): ``intersects``
+    (default) and ``within`` coincide for point docs; ``disjoint`` is
+    the null-safe negation; ``contains`` holds only for an equal
+    ``point`` shape.  Documented deviation: indexed SHAPE fields (ESRI
+    geometry docs) and ``indexed_shape`` references stay out of scope
+    — this serves the geo_shape DSL surface over geo_point data."""
+
+    field: str
+    shape: Dict[str, Any]
+    relation: str = "intersects"
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
 class Bool:
     """Boolean composition (``BoolQueryBuilder.java:66-74``): ``must`` AND +
     scores, ``filter`` AND no score, ``should`` OR + scores with
@@ -600,6 +625,63 @@ class Boosting:
     positive: Query
     negative: Query
     negative_boost: float = 0.5
+
+
+def parse_distance_km(dist) -> float:
+    """``DistanceUnit.java`` suffix grammar -> km; unitless values are
+    METERS (the reference's ``DistanceUnit.DEFAULT``)."""
+    if not isinstance(dist, str):
+        return float(dist) / 1000.0
+    # longest suffix first so 'nmi' never hits the 'mi' branch and
+    # 'cm'/'mm' never hit 'm'
+    units = [
+        ("nmi", 1.852), ("km", 1.0), ("mi", 1.609344),
+        ("yd", 0.0009144), ("ft", 0.0003048), ("in", 0.0000254),
+        ("cm", 0.00001), ("mm", 0.000001), ("m", 0.001),
+    ]
+    d = dist.strip().lower()
+    for suf, km_per in units:
+        if d.endswith(suf):
+            return float(d[: -len(suf)]) * km_per
+    return float(d) / 1000.0
+
+
+_SHAPE_TYPES = {
+    "envelope", "polygon", "point", "circle",
+    "multipoint", "multipolygon", "geometrycollection",
+}
+
+
+def _validate_shape(shape: Dict[str, Any]) -> None:
+    """Plan-time structural check of an inline geo_shape body — reject
+    unknown types and malformed rings before any Spark plan is built
+    (the reference fails shape parsing at query-parse time too)."""
+    t = str(shape.get("type", "")).lower()
+    if t not in _SHAPE_TYPES:
+        raise ValueError(f"unsupported geo_shape type: {shape.get('type')!r}")
+    if t == "geometrycollection":
+        members = shape.get("geometries", [])
+        if not members:
+            raise ValueError("geometrycollection needs at least one geometry")
+        for m in members:
+            _validate_shape(m)
+        return
+    coords = shape.get("coordinates")
+    if coords is None:
+        raise ValueError(f"geo_shape {t} needs coordinates")
+    if t == "envelope" and len(coords) != 2:
+        raise ValueError("envelope needs [[minLon,maxLat],[maxLon,minLat]]")
+    if t == "polygon":
+        for ring in coords:
+            # open or pre-closed ring, >= 3 distinct vertices
+            n = len(ring) - (1 if len(ring) > 1 and ring[0] == ring[-1] else 0)
+            if n < 3:
+                raise ValueError("polygon ring needs at least 3 distinct points")
+    if t == "multipolygon":
+        for poly in coords:
+            _validate_shape({"type": "polygon", "coordinates": poly})
+    if t == "circle":
+        parse_distance_km(shape.get("radius", "0m"))
 
 
 def from_dict(spec: Dict[str, Any]) -> Query:
@@ -893,25 +975,7 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         )
     if kind == "geo_distance":
         # {"geo_distance": {"distance": "200km", "location": {"lat": .., "lon": ..}}}
-        dist = body["distance"]
-        if isinstance(dist, str):
-            # DistanceUnit suffixes, longest first so 'nmi' never hits
-            # the 'mi' branch and 'cm'/'mm' never hit 'm'
-            units = [
-                ("nmi", 1.852), ("km", 1.0), ("mi", 1.609344),
-                ("yd", 0.0009144), ("ft", 0.0003048), ("in", 0.0000254),
-                ("cm", 0.00001), ("mm", 0.000001), ("m", 0.001),
-            ]
-            d = dist.strip().lower()
-            for suf, km_per in units:
-                if d.endswith(suf):
-                    km = float(d[: -len(suf)]) * km_per
-                    break
-            else:
-                # unitless: METERS (the reference's DistanceUnit.DEFAULT)
-                km = float(d) / 1000.0
-        else:
-            km = float(dist) / 1000.0  # unitless numbers are meters
+        km = parse_distance_km(body["distance"])
         _gd_opts = {
             "distance", "distance_type", "validation_method",
             "ignore_unmapped", "_name", "boost",
@@ -953,6 +1017,26 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         if len(pts) < 3:
             raise ValueError("geo_polygon needs at least 3 distinct points")
         return GeoPolygon(field, pts, boost=float(body.get("boost", 1.0)))
+    if kind == "geo_shape":
+        # {"geo_shape": {field: {"shape": {"type": ..., "coordinates":
+        #  ...}, "relation": "intersects"}}} (GeoShapeQueryBuilder.java;
+        #  shape grammar per ShapeBuilder / GeoJson.java)
+        _gs_opts = {"relation", "ignore_unmapped", "_name", "boost"}
+        field = next(k for k in body if k not in _gs_opts)
+        b = body[field]
+        if "indexed_shape" in b:
+            raise NotImplementedError(
+                "geo_shape indexed_shape (pre-registered shape docs) is out "
+                "of scope — inline `shape` only"
+            )
+        shape = b["shape"]
+        relation = str(b.get("relation", "intersects")).lower()
+        if relation not in ("intersects", "within", "disjoint", "contains"):
+            raise ValueError(f"unknown geo_shape relation: {relation}")
+        _validate_shape(shape)
+        return GeoShape(
+            field, shape, relation, boost=float(body.get("boost", 1.0))
+        )
     if kind == "wrapper":
         import base64 as _b64
         import json as _json

@@ -165,6 +165,97 @@ def _haversine_km(lat_c: Column, lon_c: Column, olat: float, olon: float) -> Col
     )
 
 
+def _raycast_pred(lat_c: Column, lon_c: Column, points) -> Column:
+    """Even-odd ray casting (GeoPolygonQueryBuilder.java -> Lucene
+    Polygon2D.contains, planar): cast a ray east from the point and
+    count edge crossings; vertices are plan-time literals so the whole
+    test unrolls into one codegen'd boolean expression.  Horizontal
+    edges never straddle a latitude, so they are dropped at plan time
+    (also keeps the edge-slope division away from ANSI-mode
+    divide-by-zero)."""
+    crossings = F.lit(0)
+    pts = list(points)
+    for i in range(len(pts)):
+        ylat_i, xlon_i = pts[i]
+        ylat_j, xlon_j = pts[(i + 1) % len(pts)]
+        if ylat_i == ylat_j:
+            continue
+        straddles = (F.lit(ylat_i) > lat_c) != (F.lit(ylat_j) > lat_c)
+        x_cross = (
+            F.lit(xlon_j - xlon_i)
+            * (lat_c - F.lit(ylat_i))
+            / F.lit(ylat_j - ylat_i)
+            + F.lit(xlon_i)
+        )
+        crossings = crossings + F.when(
+            straddles & (lon_c < x_cross), F.lit(1)
+        ).otherwise(F.lit(0))
+    return crossings % 2 == 1
+
+
+def _ring_latlon(ring) -> List[Tuple[float, float]]:
+    """GeoJSON ring ([lon, lat] vertices, optionally pre-closed) ->
+    open list of (lat, lon) tuples for the ray caster."""
+    pts = [(float(la), float(lo)) for lo, la in ring]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    return pts
+
+
+def _shape_member_pred(lat_c: Column, lon_c: Column, shape: dict) -> Column:
+    """Point-in-shape membership for the geo_shape query
+    (GeoShapeQueryBuilder.java over geo_point docs): each shape type
+    lowers to the predicate machinery its standalone query twin uses —
+    envelope -> the geo_bounding_box comparisons (incl. dateline
+    split), circle -> the geo_distance haversine, polygon -> per-ring
+    even-odd ray casts XORed (a point inside a hole crosses outer+hole
+    -> even -> outside, Polygon2D semantics), multi*/collection -> OR
+    of members.  All plan-time literals: one Catalyst boolean."""
+    t = str(shape.get("type", "")).lower()
+    if t == "point":
+        lo, la = shape["coordinates"]
+        return (lat_c == F.lit(float(la))) & (lon_c == F.lit(float(lo)))
+    if t == "circle":
+        from opensearch_spark.query.dsl import parse_distance_km
+
+        lo, la = shape["coordinates"]
+        km = parse_distance_km(shape.get("radius", "0m"))
+        return _haversine_km(lat_c, lon_c, float(la), float(lo)) <= F.lit(km)
+    if t == "envelope":
+        (left, top), (right, bottom) = shape["coordinates"]
+        top, left = float(top), float(left)
+        bottom, right = float(bottom), float(right)
+        lat_ok = (lat_c <= F.lit(top)) & (lat_c >= F.lit(bottom))
+        if left > right:  # crosses the antimeridian: split into an OR
+            return lat_ok & ((lon_c >= F.lit(left)) | (lon_c <= F.lit(right)))
+        return lat_ok & (lon_c >= F.lit(left)) & (lon_c <= F.lit(right))
+    if t == "polygon":
+        pred = None
+        for ring in shape["coordinates"]:
+            ring_pred = _raycast_pred(lat_c, lon_c, _ring_latlon(ring))
+            # boolean != is XOR: even-odd across outer ring + holes
+            pred = ring_pred if pred is None else (pred != ring_pred)
+        return pred
+    if t == "multipoint":
+        members = [
+            _shape_member_pred(lat_c, lon_c, {"type": "point", "coordinates": c})
+            for c in shape["coordinates"]
+        ]
+        return reduce(lambda a, b: a | b, members)
+    if t == "multipolygon":
+        members = [
+            _shape_member_pred(lat_c, lon_c, {"type": "polygon", "coordinates": c})
+            for c in shape["coordinates"]
+        ]
+        return reduce(lambda a, b: a | b, members)
+    if t == "geometrycollection":
+        members = [
+            _shape_member_pred(lat_c, lon_c, g) for g in shape["geometries"]
+        ]
+        return reduce(lambda a, b: a | b, members)
+    raise ValueError(f"unsupported geo_shape type: {shape.get('type')!r}")
+
+
 def _sloppy_freq(pos: dict, terms: List[str], slop: int) -> float:
     """Lucene sloppy phrase frequency over minimal ordered intervals:
     each match contributes ``1 / (1 + matchLength)`` where matchLength
@@ -757,7 +848,16 @@ class SearchEngine:
         if isinstance(q, Q.TermsSet):
             return self._score_terms_set(q)
         if isinstance(
-            q, (Q.Range, Q.Exists, Q.Ids, Q.GeoDistance, Q.GeoBoundingBox, Q.GeoPolygon)
+            q,
+            (
+                Q.Range,
+                Q.Exists,
+                Q.Ids,
+                Q.GeoDistance,
+                Q.GeoBoundingBox,
+                Q.GeoPolygon,
+                Q.GeoShape,
+            ),
         ):
             return self._pred_docset(self._predicate(q), q.boost)
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp)):
@@ -1965,32 +2065,23 @@ class SearchEngine:
                 float(q.distance_km)
             )
         if isinstance(q, Q.GeoPolygon):
-            # even-odd ray casting (GeoPolygonQueryBuilder.java ->
-            # Lucene Polygon2D.contains, planar): cast a ray east from
-            # the point and count edge crossings; vertices are literals
-            # so the whole test is one codegen'd boolean expression.
-            # Horizontal edges never straddle a latitude, so they are
-            # dropped at plan time (also keeps the edge-slope division
-            # away from ANSI-mode divide-by-zero).
             lat_c, lon_c = _geo_cols(q.field)
-            crossings = F.lit(0)
-            pts = list(q.points)
-            for i in range(len(pts)):
-                ylat_i, xlon_i = pts[i]
-                ylat_j, xlon_j = pts[(i + 1) % len(pts)]
-                if ylat_i == ylat_j:
-                    continue
-                straddles = (F.lit(ylat_i) > lat_c) != (F.lit(ylat_j) > lat_c)
-                x_cross = (
-                    F.lit(xlon_j - xlon_i)
-                    * (lat_c - F.lit(ylat_i))
-                    / F.lit(ylat_j - ylat_i)
-                    + F.lit(xlon_i)
-                )
-                crossings = crossings + F.when(
-                    straddles & (lon_c < x_cross), F.lit(1)
-                ).otherwise(F.lit(0))
-            return crossings % 2 == 1
+            return _raycast_pred(lat_c, lon_c, q.points)
+        if isinstance(q, Q.GeoShape):
+            lat_c, lon_c = _geo_cols(q.field)
+            base = _shape_member_pred(lat_c, lon_c, q.shape)
+            # ShapeRelation.java over a point doc side: intersects and
+            # within coincide (a point intersects iff it lies within);
+            # disjoint is the null-safe complement; contains holds only
+            # when the shape is a single point equal to the doc point.
+            if q.relation in ("intersects", "within"):
+                return base
+            if q.relation == "disjoint":
+                return ~_null_safe(base)
+            # contains: a point can only contain a point shape
+            if str(q.shape.get("type", "")).lower() == "point":
+                return base
+            return F.lit(False)
         if isinstance(q, Q.Ids):
             conds = []
             for tup in q.values:

@@ -732,3 +732,135 @@ def test_extended_stats_bucket_and_filter_agg(spark):
 
     f = A.filter_agg(b, F.col("doc_count") >= 3).collect()[0]
     assert f["doc_count"] == 2
+
+
+# ------------------------------------------------------- geo_shape
+
+
+_OUTER = [(-50.1, -100.3), (65.7, -80.2), (55.3, 90.6), (-40.9, 110.4)]
+_HOLE = [(-10.2, -20.7), (25.4, 5.3), (-5.8, 30.1)]
+
+
+def _py_raycast(poly, lat, lon):
+    c = False
+    for i in range(len(poly)):
+        yi, xi = poly[i]
+        yj, xj = poly[(i + 1) % len(poly)]
+        if (yi > lat) != (yj > lat) and lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+            c = not c
+    return c
+
+
+def _geojson_ring(latlon):
+    return [[lo, la] for la, lo in latlon]
+
+
+def test_geo_shape_polygon_hole_and_relations(spark):
+    """geo_shape polygon-with-hole vs pure-Python even-odd; disjoint is
+    the exact complement over the fixture."""
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("driver testdata absent")
+    from opensearch_spark.docs_index import docset, documents_df, documents_engine
+
+    shape = {
+        "type": "polygon",
+        "coordinates": [_geojson_ring(_OUTER), _geojson_ring(_HOLE)],
+    }
+    eng = documents_engine(spark, sf)
+
+    def run(relation):
+        return {
+            r["doc_id"]
+            for r in docset(
+                eng,
+                {"geo_shape": {"location": {"shape": shape, "relation": relation}}},
+            ).collect()
+        }
+
+    hits = run("intersects")
+    pdf = documents_df(spark, sf).select("doc_id", "lat", "lon").toPandas()
+    want = {
+        int(r.doc_id)
+        for r in pdf.itertuples()
+        if _py_raycast(_OUTER, r.lat, r.lon) != _py_raycast(_HOLE, r.lat, r.lon)
+    }
+    assert hits == want and want
+    assert run("within") == want
+    assert run("disjoint") == {int(r.doc_id) for r in pdf.itertuples()} - want
+    assert run("contains") == set()  # a point doc never contains a polygon
+
+
+def test_geo_shape_envelope_circle_collection(spark):
+    """envelope == geo_bounding_box twin; circle == geo_distance twin;
+    geometrycollection = union of members."""
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("driver testdata absent")
+    from opensearch_spark.docs_index import docset, documents_engine
+
+    eng = documents_engine(spark, sf)
+
+    def ids(q):
+        return {r["doc_id"] for r in docset(eng, q).collect()}
+
+    env = ids({"geo_shape": {"location": {"shape": {
+        "type": "envelope", "coordinates": [[150.0, 60.0], [-150.0, 20.0]],
+    }}}})
+    bbox = ids({"geo_bounding_box": {"location": {
+        "top_left": {"lat": 60.0, "lon": 150.0},
+        "bottom_right": {"lat": 20.0, "lon": -150.0},
+    }}})
+    assert env == bbox and env  # dateline-crossing envelope, non-empty
+
+    circ = ids({"geo_shape": {"location": {"shape": {
+        "type": "circle", "coordinates": [20.0, 10.0], "radius": "3000km",
+    }}}})
+    dist = ids({"geo_distance": {"distance": "3000km",
+                                 "location": {"lat": 10.0, "lon": 20.0}}})
+    assert circ == dist and circ
+
+    coll = ids({"geo_shape": {"location": {"shape": {
+        "type": "geometrycollection",
+        "geometries": [
+            {"type": "envelope", "coordinates": [[150.0, 60.0], [-150.0, 20.0]]},
+            {"type": "circle", "coordinates": [20.0, 10.0], "radius": "3000km"},
+        ],
+    }}}})
+    assert coll == env | circ
+
+
+def test_geo_shape_parse_errors():
+    from opensearch_spark.query import dsl as Q
+
+    with pytest.raises(ValueError):
+        Q.from_dict({"geo_shape": {"location": {"shape": {
+            "type": "linestring", "coordinates": [[0, 0], [1, 1]],
+        }}}})
+    with pytest.raises(NotImplementedError):
+        Q.from_dict({"geo_shape": {"location": {"indexed_shape": {
+            "index": "shapes", "id": "deu",
+        }}}})
+    with pytest.raises(ValueError):
+        Q.from_dict({"geo_shape": {"location": {
+            "shape": {"type": "point", "coordinates": [0.0, 0.0]},
+            "relation": "touches",
+        }}})
+    with pytest.raises(ValueError):
+        Q.from_dict({"geo_shape": {"location": {"shape": {
+            "type": "polygon", "coordinates": [[[0, 0], [1, 1], [0, 0]]],
+        }}}})
+    # contains over an equal point shape is satisfiable (parses fine)
+    q = Q.from_dict({"geo_shape": {"location": {
+        "shape": {"type": "point", "coordinates": [1.5, -2.5]},
+        "relation": "contains",
+    }}})
+    assert isinstance(q, Q.GeoShape) and q.relation == "contains"
