@@ -10,8 +10,10 @@ Package the library and submit any sub-command to a real cluster
         --segments 4096 --waves 8
 
 Sub-commands: ``generate`` (synthetic transcripts), ``build``
-(resumable index build), ``merge`` (segment compaction), ``query``
-(top-k search), ``bench-queries``.  The SparkSession comes from
+(resumable index build; ``--format parquet|iceberg|table``),
+``merge`` (segment compaction), ``query`` (top-k search), ``smoke``
+(generate -> build -> query round-trip in one session — the
+spark-submit deployment check).  The SparkSession comes from
 ``getOrCreate`` so every ``spark-submit --conf`` applies unchanged;
 ``--segments`` is the unit of inversion parallelism (size segments to
 ~1-4M turns on a large cluster).
@@ -46,11 +48,43 @@ def cmd_generate(args) -> None:
     print(json.dumps({"written": args.out, "convs": args.convs}))
 
 
+def read_input(spark, input_ref: str, fmt: str = "parquet"):
+    """Load the transcript table (conv_id, turn_idx, role, text, tool,
+    ts) from any of the deployment input shapes:
+
+    - ``parquet``: a path (the sandbox/test shape).
+    - ``iceberg``: an Iceberg table reference resolved through the
+      session catalog (``spark.read.format("iceberg").load``) — the
+      north-rule production shape.  Requires the iceberg-spark-runtime
+      jar + catalog conf on the cluster (``--packages
+      org.apache.iceberg:iceberg-spark-runtime-...``); Iceberg gives
+      the build snapshot isolation (a consistent table snapshot for
+      the whole multi-wave run) and its manifests feed Spark's
+      partition pruning.  Not installable in this sandbox, so the
+      import failure is surfaced with that hint rather than stubbed.
+    - ``table``: any catalog table/view name (``spark.read.table``) —
+      exercises the same catalog-resolution path locally.
+    """
+    if fmt == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(input_ref)
+        except Exception as e:  # jar/catalog absent: actionable message
+            raise RuntimeError(
+                "iceberg input needs the iceberg-spark-runtime jar and a "
+                "configured catalog (spark-submit --packages "
+                "org.apache.iceberg:iceberg-spark-runtime); reader said: "
+                f"{e}"
+            ) from e
+    if fmt == "table":
+        return spark.read.table(input_ref)
+    return spark.read.parquet(input_ref)
+
+
 def cmd_build(args) -> None:
     from opensearch_spark.index.builder import IndexConfig, build_index
 
     spark = _spark("osps-build")
-    docs = spark.read.parquet(args.input)
+    docs = read_input(spark, args.input, args.format)
     cfg = IndexConfig(
         n_segments=args.segments,
         stopwords=args.stopwords,
@@ -81,6 +115,48 @@ def cmd_query(args) -> None:
         print(json.dumps(r.asDict(), default=str))
 
 
+def cmd_smoke(args) -> None:
+    """One-session deployment check (the spark-submit --py-files smoke
+    path): generate a small deterministic corpus, register it as a
+    catalog table, build through the ``table`` input shape, run one
+    match query, and print a single JSON line the caller can assert
+    on.  Everything travels through the same code paths a cluster run
+    uses — only the corpus size differs."""
+    import shutil
+    import tempfile
+
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+    from opensearch_spark.transcripts import generate
+
+    spark = _spark("osps-smoke")
+    work = args.workdir or tempfile.mkdtemp(prefix="osps-smoke-")
+    idx = os.path.join(work, "idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    generate(spark, args.convs, partitions=4).createOrReplaceTempView(
+        "smoke_transcripts"
+    )
+    docs = read_input(spark, "smoke_transcripts", "table")
+    stats = build_index(spark, docs, idx, IndexConfig(n_segments=8))
+    eng = SearchEngine(InvertedIndex(spark, idx))
+    rows = eng.search({"match": {"text": args.query}}, size=10).collect()
+    print(
+        json.dumps(
+            {
+                "turns_indexed": stats.get("n_docs"),
+                "hits": len(rows),
+                "top": (
+                    [rows[0]["conv_id"], rows[0]["turn_idx"], round(rows[0]["score"], 4)]
+                    if rows
+                    else None
+                ),
+                "index": idx,
+            }
+        )
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="opensearch_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -94,6 +170,9 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("build")
     b.add_argument("--input", required=True)
+    b.add_argument(
+        "--format", choices=("parquet", "iceberg", "table"), default="parquet"
+    )
     b.add_argument("--index", required=True)
     b.add_argument("--segments", type=int, default=256)
     b.add_argument("--waves", type=int, default=1)
@@ -114,6 +193,12 @@ def main(argv=None) -> int:
     q.add_argument("--size", type=int, default=10)
     q.add_argument("--prune", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("smoke")
+    s.add_argument("--convs", type=int, default=200)
+    s.add_argument("--query", default="error handling")
+    s.add_argument("--workdir", default=None)
+    s.set_defaults(fn=cmd_smoke)
 
     args = ap.parse_args(argv)
     args.fn(args)
