@@ -1,0 +1,611 @@
+"""Composable analysis chain: char filters -> tokenizer -> token filters.
+
+The reference's analysis registry assembles named analyzers from three
+stages (``index/analysis/AnalysisRegistry.java``; the common zoo lives in
+``modules/analysis-common/.../CommonAnalysisModulePlugin.java:318-620``,
+one factory class per component).  This module implements the
+most-used subset as plain Python callables composed by :class:`Analyzer`,
+plus a vectorized pandas-UDF wrapper for the Spark hot path.  The default
+``standard`` chain is defined to be *bit-identical* to the fast path in
+:mod:`opensearch_spark.analysis.analyzer` (pinned by
+``tests/test_analysis_chain.py``), so the index builder can keep its
+single-pass fast path when the configured chain is the default.
+
+Implemented components (reference citation per entry):
+
+Char filters (``CharFilter`` = ``str -> str``; offsets are not tracked
+through char filters, matching our ``_analyze`` contract which reports
+positions, not offsets, for filtered chains):
+
+- ``html_strip``       HtmlStripCharFilterFactory.java
+- ``mapping``          MappingCharFilterFactory.java  (literal pairs "a=>b")
+- ``pattern_replace``  PatternReplaceCharFilterFactory.java
+
+Tokenizers (``str -> (tokens, positions)``):
+
+- ``standard``         StandardTokenizerFactory.java (UAX#29; the shared core)
+- ``whitespace``       WhitespaceTokenizerFactory.java (split on \\s+)
+- ``letter``           LetterTokenizerFactory.java (runs of letters)
+- ``lowercase``        LowerCaseTokenizerFactory.java (letter + lowercase)
+- ``keyword``          KeywordTokenizerFactory.java (whole input, one token)
+- ``pattern``          PatternTokenizerFactory.java (regex split, or group=G)
+- ``char_group``       CharGroupTokenizerFactory.java (split on char set)
+- ``ngram``            NGramTokenizerFactory.java (default min=1 max=2)
+- ``edge_ngram``       EdgeNGramTokenizerFactory.java (anchored prefix grams)
+- ``path_hierarchy``   PathHierarchyTokenizerFactory.java (delimiter "/")
+
+Token filters (``(tokens, positions) -> (tokens, positions)``):
+
+- ``lowercase`` / ``uppercase``  LowerCase/UpperCaseTokenFilterFactory.java
+- ``stop``             StopTokenFilterFactory.java (position gaps preserved)
+- ``asciifolding``     ASCIIFoldingTokenFilterFactory.java (NFKD strip marks)
+- ``porter_stem``      PorterStemTokenFilterFactory.java (Porter 1980, below)
+- ``stemmer``          StemmerTokenFilterFactory.java:152 (language=porter/english)
+- ``ngram``            NGramTokenFilterFactory.java (grams share the position)
+- ``edge_ngram``       EdgeNGramTokenFilterFactory.java
+- ``shingle``          ShingleTokenFilterFactory.java (word n-grams, " " sep;
+                       unigrams kept by default — output_unigrams=true)
+- ``synonym``          SynonymTokenFilterFactory.java ("a,b => c" and
+                       equivalence "a,b,c" rules; same-position injection)
+- ``truncate``         TruncateTokenFilterFactory.java (length=10 default)
+- ``length``           LengthTokenFilterFactory.java (min/max, drops others)
+- ``unique``           UniqueTokenFilterFactory.java (first occurrence wins)
+- ``reverse``          ReverseTokenFilterFactory.java
+- ``trim``             TrimTokenFilterFactory.java
+- ``apostrophe``       ApostropheFilterFactory.java (drop ' and suffix)
+
+Named analyzers (AnalysisRegistry defaults + analysis-common providers):
+``standard``, ``simple``, ``whitespace``, ``keyword``, ``stop``.
+Everything else is assembled via ``{"tokenizer": ..., "char_filter": [...],
+"filter": [...]}`` custom specs, exactly like the reference's
+``analysis.analyzer.<name>`` index settings.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import pandas as pd
+
+from opensearch_spark.analysis import analyzer as std
+
+TokenStream = Tuple[List[str], List[int]]
+
+
+# --------------------------------------------------------------------------
+# Porter stemmer (Porter, "An algorithm for suffix stripping", 1980) — the
+# classic published algorithm, as wrapped by Lucene's PorterStemFilter.
+# --------------------------------------------------------------------------
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """The 'm' of the paper: number of VC sequences in C?(VC)^m V?."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if not (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+    ):
+        return False
+    return word[-1] not in "wxy"
+
+
+def porter_stem(word: str) -> str:
+    """Stem one lowercase word per the published Porter (1980) rules."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2 (m > 0 suffix mappings)
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+        ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+        ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # Step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # Step 4 (m > 1 deletions)
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive",
+        "ize",
+    ):
+        if w.endswith(suf):
+            stem_part = w[: -len(suf)]
+            if suf == "ion" and not stem_part.endswith(("s", "t")):
+                continue
+            if _measure(stem_part) > 1:
+                w = stem_part
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# --------------------------------------------------------------------------
+# Char filters
+# --------------------------------------------------------------------------
+
+_HTML_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def make_char_filter(spec) -> Callable[[str], str]:
+    if isinstance(spec, str):
+        spec = {"type": spec}
+    typ = spec["type"]
+    if typ == "html_strip":
+        return lambda s: _HTML_TAG_RE.sub(" ", s)
+    if typ == "mapping":
+        pairs = [tuple(m.split("=>", 1)) for m in spec["mappings"]]
+        pairs = [(a.strip(), b.strip()) for a, b in pairs]
+
+        def _map(s: str) -> str:
+            for a, b in pairs:
+                s = s.replace(a, b)
+            return s
+
+        return _map
+    if typ == "pattern_replace":
+        pat = re.compile(spec["pattern"])
+        rep = spec.get("replacement", "")
+        return lambda s: pat.sub(rep, s)
+    raise ValueError(f"unknown char_filter: {typ}")
+
+
+# --------------------------------------------------------------------------
+# Tokenizers
+# --------------------------------------------------------------------------
+
+def _seq_positions(tokens: List[str]) -> TokenStream:
+    return tokens, list(range(len(tokens)))
+
+
+def make_tokenizer(spec) -> Callable[[str], TokenStream]:
+    if isinstance(spec, str):
+        spec = {"type": spec}
+    typ = spec["type"]
+    if typ == "standard":
+        max_len = int(spec.get("max_token_length", std.MAX_TOKEN_LENGTH))
+        # raw UAX#29 tokens, no lowercase/stop (those are filters)
+        def _standard(s: str) -> TokenStream:
+            toks: List[str] = []
+            for raw in std._TOKEN_RE.findall(s or ""):
+                if not std._HAS_ALNUM_RE.search(raw):
+                    continue
+                for tok in std._split_cjk(raw):
+                    for i in range(0, len(tok), max_len):
+                        toks.append(tok[i : i + max_len])
+            return _seq_positions(toks)
+
+        return _standard
+    if typ == "whitespace":
+        return lambda s: _seq_positions((s or "").split())
+    if typ == "letter":
+        pat = re.compile(r"[^\W\d_]+", re.UNICODE)
+        return lambda s: _seq_positions(pat.findall(s or ""))
+    if typ == "lowercase":
+        pat = re.compile(r"[^\W\d_]+", re.UNICODE)
+        return lambda s: _seq_positions([t.lower() for t in pat.findall(s or "")])
+    if typ == "keyword":
+        return lambda s: _seq_positions([s] if s else [])
+    if typ == "pattern":
+        pat = re.compile(spec.get("pattern", r"\W+"))
+        group = int(spec.get("group", -1))
+        if group >= 0:
+            return lambda s: _seq_positions(
+                [m.group(group) for m in pat.finditer(s or "") if m.group(group)]
+            )
+        return lambda s: _seq_positions([t for t in pat.split(s or "") if t])
+    if typ == "char_group":
+        chars = spec.get("tokenize_on_chars", ["whitespace"])
+        alts = []
+        for c in chars:
+            alts.append(
+                {
+                    "whitespace": r"\s",
+                    "letter": r"[^\W\d_]",
+                    "digit": r"\d",
+                    "punctuation": "[" + re.escape(
+                        r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
+                    ) + "]",
+                    "symbol": "[" + re.escape("$+<=>^`|~") + "]",
+                }.get(c, re.escape(c))
+            )
+        pat = re.compile("(?:" + "|".join(alts) + ")+")
+        return lambda s: _seq_positions([t for t in pat.split(s or "") if t])
+    if typ == "ngram":
+        mn = int(spec.get("min_gram", 1))
+        mx = int(spec.get("max_gram", 2))
+
+        def _ngram_tok(s: str) -> TokenStream:
+            s = s or ""
+            toks = []
+            for i in range(len(s)):
+                for n in range(mn, mx + 1):
+                    if i + n <= len(s):
+                        toks.append(s[i : i + n])
+            return _seq_positions(toks)
+
+        return _ngram_tok
+    if typ == "edge_ngram":
+        mn = int(spec.get("min_gram", 1))
+        mx = int(spec.get("max_gram", 2))
+
+        def _edge_tok(s: str) -> TokenStream:
+            s = s or ""
+            toks = [s[:n] for n in range(mn, min(mx, len(s)) + 1)]
+            return _seq_positions(toks)
+
+        return _edge_tok
+    if typ == "path_hierarchy":
+        delim = spec.get("delimiter", "/")
+
+        def _path(s: str) -> TokenStream:
+            s = s or ""
+            parts = [p for p in s.split(delim) if p != ""]
+            toks = [delim.join(parts[: i + 1]) for i in range(len(parts))]
+            if s.startswith(delim):
+                toks = [delim + t for t in toks]
+            # all path prefixes share position 0 (Lucene emits posInc 0)
+            return toks, [0] * len(toks)
+
+        return _path
+    raise ValueError(f"unknown tokenizer: {typ}")
+
+
+# --------------------------------------------------------------------------
+# Token filters
+# --------------------------------------------------------------------------
+
+def _fold_ascii(tok: str) -> str:
+    # NFKD decompose then drop combining marks — covers the Latin accent
+    # block of Lucene's ASCIIFoldingFilter (its full table also maps
+    # ligatures; NFKD handles those too, e.g. ﬁ -> fi).
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", tok)
+        if not unicodedata.combining(c)
+    )
+
+
+def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
+    if isinstance(spec, str):
+        spec = {"type": spec}
+    typ = spec["type"]
+
+    def _map1(fn):
+        def _apply(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            return [fn(t) for t in toks], list(pos)
+
+        return _apply
+
+    if typ == "lowercase":
+        return _map1(str.lower)
+    if typ == "uppercase":
+        return _map1(str.upper)
+    if typ == "asciifolding":
+        return _map1(_fold_ascii)
+    if typ in ("porter_stem", "kstem"):
+        return _map1(porter_stem)
+    if typ == "stemmer":
+        lang = spec.get("language", spec.get("name", "porter"))
+        if lang not in ("porter", "english"):
+            raise ValueError(f"stemmer language not implemented: {lang}")
+        return _map1(porter_stem)
+    if typ == "reverse":
+        return _map1(lambda t: t[::-1])
+    if typ == "trim":
+        return _map1(str.strip)
+    if typ == "truncate":
+        n = int(spec.get("length", 10))
+        return _map1(lambda t: t[:n])
+    if typ == "apostrophe":
+        return _map1(lambda t: t.split("'", 1)[0].split("’", 1)[0])
+    if typ == "stop":
+        stop = std.resolve_stopwords(spec.get("stopwords", "_english_"))
+        stop = stop if stop is not None else frozenset()
+
+        def _stop(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            keep = [(t, p) for t, p in zip(toks, pos) if t not in stop]
+            return [t for t, _ in keep], [p for _, p in keep]
+
+        return _stop
+    if typ == "length":
+        mn = int(spec.get("min", 0))
+        mx = int(spec.get("max", 2**31 - 1))
+
+        def _length(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            keep = [(t, p) for t, p in zip(toks, pos) if mn <= len(t) <= mx]
+            return [t for t, _ in keep], [p for _, p in keep]
+
+        return _length
+    if typ == "unique":
+        def _unique(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            seen = set()
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                if t not in seen:
+                    seen.add(t)
+                    out_t.append(t)
+                    out_p.append(p)
+            return out_t, out_p
+
+        return _unique
+    if typ == "ngram":
+        mn = int(spec.get("min_gram", 1))
+        mx = int(spec.get("max_gram", 2))
+
+        def _ngram(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                for i in range(len(t)):
+                    for n in range(mn, mx + 1):
+                        if i + n <= len(t):
+                            out_t.append(t[i : i + n])
+                            out_p.append(p)
+            return out_t, out_p
+
+        return _ngram
+    if typ == "edge_ngram":
+        mn = int(spec.get("min_gram", 1))
+        mx = int(spec.get("max_gram", 2))
+
+        def _edge(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                for n in range(mn, min(mx, len(t)) + 1):
+                    out_t.append(t[:n])
+                    out_p.append(p)
+            return out_t, out_p
+
+        return _edge
+    if typ == "shingle":
+        mn = int(spec.get("min_shingle_size", 2))
+        mx = int(spec.get("max_shingle_size", 2))
+        sep = spec.get("token_separator", " ")
+        unigrams = bool(spec.get("output_unigrams", True))
+
+        def _shingle(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t, out_p = [], []
+            for i, (t, p) in enumerate(zip(toks, pos)):
+                if unigrams:
+                    out_t.append(t)
+                    out_p.append(p)
+                for n in range(mn, mx + 1):
+                    if i + n <= len(toks):
+                        out_t.append(sep.join(toks[i : i + n]))
+                        out_p.append(p)
+            return out_t, out_p
+
+        return _shingle
+    if typ == "synonym":
+        # "a, b => c" (explicit mapping) and "a, b, c" (equivalence class)
+        mapping: Dict[str, List[str]] = {}
+        for rule in spec.get("synonyms", []):
+            if "=>" in rule:
+                lhs, rhs = rule.split("=>", 1)
+                targets = [t.strip() for t in rhs.split(",") if t.strip()]
+                for src in lhs.split(","):
+                    mapping[src.strip()] = targets
+            else:
+                group = [t.strip() for t in rule.split(",") if t.strip()]
+                for src in group:
+                    # equivalence: each term expands to the whole group
+                    mapping[src] = group
+
+        def _synonym(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                if t in mapping:
+                    tgt = mapping[t]
+                    if t not in tgt:  # explicit "=>" replaces
+                        for s in tgt:
+                            out_t.append(s)
+                            out_p.append(p)
+                        continue
+                    for s in tgt:  # equivalence injects at same position
+                        out_t.append(s)
+                        out_p.append(p)
+                else:
+                    out_t.append(t)
+                    out_p.append(p)
+            return out_t, out_p
+
+        return _synonym
+    raise ValueError(f"unknown token filter: {typ}")
+
+
+# --------------------------------------------------------------------------
+# Analyzer assembly
+# --------------------------------------------------------------------------
+
+#: named analyzers as (char_filters, tokenizer, filters) specs — the
+#: reference's pre-configured providers (AnalysisRegistry.java defaults).
+NAMED_ANALYZERS: Dict[str, dict] = {
+    "standard": {"tokenizer": "standard", "filter": ["lowercase"]},
+    "simple": {"tokenizer": "lowercase", "filter": []},
+    "whitespace": {"tokenizer": "whitespace", "filter": []},
+    "keyword": {"tokenizer": "keyword", "filter": []},
+    "stop": {"tokenizer": "lowercase", "filter": ["stop"]},
+}
+
+
+@dataclass
+class Analyzer:
+    """A resolved chain.  Call with a string -> (tokens, positions)."""
+
+    char_filters: Sequence[Callable[[str], str]] = field(default_factory=list)
+    tokenizer: Callable[[str], TokenStream] = None  # type: ignore[assignment]
+    filters: Sequence[Callable[[TokenStream], TokenStream]] = field(
+        default_factory=list
+    )
+    spec: Optional[dict] = None
+
+    @classmethod
+    def from_spec(cls, spec) -> "Analyzer":
+        """Resolve a name ("standard") or a custom dict spec
+        ``{"char_filter": [...], "tokenizer": ..., "filter": [...],
+        "stopwords": ...}``.  A bare ``stopwords`` key on a named analyzer
+        mirrors the reference's ``standard`` analyzer ``stopwords``
+        setting (StandardAnalyzerProvider.java:50-57)."""
+        if isinstance(spec, str):
+            base = dict(NAMED_ANALYZERS[spec])
+            base["_name"] = spec
+            spec = base
+        elif spec.get("type") in NAMED_ANALYZERS and "tokenizer" not in spec:
+            base = dict(NAMED_ANALYZERS[spec["type"]])
+            if spec.get("stopwords") is not None:
+                base = dict(base)
+                base["filter"] = list(base["filter"]) + [
+                    {"type": "stop", "stopwords": spec["stopwords"]}
+                ]
+            spec = base
+        return cls(
+            char_filters=[
+                make_char_filter(c) for c in spec.get("char_filter", [])
+            ],
+            tokenizer=make_tokenizer(spec.get("tokenizer", "standard")),
+            filters=[make_token_filter(f) for f in spec.get("filter", [])],
+            spec=spec,
+        )
+
+    def __call__(self, text: Optional[str]) -> TokenStream:
+        s = text or ""
+        for cf in self.char_filters:
+            s = cf(s)
+        ts = self.tokenizer(s)
+        for f in self.filters:
+            ts = f(ts)
+        return ts
+
+    def tokens(self, text: Optional[str]) -> List[str]:
+        return self(text)[0]
+
+    def make_udf(self):
+        """Spark pandas UDF ``string -> array<string>`` over this chain."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, StringType
+
+        chain = self
+
+        @pandas_udf(ArrayType(StringType()))
+        def analyze_udf(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: chain.tokens(t))
+
+        return analyze_udf
+
+
+def analyze_api(spec, texts: Sequence[str]) -> List[dict]:
+    """The ``_analyze`` admin API analog
+    (``TransportAnalyzeAction.java:258-265``): returns one dict per token
+    with ``token`` and ``position``, in stream order, for each input."""
+    an = Analyzer.from_spec(spec)
+    out: List[dict] = []
+    for i, text in enumerate(texts):
+        toks, pos = an(text)
+        out.extend(
+            {"input": i, "token": t, "position": p}
+            for t, p in zip(toks, pos)
+        )
+    return out

@@ -121,6 +121,13 @@ class IndexConfig:
     block_size: int = codec.BLOCK_SIZE
     codec: str = "varint"  # "varint" (LEB128 stream) | "for" (bit-packed FOR)
     stopwords: Optional[object] = None  # None | "_english_" | explicit list
+    # custom analysis chain spec (name or dict, see analysis/chain.py);
+    # None = the standard-analyzer fast path (AnalysisRegistry.java:683).
+    # ``search_analyzer`` overrides query-side analysis (the reference's
+    # per-field ``search_analyzer`` mapping setting, TextFieldMapper.java) —
+    # e.g. index with edge_ngram, search with standard.
+    analyzer: Optional[object] = None
+    search_analyzer: Optional[object] = None
     id_cols: Sequence[str] = ("conv_id", "turn_idx")
     routing_col: Optional[str] = None  # default: id_cols[0]
     text_col: str = "text"
@@ -143,11 +150,26 @@ def _paths(index_dir: str) -> Dict[str, str]:
     }
 
 
+def resolve_analyze_fn(cfg: "IndexConfig"):
+    """Resolve the build-time analysis callable ``text -> (tokens, poss)``.
+
+    The default config keeps the single-pass standard-analyzer fast path;
+    a configured chain spec goes through analysis/chain.py (the two are
+    pinned identical for the standard chain by tests/test_analysis_chain.py).
+    """
+    if cfg.analyzer is None:
+        stop = ana.resolve_stopwords(cfg.stopwords)
+        return lambda t: ana.tokenize_with_positions(t, stop)
+    from opensearch_spark.analysis import chain
+
+    return chain.Analyzer.from_spec(cfg.analyzer)
+
+
 def _invert_segment(
     pdf: pd.DataFrame,
     cfg: IndexConfig,
     offsets: Dict[int, int],
-    stop,
+    analyze_fn,
     orig_cols: List[str],
     out_cols: List[str],
 ) -> pd.DataFrame:
@@ -157,9 +179,7 @@ def _invert_segment(
     n = len(pdf)
     doc_ids = np.int64(offsets[seg]) + np.arange(n, dtype=np.int64)
 
-    toks_pos = [
-        ana.tokenize_with_positions(t, stop) for t in pdf[cfg.text_col].tolist()
-    ]
+    toks_pos = [analyze_fn(t) for t in pdf[cfg.text_col].tolist()]
     dl = np.fromiter((len(tp[0]) for tp in toks_pos), dtype=np.int64, count=n)
     norm_bytes = sfl.int_to_byte4(dl)
 
@@ -312,7 +332,7 @@ def build_index(
     cfg = cfg or IndexConfig()
     p = _paths(index_dir)
     os.makedirs(p["manifests"], exist_ok=True)
-    stop = ana.resolve_stopwords(cfg.stopwords)
+    analyze_fn = resolve_analyze_fn(cfg)
 
     orig_cols = [c for c in docs.columns]
     clash = set(orig_cols) & set(_INTERNAL_NAMES)
@@ -347,6 +367,8 @@ def build_index(
         "block_size": cfg.block_size,
         "codec": cfg.codec,
         "stopwords": cfg.stopwords,
+        "analyzer": cfg.analyzer,
+        "search_analyzer": cfg.search_analyzer,
         "id_cols": list(cfg.id_cols),
         "routing_col": cfg.routing(),
         "text_col": cfg.text_col,
@@ -375,7 +397,7 @@ def build_index(
         # heuristics, and coalescing would serialize the build
         wave_df = wave_df.repartition(len(wave_segs), "_seg")
         built = wave_df.groupBy("_seg").applyInPandas(
-            lambda pdf: _invert_segment(pdf, cfg, offsets, stop, orig_cols, out_cols),
+            lambda pdf: _invert_segment(pdf, cfg, offsets, analyze_fn, orig_cols, out_cols),
             schema=out_schema,
         )
         built.write.partitionBy("_row").mode("append").parquet(p["data"])

@@ -134,9 +134,26 @@ class InvertedIndex:
 
     # ---- query-side helpers ----
 
+    @cached_property
+    def _search_chain(self):
+        """Resolved query-side chain when the plan carries a custom
+        analyzer.  ``search_analyzer`` wins over ``analyzer``
+        (TextFieldMapper's search_analyzer mapping setting); None keeps
+        the standard fast path."""
+        spec = self.plan.get("search_analyzer") or self.plan.get("analyzer")
+        if spec is None:
+            return None
+        from opensearch_spark.analysis import chain
+
+        return chain.Analyzer.from_spec(spec)
+
     def analyze(self, text: str) -> List[str]:
         """Analyze query text with the index's analyzer config (the query
-        and index sides must share the analyzer — MatchQuery semantics)."""
+        and index sides must share the analyzer — MatchQuery semantics,
+        unless a ``search_analyzer`` override is configured)."""
+        sc = self._search_chain
+        if sc is not None:
+            return sc.tokens(text)
         return ana.tokenize(text, self.stopwords)
 
     def term_stats(self, terms: Sequence[str]) -> pd.DataFrame:

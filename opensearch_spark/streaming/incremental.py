@@ -33,6 +33,7 @@ from opensearch_spark.index.builder import (
     _INTERNAL_FIELDS,
     _invert_segment,
     _paths,
+    resolve_analyze_fn,
     _route_expr,
 )
 
@@ -265,7 +266,7 @@ def append_batch(
     with open(p["stats"]) as f:
         stats = json.load(f)
     hw = int(stats["n_docs"])  # docID high-water mark
-    stop = ana.resolve_stopwords(cfg.stopwords)
+    analyze_fn = resolve_analyze_fn(cfg)
 
     orig_cols = list(batch_df.columns)
     out_fields = list(_INTERNAL_FIELDS) + [
@@ -303,7 +304,7 @@ def append_batch(
     t0 = time.monotonic()
     routed = routed.repartition(max(1, len(counts)), "_seg")
     built = routed.groupBy("_seg").applyInPandas(
-        lambda pdf: _invert_segment(pdf, cfg, offsets, stop, orig_cols, out_cols),
+        lambda pdf: _invert_segment(pdf, cfg, offsets, analyze_fn, orig_cols, out_cols),
         schema=out_schema,
     )
     built.write.partitionBy("_row").mode("append").parquet(p["data"])

@@ -1,0 +1,245 @@
+"""Analysis chain: char filters, tokenizers, token filters, named analyzers.
+
+Reference semantics per component are cited in
+``opensearch_spark/analysis/chain.py``; the Porter fixtures are final
+stems from the published Porter (1980) algorithm's canonical
+vocabulary/output pairs.
+"""
+
+import pytest
+
+from opensearch_spark.analysis import analyzer as std
+from opensearch_spark.analysis.chain import (
+    Analyzer,
+    analyze_api,
+    make_char_filter,
+    make_token_filter,
+    make_tokenizer,
+    porter_stem,
+)
+
+# ---- Porter stemmer (canonical final stems) ----
+
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall", "hissing": "hiss",
+    "fizzed": "fizz", "failing": "fail", "filing": "file", "happy": "happi",
+    "sky": "sky", "relational": "relat", "conditional": "condit",
+    "rational": "ration", "valenci": "valenc", "hesitanci": "hesit",
+    "digitizer": "digit", "conformabli": "conform", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic", "operator": "oper",
+    "feudalism": "feudal", "decisiveness": "decis", "hopefulness": "hope",
+    "callousness": "callous", "formaliti": "formal", "sensitiviti": "sensit",
+    "sensibiliti": "sensibl", "triplicate": "triplic", "formative": "form",
+    "formalize": "formal", "electriciti": "electr", "electrical": "electr",
+    "hopeful": "hope", "goodness": "good", "revival": "reviv",
+    "allowance": "allow", "inference": "infer", "airliner": "airlin",
+    "gyroscopic": "gyroscop", "adjustable": "adjust", "defensible": "defens",
+    "irritant": "irrit", "replacement": "replac", "adjustment": "adjust",
+    "dependent": "depend", "adoption": "adopt", "communism": "commun",
+    "activate": "activ", "effective": "effect", "bowdlerize": "bowdler",
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+}
+
+
+def test_porter_vectors():
+    bad = {
+        w: (porter_stem(w), want)
+        for w, want in PORTER_VECTORS.items()
+        if porter_stem(w) != want
+    }
+    assert not bad, bad
+
+
+# ---- contract: custom "standard" chain == fast-path analyzer ----
+
+STANDARD_CASES = [
+    "The Quick-Brown fox's 3.14 jump over x86_64 rigs",
+    "snake_case and camelCase; state-of-the-art!",
+    "can't won't don’t  foo.bar 1,000,000",
+    "日本語のテキスト and ascii",
+    "",
+    None,
+]
+
+
+def test_standard_chain_matches_fast_path():
+    chain = Analyzer.from_spec("standard")
+    for text in STANDARD_CASES:
+        assert chain(text) == std.tokenize_with_positions(text)
+
+
+def test_standard_chain_with_stopwords_matches_fast_path():
+    chain = Analyzer.from_spec({"type": "standard", "stopwords": "_english_"})
+    for text in STANDARD_CASES:
+        assert chain(text) == std.tokenize_with_positions(
+            text, std.ENGLISH_STOP_WORDS
+        )
+
+
+# ---- tokenizers ----
+
+def test_whitespace_letter_keyword_pattern():
+    assert make_tokenizer("whitespace")("a  b\tc")[0] == ["a", "b", "c"]
+    assert make_tokenizer("letter")("ab3cd ef")[0] == ["ab", "cd", "ef"]
+    assert make_tokenizer("lowercase")("AB3cd")[0] == ["ab", "cd"]
+    assert make_tokenizer("keyword")("one whole value")[0] == [
+        "one whole value"
+    ]
+    assert make_tokenizer({"type": "pattern", "pattern": ","})("a,b,,c")[0] == [
+        "a", "b", "c"
+    ]
+    assert make_tokenizer(
+        {"type": "pattern", "pattern": r'"(.*?)"', "group": 1}
+    )('x "first" y "second"')[0] == ["first", "second"]
+
+
+def test_char_group_tokenizer():
+    tok = make_tokenizer(
+        {"type": "char_group", "tokenize_on_chars": ["whitespace", "-"]}
+    )
+    assert tok("state-of the-art")[0] == ["state", "of", "the", "art"]
+
+
+def test_ngram_edge_ngram_tokenizers():
+    assert make_tokenizer({"type": "ngram", "min_gram": 2, "max_gram": 3})(
+        "abcd"
+    )[0] == ["ab", "abc", "bc", "bcd", "cd"]
+    assert make_tokenizer(
+        {"type": "edge_ngram", "min_gram": 1, "max_gram": 3}
+    )("abcd")[0] == ["a", "ab", "abc"]
+
+
+def test_path_hierarchy_tokenizer():
+    toks, pos = make_tokenizer("path_hierarchy")("/usr/local/bin")
+    assert toks == ["/usr", "/usr/local", "/usr/local/bin"]
+    assert pos == [0, 0, 0]
+
+
+# ---- char filters ----
+
+def test_char_filters():
+    assert make_char_filter("html_strip")("<b>bold</b> x") == " bold  x"
+    assert make_char_filter(
+        {"type": "mapping", "mappings": ["& => and", ":) => happy"]}
+    )("a & b :)") == "a and b happy"
+    assert make_char_filter(
+        {"type": "pattern_replace", "pattern": r"\d+", "replacement": "#"}
+    )("a12b345") == "a#b#"
+
+
+# ---- token filters ----
+
+def _ts(*toks):
+    return list(toks), list(range(len(toks)))
+
+
+def test_stop_preserves_position_gaps():
+    f = make_token_filter({"type": "stop", "stopwords": "_english_"})
+    toks, pos = f(_ts("the", "quick", "fox"))
+    assert toks == ["quick", "fox"]
+    assert pos == [1, 2]
+
+
+def test_asciifolding():
+    f = make_token_filter("asciifolding")
+    assert f(_ts("café", "naïve", "Ærøskøbing"))[0][:2] == ["cafe", "naive"]
+
+
+def test_shingle_filter():
+    f = make_token_filter({"type": "shingle"})
+    toks, pos = f(_ts("quick", "brown", "fox"))
+    assert toks == ["quick", "quick brown", "brown", "brown fox", "fox"]
+    assert pos == [0, 0, 1, 1, 2]
+    f2 = make_token_filter(
+        {"type": "shingle", "min_shingle_size": 2, "max_shingle_size": 3,
+         "output_unigrams": False}
+    )
+    assert f2(_ts("a", "b", "c"))[0] == ["a b", "a b c", "b c"]
+
+
+def test_synonym_filter_equivalence_and_mapping():
+    f = make_token_filter(
+        {"type": "synonym",
+         "synonyms": ["universe, cosmos", "lol => laughing"]}
+    )
+    toks, pos = f(_ts("the", "universe", "lol"))
+    assert toks == ["the", "universe", "cosmos", "laughing"]
+    assert pos == [0, 1, 1, 2]
+
+
+def test_small_filters():
+    assert make_token_filter({"type": "truncate", "length": 3})(
+        _ts("abcdef")
+    )[0] == ["abc"]
+    assert make_token_filter({"type": "length", "min": 2, "max": 3})(
+        _ts("a", "ab", "abc", "abcd")
+    )[0] == ["ab", "abc"]
+    assert make_token_filter("unique")(_ts("a", "b", "a"))[0] == ["a", "b"]
+    assert make_token_filter("reverse")(_ts("abc"))[0] == ["cba"]
+    assert make_token_filter("apostrophe")(_ts("o'brien", "x"))[0] == [
+        "o", "x"
+    ]
+    assert make_token_filter({"type": "edge_ngram", "min_gram": 1,
+                              "max_gram": 2})(_ts("fox"))[0] == ["f", "fo"]
+    g_toks, g_pos = make_token_filter(
+        {"type": "ngram", "min_gram": 2, "max_gram": 2}
+    )(_ts("fox", "ox"))
+    assert g_toks == ["fo", "ox", "ox"]
+    assert g_pos == [0, 0, 1]
+
+
+# ---- named analyzers + full custom chain + _analyze API ----
+
+def test_named_analyzers():
+    assert Analyzer.from_spec("simple").tokens("The 3 Foxes") == [
+        "the", "foxes"
+    ]
+    assert Analyzer.from_spec("whitespace").tokens("The 3 Foxes") == [
+        "The", "3", "Foxes"
+    ]
+    assert Analyzer.from_spec("keyword").tokens("One Value") == ["One Value"]
+    assert Analyzer.from_spec("stop").tokens("the quick fox") == [
+        "quick", "fox"
+    ]
+
+
+def test_custom_chain_end_to_end():
+    an = Analyzer.from_spec(
+        {
+            "char_filter": [{"type": "html_strip"}],
+            "tokenizer": "standard",
+            "filter": [
+                "lowercase",
+                {"type": "stop", "stopwords": "_english_"},
+                {"type": "stemmer", "language": "english"},
+            ],
+        }
+    )
+    assert an.tokens("<p>The Motoring Conditional Ponies</p>") == [
+        "motor", "condit", "poni"
+    ]
+
+
+def test_analyze_api_rows():
+    rows = analyze_api("standard", ["Quick Fox", ""])
+    assert rows == [
+        {"input": 0, "token": "quick", "position": 0},
+        {"input": 0, "token": "fox", "position": 1},
+    ]
+
+
+def test_unknown_components_raise():
+    with pytest.raises(ValueError):
+        make_tokenizer("no_such_tokenizer")
+    with pytest.raises(ValueError):
+        make_token_filter("no_such_filter")
+    with pytest.raises(ValueError):
+        make_char_filter("no_such_char_filter")
+    with pytest.raises(ValueError):
+        make_token_filter({"type": "stemmer", "language": "klingon"})
