@@ -595,6 +595,39 @@ class Analyzer:
 
         return analyze_udf
 
+    def make_pos_udf(self):
+        """Spark pandas UDF ``string -> array<struct<token,pos>>`` — the
+        ``_analyze``-shaped output (token + position) for explosion into
+        rows.  Arrow-batched; one chain evaluation per input string."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        chain = self
+        out_t = ArrayType(
+            StructType(
+                [
+                    StructField("token", StringType()),
+                    StructField("pos", IntegerType()),
+                ]
+            )
+        )
+
+        @pandas_udf(out_t)
+        def analyze_pos_udf(texts: pd.Series) -> pd.Series:
+            def one(t):
+                toks, poss = chain(t)
+                return [{"token": tk, "pos": int(p)} for tk, p in zip(toks, poss)]
+
+            return texts.map(one)
+
+        return analyze_pos_udf
+
 
 def analyze_api(spec, texts: Sequence[str]) -> List[dict]:
     """The ``_analyze`` admin API analog

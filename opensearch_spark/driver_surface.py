@@ -1252,19 +1252,182 @@ def ft_msearch(spark, sf_dir):
 
 
 @_q(
-    "ft_match_count",
-    _PRE
-    + """
-SELECT CAST(count(*) AS BIGINT) AS total
-FROM (SELECT doc_id FROM __tf WHERE term IN ('spark', 'join') GROUP BY 1)""",
+    "analysis_suite",
+    """WITH __b AS (
+  SELECT doc_id,
+         substr(text, 1, 120) AS s,
+         lower(substr(text, 1, 120)) AS ls,
+         source, lang
+  FROM documents WHERE doc_id < 8
+),
+__ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(ls, '\\s+'), x -> x <> '') AS tl
+  FROM __b
+),
+__wsrows AS (
+  SELECT doc_id,
+         CAST(unnest(range(len(tl))) AS INT) AS pos,
+         unnest(tl) AS token
+  FROM __ws
 )
-def ft_match_count(spark, sf_dir):
-    """``_count`` entry point: exact hit count (SURVEY.md §2.6)."""
-    eng = documents_engine(spark, sf_dir)
-    from opensearch_spark.query import dsl as Q
+SELECT 'ws' AS op, doc_id, pos, token FROM __wsrows
+UNION ALL
+SELECT 'fold', doc_id, pos, token FROM __wsrows
+UNION ALL
+SELECT 'stop', doc_id, pos, token FROM __wsrows
+WHERE token NOT IN (__STOPLIST__)
+UNION ALL
+SELECT 'reverse', doc_id, pos, reverse(token) FROM __wsrows
+UNION ALL
+SELECT 'edge_ngram', doc_id,
+       CAST(unnest(flatten(list_transform(range(len(tl)), p ->
+          list_transform(range(2, least(5, length(tl[p+1])) + 1), n -> p)))) AS INT),
+       unnest(flatten(list_transform(range(len(tl)), p ->
+          list_transform(range(2, least(5, length(tl[p+1])) + 1), n -> substr(tl[p+1], 1, CAST(n AS INT))))))
+FROM __ws
+UNION ALL
+SELECT 'shingle', doc_id,
+       CAST(unnest(range(len(tl) - 1)) AS INT),
+       unnest(list_transform(range(len(tl) - 1), i -> tl[i+1] || ' ' || tl[i+2]))
+FROM __ws WHERE len(tl) > 1
+UNION ALL
+SELECT 'synonym', doc_id,
+       CAST(unnest(flatten(list_transform(range(len(tl)), p ->
+          CASE WHEN tl[p+1] IN ('data', 'information') THEN [p, p] ELSE [p] END))) AS INT),
+       unnest(flatten(list_transform(tl, t ->
+          CASE WHEN t IN ('data', 'information') THEN ['data', 'information'] ELSE [t] END)))
+FROM __ws
+UNION ALL
+SELECT 'pattern', doc_id, pos, token FROM (
+  SELECT doc_id,
+         CAST(unnest(range(len(pl))) AS INT) AS pos,
+         unnest(pl) AS token
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(ls, '[^a-z0-9]+'), x -> x <> '') AS pl
+        FROM __b)
+)
+UNION ALL
+SELECT 'letter', doc_id, pos, token FROM (
+  SELECT doc_id,
+         CAST(unnest(range(len(ll))) AS INT) AS pos,
+         unnest(ll) AS token
+  FROM (SELECT doc_id, regexp_extract_all(lower(s), '[a-z]+') AS ll FROM __b)
+)
+UNION ALL
+SELECT 'keyword_trunc', doc_id, CAST(0 AS INT), substr(ls, 1, 10) FROM __b
+UNION ALL
+SELECT 'path', doc_id, CAST(0 AS INT), token FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(len(pp)), i -> array_to_string(pp[1:i+1], '/'))) AS token
+  FROM (SELECT doc_id,
+               regexp_split_to_array(source || '/' || lang || '/' || CAST(doc_id AS VARCHAR), '/') AS pp
+        FROM __b)
+)
+ORDER BY op, doc_id, pos, token""".replace(
+        "__STOPLIST__",
+        ",".join(
+            f"'{w}'"
+            for w in sorted(
+                __import__(
+                    "opensearch_spark.analysis.analyzer", fromlist=["x"]
+                ).ENGLISH_STOP_WORDS
+            )
+        ),
+    ),
+)
+def analysis_suite(spark, sf_dir):
+    """Suite: the analysis-common chain zoo (r3;
+    ``modules/analysis-common/.../CommonAnalysisModulePlugin.java``) as
+    ``_analyze``-shaped (op, doc_id, pos, token) rows over a fixed
+    8-doc slice — whitespace / pattern / letter / keyword+truncate /
+    path_hierarchy tokenizers, and stop (position gaps preserved),
+    edge_ngram, shingle, synonym (same-position injection), reverse and
+    asciifolding (over an accent-translated column, so folding is
+    exercised for real) token filters.  The Porter stemmer has no
+    DuckDB twin (no stem()) and is pinned by published-vocabulary
+    fixtures in tests/test_analysis_chain.py instead.  Replaces the
+    ``ft_match_count`` slot, whose single op is verified verbatim as
+    ft_diagnostics' ``count`` row."""
+    from opensearch_spark.analysis import chain
 
-    scored = eng._score(Q.from_dict({"match": {"text": "spark join"}}))
-    return scored.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    base = docs.select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("s"),
+        F.lower(F.substring("text", 1, 120)).alias("ls"),
+        "source",
+        "lang",
+    ).localCheckpoint()
+
+    def rows(df, col, spec, op):
+        udf = chain.Analyzer.from_spec(spec).make_pos_udf()
+        return df.select(
+            "doc_id", F.explode(udf(F.col(col))).alias("t")
+        ).select(
+            F.lit(op).alias("op"),
+            "doc_id",
+            F.col("t.pos").cast("int").alias("pos"),
+            F.col("t.token").alias("token"),
+        )
+
+    parts = [
+        rows(base, "ls", {"tokenizer": "whitespace"}, "ws"),
+        rows(
+            base, "ls",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "stop", "stopwords": "_english_"}]},
+            "stop",
+        ),
+        rows(
+            base, "ls",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "edge_ngram", "min_gram": 2, "max_gram": 5}]},
+            "edge_ngram",
+        ),
+        rows(
+            base, "ls",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "shingle", "min_shingle_size": 2,
+                         "max_shingle_size": 2, "output_unigrams": False}]},
+            "shingle",
+        ),
+        rows(
+            base, "ls",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "synonym",
+                         "synonyms": ["data, information"]}]},
+            "synonym",
+        ),
+        rows(base, "ls", {"tokenizer": "whitespace", "filter": ["reverse"]},
+             "reverse"),
+        rows(base, "ls",
+             {"tokenizer": {"type": "pattern", "pattern": "[^a-z0-9]+"}},
+             "pattern"),
+        rows(base, "s", {"tokenizer": "letter", "filter": ["lowercase"]},
+             "letter"),
+        rows(base, "ls",
+             {"tokenizer": "keyword",
+              "filter": [{"type": "truncate", "length": 10}]},
+             "keyword_trunc"),
+        rows(
+            base.withColumn("acc", F.translate("ls", "aeiou", "àéîöü")),
+            "acc",
+            {"tokenizer": "whitespace", "filter": ["asciifolding"]},
+            "fold",
+        ),
+        rows(
+            base.withColumn(
+                "p",
+                F.concat_ws("/", "source", "lang",
+                            F.col("doc_id").cast("string")),
+            ),
+            "p",
+            {"tokenizer": "path_hierarchy"},
+            "path",
+        ),
+    ]
+    return _union(*parts).orderBy("op", "doc_id", "pos", "token")
 
 
 @_q(
@@ -3025,17 +3188,32 @@ def suggest_suite(spark, sf_dir):
        'ingested' AS tag,
        CAST(n_chars AS DOUBLE) AS n_chars_d,
        upper(lang) AS lang_u,
-       replace(source, 'src', 'src-') AS src_norm
+       replace(source, 'src', 'src-') AS src_norm,
+       lang AS csv_a,
+       source AS csv_b,
+       CAST(n_chars * 2 + length(lang) AS BIGINT) AS script_v,
+       array_to_string(list_transform(regexp_split_to_array(lang || ',' || source, ','), x -> upper(x)), '|') AS each_u,
+       'logs-' || strftime(date_trunc('month', DATE '2024-01-01' + INTERVAL ((doc_id % 60)) DAY), '%Y-%m') AS _index
 FROM documents ORDER BY doc_id""",
 )
 def ingest_pipeline(spark, sf_dir):
     """Ingest pipeline (§2.8; modules/ingest-common): processor chain
     compiled to ONE Catalyst projection — gsub + set + convert + copy +
-    uppercase + split + join (6 distinct processors, zero extra scans)."""
+    uppercase + split + join + (r3) csv + script + foreach(uppercase) +
+    date_index_name + remove_by_pattern: 11 distinct processors, zero
+    extra scans.  community_id (spec-vector) and dot_expander ride
+    pytest (no sha1()/struct hashing in the oracle)."""
     from opensearch_spark import ingest
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars", "lang", "source"
+    )
+    docs = docs.withColumn(
+        "csv_line", F.concat_ws(",", "lang", "source")
+    ).withColumn(
+        "ts",
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("doc_id") % 60).cast("int")).cast("string"),
     )
     out = ingest.apply_pipeline(
         docs,
@@ -3047,10 +3225,25 @@ def ingest_pipeline(spark, sf_dir):
             {"uppercase": {"field": "lang_u"}},
             {"split": {"field": "source", "separator": "src"}},
             {"join": {"field": "source", "separator": "src-"}},
+            # r3 tail
+            {"csv": {"field": "csv_line", "target_fields": ["csv_a", "csv_b"]}},
+            {"script": {"target_field": "script_v",
+                        "source": "CAST(n_chars * 2 + length(lang) AS BIGINT)"}},
+            {"copy": {"field": "csv_line", "target_field": "each_u"}},
+            {"split": {"field": "each_u", "separator": ","}},
+            {"foreach": {"field": "each_u",
+                         "processor": {"uppercase": {"field": "_"}}}},
+            {"join": {"field": "each_u", "separator": "|"}},
+            {"date_index_name": {"field": "ts", "date_rounding": "M",
+                                 "index_name_prefix": "logs-",
+                                 "index_name_format": "yyyy-MM"}},
+            {"remove_by_pattern": {"field_pattern": "csv_line"}},
         ],
     )
     return out.select(
-        "doc_id", "text", "tag", "n_chars_d", "lang_u", F.col("source").alias("src_norm")
+        "doc_id", "text", "tag", "n_chars_d", "lang_u",
+        F.col("source").alias("src_norm"),
+        "csv_a", "csv_b", "script_v", "each_u", "_index",
     ).orderBy("doc_id")
 
 

@@ -154,6 +154,124 @@ def _proc_fail(df, p):       # FailProcessor.java
     raise ValueError(p.get("message", "ingest pipeline failed"))
 
 
+def _proc_csv(df, p):        # CsvProcessor.java
+    """Parse a delimited line into the given target fields (quote-less
+    fast path; the reference's quote handling rides the same split)."""
+    sep = p.get("separator", ",")
+    parts = F.split(F.col(p["field"]), F.lit(sep).cast("string"))
+    out = df
+    for i, tgt in enumerate(p["target_fields"]):
+        out = out.withColumn(tgt, F.trim(parts.getItem(i)) if p.get("trim")
+                             else parts.getItem(i))
+    return out
+
+
+def _proc_dot_expander(df, p):  # DotExpanderProcessor.java
+    """"a.b" flat column -> struct column a{b} (merging with an existing
+    struct ``a`` is out of scope — the flat-column model has no partial
+    structs to merge into)."""
+    field = p["field"]
+    head, tail = field.split(".", 1)
+    # backticks: the dotted name is a flat column, not a struct path
+    return df.withColumn(
+        head, F.struct(F.col(f"`{field}`").alias(tail))
+    ).drop(field)
+
+
+def _proc_foreach(df, p):    # ForeachProcessor.java
+    """Apply an inner per-element transform over an array field via
+    Catalyst ``transform`` — the supported inner processors are the
+    scalar string ones (lowercase/uppercase/trim/gsub), matching the
+    reference's common usage; everything stays JVM-side."""
+    inner = p["processor"]
+    if len(inner) != 1:
+        raise ValueError("foreach.processor must have exactly one key")
+    name, ip = next(iter(inner.items()))
+    fns = {
+        "lowercase": lambda x: F.lower(x),
+        "uppercase": lambda x: F.upper(x),
+        "trim": lambda x: F.trim(x),
+        "gsub": lambda x: F.regexp_replace(x, ip.get("pattern", ""),
+                                           ip.get("replacement", "")),
+    }
+    if name not in fns:
+        raise ValueError(f"foreach does not support inner processor: {name}")
+    return df.withColumn(p["field"], F.transform(F.col(p["field"]), fns[name]))
+
+
+def _proc_remove_by_pattern(df, p):  # RemoveByPatternProcessor.java
+    """Drop columns matching shell-style patterns (prefix*/suffix*)."""
+    import fnmatch
+
+    pats = (p["field_pattern"] if isinstance(p["field_pattern"], list)
+            else [p["field_pattern"]])
+    drop = [c for c in df.columns
+            if any(fnmatch.fnmatch(c, pat) for pat in pats)]
+    return df.drop(*drop) if drop else df
+
+
+def _proc_script(df, p):     # ScriptProcessor.java (Spark SQL as Painless)
+    """``source`` is a Spark SQL expression over the document's columns
+    (the lang-painless analog per SURVEY §2.9); result lands in
+    ``target_field``."""
+    return df.withColumn(p["target_field"], F.expr(p["source"]))
+
+
+def _proc_date_index_name(df, p):  # DateIndexNameProcessor.java
+    """Compute the rollover index name ``<prefix-{rounded date}>`` from a
+    timestamp field: date_rounding y/M/w/d/h/m/s, like the reference."""
+    rounding = p["date_rounding"]
+    trunc_unit = {"y": "year", "M": "month", "w": "week", "d": "day",
+                  "h": "hour", "m": "minute", "s": "second"}[rounding]
+    fmt = p.get("index_name_format", "yyyy-MM-dd")
+    ts = F.to_timestamp(F.col(p["field"]))
+    rounded = F.date_trunc(trunc_unit, ts)
+    return df.withColumn(
+        "_index",
+        F.concat(F.lit(p.get("index_name_prefix", "")),
+                 F.date_format(rounded, fmt)),
+    )
+
+
+def _proc_community_id(df, p):  # CommunityIdProcessor.java
+    """Community ID v1 flow hash (the published spec the reference
+    implements): seed + ordered 5-tuple -> base64(sha1).  The tuple is
+    ordered so (src, dst) and (dst, src) hash identically; everything is
+    built from Catalyst byte/concat/sha1 primitives, no UDF."""
+    seed = int(p.get("seed", 0))
+    src_ip, dst_ip = F.col(p["source_ip"]), F.col(p["destination_ip"])
+    src_p = F.col(p["source_port"]).cast("int")
+    dst_p = F.col(p["destination_port"]).cast("int")
+    proto = F.col(p["iana_number"]).cast("int")
+
+    # Binary pieces via Catalyst: unhex of zero-padded hex strings
+    def b1(c):  # 1 byte
+        return F.unhex(F.lpad(F.conv(c.cast("string"), 10, 16), 2, "0"))
+
+    def b2(c):  # 2 bytes big-endian
+        return F.unhex(F.lpad(F.conv(c.cast("string"), 10, 16), 4, "0"))
+
+    def ipb(ip):
+        o = F.split(ip, r"\.")
+        return F.concat(*[b1(o.getItem(i).cast("int")) for i in range(4)])
+
+    fwd = (ipb(src_ip) < ipb(dst_ip)) | (
+        (ipb(src_ip) == ipb(dst_ip)) & (src_p <= dst_p)
+    )
+    ip_a = F.when(fwd, ipb(src_ip)).otherwise(ipb(dst_ip))
+    ip_b = F.when(fwd, ipb(dst_ip)).otherwise(ipb(src_ip))
+    p_a = F.when(fwd, src_p).otherwise(dst_p)
+    p_b = F.when(fwd, dst_p).otherwise(src_p)
+    payload = F.concat(
+        b2(F.lit(seed)), ip_a, ip_b, b1(proto), b1(F.lit(0)), b2(p_a), b2(p_b)
+    )
+    digest = F.unhex(F.sha1(payload))
+    return df.withColumn(
+        p.get("target_field", "community_id"),
+        F.concat(F.lit("1:"), F.base64(digest)),
+    )
+
+
 PROCESSORS = {
     "set": _proc_set,
     "copy": _proc_copy,
@@ -177,6 +295,13 @@ PROCESSORS = {
     "grok": _proc_grok,
     "append": _proc_append,
     "fail": _proc_fail,
+    "csv": _proc_csv,
+    "dot_expander": _proc_dot_expander,
+    "foreach": _proc_foreach,
+    "remove_by_pattern": _proc_remove_by_pattern,
+    "script": _proc_script,
+    "date_index_name": _proc_date_index_name,
+    "community_id": _proc_community_id,
 }
 
 

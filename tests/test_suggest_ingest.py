@@ -105,3 +105,68 @@ def test_search_template_rendering(engine):
     assert render_search_template(tpl3, {"lo": 100}) == {
         "range": {"n_chars": {"gte": 100}}
     }
+
+
+def test_ingest_processor_tail(spark):
+    """r3 tail: csv, dot_expander, foreach, remove_by_pattern, script,
+    date_index_name (CsvProcessor.java, DotExpanderProcessor.java,
+    ForeachProcessor.java, RemoveByPatternProcessor.java,
+    ScriptProcessor.java, DateIndexNameProcessor.java)."""
+    df = spark.createDataFrame(
+        [("a, b ,c", 5, "x", "y", "2024-03-17T10:30:00", ["  A ", "B"])],
+        "line string, n int, tmp_one string, tmp_two string, ts string, arr array<string>",
+    )
+    out = ingest.apply_pipeline(
+        df,
+        [
+            {"csv": {"field": "line", "target_fields": ["f1", "f2", "f3"],
+                     "trim": True}},
+            {"foreach": {"field": "arr",
+                         "processor": {"lowercase": {"field": "_"}}}},
+            {"foreach": {"field": "arr",
+                         "processor": {"trim": {"field": "_"}}}},
+            {"script": {"target_field": "n2", "source": "n * 2 + 1"}},
+            {"remove_by_pattern": {"field_pattern": "tmp_*"}},
+            {"date_index_name": {"field": "ts", "date_rounding": "M",
+                                 "index_name_prefix": "logs-",
+                                 "index_name_format": "yyyy-MM"}},
+        ],
+    ).collect()[0]
+    assert (out["f1"], out["f2"], out["f3"]) == ("a", "b", "c")
+    assert out["arr"] == ["a", "b"]
+    assert out["n2"] == 11
+    assert "tmp_one" not in out.asDict() and "tmp_two" not in out.asDict()
+    assert out["_index"] == "logs-2024-03"
+
+
+def test_ingest_dot_expander(spark):
+    df = spark.createDataFrame([("v",)], "`a.b` string")
+    out = ingest.apply_pipeline(
+        df, [{"dot_expander": {"field": "a.b"}}]
+    ).collect()[0]
+    assert out["a"]["b"] == "v"
+
+
+def test_ingest_community_id_spec_vector(spark):
+    """Published community-id-spec v1 test vector: TCP
+    128.232.110.120:34855 -> 66.35.250.204:80 (and the reversed flow)
+    hash to the same '1:LQU9qZlK+B5F3KDmev6m5PMibrg='."""
+    df = spark.createDataFrame(
+        [
+            ("128.232.110.120", "66.35.250.204", 34855, 80, 6),
+            ("66.35.250.204", "128.232.110.120", 80, 34855, 6),
+        ],
+        "sip string, dip string, sp int, dp int, proto int",
+    )
+    out = ingest.apply_pipeline(
+        df,
+        [
+            {"community_id": {
+                "source_ip": "sip", "destination_ip": "dip",
+                "source_port": "sp", "destination_port": "dp",
+                "iana_number": "proto",
+            }},
+        ],
+    ).collect()
+    assert out[0]["community_id"] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    assert out[1]["community_id"] == out[0]["community_id"]
