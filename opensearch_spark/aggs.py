@@ -886,6 +886,107 @@ def geo_bounds(
     )
 
 
+# base32 alphabet of the geohash spec (Geohash.java BASE_32)
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# Web-Mercator latitude bound (GeoTileUtils.java LATITUDE_MASK)
+GEOTILE_LAT_MAX = 85.0511287798066
+
+
+def geotile_grid(
+    df: DataFrame,
+    precision: int = 7,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    size: int = 10000,
+) -> DataFrame:
+    """``geotile_grid`` bucket agg (GeoTileGridAggregationBuilder.java;
+    key math in GeoTileUtils.java:133-150): web-mercator "z/x/y" tile
+    keys at zoom ``precision``, count per tile, ordered count desc / key
+    asc.  Pure Catalyst arithmetic (one groupBy shuffle on the tile key;
+    at 100 TB this is a plain map-side-combinable count)."""
+    import math as _math
+
+    z = 1 << precision
+    lat = F.greatest(
+        F.lit(-GEOTILE_LAT_MAX),
+        F.least(F.lit(GEOTILE_LAT_MAX), F.col(lat_col)),
+    )
+    r = F.radians(lat)
+    x = F.floor((F.col(lon_col) + 180.0) / 360.0 * z)
+    y = F.floor(
+        (1.0 - F.log(F.tan(r) + 1.0 / F.cos(r)) / _math.pi) / 2.0 * z
+    )
+    clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(z - 1), c))  # noqa: E731
+    key = F.concat_ws(
+        "/", F.lit(str(precision)), clamp(x).cast("string"),
+        clamp(y).cast("string")
+    )
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def geohash_grid(
+    df: DataFrame,
+    precision: int = 5,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    size: int = 10000,
+) -> DataFrame:
+    """``geohash_grid`` bucket agg (GeoHashGridAggregationBuilder.java;
+    encode in ``libs/geo/.../Geohash.java``): base32 geohash cell keys.
+
+    Implemented closed-form instead of the reference's per-bit loop: a
+    geohash interleaves lon/lat bisection bits (lon first), so the
+    ``5*precision``-bit code is the bit-interleave of
+    X = floor((lon+180)/360 * 2^ceil(bits/2)) and
+    Y = floor((lat+90)/180 * 2^floor(bits/2)) — both plain integer
+    arithmetic, unrolled here into one whole-stage-codegen expression
+    (no UDF, no Python in the hot path)."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = F.floor((F.col(lon_col) + 180.0) / 360.0 * (1 << lon_bits))
+    y = F.floor((F.col(lat_col) + 90.0) / 180.0 * (1 << lat_bits))
+    x = F.greatest(F.lit(0), F.least(F.lit((1 << lon_bits) - 1), x)).cast(
+        "long"
+    )
+    y = F.greatest(F.lit(0), F.least(F.lit((1 << lat_bits) - 1), y)).cast(
+        "long"
+    )
+    code = F.lit(0).cast("long")
+    for i in range(bits):  # msb-first: even stream positions are lon bits
+        src, src_bits = (x, lon_bits) if i % 2 == 0 else (y, lat_bits)
+        code = code + F.shiftleft(
+            F.shiftright(src, src_bits - 1 - i // 2).bitwiseAND(F.lit(1)),
+            bits - 1 - i,
+        )
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alpha,
+            (
+                F.shiftright(code, 5 * (precision - 1 - c)).bitwiseAND(
+                    F.lit(31)
+                )
+            ).cast("int")
+            + 1,
+        )
+        for c in range(precision)
+    ]
+    key = F.concat(*chars)
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
 def geo_distance_agg(
     df: DataFrame,
     origin_lat: float,

@@ -2202,6 +2202,37 @@ SELECT 'variable_width' AS op, printf('%d', bucket) AS key, doc_count, metric FR
         FROM events WHERE value IS NOT NULL)
   GROUP BY bucket
 )
+UNION ALL
+SELECT 'geotile_grid' AS op, key, doc_count, CAST(NULL AS DOUBLE) AS metric FROM (
+  SELECT '5/' || CAST(least(greatest(xt, 0), 31) AS VARCHAR) || '/' || CAST(least(greatest(yt, 0), 31) AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM (
+    SELECT CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT) AS xt,
+           CAST(floor((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 32) AS BIGINT) AS yt
+    FROM (
+      SELECT least(greatest(CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE), -85.0511287798066), 85.0511287798066) AS latc,
+             CAST((doc_id * 104729 % 36000) / 100.0 - 180.0 AS DOUBLE) AS lon
+      FROM documents
+    )
+  )
+  GROUP BY 1
+)
+UNION ALL
+SELECT 'geohash_grid' AS op, key, doc_count, CAST(NULL AS DOUBLE) AS metric FROM (
+  SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((code >> 10) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((code >> 5) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((code >> 0) & 31) AS INT) + 1, 1) AS key, CAST(count(*) AS BIGINT) AS doc_count
+  FROM (
+    SELECT (((x >> 7) & 1) << 14) + (((y >> 6) & 1) << 13) + (((x >> 6) & 1) << 12) + (((y >> 5) & 1) << 11) + (((x >> 5) & 1) << 10) + (((y >> 4) & 1) << 9) + (((x >> 4) & 1) << 8) + (((y >> 3) & 1) << 7) + (((x >> 3) & 1) << 6) + (((y >> 2) & 1) << 5) + (((x >> 2) & 1) << 4) + (((y >> 1) & 1) << 3) + (((x >> 1) & 1) << 2) + (((y >> 0) & 1) << 1) + (((x >> 0) & 1) << 0) AS code FROM (
+      SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256), 0), 255) AS BIGINT) AS x,
+             CAST(least(greatest(floor((lat + 90.0) / 180.0 * 128), 0), 127) AS BIGINT) AS y
+      FROM (
+        SELECT CAST((doc_id * 7919 % 18000) / 100.0 - 90.0 AS DOUBLE) AS lat,
+               CAST((doc_id * 104729 % 36000) / 100.0 - 180.0 AS DOUBLE) AS lon
+        FROM documents
+      )
+    )
+  )
+  GROUP BY 1
+)
 ORDER BY op, key ASC""",
 )
 def agg_histograms(spark, sf_dir):
@@ -2211,7 +2242,11 @@ def agg_histograms(spark, sf_dir):
     interval (AutoDateHistogramAggregationBuilder.java) +
     ``variable_width_histogram`` quantile sharding
     (VariableWidthHistogramAggregationBuilder.java; metric = bucket
-    mean)."""
+    mean) + r3 ``geotile_grid`` z=5 (GeoTileGridAggregationBuilder.java;
+    web-mercator z/x/y keys) and ``geohash_grid`` precision=3
+    (GeoHashGridAggregationBuilder.java; closed-form bit-interleave
+    base32 keys, whole-stage codegen, no UDF) over the deterministic
+    lat/lon pair."""
     ev = load_table(spark, sf_dir, "events")
     null_d = F.lit(None).cast("double")
     h = (
@@ -2230,11 +2265,17 @@ def agg_histograms(spark, sf_dir):
         "doc_count",
         F.col("key").alias("metric"),
     )
+    # r3: geo grid buckets over the deterministic lat/lon pair
+    gdf = documents_df(spark, sf_dir).select("lat", "lon")
+    gt = aggs.geotile_grid(gdf, precision=5).withColumn("metric", null_d)
+    gh = aggs.geohash_grid(gdf, precision=3).withColumn("metric", null_d)
     return _union(
         _tag(h, "histogram", "key", "doc_count", "metric"),
         _tag(dh, "date_histogram", "key", "doc_count", "metric"),
         _tag(adh, "auto_date_histogram", "key", "doc_count", "metric"),
         _tag(vwh, "variable_width", "key", "doc_count", "metric"),
+        _tag(gt, "geotile_grid", "key", "doc_count", "metric"),
+        _tag(gh, "geohash_grid", "key", "doc_count", "metric"),
     ).orderBy("op", F.asc("key"))
 
 

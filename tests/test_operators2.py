@@ -864,3 +864,25 @@ def test_geo_shape_parse_errors():
         "relation": "contains",
     }}})
     assert isinstance(q, Q.GeoShape) and q.relation == "contains"
+
+
+def test_geo_grid_aggs(spark):
+    """geotile_grid / geohash_grid keys against published encodings
+    (GeoTileUtils.java / Geohash.java): u4pru, dqcjr, r3gx2 are the
+    precision-5 geohashes of the three fixture points (validated against
+    the spec's bisection loop)."""
+    from opensearch_spark import aggs
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (38.897, -77.036), (-33.8688, 151.2093)],
+        "lat double, lon double",
+    )
+    gh = {r["key"]: r["doc_count"] for r in aggs.geohash_grid(df, 5).collect()}
+    assert gh == {"u4pru": 1, "dqcjr": 1, "r3gx2": 1}
+    gt = {r["key"] for r in aggs.geotile_grid(df, 7).collect()}
+    # z=7 web-mercator tiles: x = floor((lon+180)/360*128)
+    assert gt == {"7/67/38", "7/36/48", "7/117/76"}
+    # poles clamp into the mercator mask instead of overflowing
+    polar = spark.createDataFrame([(89.9, 0.0), (-89.9, 0.0)], "lat double, lon double")
+    keys = {r["key"] for r in aggs.geotile_grid(polar, 3).collect()}
+    assert keys == {"3/4/0", "3/4/7"}
