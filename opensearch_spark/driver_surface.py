@@ -3021,14 +3021,30 @@ SELECT 'collapse_inner' AS op, CAST(rn AS INT) AS rk, event_id, value FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
   FROM events
 ) WHERE rn <= 3
+UNION ALL
+SELECT 'script_sort' AS op, CAST(rn AS INT) AS rk, doc_id AS event_id, sv AS value FROM (
+  SELECT doc_id, CAST((n_chars * 37) % 101 AS DOUBLE) AS sv,
+         row_number() OVER (ORDER BY CAST((n_chars * 37) % 101 AS DOUBLE) ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 15
+UNION ALL
+SELECT 'script_after' AS op, CAST(rn AS INT) AS rk, doc_id AS event_id, sv AS value FROM (
+  SELECT doc_id, CAST((n_chars * 37) % 101 AS DOUBLE) AS sv,
+         row_number() OVER (ORDER BY CAST((n_chars * 37) % 101 AS DOUBLE) ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn BETWEEN 16 AND 20
 ORDER BY op, rk, event_id""",
 )
 def sort_suite(spark, sf_dir):
     """Suite: field sort with deterministic tie-break
     (FieldSortBuilder.java), raw ``search_after`` keyset filter
     (SearchAfterBuilder.java), ``collapse`` best-hit-per-group
-    (CollapseBuilder.java), and collapse ``inner_hits`` (top-3 per
-    group, CollapseBuilder.java:238)."""
+    (CollapseBuilder.java), collapse ``inner_hits`` (top-3 per
+    group, CollapseBuilder.java:238), and (r3) ENGINE-level script
+    sort + script_fields (ScriptSortBuilder.java / script_fields fetch
+    phase — Spark SQL as the Painless analog): match_all sorted by a
+    computed expression with doc_id tie-break, and the next keyset page
+    via ``search_after`` on the (script value, doc_id) key."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -3057,11 +3073,38 @@ def sort_suite(spark, sf_dir):
     ci = grouped.filter(F.col("rn") <= 3).select(
         F.col("rn").cast("int").alias("rk"), "event_id", "value"
     )
+    # engine script sort + script_fields + keyset page 2 (r3)
+    eng = documents_engine(spark, sf_dir)
+    sexpr = "CAST((n_chars * 37) % 101 AS DOUBLE)"
+    srt = [({"_script": {"source": sexpr, "fields": ["n_chars"]}}, "asc")]
+    sfields = {"sv": {"source": sexpr, "fields": ["n_chars"]}}
+    p1 = eng.search(
+        {"match_all": {}}, size=15, sort=srt, script_fields=sfields
+    )
+    w_ss = Window.orderBy(F.asc("sv"), F.asc("doc_id"))
+    ss = p1.select(
+        F.row_number().over(w_ss).alias("rk"),
+        F.col("doc_id").alias("event_id"),
+        F.col("sv").alias("value"),
+    )
+    last = p1.orderBy(F.desc("sv"), F.desc("doc_id")).limit(1).collect()[0]
+    p2 = eng.search(
+        {"match_all": {}}, size=5, sort=srt,
+        search_after=(last["sv"], last["doc_id"]),
+        script_fields=sfields,
+    )
+    sa2 = p2.select(
+        (F.row_number().over(w_ss) + F.lit(15)).alias("rk"),
+        F.col("doc_id").alias("event_id"),
+        F.col("sv").alias("value"),
+    )
     return _union(
         _tag(fs, "field_sort", "rk", "event_id", "value"),
         _tag(sa, "search_after", "rk", "event_id", "value"),
         _tag(co, "collapse", "rk", "event_id", "value"),
         _tag(ci, "collapse_inner", "rk", "event_id", "value"),
+        _tag(ss, "script_sort", "rk", "event_id", "value"),
+        _tag(sa2, "script_after", "rk", "event_id", "value"),
     ).orderBy("op", "rk", "event_id")
 
 

@@ -360,6 +360,7 @@ class SearchEngine:
         prune: Optional[bool] = None,
         sort: Optional[Sequence[Tuple[str, str]]] = None,
         search_after: Optional[Sequence] = None,
+        script_fields: Optional[Dict[str, Dict]] = None,
     ) -> DataFrame:
         """Top-k retrieval: DataFrame of id_cols + score (float64), ordered
         (score desc, id_cols asc). Default size 10 / from 0 mirrors
@@ -413,7 +414,7 @@ class SearchEngine:
         geo_sort_exprs: Dict[str, Column] = {}
         if sort:
             order = []
-            for col, direction in sort:
+            for si, (col, direction) in enumerate(sort):
                 if isinstance(col, dict) and "_geo_distance" in col:
                     # ``_geo_distance`` sort (GeoDistanceSortBuilder.java):
                     # a computed haversine-km column over the doc-values
@@ -424,11 +425,22 @@ class SearchEngine:
                     gfield = next(k for k in spec if k not in ("order", "unit"))
                     pt = spec[gfield]
                     lat_c, lon_c = _geo_cols(gfield)
-                    name = f"_geo_km_{len(geo_sort_exprs)}"
+                    name = f"_geo_km_{si}"
                     geo_sort_exprs[name] = _haversine_km(
                         lat_c, lon_c, float(pt["lat"]), float(pt["lon"])
                     )
                     sort_cols.extend(_geo_col_names(gfield))
+                    c = F.col(name)
+                elif isinstance(col, dict) and "_script" in col:
+                    # script sort (ScriptSortBuilder.java): a computed
+                    # Spark SQL expression (the lang-painless analog,
+                    # SURVEY §2.9) over doc-values columns; ``fields``
+                    # declares the columns the expression reads (the
+                    # reference's doc['field'] accesses made explicit)
+                    spec = col["_script"]
+                    name = f"_script_sort_{si}"
+                    geo_sort_exprs[name] = F.expr(spec["source"])
+                    sort_cols.extend(spec.get("fields", []))
                     c = F.col(name)
                 elif col == "_score":
                     c = F.col("score")
@@ -452,11 +464,13 @@ class SearchEngine:
         if search_after is not None:
             keys = []
             if sort:
-                gi = 0
-                for (col, direction), val in zip(sort, search_after):
+                for si, ((col, direction), val) in enumerate(
+                    zip(sort, search_after)
+                ):
                     if isinstance(col, dict) and "_geo_distance" in col:
-                        keys.append((f"_geo_km_{gi}", direction, val))
-                        gi += 1
+                        keys.append((f"_geo_km_{si}", direction, val))
+                    elif isinstance(col, dict) and "_script" in col:
+                        keys.append((f"_script_sort_{si}", direction, val))
                     else:
                         keys.append((col if col != "_score" else "score", direction, val))
                 for c, val in zip(self.id_cols, search_after[len(sort):]):
@@ -480,13 +494,24 @@ class SearchEngine:
             .offset(from_)
         )
         fetch_cols = list(dict.fromkeys(fetch_cols + sort_cols))
+        # script_fields (SearchSourceBuilder scriptFields; the fetch-phase
+        # projection UDF context of SURVEY §2.9): each value is
+        # {"source": <Spark SQL expr>, "fields": [input columns]}; the
+        # inputs ride the fetch join, the expression is computed on the
+        # tiny top-k frame
+        script_fields = script_fields or {}
+        for spec in script_fields.values():
+            fetch_cols = list(dict.fromkeys(fetch_cols + list(spec.get("fields", []))))
         extra = [c for c in fetch_cols if c not in self.id_cols and c not in sort_cols]
         if extra:
             # fetch phase: the k winners are tiny -> broadcast them into the
             # docmap join so the stored-fields lookup is a map-side join
             dm = self.index.docmap().select("_docid", *extra)
             topk = dm.join(F.broadcast(topk), "_docid")
-        return topk.select(*fetch_cols, "score").orderBy(*order)
+        for name, spec in script_fields.items():
+            topk = topk.withColumn(name, F.expr(spec["source"]))
+        out_cols = list(fetch_cols) + list(script_fields)
+        return topk.select(*out_cols, "score").orderBy(*order)
 
     def scan(self, query, batch_size: int = 500, source_cols=None):
         """Scroll the full result set in stable batches (the `scroll` /
