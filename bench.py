@@ -81,11 +81,11 @@ SURFACE_SAMPLE = [
 # composition so round-over-round latency comparisons stay meaningful.
 # (Emitted as "surface_composition" in the bench JSON.)
 SURFACE_COMPOSITION = {
-    "ft_match_modes": "r3: 3 ops (or [former ft_match_or entry] + and + msm); r2 had 2",
+    "ft_match_modes": "r3: 4 ops (or [former ft_match_or entry] + and + msm + common_terms); r2 had 2",
     "ft_bool": "2 engine bool queries (unchanged since r2 repack)",
     "ft_match_phrase": "r3: 2 ops (slop0 + sloppy slop=2); r2 had 1",
     "dedup_ngram_jaccard": "r3: 2 ops (pair + connected-component cluster); r2 had pairs only",
-    "agg_histograms": "4 ops (unchanged since r2 repack)",
+    "agg_histograms": "r3 late: 6 ops (+geotile_grid z=5, +geohash_grid p=3); earlier r3/r2 had 4",
     "text_suite": "r3: 4 text ops via single-pass text_profile (one tokenizer eval, no joins); r2 joined 4 frames",
 }
 

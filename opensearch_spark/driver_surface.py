@@ -3435,7 +3435,30 @@ _LC_SRC_APPEND = (
     "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
     "FROM documents WHERE doc_id < 50)"
 )
+# data-stream generation 2: the clones ALONE — per-generation statistics
+_LC_SRC_GEN2 = (
+    "(SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id < 50)"
+)
 _LC_Q = {"spark": 1, "join": 1}
+
+
+def _sql_match_branch(terms: Dict[str, int], required: int, p: str = "") -> str:
+    """Un-limited scored (doc_id, score) set over the ``__{p}`` corpus —
+    the per-generation half of a data-stream fan-out union."""
+    vals = ", ".join(f"('{t}', {w})" for t, w in terms.items())
+    p = f"{p}_" if p else ""
+    return f"""SELECT doc_id, score FROM (
+      SELECT t.doc_id,
+             ROUND(SUM(CAST({_SCORE} AS DOUBLE) * v.w), 4) AS score,
+             SUM(v.w) AS matched
+      FROM __{p}tf t
+      JOIN __{p}df d USING (term)
+      JOIN (SELECT * FROM (VALUES {vals}) AS x(term, w)) v ON v.term = t.term
+      JOIN __{p}qdl q2 ON q2.doc_id = t.doc_id
+      CROSS JOIN __{p}stats s
+      GROUP BY t.doc_id
+    ) WHERE matched >= {required}"""
 
 
 @_q(
@@ -3445,6 +3468,8 @@ _LC_Q = {"spark": 1, "join": 1}
     + _pre_chain(_LC_SRC_COMPACT, "c")
     + ",\n"
     + _pre_chain(_LC_SRC_APPEND, "a")
+    + ",\n"
+    + _pre_chain(_LC_SRC_GEN2, "g")
     + "\n"
     + _sql_match_over(
         _LC_Q, 1, 10, "post_delete", p="",
@@ -3461,6 +3486,15 @@ FROM __c_docs WHERE source = 'src3'
 UNION ALL
 """
     + _sql_match_over(_LC_Q, 1, 10, "post_append", p="a")
+    + f"""
+UNION ALL
+SELECT 'ds_search' AS op, doc_id, score FROM (
+  SELECT doc_id, score FROM (
+    {_sql_match_branch(_LC_Q, 1)}
+    UNION ALL
+    {_sql_match_branch(_LC_Q, 1, p="g")}
+  ) ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
     + "\nORDER BY op, score DESC, doc_id ASC",
 )
 def lifecycle_suite(spark, sf_dir):
@@ -3490,6 +3524,12 @@ def lifecycle_suite(spark, sf_dir):
       ``streaming/incremental.py``) — the full corpus then 50 cloned
       docs under shifted ids; BM25 sees union statistics (df/N/avgdl
       include the clones).
+    - ``ds_search`` (r3): a DATA STREAM (DataStream.java /
+      MetadataRolloverService.java) — corpus into generation 1,
+      ``max_docs`` rollover, clones into generation 2; the fan-out
+      search scores each generation with ITS OWN corpus statistics
+      (per-shard QUERY_THEN_FETCH), which the oracle models as two
+      separate corpus CTE chains unioned before the global top-10.
 
     Rebuilds its own throwaway index directories on every call —
     deliberately NOT the shared read-only docs-index cache."""
@@ -3560,12 +3600,27 @@ def lifecycle_suite(spark, sf_dir):
     eng_s = SearchEngine(InvertedIndex(spark, app))
     e = lc_topk(eng_s, q)
 
+    # data stream (r3; DataStream.java / MetadataRolloverService.java):
+    # full corpus -> generation 1, max_docs rollover, clones ->
+    # generation 2; fan-out search scores each generation with ITS OWN
+    # corpus statistics (per-shard QUERY_THEN_FETCH), unlike
+    # post_append's single-index union statistics — the oracle models
+    # the two corpora separately and unions the scored sets
+    from opensearch_spark.streaming.datastream import DataStream
+
+    ds = DataStream(spark, os.path.join(root, "ds"), cfg).create(docs.schema)
+    ds.append(docs, batch_id=0)
+    ds.rollover(max_docs=1, schema=docs.schema)
+    ds.append(clones, batch_id=0)
+    g = ds.search(q, size=10, round_scores=4).select("doc_id", "score")
+
     return _union(
         _tag(a, "post_delete", "doc_id", "score"),
         _tag(b, "post_compact", "doc_id", "score"),
         _tag(c, "upd_docset", "doc_id", "score"),
         _tag(d, "upd_match", "doc_id", "score"),
         _tag(e, "post_append", "doc_id", "score"),
+        _tag(g, "ds_search", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 

@@ -140,3 +140,53 @@ def test_percolator(spark, corpus_pdf):
     assert got.get("q_and", set()) == exp_and
     assert got.get("q_phrase", set()) == exp_phrase
     assert got.get("q_bool", set()) == exp_bool
+
+
+def test_data_stream_rollover_and_fanout_search(spark, tmp_path):
+    """Data stream (DataStream.java / MetadataRolloverService.java):
+    writes hit only the newest generation, rollover on max_docs cuts a
+    new backing index, and search fans out across generations with
+    PER-GENERATION statistics (per-shard QUERY_THEN_FETCH scoring)."""
+    from opensearch_spark.index.builder import IndexConfig
+    from opensearch_spark.streaming.datastream import DataStream
+
+    docs = generate(spark, 40, partitions=2)
+    cfg = IndexConfig(n_segments=2)
+    ds = DataStream(spark, str(tmp_path / "ds"), cfg).create(docs.schema)
+    assert ds.generations() == [1]
+
+    ds.append(docs, batch_id=0)
+    # condition not met -> no roll; met -> roll
+    assert ds.rollover(max_docs=10**9, schema=docs.schema) is False
+    assert ds.rollover(max_docs=1, schema=docs.schema) is True
+    assert ds.generations() == [1, 2]
+
+    docs2 = generate(spark, 10, seed=7, partitions=2)
+    ds.append(docs2, batch_id=0)  # batch ids are per-backing-index
+    st = ds.stats()
+    assert st["n_generations"] == 2
+    assert st["n_docs"] == docs.count() + docs2.count()
+    assert st["per_generation"][2]["n_docs"] == docs2.count()
+
+    hits = ds.search({"match": {"text": "error handling"}}, size=10).collect()
+    assert 0 < len(hits) <= 10
+    # fan-out actually reaches both generations: per-generation
+    # single-index searches must union to the stream's result set
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    per_gen = []
+    for g in ds.generations():
+        eng = SearchEngine(InvertedIndex(spark, ds._gen_dir(g)))
+        per_gen.extend(
+            (r["conv_id"], r["turn_idx"], round(r["score"], 6))
+            for r in eng.search({"match": {"text": "error handling"}}, size=50).collect()
+        )
+    merged = sorted(per_gen, key=lambda t: (-t[2], t[0], t[1]))[: len(hits)]
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 6)) for r in hits]
+    assert got == merged
+
+    # the empty write index right after a rollover matches nothing but
+    # search still works (engines() skips empty generations)
+    assert ds.rollover(max_docs=1, schema=docs.schema) is True
+    assert len(ds.search({"match": {"text": "error handling"}}, size=5).collect()) == 5
