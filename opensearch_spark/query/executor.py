@@ -663,6 +663,24 @@ class SearchEngine:
         q = Q.from_dict(query) if isinstance(query, dict) else query
         return self._apply_deletes(self._score(q)).count()
 
+    def validate(self, query, explain: bool = False) -> Dict:
+        """``_validate/query`` (TransportValidateQueryAction / the
+        ValidateQueryRequest ``explain`` flag): parse the query and
+        build its Catalyst plan WITHOUT fetching hits — a malformed
+        query (unknown operator, bad field, unparsable spec) reports
+        ``valid=False`` with the error instead of raising mid-search.
+        ``explain=True`` adds the rewritten query (the parsed AST repr —
+        the analog of the reference's rewritten-Lucene-query string)."""
+        try:
+            q = Q.from_dict(query) if isinstance(query, dict) else query
+            self._score(q)  # lazy plan build: no hits are fetched
+        except Exception as ex:  # noqa: BLE001 — the API contract is lenient
+            return {"valid": False, "error": f"{type(ex).__name__}: {ex}"}
+        out: Dict = {"valid": True}
+        if explain:
+            out["explanation"] = repr(q)
+        return out
+
     def _wand_auto(self, q) -> bool:
         """AUTO prune decision: True for WAND-able query shapes whose
         terms' posting lists total >= WAND_AUTO_MIN_BLOCKS blocks

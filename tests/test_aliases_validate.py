@@ -1,0 +1,65 @@
+"""Index aliases (AliasMetadata.java / IndicesAliasesRequest.java) and
+the _validate/query entry point (TransportValidateQueryAction)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from opensearch_spark.aliases import AliasRegistry
+from opensearch_spark.index.builder import IndexConfig, build_index
+from opensearch_spark.index.reader import InvertedIndex
+from opensearch_spark.query.executor import SearchEngine
+
+
+def _build(spark, path, rows):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": [r[1] for r in rows],
+            "role": [r[2] for r in rows],
+            "text": [r[3] for r in rows],
+        }
+    )
+    build_index(spark, spark.createDataFrame(pdf), path, IndexConfig(n_segments=2))
+    return path
+
+
+def test_alias_fanout_and_filter(spark, tmp_path):
+    a = _build(spark, str(tmp_path / "ia"), [
+        ("a1", 0, "user", "alpha error handling"),
+        ("a2", 0, "tool", "alpha error retry"),
+    ])
+    b = _build(spark, str(tmp_path / "ib"), [
+        ("b1", 0, "user", "beta error handling"),
+    ])
+    reg = AliasRegistry(spark, str(tmp_path / "aliases.json"))
+    reg.add("logs", a, filter={"term": {"role": "user"}}, is_write_index=True)
+    reg.add("logs", b)
+
+    hits = reg.search("logs", {"match": {"text": "error"}}, size=10).collect()
+    ids = sorted(r["conv_id"] for r in hits)
+    # a2 is excluded by the alias filter on index a; b has no filter
+    assert ids == ["a1", "b1"]
+    assert reg.write_index("logs") == a
+
+    # registry persists (cluster-state analog)
+    reg2 = AliasRegistry(spark, str(tmp_path / "aliases.json"))
+    assert [e["index"] for e in reg2.resolve("logs")] == [a, b]
+    reg2.remove("logs", b)
+    assert [e["index"] for e in reg2.resolve("logs")] == [a]
+    reg2.remove("logs", a)
+    with pytest.raises(KeyError):
+        reg2.resolve("logs")
+
+
+def test_validate_query(spark, tmp_path):
+    idx = _build(spark, str(tmp_path / "iv"), [("c", 0, "user", "hello world")])
+    eng = SearchEngine(InvertedIndex(spark, idx))
+    ok = eng.validate({"match": {"text": "hello"}}, explain=True)
+    assert ok["valid"] is True and "hello" in ok["explanation"]
+    bad = eng.validate({"no_such_query": {"x": 1}})
+    assert bad["valid"] is False and "no_such_query" in bad["error"]
+    # a parse-able query over a missing field is invalid too
+    missing = eng.validate({"term": {"nope_field": "x"}})
+    assert missing["valid"] is False
