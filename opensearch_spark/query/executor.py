@@ -681,6 +681,33 @@ class SearchEngine:
             out["explanation"] = repr(q)
         return out
 
+    def profile(self, query, size: int = 10) -> Dict:
+        """``"profile": true`` analog (``search/profile/``,
+        ``ProfileResult.java``): run the search and report per-phase
+        wall times — parse/rewrite, Catalyst plan build, and execution
+        (the collector phase) — plus the hit count and the query
+        description.  Times are milliseconds, like the reference's
+        nanos-scaled breakdown."""
+        import time as _t
+
+        t0 = _t.monotonic()
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        t1 = _t.monotonic()
+        df = self.search(q, size=size)
+        t2 = _t.monotonic()
+        hits = df.collect()
+        t3 = _t.monotonic()
+        return {
+            "query": repr(q),
+            "hits": len(hits),
+            "breakdown_ms": {
+                "parse_rewrite": round((t1 - t0) * 1000, 3),
+                "build_plan": round((t2 - t1) * 1000, 3),
+                "execute": round((t3 - t2) * 1000, 3),
+            },
+            "took_ms": round((t3 - t0) * 1000, 3),
+        }
+
     def _wand_auto(self, q) -> bool:
         """AUTO prune decision: True for WAND-able query shapes whose
         terms' posting lists total >= WAND_AUTO_MIN_BLOCKS blocks

@@ -63,3 +63,15 @@ def test_validate_query(spark, tmp_path):
     # a parse-able query over a missing field is invalid too
     missing = eng.validate({"term": {"nope_field": "x"}})
     assert missing["valid"] is False
+
+
+def test_profile(spark, tmp_path):
+    idx = _build(spark, str(tmp_path / "ip"), [
+        ("c", 0, "user", "hello world"), ("d", 0, "user", "hello there"),
+    ])
+    eng = SearchEngine(InvertedIndex(spark, idx))
+    p = eng.profile({"match": {"text": "hello"}}, size=5)
+    assert p["hits"] == 2
+    assert set(p["breakdown_ms"]) == {"parse_rewrite", "build_plan", "execute"}
+    assert p["took_ms"] >= p["breakdown_ms"]["execute"]
+    assert "hello" in p["query"]
