@@ -89,6 +89,10 @@ def cmd_build(args) -> None:
         n_segments=args.segments,
         stopwords=args.stopwords,
         store_positions=not args.no_positions,
+        analyzer=json.loads(args.analyzer) if args.analyzer else None,
+        search_analyzer=(
+            json.loads(args.search_analyzer) if args.search_analyzer else None
+        ),
     )
     stats = build_index(
         spark, docs, args.index, cfg, waves=args.waves, resume=not args.no_resume
@@ -177,6 +181,10 @@ def main(argv=None) -> int:
     b.add_argument("--segments", type=int, default=256)
     b.add_argument("--waves", type=int, default=1)
     b.add_argument("--stopwords", default=None)
+    b.add_argument("--analyzer", default=None,
+                   help="JSON analyzer spec or quoted name (analysis/chain.py)")
+    b.add_argument("--search-analyzer", default=None,
+                   help="JSON query-side analyzer override")
     b.add_argument("--no-positions", action="store_true")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
