@@ -75,3 +75,40 @@ def test_profile(spark, tmp_path):
     assert set(p["breakdown_ms"]) == {"parse_rewrite", "build_plan", "execute"}
     assert p["took_ms"] >= p["breakdown_ms"]["execute"]
     assert "hello" in p["query"]
+
+
+def test_search_pipeline(spark, tmp_path):
+    """modules/search-pipeline-common: filter_query + oversample request
+    processors; collapse + truncate_hits + rename_field response
+    processors (one class each in SearchPipelineCommonModulePlugin.java)."""
+    from opensearch_spark.query.searchpipeline import SearchPipeline
+
+    idx = _build(spark, str(tmp_path / "isp"), [
+        ("c1", 0, "user", "error handling path"),
+        ("c1", 1, "tool", "error handling again"),
+        ("c2", 0, "user", "error retry"),
+        ("c3", 0, "tool", "nothing here"),
+    ])
+    eng = SearchEngine(InvertedIndex(spark, idx))
+    pipe = SearchPipeline.from_spec({
+        "request_processors": [
+            {"filter_query": {"query": {"term": {"role": "user"}}}},
+            {"oversample": {"sample_factor": 3}},
+        ],
+        "response_processors": [
+            {"collapse": {"field": "conv_id"}},
+            {"truncate_hits": {}},          # back to the original size
+            {"rename_field": {"field": "score", "target_field": "_score"}},
+        ],
+    })
+    rows = pipe.run(eng, {"match": {"text": "error"}}, size=2,
+                    source_cols=["conv_id", "turn_idx", "role"]).collect()
+    # tool turns filtered out; one best hit per conv; truncated to 2
+    assert len(rows) <= 2
+    assert all(r["role"] == "user" for r in rows)
+    assert len({r["conv_id"] for r in rows}) == len(rows)
+    assert "_score" in rows[0].asDict()
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SearchPipeline.from_spec({"request_processors": [{"nope": {}}]})
