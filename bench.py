@@ -81,6 +81,7 @@ SURFACE_SAMPLE = [
 # composition so round-over-round latency comparisons stay meaningful.
 # (Emitted as "surface_composition" in the bench JSON.)
 SURFACE_COMPOSITION = {
+    "_timing_protocol": "r3 late: 1 untimed warm-up + 1 timed run per surface entry (matches the q-set's warm protocol; earlier rounds timed the cold first run, so r2/early-r3 surface numbers include plan-compile + Python-worker startup)",
     "ft_match_modes": "r3: 4 ops (or [former ft_match_or entry] + and + msm + common_terms); r2 had 2",
     "ft_bool": "2 engine bool queries (unchanged since r2 repack)",
     "ft_match_phrase": "r3: 2 ops (slop0 + sloppy slop=2); r2 had 1",
@@ -275,7 +276,8 @@ def surface_phase(spark, sf_dir: str):
     out = {}
     for name in SURFACE_SAMPLE:
         fn = driver_surface.QUERIES[name]
-        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()  # warm-up, untimed — same steady-state
+        t0 = time.monotonic()        # protocol as the q-set (5 runs warm)
         fn(spark, sf_dir).collect()
         out[name] = round(time.monotonic() - t0, 4)
     return out

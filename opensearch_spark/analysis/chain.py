@@ -228,15 +228,26 @@ def make_char_filter(spec) -> Callable[[str], str]:
         spec = {"type": spec}
     typ = spec["type"]
     if typ == "html_strip":
-        return lambda s: _HTML_TAG_RE.sub(" ", s)
+        # Lucene's HTMLStripCharFilter deletes tags inline
+        # ("java<b>script</b>" -> "javascript"); same contract as the
+        # ingest html_strip processor (ingest.py _proc_html_strip)
+        return lambda s: _HTML_TAG_RE.sub("", s)
     if typ == "mapping":
         pairs = [tuple(m.split("=>", 1)) for m in spec["mappings"]]
         pairs = [(a.strip(), b.strip()) for a, b in pairs]
+        # single pass, longest match first (MappingCharFilter is an FST
+        # over the ORIGINAL text — one rule's output is never re-matched
+        # by another rule)
+        lut = dict(pairs)
+        pat = re.compile(
+            "|".join(
+                re.escape(a)
+                for a, _ in sorted(pairs, key=lambda p: -len(p[0]))
+            )
+        )
 
         def _map(s: str) -> str:
-            for a, b in pairs:
-                s = s.replace(a, b)
-            return s
+            return pat.sub(lambda m: lut[m.group(0)], s)
 
         return _map
     if typ == "pattern_replace":
@@ -494,21 +505,14 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
                     mapping[src] = group
 
         def _synonym(ts: TokenStream) -> TokenStream:
+            # both rule kinds expand to their target list at the source
+            # position: "a => c" replaces (a not in targets), "a, b"
+            # equivalence injects the group (a in targets)
             toks, pos = ts
             out_t, out_p = [], []
             for t, p in zip(toks, pos):
-                if t in mapping:
-                    tgt = mapping[t]
-                    if t not in tgt:  # explicit "=>" replaces
-                        for s in tgt:
-                            out_t.append(s)
-                            out_p.append(p)
-                        continue
-                    for s in tgt:  # equivalence injects at same position
-                        out_t.append(s)
-                        out_p.append(p)
-                else:
-                    out_t.append(t)
+                for s in mapping.get(t, (t,)):
+                    out_t.append(s)
                     out_p.append(p)
             return out_t, out_p
 

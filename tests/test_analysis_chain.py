@@ -124,7 +124,9 @@ def test_path_hierarchy_tokenizer():
 # ---- char filters ----
 
 def test_char_filters():
-    assert make_char_filter("html_strip")("<b>bold</b> x") == " bold  x"
+    # tags deleted inline (HTMLStripCharFilter): "java<b>script</b>" stays one token
+    assert make_char_filter("html_strip")("<b>bold</b> x") == "bold x"
+    assert make_char_filter("html_strip")("java<b>script</b>") == "javascript"
     assert make_char_filter(
         {"type": "mapping", "mappings": ["& => and", ":) => happy"]}
     )("a & b :)") == "a and b happy"
