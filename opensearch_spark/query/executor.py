@@ -299,6 +299,11 @@ def resolve_msm(msm, n_clauses: int) -> int:
 
 MAX_TERM_EXPANSIONS = 10_000  # safety cap for multi-term dictionary expansion
 
+# term-count ceiling for inlining per-term stats (idf/df/ttf/weight) as
+# CASE literals instead of a broadcast-joined driver DataFrame; above it
+# the CASE would strain codegen and the broadcast join wins
+INLINE_STATS_MAX_TERMS = 64
+
 # AUTO-prune threshold: total posting blocks across the query's terms
 # above which block-max WAND pruning is selected automatically.
 # Measured on this box (BASELINE.md §3): the pruned plan's extra driver
@@ -994,9 +999,6 @@ class SearchEngine:
             )
             for t, df_, ttf_ in zip(stats["term"], stats["df"], stats["total_tf"])
         ]
-        stats_df = self.spark.createDataFrame(
-            rows, "term string, idf double, df double, ttf double, weight int"
-        )
         from opensearch_spark.query.similarities import Scripted
 
         if isinstance(sim, Scripted):
@@ -1009,9 +1011,35 @@ class SearchEngine:
                 F.col("tf"), F.col("idf"), F.col("dl")
             )
         post = self.index.postings_for_terms([r[0] for r in rows])
+        if len(rows) <= INLINE_STATS_MAX_TERMS:
+            # the per-term constants are plan-time literals: inline them
+            # as CASE expressions on `term` instead of broadcast-joining
+            # a driver-local DataFrame — Spark materializes a broadcast
+            # exchange with a dedicated job (32 tasks for a 2-row frame),
+            # which at interactive scale costs more than the whole scan;
+            # the CASE stays inside whole-stage codegen (one job per
+            # query, not two+).  Large expansion sets (wildcard/fuzzy)
+            # keep the broadcast join: a 10k-branch CASE would blow up
+            # codegen, and there the scan dwarfs the extra job anyway.
+            def _case(idx: int, typ: str):
+                e = F.when(F.col("term") == rows[0][0], F.lit(rows[0][idx]))
+                for r in rows[1:]:
+                    e = e.when(F.col("term") == r[0], F.lit(r[idx]))
+                return e.cast(typ)
+
+            post = (
+                post.withColumn("idf", _case(1, "double"))
+                .withColumn("df", _case(2, "double"))
+                .withColumn("ttf", _case(3, "double"))
+                .withColumn("weight", _case(4, "int"))
+            )
+        else:
+            stats_df = self.spark.createDataFrame(
+                rows, "term string, idf double, df double, ttf double, weight int"
+            )
+            post = post.join(F.broadcast(stats_df), "term")
         return (
-            post.join(F.broadcast(stats_df), "term")
-            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            post.withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
             .withColumn("s", score_col())
             .select("term", "_docid", "s", "weight")
         )
@@ -2025,17 +2053,6 @@ class SearchEngine:
                 preds.append(pr)
             else:
                 docset_clauses.append(sub)
-        if preds:
-            combined = reduce(lambda a, c: a & c, preds)
-            ds = (
-                self.index.docmap()
-                .filter(combined)  # positive context: bare pred pushes down
-                .select("_docid")
-            )
-            scored = scored.join(ds, "_docid", "semi")
-        for sub in docset_clauses:
-            scored = scored.join(self._docset(sub), "_docid", "semi")
-
         neg_preds, neg_sets = [], []
         for sub in b.must_not:
             pr = self._predicate(sub)
@@ -2043,10 +2060,28 @@ class SearchEngine:
                 neg_preds.append(pr)
             else:
                 neg_sets.append(sub)
-        if neg_preds:
-            combined = reduce(lambda a, c: a | c, [_null_safe(p) for p in neg_preds])
-            ds = self.index.docmap().filter(combined).select("_docid")
-            scored = scored.join(ds, "_docid", "anti")
+        if preds or neg_preds:
+            # one docmap scan for BOTH contexts: positive conjuncts AND
+            # the negated must_not disjunction ride a single semi join
+            # (each separate semi/anti join costs its own broadcast-build
+            # job; Spark still pushes the positive conjuncts into the
+            # parquet scan separately).  must_not keeps Lucene semantics:
+            # a NULL field never excludes a doc (_null_safe under
+            # negation only).
+            combined = None
+            if preds:
+                combined = reduce(lambda a, c: a & c, preds)
+            if neg_preds:
+                neg = reduce(lambda a, c: a | c, [_null_safe(p) for p in neg_preds])
+                combined = ~neg if combined is None else combined & ~neg
+            ds = (
+                self.index.docmap()
+                .filter(combined)
+                .select("_docid")
+            )
+            scored = scored.join(ds, "_docid", "semi")
+        for sub in docset_clauses:
+            scored = scored.join(self._docset(sub), "_docid", "semi")
         for sub in neg_sets:
             scored = scored.join(self._docset(sub), "_docid", "anti")
 
