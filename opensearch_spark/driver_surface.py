@@ -1933,6 +1933,9 @@ SELECT 'field_caps' AS op, k, v FROM (VALUES
   ('source', 0.0), ('src_alt', 0.0), ('text', 1.0), ('title', 0.0)
 ) AS fc(k, v)
 UNION ALL
+SELECT 'mget' AS op, CAST(doc_id AS VARCHAR) AS k, CAST(n_chars AS DOUBLE) AS v
+FROM __docs WHERE doc_id IN (3, 7, 11)
+UNION ALL
 SELECT 'rank_eval' AS op, CAST(p.query_id AS VARCHAR) || ':' || m.name AS k,
        ROUND(CASE m.name
          WHEN 'precision' THEN p.rel_ret / p.retrieved
@@ -1960,7 +1963,8 @@ def ft_diagnostics(spark, sf_dir):
     """Suite: diagnostics entry points (SURVEY.md §3.3) — ``_count``
     (exact hit count), ``_explain`` (per-term score breakdown for one
     doc, TransportExplainAction analog), ``_termvectors`` (per-doc
-    tf + corpus df), ``_field_caps`` (mapping introspection), and the
+    tf + corpus df), ``_field_caps`` (mapping introspection), ``_mget``
+    (batched stored-fields fetch by id), and the
     ``scan``/scroll export cursor (r3: full scored set in stable
     id-ordered batches, batch index in the checked key) — in a long
     (op, k, v) shape."""
@@ -1984,6 +1988,10 @@ def ft_diagnostics(spark, sf_dir):
         rows.append(("termvectors_df", r["term"], float(r["df"])))
     for r in eng.field_caps().collect():
         rows.append(("field_caps", r["field"], 1.0 if r["full_text"] else 0.0))
+    # _mget (rest-api-spec mget.json): batched stored-fields fetch by id
+    # — one IN-list docmap scan, id-ordered
+    for r in eng.mget([(3,), (7,), (11,)], source_cols=["n_chars"]).collect():
+        rows.append(("mget", str(r["doc_id"]), float(r["n_chars"])))
     # rank_eval (modules/rank-eval analog, r3): precision/recall/MRR/
     # DCG/NDCG@10 of two live engine queries against a deterministic
     # rating table (doc_id%3==2 unrated; rating 2 on multiples of 5,

@@ -1870,6 +1870,32 @@ class SearchEngine:
         out = reduce(DataFrame.unionByName, parts)
         return out.orderBy("doc", "term")
 
+    def mget(
+        self, doc_id_tuples, source_cols: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        """``_mget``: batched document fetch by id (rest-api-spec
+        mget.json; TransportMultiGetAction) — the stored-fields/_source
+        rows for the requested ids, id-ordered.  One docmap scan with an
+        IN-list predicate (pushed to parquet), not one lookup per id."""
+        pred = None
+        for tup in doc_id_tuples:
+            eq = reduce(
+                lambda a, c: a & c,
+                [F.col(c) == F.lit(v) for c, v in zip(self.id_cols, tup)],
+            )
+            pred = eq if pred is None else pred | eq
+        if pred is None:
+            return self.index.docmap().limit(0).select(*self.id_cols)
+        cols = list(
+            dict.fromkeys(list(self.id_cols) + list(source_cols or []))
+        )
+        return (
+            self.index.docmap()
+            .filter(_null_safe(pred))
+            .select(*cols)
+            .orderBy(*[F.asc(c) for c in self.id_cols])
+        )
+
     def field_caps(self) -> DataFrame:
         """``_field_caps``: field -> type/searchable summary derived from
         the docmap schema + index plan (the mapping introspection API)."""

@@ -197,3 +197,16 @@ def test_intervals_multiterm_sources(engine):
         Q.Intervals("text", any_of_groups=[["error"]], max_gaps=-1, ordered=False)
     ).count()
     assert fz >= exact > 0
+
+
+def test_mget(engine):
+    """_mget = batched stored-fields fetch by id, id-ordered, one scan."""
+    rows = engine.mget(
+        [("conv-00000002", 0), ("conv-00000001", 0)], source_cols=["role"]
+    ).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [
+        ("conv-00000001", 0),
+        ("conv-00000002", 0),
+    ]
+    assert all(r["role"] is not None for r in rows)
+    assert engine.mget([]).count() == 0
