@@ -93,6 +93,7 @@ def cmd_build(args) -> None:
         search_analyzer=(
             json.loads(args.search_analyzer) if args.search_analyzer else None
         ),
+        index_sort=json.loads(args.index_sort) if args.index_sort else None,
     )
     stats = build_index(
         spark, docs, args.index, cfg, waves=args.waves, resume=not args.no_resume
@@ -185,6 +186,9 @@ def main(argv=None) -> int:
                    help="JSON analyzer spec or quoted name (analysis/chain.py)")
     b.add_argument("--search-analyzer", default=None,
                    help="JSON query-side analyzer override")
+    b.add_argument("--index-sort", default=None,
+                   help='JSON index.sort spec, e.g. \'["ts"]\' or '
+                        '\'[["ts","desc"]]\' (IndexSortConfig analog)')
     b.add_argument("--no-positions", action="store_true")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)

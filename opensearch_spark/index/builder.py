@@ -133,6 +133,31 @@ class IndexConfig:
     text_col: str = "text"
     store_positions: bool = True
     dictionary_partitions: int = 8
+    # index sorting (``IndexSortConfig.java`` / ``index.sort.field``):
+    # order docs WITHIN each segment by these keys — strings (asc) or
+    # (field, "asc"|"desc") pairs — before docID assignment, so docmap
+    # parquet row groups are clustered on the sort fields and range /
+    # search_after keyset predicates prune whole row groups at scan
+    # time (the reference's sort-optimized early termination, SURVEY
+    # §4.5, QueryPhase.canEarlyTerminate).  id_cols always tie-break;
+    # None keeps the default id_cols order.  Scoring, tie-breaks and
+    # merge are docID-order-agnostic, so results are identical either
+    # way (pinned by tests/test_builder.py).
+    index_sort: Optional[Sequence] = None
+
+    def sort_spec(self) -> List[Tuple[str, bool]]:
+        """Normalized per-segment sort: [(col, ascending)], id tie-break."""
+        keys: List[Tuple[str, bool]] = []
+        for s in self.index_sort or []:
+            if isinstance(s, str):
+                keys.append((s, True))
+            else:
+                fld, direction = s
+                keys.append((fld, str(direction).lower() != "desc"))
+        for c in self.id_cols:
+            if c not in [k for k, _ in keys]:
+                keys.append((c, True))
+        return keys
 
     def routing(self) -> str:
         return self.routing_col or self.id_cols[0]
@@ -175,7 +200,13 @@ def _invert_segment(
 ) -> pd.DataFrame:
     t0 = time.monotonic()
     seg = int(pdf["_seg"].iloc[0])
-    pdf = pdf.sort_values(list(cfg.id_cols), kind="mergesort", ignore_index=True)
+    sort_keys = cfg.sort_spec()
+    pdf = pdf.sort_values(
+        [k for k, _ in sort_keys],
+        ascending=[a for _, a in sort_keys],
+        kind="mergesort",
+        ignore_index=True,
+    )
     n = len(pdf)
     doc_ids = np.int64(offsets[seg]) + np.arange(n, dtype=np.int64)
 
@@ -376,6 +407,9 @@ def build_index(
         "n_docs": n_docs_total,
         "seg_offsets": {str(k): v for k, v in offsets.items()},
         "input_fields": orig_cols,
+        "index_sort": [[c, "asc" if a else "desc"] for c, a in cfg.sort_spec()]
+        if cfg.index_sort
+        else None,
     }
     with open(p["plan"], "w") as f:
         json.dump(plan, f, indent=1)

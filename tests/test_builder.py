@@ -116,3 +116,59 @@ def test_column_clash_rejected(spark):
     df = spark.createDataFrame([("a", 1, "t")], "conv_id string, turn_idx int, term string")
     with pytest.raises(ValueError, match="clash"):
         build_index(spark, df, "/tmp/never", IndexConfig())
+
+
+def test_index_sort_layout_and_rank_identity(spark, index_dir, tmp_path, oracle):
+    """index_sort (IndexSortConfig.java analog): docs are physically
+    ordered by the sort field within each segment (tight parquet
+    row-group min/max -> range/keyset pruning at scale), docIDs follow
+    the sort, the plan records it — and results are identical to the
+    default id-ordered build (scoring and tie-breaks never depend on
+    docID order)."""
+    import pandas as pd
+
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+    from opensearch_spark.transcripts import generate
+    from tests.conftest import N_CONVS, assert_rank_identical
+
+    d = str(tmp_path / "sorted_idx")
+    docs = generate(spark, N_CONVS, partitions=4)
+    build_index(
+        spark, docs, d, IndexConfig(n_segments=8, index_sort=[("ts", "desc")])
+    )
+    with open(os.path.join(d, "plan.json")) as f:
+        plan = json.load(f)
+    assert plan["index_sort"][0] == ["ts", "desc"]
+
+    # physical layout: within each segment, docID order IS ts-desc order
+    dm = spark.read.parquet(os.path.join(d, "data", "_row=d"))
+    pdf = dm.select("_seg", "_docid", "ts").toPandas()
+    for _, g in pdf.groupby("_seg"):
+        ts = list(g.sort_values("_docid")["ts"])
+        assert ts == sorted(ts, reverse=True)
+
+    # rank identity vs the unsorted build for scoring + filter + sort paths
+    eng_s = SearchEngine(InvertedIndex(spark, d))
+    eng_u = SearchEngine(InvertedIndex(spark, index_dir))
+    for q in [
+        {"match": {"text": "error handling"}},
+        {
+            "bool": {
+                "must": [{"match": {"text": "error"}}],
+                "filter": [{"range": {"ts": {"gte": "2026-01-01 00:10:00"}}}],
+            }
+        },
+    ]:
+        a = [
+            (r["conv_id"], r["turn_idx"], round(r["score"], 6))
+            for r in eng_s.search(q, size=10).collect()
+        ]
+        b = [
+            (r["conv_id"], r["turn_idx"], round(r["score"], 6))
+            for r in eng_u.search(q, size=10).collect()
+        ]
+        assert a == b
+    rows = eng_s.search({"match": {"text": "error handling"}}, size=10).collect()
+    assert_rank_identical(rows, oracle.topk(oracle.match("error handling"), 10))
