@@ -48,13 +48,32 @@ def test_docmap_filter_pushdown(engine):
         assert "text" not in rs
 
 
-def test_term_stats_broadcast(engine):
-    """The per-term stats join in scoring must be a broadcast join (the
-    DFS-stats phase is kilobytes; a shuffle join would be wrong)."""
+def test_term_stats_inline_small_broadcast_large(engine):
+    """Per-term stats (idf/df/ttf) are plan-time literals: small queries
+    inline them as CASE expressions — NO broadcast exchange, so scoring
+    is one job, not two (r3 job-count cut).  Large expansion sets
+    (wildcard/fuzzy) keep the broadcast join: a 10k-branch CASE would
+    blow up codegen."""
+    from pyspark.sql import functions as F
+
     from opensearch_spark.query import dsl as Q
+    from opensearch_spark.query.executor import INLINE_STATS_MAX_TERMS
 
     scored = engine._score(Q.Match("text", "error handling"))
     plan = _formatted(scored)
+    assert "BroadcastExchange" not in plan, plan
+    assert "CASE WHEN" in plan
+
+    terms = [
+        r["term"]
+        for r in engine.index.dictionary()
+        .select("term")
+        .limit(INLINE_STATS_MAX_TERMS + 8)
+        .collect()
+    ]
+    assert len(terms) > INLINE_STATS_MAX_TERMS
+    big = engine._score_terms_or({t: 1 for t in terms}, required=1)
+    plan = _formatted(big)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
@@ -172,3 +191,37 @@ def test_geo_bbox_predicate_pushdown(spark):
     assert pushed, plan
     line = pushed[0]
     assert "lat" in line and "lon" in line, line
+
+
+def test_index_sort_keyset_filter_pushdown(spark, tmp_path):
+    """With index_sort on ts, a search_after keyset page on a ts field
+    sort must push the ts bound into the docmap parquet scan — that is
+    the pruning index sorting buys (deep pages skip whole row groups of
+    already-returned time ranges)."""
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+    from opensearch_spark.transcripts import generate
+
+    d = str(tmp_path / "sorted_gate")
+    build_index(
+        spark,
+        generate(spark, 60, partitions=2),
+        d,
+        IndexConfig(n_segments=4, index_sort=["ts"]),
+    )
+    eng = SearchEngine(InvertedIndex(spark, d))  # NOT persisted: raw scan
+    page1 = eng.search(
+        {"match": {"text": "error"}}, size=5, sort=[("ts", "asc")]
+    ).collect()
+    assert page1
+    after = [page1[-1]["ts"], page1[-1]["conv_id"], page1[-1]["turn_idx"]]
+    df = eng.search(
+        {"match": {"text": "error"}},
+        size=5,
+        sort=[("ts", "asc")],
+        search_after=after,
+    )
+    plan = _formatted(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "ts" in l]
+    assert pushed, plan
