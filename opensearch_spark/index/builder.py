@@ -369,6 +369,13 @@ def build_index(
     clash = set(orig_cols) & set(_INTERNAL_NAMES)
     if clash:
         raise ValueError(f"input columns clash with internal names: {clash}")
+    missing_sort = [c for c, _ in cfg.sort_spec() if c not in orig_cols]
+    if missing_sort:
+        # fail fast on the driver, not minutes later as an executor-side
+        # KeyError inside the inversion UDF
+        raise ValueError(
+            f"index_sort/id columns not in input schema: {missing_sort}"
+        )
 
     out_fields = list(_INTERNAL_FIELDS) + [
         (f.name, f.dataType) for f in docs.schema.fields
@@ -411,6 +418,17 @@ def build_index(
         if cfg.index_sort
         else None,
     }
+    if resume and os.path.exists(p["plan"]):
+        # a resumed build keeps already-committed segments: refusing a
+        # changed index_sort prevents a mixed-order index whose plan
+        # claims uniform clustering
+        with open(p["plan"]) as f:
+            prior_sort = json.load(f).get("index_sort")
+        if prior_sort != plan["index_sort"]:
+            raise ValueError(
+                f"index_sort changed across resume ({prior_sort!r} -> "
+                f"{plan['index_sort']!r}); rebuild with resume=False"
+            )
     with open(p["plan"], "w") as f:
         json.dump(plan, f, indent=1)
 

@@ -981,7 +981,9 @@ class SearchEngine:
         """(term, _docid, s float, weight int) BM25 clause scores for the
         given term->weight map, or None when no term exists in the
         corpus.  Shared by the match scorer and cross_fields multi_match
-        (per-field postings decode + broadcast stats, no shuffle yet)."""
+        (per-field postings decode; stats ride the plan as CASE literals
+        for small term sets, as a broadcast join above
+        INLINE_STATS_MAX_TERMS — no shuffle either way)."""
         stats = self.index.term_stats(list(weights))
         if stats.empty:
             return None
@@ -1876,22 +1878,23 @@ class SearchEngine:
         """``_mget``: batched document fetch by id (rest-api-spec
         mget.json; TransportMultiGetAction) — the stored-fields/_source
         rows for the requested ids, id-ordered.  One docmap scan with an
-        IN-list predicate (pushed to parquet), not one lookup per id."""
-        pred = None
-        for tup in doc_id_tuples:
-            eq = reduce(
-                lambda a, c: a & c,
-                [F.col(c) == F.lit(v) for c, v in zip(self.id_cols, tup)],
+        IN-list predicate (bare equalities: NULL rows drop anyway and
+        the filter pushes into the parquet scan), not one lookup per
+        id."""
+        tuples = [tuple(t) for t in doc_id_tuples]
+        bad = [t for t in tuples if len(t) != len(self.id_cols)]
+        if bad:
+            raise ValueError(
+                f"mget ids must have {len(self.id_cols)} components "
+                f"{tuple(self.id_cols)}; got {bad[:3]}"
             )
-            pred = eq if pred is None else pred | eq
-        if pred is None:
-            return self.index.docmap().limit(0).select(*self.id_cols)
+        pred = self._predicate(Q.Ids(tuples))
         cols = list(
             dict.fromkeys(list(self.id_cols) + list(source_cols or []))
         )
         return (
             self.index.docmap()
-            .filter(_null_safe(pred))
+            .filter(pred)
             .select(*cols)
             .orderBy(*[F.asc(c) for c in self.id_cols])
         )

@@ -172,3 +172,23 @@ def test_index_sort_layout_and_rank_identity(spark, index_dir, tmp_path, oracle)
         assert a == b
     rows = eng_s.search({"match": {"text": "error handling"}}, size=10).collect()
     assert_rank_identical(rows, oracle.topk(oracle.match("error handling"), 10))
+
+
+def test_index_sort_validated_and_resume_guarded(spark, tmp_path):
+    """Bad sort fields fail fast on the driver; a resumed build refuses
+    a changed index_sort (mixed-order segments would lie in plan.json)."""
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.transcripts import generate
+
+    docs = generate(spark, 20, partitions=2)
+    d = str(tmp_path / "guard_idx")
+    with pytest.raises(ValueError, match="not in input schema"):
+        build_index(spark, docs, d, IndexConfig(n_segments=2, index_sort=["tss"]))
+    build_index(spark, docs, d, IndexConfig(n_segments=2))
+    with pytest.raises(ValueError, match="index_sort changed"):
+        build_index(
+            spark, docs, d, IndexConfig(n_segments=2, index_sort=["ts"])
+        )
+    # explicit rebuild is the escape hatch
+    shutil.rmtree(d)
+    build_index(spark, docs, d, IndexConfig(n_segments=2, index_sort=["ts"]))

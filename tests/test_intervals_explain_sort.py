@@ -209,4 +209,22 @@ def test_mget(engine):
         ("conv-00000002", 0),
     ]
     assert all(r["role"] is not None for r in rows)
-    assert engine.mget([]).count() == 0
+    empty = engine.mget([], source_cols=["role"])
+    assert empty.count() == 0
+    assert "role" in empty.columns  # schema stable even for no ids
+    with pytest.raises(ValueError, match="components"):
+        engine.mget([("conv-00000001",)])
+    # the id predicate must reach the parquet scan (no full docmap scan
+    # per fetch) — build an engine on the raw (unpersisted) index
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    raw = SearchEngine(InvertedIndex(engine.spark, engine.index.index_dir))
+    df = raw.mget([("conv-00000001", 0)], source_cols=["role"])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "conv_id" in l
+    ]
+    assert pushed, plan
