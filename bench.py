@@ -283,6 +283,44 @@ def surface_phase(spark, sf_dir: str):
     return out
 
 
+def msearch_phase(spark, index_dir: str, runs: int = 3) -> dict:
+    """_msearch amortization evidence: the full 10-query set unioned
+    into ONE plan + ONE collect (rest-api-spec msearch.json).  Spark's
+    exchange reuse shares the docmap-broadcast subtree across every
+    subquery, so the whole batch costs ~3 jobs instead of ~25 — batched
+    wall vs the sequential q-set sum is the coordinator-amortization
+    story at cluster scale."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(InvertedIndex(spark, index_dir).persist())
+
+    def batch():
+        parts = [
+            eng.search(q, size=10).withColumn("query_id", F.lit(n))
+            for n, q in QUERY_SET.items()
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    batch().collect()  # warm (plan compile + footers)
+    times = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        batch().collect()
+        times.append(time.monotonic() - t0)
+    wall = statistics.median(times)
+    return {
+        "msearch_batch_queries": len(QUERY_SET),
+        "msearch_batch_sec": round(wall, 4),
+        "msearch_per_query_sec": round(wall / len(QUERY_SET), 4),
+    }
+
+
 def run_bench(build_only: bool = False, waves: int = 1) -> dict:
     from opensearch_spark.session import get_spark
 
@@ -303,11 +341,13 @@ def run_bench(build_only: bool = False, waves: int = 1) -> dict:
     }
     if not build_only:
         per_query, pct = query_phase(spark, index_dir)
+        msearch = msearch_phase(spark, index_dir)
         wand = wand_phase(spark)
         surface = surface_phase(spark, SF_DIR)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         result["queries"] = {**per_query, **surface}
         result["surface_composition"] = SURFACE_COMPOSITION
+        result["msearch"] = msearch
         result["wand"] = wand
         result["query_p50_sec"] = pct["p50_sec"]
         result["query_p99_sec"] = pct["p99_sec"]
