@@ -55,6 +55,9 @@ def init_index_dir(spark: SparkSession, index_dir: str, cfg: IndexConfig, schema
         "store_positions": cfg.store_positions,
         "n_docs": 0,
         "input_fields": [f.name for f in schema.fields],
+        "index_sort": [[c, "asc" if a else "desc"] for c, a in cfg.sort_spec()]
+        if cfg.index_sort
+        else None,
     }
     with open(p["plan"], "w") as f:
         json.dump(plan, f, indent=1)
@@ -263,6 +266,19 @@ def append_batch(
                 _apply_batch_stats(p, os.path.join(p["manifests"], fn))
     with open(p["plan"]) as f:
         plan = json.load(f)
+    cfg_sort = (
+        [[c, "asc" if a else "desc"] for c, a in cfg.sort_spec()]
+        if cfg.index_sort
+        else None
+    )
+    if plan.get("index_sort") != cfg_sort:
+        # appended segments must keep the index's physical order — a
+        # mixed-order index would contradict plan.json (same contract
+        # as build_index's resume guard)
+        raise ValueError(
+            f"index_sort mismatch: index has {plan.get('index_sort')!r}, "
+            f"append cfg has {cfg_sort!r}"
+        )
     with open(p["stats"]) as f:
         stats = json.load(f)
     hw = int(stats["n_docs"])  # docID high-water mark

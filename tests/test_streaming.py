@@ -190,3 +190,28 @@ def test_data_stream_rollover_and_fanout_search(spark, tmp_path):
     # search still works (engines() skips empty generations)
     assert ds.rollover(max_docs=1, schema=docs.schema) is True
     assert len(ds.search({"match": {"text": "error handling"}}, size=5).collect()) == 5
+
+
+def test_incremental_index_sort_honored_and_guarded(spark, tmp_path):
+    """Appends to a sorted incremental index keep each new segment in
+    the configured order; a cfg whose index_sort disagrees with the
+    index's plan is refused (mixed-order segments would contradict
+    plan.json)."""
+    from opensearch_spark.streaming.incremental import (
+        append_batch,
+        init_index_dir,
+    )
+
+    idx = str(tmp_path / "inc_sorted")
+    docs = generate(spark, 40, partitions=2)
+    cfg = IndexConfig(n_segments=2, index_sort=[("ts", "desc")])
+    init_index_dir(spark, idx, cfg, docs.schema)
+    append_batch(spark, docs.filter(F.col("conv_id") < "conv-00000020"), idx, cfg, 0)
+    append_batch(spark, docs.filter(F.col("conv_id") >= "conv-00000020"), idx, cfg, 1)
+    dm = spark.read.parquet(os.path.join(idx, "data", "_row=d"))
+    pdf = dm.select("_seg", "_docid", "ts").toPandas()
+    for _, g in pdf.groupby("_seg"):
+        ts = list(g.sort_values("_docid")["ts"])
+        assert ts == sorted(ts, reverse=True)
+    with pytest.raises(ValueError, match="index_sort mismatch"):
+        append_batch(spark, docs, idx, IndexConfig(n_segments=2), 2)
