@@ -3881,6 +3881,22 @@ __r AS (
          CASE WHEN n > 0 THEN uniq / n ELSE 0.0 END AS ttr,
          least(n / 64.0, 1.0) AS len_score
   FROM __m
+),
+__mi AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ni, doc_id % 8 AS st FROM __docs),
+__loc AS (
+  SELECT doc_id, st, ni,
+         COALESCE(SUM(ni) OVER (PARTITION BY st ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS loc
+  FROM __mi
+),
+__off AS (
+  SELECT st, COALESCE(SUM(t) OVER (ORDER BY st
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT st, SUM(ni) AS t FROM __mi GROUP BY 1)
+),
+__pk AS (
+  SELECT l.doc_id, CAST(l.loc + o.off AS BIGINT) AS cum, l.ni
+  FROM __loc l JOIN __off o USING (st)
 )
 SELECT d.doc_id,
        CAST(len(d.toks) AS INT) AS n_tokens,
@@ -3895,22 +3911,33 @@ SELECT d.doc_id,
        ROUND(0.4 * r.len_score + 0.3 * r.ttr + 0.3 * (1.0 - abs(r.stop_ratio - 0.4)), 6) AS quality,
        ROUND(CASE WHEN m.n > 0 THEN m.n_stop / m.n ELSE 0.0 END, 6) AS en_rate,
        CASE WHEN (CASE WHEN m.n > 0 THEN m.n_stop / m.n ELSE 0.0 END) >= 0.2 THEN 'en' ELSE 'und' END AS pred_lang,
-       md5(array_to_string(list_sort(list_distinct(d.toks)), ' ')) AS fingerprint
+       md5(array_to_string(list_sort(list_distinct(d.toks)), ' ')) AS fingerprint,
+       CAST(p.cum // 512 AS BIGINT) AS shard_id,
+       CAST(p.cum % 512 AS BIGINT) AS shard_pos,
+       CAST(CASE WHEN p.ni > 0 AND (p.cum + p.ni - 1) // 512 > p.cum // 512
+            THEN 1 ELSE 0 END AS INT) AS spills
 FROM __docs d
 JOIN documents dd ON dd.doc_id = d.doc_id
 JOIN __r r ON r.doc_id = d.doc_id
 JOIN __m m ON m.doc_id = d.doc_id
+JOIN __pk p ON p.doc_id = d.doc_id
 ORDER BY d.doc_id""",
 )
 def text_suite(spark, sf_dir):
     """Suite: the text-analysis pipeline ops in one per-doc frame —
     token statistics (token_count semantics), heuristic quality scoring
     (length/stopword/type-token ratios), language-ID (function-word hit
-    rate), and the OpenRefine-style fingerprint key — computed by the
+    rate), the OpenRefine-style fingerprint key — computed by the
     single-pass ``text_profile`` (r3: ONE tokenizer evaluation, zero
-    id-joins; was 4 per-op frames + 3 joins)."""
+    id-joins; was 4 per-op frames + 3 joins) — and training-shard
+    packing (r3 late, ``pack_shards``): concat-then-chunk tape layout
+    at a 512-token budget over the deterministic (id mod 8, id) stripe
+    order, two-phase prefix sum (per-stripe window + inlined stripe
+    offsets, no global sort)."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.text_profile(docs).orderBy("doc_id")
+    return textstats.pack_shards(
+        textstats.text_profile(docs), 512, n_stripes=8
+    ).orderBy("doc_id")
 
 
 # ============================== probabilistic / approximate (rows-only)

@@ -173,3 +173,81 @@ def text_profile(
             F.array_join(F.array_sort(F.array_distinct("_t")), " ").cast("binary")
         ).alias("fingerprint"),
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "n_tokens",
+    n_stripes: int = 8,
+) -> DataFrame:
+    """Training-shard document packing (concat-then-chunk): documents
+    are laid head-to-tail on a token tape in a deterministic order and
+    the tape is cut every ``token_budget`` tokens — the standard
+    LLM-pretraining packing step.  Appends three columns:
+    ``shard_id`` (which shard the doc STARTS in), ``shard_pos``
+    (token offset inside that shard), ``spills`` (1 when the doc
+    crosses a shard boundary and its tail flows into the next shard).
+
+    Scale design: tape order is ``(stripe, id)`` with
+    ``stripe = id mod n_stripes`` — a deterministic interleave that
+    needs NO global sort and NO sampled range boundaries (training
+    pipelines shuffle documents before packing anyway, so any fixed
+    deterministic order is valid).  The prefix sum is two-phase like
+    the builder's docID assignment: a per-stripe window cumsum (hash
+    shuffle on the stripe key) plus ``n_stripes`` driver-side offsets
+    collected from a tiny aggregate and inlined as CASE literals — no
+    single-partition global window at any size.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    from pyspark.sql import Window
+
+    b = F.pmod(F.col(id_col).cast("long"), F.lit(int(n_stripes)))
+    tagged = df.withColumn("_stripe", b)
+    totals = {
+        int(r["_stripe"]): int(r["t"])
+        for r in tagged.groupBy("_stripe")
+        .agg(F.sum(F.col(tokens_col_name).cast("long")).alias("t"))
+        .collect()
+    }
+    acc = 0
+    off = {}
+    for s in sorted(totals):
+        off[s] = acc
+        acc += totals[s]
+    off_expr = F.lit(0).cast("long")
+    for s, v in off.items():
+        off_expr = F.when(F.col("_stripe") == s, F.lit(v).cast("long")).otherwise(
+            off_expr
+        )
+    w = (
+        Window.partitionBy("_stripe")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        F.coalesce(F.sum(F.col(tokens_col_name).cast("long")).over(w), F.lit(0))
+        + off_expr
+    ).alias("_cum")
+    out = tagged.withColumn("_cum", cum)
+    B = int(token_budget)
+    return (
+        out.withColumn("shard_id", F.expr(f"_cum div {B}"))
+        .withColumn("shard_pos", F.pmod(F.col("_cum"), F.lit(B)).cast("long"))
+        .withColumn(
+            "spills",
+            F.when(
+                (F.col(tokens_col_name) > 0)
+                & F.expr(
+                    f"(_cum + cast({tokens_col_name} as long) - 1) div {B}"
+                    f" > _cum div {B}"
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_stripe", "_cum")
+    )

@@ -201,3 +201,32 @@ def test_rank_stable_across_segment_counts(spark, oracle, tmp_path):
     eng3 = SearchEngine(InvertedIndex(spark, d))
     rows = eng3.search({"match": {"text": "error handling"}}, size=10).collect()
     assert_rank_identical(rows, oracle.topk(oracle.match("error handling"), 10))
+
+
+def test_pack_shards_tape_replay(spark):
+    """pack_shards = concat-then-chunk on the deterministic
+    (id mod stripes, id) tape: the distributed two-phase prefix sum
+    must equal a driver-side tape replay exactly; a doc crossing a
+    budget boundary is flagged as spilling."""
+    import pytest as _pytest
+
+    from opensearch_spark.ops.textstats import pack_shards
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(101)]  # uneven sizes
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = {
+        r["doc_id"]: (r["shard_id"], r["shard_pos"], r["spills"])
+        for r in pack_shards(df, 128, n_stripes=4).collect()
+    }
+    cum, want = 0, {}
+    for s, i, n in sorted((i % 4, i, n) for i, n in rows):
+        want[i] = (
+            cum // 128,
+            cum % 128,
+            1 if n > 0 and (cum + n - 1) // 128 > cum // 128 else 0,
+        )
+        cum += n
+    assert out == want
+    assert sum(v[2] for v in want.values()) > 0  # fixture exercises spills
+    with _pytest.raises(ValueError, match="positive"):
+        pack_shards(df, 0)
