@@ -381,7 +381,7 @@ def ft_term_level(spark, sf_dir):
 
 @_q(
     "ft_match_phrase",
-    _PRE
+    _PRE.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
     + """, __phr AS (
   SELECT a.doc_id, CAST(count(*) AS INT) AS ptf
   FROM __pos a JOIN __pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
@@ -392,19 +392,54 @@ __pidf AS (
   SELECT CAST(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS DOUBLE) AS idf
   FROM __df d CROSS JOIN __stats s WHERE d.term IN ('table', 'hash')
 ),
-__slA AS (SELECT doc_id, pos FROM __pos WHERE term = 'table'),
-__slB AS (SELECT doc_id, pos FROM __pos WHERE term = 'hash'),
-__slmn AS (
-  SELECT b.doc_id, max(a.pos) AS pa, b.pos AS pb
-  FROM __slB b JOIN __slA a ON a.doc_id = b.doc_id AND a.pos < b.pos
-  GROUP BY b.doc_id, b.pos
+__slarr AS (
+  -- offset-adjusted position lists per doc (pp.position = pos - offset)
+  SELECT * FROM (
+    SELECT doc_id,
+           list_sort(list(pos) FILTER (WHERE term = 'table')) AS la,
+           list_sort(list(pos - 1) FILTER (WHERE term = 'hash')) AS lb
+    FROM __pos WHERE term IN ('table', 'hash') GROUP BY doc_id
+  ) WHERE len(la) > 0 AND len(lb) > 0
 ),
-__slmin AS (SELECT doc_id, pa, min(pb) AS pb FROM __slmn GROUP BY doc_id, pa),
+__slsim AS (
+  -- deterministic replay of Lucene's SloppyPhraseMatcher for 2 terms:
+  -- pop the min (position, offset) pp, advance it minimizing
+  -- matchLength = end - min(position) (end = max adjusted position,
+  -- monotone) until it passes the other pp; each local minimum with
+  -- matchLength <= slop adds 1/(1+matchLength).  cur: 0 = 'table'
+  -- popped, 1 = 'hash' popped.
+  SELECT doc_id, la, lb, 1 AS ia, 1 AS ib,
+         greatest(la[1], lb[1]) AS end_,
+         CASE WHEN la[1] <= lb[1] THEN 0 ELSE 1 END AS cur,
+         greatest(la[1], lb[1]) - least(la[1], lb[1]) AS ml,
+         CAST(0.0 AS DOUBLE) AS freq,
+         FALSE AS done
+  FROM __slarr
+  UNION ALL
+  SELECT doc_id, la, lb,
+         CASE WHEN ni > lim OR cur <> 0 THEN ia ELSE ia + 1 END AS ia,
+         CASE WHEN ni > lim OR cur <> 1 THEN ib ELSE ib + 1 END AS ib,
+         CASE WHEN ni > lim THEN end_ ELSE greatest(end_, npos) END AS end_,
+         CASE WHEN ni <= lim AND npos > xo THEN 1 - cur ELSE cur END AS cur,
+         CASE WHEN ni > lim THEN ml
+              WHEN npos > xo THEN greatest(end_, npos) - xo
+              ELSE least(ml, greatest(end_, npos) - npos) END AS ml,
+         CASE WHEN ni > lim OR npos > xo
+              THEN freq + CASE WHEN ml <= 2 THEN 1.0 / (1.0 + ml) ELSE 0.0 END
+              ELSE freq END AS freq,
+         ni > lim AS done
+  FROM (
+    SELECT *,
+           CASE WHEN cur = 0 THEN ia ELSE ib END + 1 AS ni,
+           CASE WHEN cur = 0 THEN len(la) ELSE len(lb) END AS lim,
+           CASE WHEN cur = 0 THEN la[ia + 1] ELSE lb[ib + 1] END AS npos,
+           CASE WHEN cur = 0 THEN lb[ib] ELSE la[ia] END AS xo
+    FROM __slsim WHERE NOT done
+  )
+),
 __sfreq AS (
-  SELECT doc_id,
-         CAST(SUM(1.0 / (1.0 + (pb - pa - 1))) AS DOUBLE) AS stf
-  FROM __slmin WHERE pb - pa - 1 <= 2
-  GROUP BY doc_id
+  SELECT doc_id, CAST(freq AS DOUBLE) AS stf
+  FROM __slsim WHERE done AND freq > 0
 )
 SELECT 'slop0' AS op, doc_id, score FROM (
   SELECT p.doc_id,
@@ -433,13 +468,14 @@ def ft_match_phrase(spark, sf_dir):
     """Suite: ``match_phrase`` slop=0 + slop=2
     (MatchPhraseQueryBuilder.java; MatchQuery.java:332).  slop=0:
     phrase frequency scored as one clause with summed idf — positions
-    intersect via the stored posting positions.  slop=2 (r3, was
-    pytest-only): Lucene SLOPPY-FREQUENCY weighting — each minimal
-    ordered interval contributes ``1/(1 + matchLength)`` (gap 0 -> 1,
-    gap 1 -> 0.5, gap 2 -> 0.333), fractional tf through the same BM25
-    clause; the oracle enumerates the minimal (max-a-below-b,
-    min-b-above-a) pairs in SQL.  Out-of-order matches within slop
-    remain a documented deviation (tests/test_sloppy_fixture.py)."""
+    intersect via the stored posting positions.  slop=2: FULL Lucene
+    SloppyPhraseMatcher semantics (late r3 — out-of-order matches
+    within slop now count, e.g. a transposition costs 2 moves), each
+    local-minimum configuration contributing ``1/(1 + matchLength)``
+    as a fractional tf through the same BM25 clause; the oracle
+    replays the deterministic matcher step-by-step in a DuckDB
+    RECURSIVE CTE (``__slsim``), so the Spark engine and the oracle
+    compute the identical published algorithm independently."""
     eng = documents_engine(spark, sf_dir)
     a = topk(eng, {"match_phrase": {"text": "table hash"}})
     b = topk(eng, {"match_phrase": {"text": {"query": "table hash", "slop": 2}}})

@@ -257,18 +257,109 @@ def _shape_member_pred(lat_c: Column, lon_c: Column, shape: dict) -> Column:
 
 
 def _sloppy_freq(pos: dict, terms: List[str], slop: int) -> float:
-    """Lucene sloppy phrase frequency over minimal ordered intervals:
-    each match contributes ``1 / (1 + matchLength)`` where matchLength
-    is the total internal gap (width - n_terms) — the number of edit
-    moves for an in-order match (SloppyPhraseMatcher via
-    ``PhraseScorer``; MatchQuery.java:332).  Lucene additionally counts
-    OUT-OF-ORDER matches within slop (transpositions cost 2 moves
-    each); those are not enumerated here — a documented deviation
-    pinned by tests/test_sloppy_fixture.py (in-order matches, the
-    dominant case, weigh identically to Lucene)."""
-    iv = _find_intervals(pos, terms, slop, True)
+    """Lucene sloppy phrase frequency — a faithful simulation of the
+    published SloppyPhraseMatcher algorithm (Lucene ``phraseFreq()``;
+    reached from the reference via MatchQuery.java:332): every phrase
+    position ``pp`` carries an OFFSET-ADJUSTED position ``pos - offset``;
+    a priority queue ordered by ``(position, offset, ord)`` repeatedly
+    pops the minimum pp and advances it, minimizing
+    ``matchLength = end - min(position)`` (``end`` = the max adjusted
+    position seen, monotone) until the advanced pp passes the
+    second-smallest; each local minimum with ``matchLength <= slop``
+    contributes ``1 / (1 + matchLength)`` to the frequency.  Because
+    positions are offset-adjusted, OUT-OF-ORDER matches are counted
+    exactly as Lucene counts them (a transposition costs 2 moves:
+    "b a" matches "a b"~2 with weight 1/3, does NOT match slop 1) —
+    the r3 ordered-interval deviation is closed.  Phrases with
+    REPEATED terms resolve same-term collisions by advancing the
+    lesser pp of any pair sharing an actual token position (Lucene's
+    ``advanceRpts``/``collide``/``lesser`` rule); exhaustion during
+    collision-resolution ends matching like any other exhaustion.
+    Pinned against hand-traced Lucene outputs by
+    tests/test_sloppy_fixture.py."""
     n = len(terms)
-    return float(sum(1.0 / (1.0 + (e - s + 1 - n)) for s, e in iv))
+    arrs: List[np.ndarray] = []
+    for t in terms:
+        a = pos.get(t)
+        if a is None or len(a) == 0:
+            return 0.0
+        arrs.append(np.asarray(a, dtype=np.int64))
+    # pp state: [adjusted_position, offset, ord, idx_into_arr]
+    pps = [[int(arrs[i][0]) - i, i, i, 0] for i in range(n)]
+    end = max(pp[0] for pp in pps)
+
+    def advance(pp) -> bool:
+        i = pp[3] + 1
+        arr = arrs[pp[2]]
+        if i >= len(arr):
+            return False
+        pp[3] = i
+        pp[0] = int(arr[i]) - pp[1]
+        nonlocal end
+        if pp[0] > end:
+            end = pp[0]
+        return True
+
+    # repeat groups: ords of terms occurring more than once in the phrase
+    by_term: dict = {}
+    for i, t in enumerate(terms):
+        by_term.setdefault(t, []).append(i)
+    rpt_groups = [v for v in by_term.values() if len(v) > 1]
+
+    def resolve_repeats() -> bool:
+        """Advance the lesser of any same-term pp pair colliding on an
+        actual token position until collision-free; False = exhausted."""
+        for grp in rpt_groups:
+            while True:
+                coll = None
+                for x in range(len(grp)):
+                    for y in range(x + 1, len(grp)):
+                        p1, p2 = pps[grp[x]], pps[grp[y]]
+                        if p1[0] + p1[1] == p2[0] + p2[1]:
+                            coll = (p1, p2)
+                            break
+                    if coll:
+                        break
+                if coll is None:
+                    break
+                p1, p2 = coll
+                lesser = p1 if (p1[0], p1[1], p1[2]) <= (p2[0], p2[1], p2[2]) else p2
+                if not advance(lesser):
+                    return False
+        return True
+
+    if rpt_groups and not resolve_repeats():
+        return 0.0
+
+    key = lambda pp: (pp[0], pp[1], pp[2])  # PhraseQueue order
+    live = sorted(pps, key=key)
+    pp = live.pop(0)
+    freq = 0.0
+    match_length = end - pp[0]
+    next_ = live[0][0]
+    while True:
+        if not advance(pp):
+            break
+        if rpt_groups:
+            if not resolve_repeats():
+                break
+            live.sort(key=key)  # collision advances may reorder the queue
+            next_ = live[0][0]
+        if pp[0] > next_:  # done minimizing the current match length
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            live.append(pp)
+            live.sort(key=key)
+            pp = live.pop(0)
+            next_ = live[0][0]
+            match_length = end - pp[0]
+        else:
+            ml2 = end - pp[0]
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return float(freq)
 
 
 def resolve_msm(msm, n_clauses: int) -> int:
@@ -1132,9 +1223,9 @@ class SearchEngine:
 
     def _score_phrase(self, p: Q.MatchPhrase) -> DataFrame:
         if p.slop != 0:
-            # sloppy phrase: Lucene sloppy-frequency weighting over
-            # minimal ordered intervals (see _sloppy_freq; r3 — was an
-            # unweighted interval count through r2)
+            # sloppy phrase: full Lucene SloppyPhraseMatcher semantics
+            # (see _sloppy_freq; late r3 — out-of-order matches within
+            # slop now count, closing the last phrase deviation)
             tokens = self.index.analyze(p.query)
             return self._score_sloppy_phrase(tokens, p.slop, p.boost)
         tokens = self.index.analyze(p.query)
@@ -1539,11 +1630,13 @@ class SearchEngine:
     ) -> DataFrame:
         """``match_phrase`` slop>0 (MatchQuery.java:332 ->
         SloppyPhraseMatcher): phrase tf = the SLOPPY FREQUENCY — the sum
-        of ``1/(1 + matchLength)`` over minimal ordered interval matches
-        with total gap <= slop (``_sloppy_freq``) — scored as one BM25
-        clause with summed idf, exactly like the exact-phrase path but
-        with a fractional tf.  Same plan shape as ``_score_intervals``
-        (per-doc position-list aggregation, Arrow-batched UDF)."""
+        of ``1/(1 + matchLength)`` over the matcher's local-minimum
+        configurations, in-order AND out-of-order (``_sloppy_freq`` is
+        a faithful simulation of the published algorithm) — scored as
+        one BM25 clause with summed idf, exactly like the exact-phrase
+        path but with a fractional tf.  Same plan shape as
+        ``_score_intervals`` (per-doc position-list aggregation,
+        Arrow-batched UDF)."""
         if not tokens:
             return self._empty_scored()
         if len(tokens) == 1:

@@ -125,8 +125,9 @@ def test_explain_components(engine, corpus_pdf, oracle):
 
 
 def test_phrase_slop(engine, corpus_pdf):
-    """slop>0 phrase = ordered interval with gap budget (documented
-    semantics): matches across interleaving tokens, superset of slop=0."""
+    """slop>0 phrase = Lucene sloppy matching (in- and out-of-order
+    within slop): matches across interleaving tokens, superset of
+    slop=0."""
     exact = {
         (r["conv_id"], r["turn_idx"])
         for r in engine.search({"match_phrase": {"text": "error handling"}}, size=5000).collect()

@@ -1,36 +1,35 @@
-"""Pin the slop>0 phrase semantics (Lucene sloppy-freq parity, r3).
+"""Pin the slop>0 phrase semantics (FULL Lucene sloppy-freq parity).
 
-The reference scores sloppy phrases with Lucene's sloppy frequency:
-each match contributes ``1 / (1 + matchLength)`` where matchLength is
-the edit distance the terms moved (``ExactPhraseMatcher`` /
-``SloppyPhraseMatcher``; ``PhraseQuery`` docs).  Since r3 the engine
-implements exactly that weighting over its minimal ORDERED interval
-enumeration (executor._sloppy_freq): in-order matches — the dominant
-case — score identically to Lucene (gap 0 -> 1, gap 1 -> 1/2,
-gap 2 -> 1/3).  The one remaining documented deviation: Lucene also
-counts OUT-OF-ORDER matches within slop (a transposition costs 2
-moves, so "b a" matches "a b"~2 with weight 1/3); our ordered
-enumeration scores those 0.
+The reference scores sloppy phrases with Lucene's sloppy frequency
+(``SloppyPhraseMatcher`` reached via ``MatchQuery.java:332``): phrase
+positions are offset-adjusted (``pos - offset``), a priority queue
+repeatedly advances the minimum position minimizing
+``matchLength = end - min``, and every local-minimum configuration
+with ``matchLength <= slop`` contributes ``1 / (1 + matchLength)``.
+Because positions are offset-adjusted this counts OUT-OF-ORDER
+matches too: a transposition costs 2 moves ("b a" matches "a b"~2
+with weight 1/3 and does NOT match slop 1).
 
-This fixture makes the contract MEASURED, not prose:
+Late r3 the engine implements the full algorithm
+(executor._sloppy_freq — a faithful simulation of the published
+matcher, including the collide/lesser advance rule for repeated
+terms).  This fixture pins it two ways:
 
-1. the engine's slop-2 scores are asserted EXACTLY against a pure-
-   Python oracle implementing the weighted semantics on a hand-built
-   corpus (any drift in the engine breaks the pin), and
-2. the Lucene-style sloppy freq is computed side-by-side; the test
-   asserts agreement on every in-order case and pins the out-of-order
-   case as the sole divergence.
+1. ``_sloppy_freq`` is asserted EXACTLY against a table of
+   hand-traced Lucene outputs (in-order, out-of-order, repeats,
+   multi-term reversals), and
+2. the engine's end-to-end slop-2 scores over a built index are
+   asserted against BM25 applied to those frequencies.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from opensearch_spark.analysis import smallfloat as sfl
 from opensearch_spark.query import bm25
-from opensearch_spark.query.executor import _count_intervals
+from opensearch_spark.query.executor import _sloppy_freq
 
 DOCS = [
     # (conv_id, turn_idx, text)
@@ -38,7 +37,7 @@ DOCS = [
     ("c1", 0, "alpha x beta gamma"),              # gap 1
     ("c2", 0, "alpha x y beta"),                  # gap 2
     ("c3", 0, "alpha x y z beta"),                # gap 3 (outside slop 2)
-    ("c4", 0, "beta alpha"),                      # wrong order
+    ("c4", 0, "beta alpha"),                      # transposed: 2 moves
     ("c5", 0, "alpha beta alpha beta"),           # two adjacent matches
     ("c6", 0, "gamma delta epsilon"),             # no match
 ]
@@ -50,33 +49,37 @@ def _positions(text, term):
     )
 
 
-def interval_count(text: str, terms, slop: int) -> int:
-    """The CHOSEN semantics: minimal ordered intervals, gap <= slop."""
+def freq_of(text: str, terms, slop: int) -> float:
     pos = {t: _positions(text, t) for t in set(terms)}
     if any(p.size == 0 for p in pos.values()):
-        return 0
-    return _count_intervals(pos, list(terms), slop, True)
+        return 0.0
+    return _sloppy_freq(pos, list(terms), slop)
 
 
-def lucene_sloppy_freq(text: str, a: str, b: str, slop: int) -> float:
-    """Two-term Lucene-style sloppy frequency: each minimal (a, b)
-    ordered pairing within slop contributes 1/(1 + matchLength) where
-    matchLength = positions moved (= gap for an ordered 2-term phrase)."""
-    pa, pb = _positions(text, a), _positions(text, b)
-    freq = 0.0
-    for qb in pb:
-        prev_a = pa[pa < qb]
-        if prev_a.size == 0:
-            continue
-        p = int(prev_a.max())
-        # minimality: qb must be the first b after p (staircase pairing)
-        nb = pb[pb > p]
-        if nb.size == 0 or int(nb.min()) != int(qb):
-            continue
-        gap = int(qb) - p - 1
-        if gap <= slop:
-            freq += 1.0 / (1.0 + gap)
-    return freq
+# hand-traced Lucene SloppyPhraseMatcher outputs (text, phrase, slop, freq)
+LUCENE_TRACES = [
+    ("alpha beta gamma delta", ["alpha", "beta"], 2, 1.0),
+    ("alpha x beta gamma", ["alpha", "beta"], 2, 0.5),
+    ("alpha x y beta", ["alpha", "beta"], 2, 1 / 3),
+    ("alpha x y z beta", ["alpha", "beta"], 2, 0.0),
+    ("beta alpha", ["alpha", "beta"], 2, 1 / 3),   # transposition = 2 moves
+    ("beta alpha", ["alpha", "beta"], 1, 0.0),     # slop 1 cannot transpose
+    ("alpha beta alpha beta", ["alpha", "beta"], 2, 2.0),
+    ("gamma delta epsilon", ["alpha", "beta"], 2, 0.0),
+    ("a b c", ["a", "b", "c"], 0, 1.0),
+    ("a c b", ["a", "b", "c"], 2, 1 / 3),          # adjacent swap = 2 moves
+    ("c b a", ["a", "b", "c"], 4, 0.2),            # full reversal = 4 moves
+    ("c b a", ["a", "b", "c"], 3, 0.0),
+    ("a x b", ["a", "b"], 0, 0.0),
+    ("a a", ["a", "a"], 0, 1.0),                   # repeat: distinct positions
+    ("a x a", ["a", "a"], 1, 0.5),
+    ("a", ["a", "a"], 2, 0.0),                     # one position, two pps
+]
+
+
+@pytest.mark.parametrize("text,terms,slop,want", LUCENE_TRACES)
+def test_lucene_trace_parity(text, terms, slop, want):
+    assert freq_of(text, terms, slop) == pytest.approx(want, abs=1e-12)
 
 
 @pytest.fixture(scope="module")
@@ -91,10 +94,10 @@ def sloppy_engine(spark, tmp_path_factory):
     return SearchEngine(InvertedIndex(spark, d))
 
 
-def test_engine_matches_chosen_semantics_exactly(sloppy_engine):
-    """Engine slop-2 scores == BM25(weighted sloppy freq) per the pin."""
-    from opensearch_spark.query.executor import _sloppy_freq
-
+def test_engine_matches_lucene_semantics_exactly(sloppy_engine):
+    """Engine slop-2 scores == BM25(Lucene sloppy freq) end-to-end —
+    including the out-of-order doc c4, which the pre-r3 ordered
+    enumeration missed entirely."""
     eng = sloppy_engine
     out = {
         (r["conv_id"], r["turn_idx"]): r["score"]
@@ -108,10 +111,7 @@ def test_engine_matches_chosen_semantics_exactly(sloppy_engine):
     idf_sum = float(sum(bm25.idf(int(d_), N) for d_ in stats["df"]))
     expected = {}
     for cid, tix, text in DOCS:
-        pos = {t: _positions(text, t) for t in ("alpha", "beta")}
-        if any(p.size == 0 for p in pos.values()):
-            continue
-        tf = _sloppy_freq(pos, ["alpha", "beta"], 2)
+        tf = freq_of(text, ["alpha", "beta"], 2)
         if tf == 0:
             continue
         dl = len(text.split())
@@ -122,41 +122,8 @@ def test_engine_matches_chosen_semantics_exactly(sloppy_engine):
             )[0]
         )
         expected[(cid, tix)] = s
+    # the transposed doc MUST be a hit now
+    assert ("c4", 0) in expected
     assert set(out) == set(expected)
     for k in expected:
         assert out[k] == pytest.approx(expected[k], rel=1e-6), k
-
-
-def test_deviation_from_lucene_quantified():
-    """Weighted engine semantics == Lucene sloppy freq on every
-    in-order case; the out-of-order case is the sole pinned deviation."""
-    from opensearch_spark.query.executor import _sloppy_freq
-
-    def ours(text, slop=2):
-        pos = {t: _positions(text, t) for t in ("alpha", "beta")}
-        if any(p.size == 0 for p in pos.values()):
-            return 0.0
-        return _sloppy_freq(pos, ["alpha", "beta"], slop)
-
-    # adjacent match: both 1.0
-    assert ours(DOCS[0][2]) == 1.0
-    assert lucene_sloppy_freq(DOCS[0][2], "alpha", "beta", 2) == 1.0
-    # gap 1: both 1/2;  gap 2: both 1/3 (the r2 deviation, now closed)
-    assert ours(DOCS[1][2]) == pytest.approx(1 / 2)
-    assert ours(DOCS[2][2]) == pytest.approx(1 / 3)
-    assert lucene_sloppy_freq(DOCS[2][2], "alpha", "beta", 2) == pytest.approx(1 / 3)
-    # two adjacent matches: both 2.0
-    assert ours(DOCS[5][2]) == 2.0
-    assert lucene_sloppy_freq(DOCS[5][2], "alpha", "beta", 2) == 2.0
-    # outside slop: both 0
-    assert ours(DOCS[3][2]) == 0.0
-    assert lucene_sloppy_freq(DOCS[3][2], "alpha", "beta", 2) == 0.0
-    # REMAINING deviation: out-of-order within slop.  True Lucene would
-    # score "beta alpha" ~2 with matchLength 2 -> 1/3; our ordered
-    # enumeration scores 0 (documented in _sloppy_freq).
-    assert ours(DOCS[4][2]) == 0.0
-    # full in-order agreement across the corpus
-    for cid, tix, text in DOCS:
-        assert ours(text) == pytest.approx(
-            lucene_sloppy_freq(text, "alpha", "beta", 2)
-        ), (cid, tix)
