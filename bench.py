@@ -87,7 +87,7 @@ SURFACE_COMPOSITION = {
     "ft_match_phrase": "r3: 2 ops (slop0 + sloppy slop=2); r2 had 1",
     "dedup_ngram_jaccard": "r3: 2 ops (pair + connected-component cluster); r2 had pairs only",
     "agg_histograms": "r3 late: 6 ops (+geotile_grid z=5, +geohash_grid p=3); earlier r3/r2 had 4",
-    "text_suite": "r3: 4 text ops via single-pass text_profile (one tokenizer eval, no joins); r3 late adds pack_shards training-shard packing (+1 stripe-offset collect); r2 joined 4 frames",
+    "text_suite": "r3: 4 text ops via single-pass text_profile (one tokenizer eval, no joins); r3 late adds pack_shards training-shard packing (+1 stripe-offset collect) and benchmark decontamination (broadcast 5-gram overlap + count join); r2 joined 4 frames",
 }
 
 

@@ -3933,6 +3933,22 @@ __off AS (
 __pk AS (
   SELECT l.doc_id, CAST(l.loc + o.off AS BIGINT) AS cum, l.ni
   FROM __loc l JOIN __off o USING (st)
+),
+__bgrams AS (
+  SELECT DISTINCT doc_id AS bid, array_to_string(toks[p : p + 4], ' ') AS g
+  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS p
+        FROM __docs WHERE doc_id % 97 = 0)
+  WHERE p + 4 <= len(toks)
+),
+__cgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[p : p + 4], ' ') AS g
+  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS p FROM __docs)
+  WHERE p + 4 <= len(toks)
+),
+__chits AS (
+  SELECT c.doc_id, count(DISTINCT c.g) AS contam_hits
+  FROM __cgrams c JOIN __bgrams b ON b.g = c.g AND b.bid <> c.doc_id
+  GROUP BY c.doc_id
 )
 SELECT d.doc_id,
        CAST(len(d.toks) AS INT) AS n_tokens,
@@ -3951,12 +3967,15 @@ SELECT d.doc_id,
        CAST(p.cum // 512 AS BIGINT) AS shard_id,
        CAST(p.cum % 512 AS BIGINT) AS shard_pos,
        CAST(CASE WHEN p.ni > 0 AND (p.cum + p.ni - 1) // 512 > p.cum // 512
-            THEN 1 ELSE 0 END AS INT) AS spills
+            THEN 1 ELSE 0 END AS INT) AS spills,
+       CAST(COALESCE(h.contam_hits, 0) AS INT) AS contam_hits,
+       CAST(CASE WHEN COALESCE(h.contam_hits, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS contaminated
 FROM __docs d
 JOIN documents dd ON dd.doc_id = d.doc_id
 JOIN __r r ON r.doc_id = d.doc_id
 JOIN __m m ON m.doc_id = d.doc_id
 JOIN __pk p ON p.doc_id = d.doc_id
+LEFT JOIN __chits h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id""",
 )
 def text_suite(spark, sf_dir):
@@ -3969,11 +3988,20 @@ def text_suite(spark, sf_dir):
     packing (r3 late, ``pack_shards``): concat-then-chunk tape layout
     at a 512-token budget over the deterministic (id mod 8, id) stripe
     order, two-phase prefix sum (per-stripe window + inlined stripe
-    offsets, no global sort)."""
+    offsets, no global sort) — plus benchmark DECONTAMINATION
+    (``dedup.decontaminate``, late r3): distinct 5-gram overlap
+    against a deterministic held-out eval subset (doc_id % 97 = 0),
+    benchmark grams broadcast against the corpus gram stream,
+    self-matches excluded (the GPT-3/Llama n-gram hygiene step)."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.pack_shards(
-        textstats.text_profile(docs), 512, n_stripes=8
-    ).orderBy("doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    dec = dedup.decontaminate(docs, bench, n=5).select(
+        "doc_id",
+        "contam_hits",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+    prof = textstats.pack_shards(textstats.text_profile(docs), 512, n_stripes=8)
+    return prof.join(dec, "doc_id").orderBy("doc_id")
 
 
 # ============================== probabilistic / approximate (rows-only)

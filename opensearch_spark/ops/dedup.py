@@ -111,6 +111,60 @@ def shingle_sets(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: Optional[str] = None,
+    bench_text_col: Optional[str] = None,
+    min_hits: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag corpus documents that share at
+    least ``min_hits`` distinct token ``n``-grams with any benchmark
+    document — the published LLM training-data hygiene step (GPT-3
+    appendix C / Llama: 13-gram overlap against held-out eval sets;
+    pick ``n`` to match the eval suite's answer length).
+
+    Plan (the 100 TB shape): the benchmark gram set is SMALL (eval
+    suites are thousands of docs, not billions) — build it once and
+    BROADCAST it against the streaming corpus gram set, count distinct
+    shared grams per corpus doc, and left-join the counts back.  The
+    corpus is never shuffled against itself and never self-joined; the
+    only corpus-keyed exchanges are the per-doc hit count and the
+    final count join, both on ``id_col``.
+
+    ``exclude_self`` ignores grams whose benchmark doc id equals the
+    corpus doc id, so a benchmark member sitting in the corpus is
+    judged only against OTHER benchmark docs (set False when the two
+    tables use unrelated id spaces).
+
+    Returns the corpus with ``contam_hits`` (int, distinct shared
+    grams) and ``contaminated`` (boolean, hits >= min_hits) appended.
+    """
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+    bg = shingle_sets(benchmark, id_col=bid, text_col=btx, n=n).select(
+        F.col(bid).alias("_bench_id"), "shingle"
+    )
+    cg = shingle_sets(corpus, id_col=id_col, text_col=text_col, n=n)
+    joined = cg.join(F.broadcast(bg), "shingle")
+    if exclude_self:
+        joined = joined.filter(F.col("_bench_id") != F.col(id_col))
+    hits = joined.groupBy(id_col).agg(
+        F.countDistinct("shingle").alias("contam_hits")
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn(
+            "contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0)).cast("int")
+        )
+        .withColumn("contaminated", F.col("contam_hits") >= F.lit(int(min_hits)))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -886,3 +886,42 @@ def test_geo_grid_aggs(spark):
     polar = spark.createDataFrame([(89.9, 0.0), (-89.9, 0.0)], "lat double, lon double")
     keys = {r["key"] for r in aggs.geotile_grid(polar, 3).collect()}
     assert keys == {"3/4/0", "3/4/7"}
+
+
+def test_decontaminate_planted(spark):
+    """Planted 5-gram contamination: docs copying a benchmark answer
+    string are flagged; clean docs and short-overlap (4-gram) docs are
+    not; a benchmark member in the corpus is not flagged by itself."""
+    from opensearch_spark.ops import dedup
+
+    leak = "the quick brown fox jumps"            # 5 tokens = one 5-gram
+    bench = spark.createDataFrame(
+        [(1000, f"q: {leak} a: over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"training text with {leak} inside it"),   # contaminated
+            (2, "training text with the quick brown fox only"),  # 4-gram: clean
+            (3, "completely unrelated content here"),
+            (1000, f"q: {leak} a: over the lazy dog"),     # the bench doc itself
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["contam_hits"], r["contaminated"])
+        for r in dedup.decontaminate(corpus, bench, n=5).collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    # self-match excluded: the benchmark doc in the corpus is NOT flagged
+    assert out[1000] == (0, False)
+    # with exclude_self=False it trivially matches itself
+    out2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in dedup.decontaminate(
+            corpus, bench, n=5, exclude_self=False
+        ).collect()
+    }
+    assert out2[1000] is True

@@ -225,3 +225,25 @@ def test_index_sort_keyset_filter_pushdown(spark, tmp_path):
     plan = _formatted(df)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "ts" in l]
     assert pushed, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """decontaminate must join the corpus gram stream against a
+    BROADCAST benchmark gram set (eval suites are small; the corpus is
+    huge) — never a shuffle of corpus grams against benchmark grams on
+    the gram key, and never a cartesian."""
+    import os
+
+    from opensearch_spark.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    from pyspark.sql import functions as F
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = dedup.decontaminate(docs, bench, n=5)
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
