@@ -89,6 +89,113 @@ def multi_terms(df: DataFrame, fields: Sequence[str], size: int = 10) -> DataFra
     )
 
 
+def terms_shard_model(
+    df: DataFrame,
+    field: str,
+    shard_col: str,
+    size: int = 10,
+    shard_size: Optional[int] = None,
+    n_shards: int = 8,
+) -> Tuple[DataFrame, DataFrame]:
+    """The reference's ACTUAL distributed ``terms`` agg — the two-phase
+    shard model with its error accounting (``TermsAggregator.java``
+    per-shard top ``shard_size``; merge + error bounds
+    ``InternalTerms.java reduce``; ``shard_size`` default
+    ``size * 1.5 + 10`` from ``TermsAggregatorFactory.java:112-123``):
+
+    - phase 1: each shard (here ``pmod(shard_col, n_shards)`` — a
+      deterministic stand-in for the reference's routing hash) returns
+      its local top ``shard_size`` buckets by (count desc, key asc);
+    - a shard's error contribution is the doc_count of its LAST
+      returned bucket when it had more buckets than ``shard_size``
+      (anything unreturned is bounded by it), else 0;
+    - phase 2 merges returned buckets by key; a merged bucket's
+      ``doc_count_error`` is the sum of error contributions of shards
+      that did NOT return it (its count from those shards is unknown
+      but bounded); the agg-level ``doc_count_error_upper_bound`` is
+      the sum over ALL shards;
+    - ``sum_other_doc_count`` = docs not covered by the final buckets:
+      per-shard unreturned remainders + merged buckets trimmed by the
+      final ``size`` cut.
+
+    The default :func:`terms` stays EXACT (Spark's global agg makes the
+    one-phase answer free — superset semantics); this op exists for
+    semantics parity and because at 100 TB the per-shard-top-N +
+    error-bound contract is what a reference user actually consumes.
+    Everything here is Catalyst over the pre-aggregated (shard, key)
+    frame — the raw table is touched once.
+
+    Returns ``(buckets, meta)``: buckets ``(key, doc_count,
+    doc_count_error)`` top ``size``; meta one row
+    ``(doc_count_error_upper_bound, sum_other_doc_count)``.
+    """
+    if shard_size is None:
+        shard_size = int(size * 1.5 + 10)
+    per = (
+        df.select(
+            F.pmod(F.col(shard_col), F.lit(n_shards)).alias("shard"),
+            F.col(field).cast("string").alias("key"),
+        )
+        .groupBy("shard", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("key"))
+    ranked = per.withColumn("rn", F.row_number().over(w))
+    in_top = F.col("rn") <= F.lit(shard_size)
+    sstats = (
+        ranked.groupBy("shard")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.sum(F.when(in_top, F.col("cnt")).otherwise(F.lit(0))).alias("ret_sum"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min(F.when(in_top, F.col("cnt"))).alias("last_cnt"),
+        )
+        .withColumn(
+            "err",
+            F.when(
+                F.col("n_buckets") > F.lit(shard_size), F.col("last_cnt")
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("other", F.col("total") - F.col("ret_sum"))
+    )
+    tot = sstats.agg(
+        F.sum("err").alias("total_err"), F.sum("other").alias("shard_other")
+    )
+    merged = (
+        ranked.filter(in_top)
+        .join(sstats.select("shard", "err"), "shard")
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").alias("doc_count"),
+            F.sum("err").alias("err_covered"),
+        )
+    )
+    buckets = (
+        merged.crossJoin(F.broadcast(tot))
+        .withColumn("doc_count_error", F.col("total_err") - F.col("err_covered"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+        .select("key", "doc_count", "doc_count_error")
+    )
+    mtot = merged.agg(F.sum("doc_count").alias("merged_sum"))
+    ttot = (
+        merged.orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+        .agg(F.sum("doc_count").alias("top_sum"))
+    )
+    meta = (
+        tot.crossJoin(F.broadcast(mtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            F.col("total_err").alias("doc_count_error_upper_bound"),
+            (F.col("shard_other") + F.col("merged_sum") - F.col("top_sum")).alias(
+                "sum_other_doc_count"
+            ),
+        )
+    )
+    return buckets, meta
+
+
 def rare_terms(df: DataFrame, field: str, max_doc_count: int = 1) -> DataFrame:
     """``rare_terms`` (``RareTermsAggregationBuilder.java``): buckets with
     doc_count <= threshold, key asc."""

@@ -28,10 +28,14 @@ UAX#29 conformance notes (pinned by tests/fixtures/analyzer cases):
 - hyphens always break (``state-of-the-art`` -> 4 tokens),
 - Han and Hiragana ideographs are emitted one token per character
   (Lucene's IDEOGRAPHIC/HIRAGANA token types); Katakana runs stay whole,
-- lowercase is Unicode ``str.lower()`` (documented deviation: Java's
-  per-code-point ``Character.toLowerCase`` differs on a handful of code
-  points such as U+0130; the pure-Python oracle uses the identical code
-  path so engine/oracle stay bit-identical).
+- lowercase matches Java's per-code-point ``Character.toLowerCase``
+  (Lucene LowerCaseFilter semantics): ``java_lower`` pre-translates the
+  only two code points where Python's full case mapping diverges from
+  the simple 1:1 mapping — U+0130 (Python expands to "i" + combining
+  dot; Java gives plain "i") and U+03A3 (Python applies the
+  context-sensitive final sigma; Java always gives U+03C3) — then
+  applies the C-speed ``str.lower()``.  The former "handful of code
+  points" deviation is closed (late r3).
 """
 
 from __future__ import annotations
@@ -42,6 +46,19 @@ from typing import Iterable, List, Optional, Sequence
 import pandas as pd
 
 MAX_TOKEN_LENGTH = 255
+
+# Java Character.toLowerCase is the UNCONDITIONAL simple 1:1 mapping;
+# Python str.lower() is the full mapping.  They differ on exactly two
+# code points (verified by scanning all of Unicode): U+0130 (1:many
+# expansion) and U+03A3 (context-sensitive final sigma).  Translating
+# those two first makes str.lower() == Java semantics everywhere.
+_JAVA_LOWER_FIXUPS = str.maketrans({0x0130: "i", 0x03A3: "σ"})
+
+
+def java_lower(s: str) -> str:
+    """Lowercase with Java ``Character.toLowerCase`` per-code-point
+    semantics (Lucene LowerCaseFilter)."""
+    return s.translate(_JAVA_LOWER_FIXUPS).lower()
 
 # Lucene EnglishAnalyzer default stop set (public constant list).
 ENGLISH_STOP_WORDS = frozenset(
@@ -90,7 +107,7 @@ def tokenize(
         for tok in _split_cjk(raw):
             # max_token_length splits (not drops) over-long tokens
             for i in range(0, len(tok), max_token_length):
-                piece = tok[i : i + max_token_length].lower()
+                piece = java_lower(tok[i : i + max_token_length])
                 if stopwords is not None and piece in stopwords:
                     continue
                 out.append(piece)
@@ -119,7 +136,7 @@ def tokenize_with_positions(
             continue
         for tok in _split_cjk(raw):
             for i in range(0, len(tok), max_token_length):
-                piece = tok[i : i + max_token_length].lower()
+                piece = java_lower(tok[i : i + max_token_length])
                 if stopwords is None or piece not in stopwords:
                     toks.append(piece)
                     poss.append(pos)

@@ -290,7 +290,7 @@ def make_tokenizer(spec) -> Callable[[str], TokenStream]:
         return lambda s: _seq_positions(pat.findall(s or ""))
     if typ == "lowercase":
         pat = re.compile(r"[^\W\d_]+", re.UNICODE)
-        return lambda s: _seq_positions([t.lower() for t in pat.findall(s or "")])
+        return lambda s: _seq_positions([std.java_lower(t) for t in pat.findall(s or "")])
     if typ == "keyword":
         return lambda s: _seq_positions([s] if s else [])
     if typ == "pattern":
@@ -385,7 +385,7 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
         return _apply
 
     if typ == "lowercase":
-        return _map1(str.lower)
+        return _map1(std.java_lower)
     if typ == "uppercase":
         return _map1(str.upper)
     if typ == "asciifolding":

@@ -108,6 +108,20 @@ def cmd_merge(args) -> None:
     print(json.dumps(merge_index(spark, args.src, args.dst, hot_blocks=args.hot_blocks)))
 
 
+def cmd_snapshot(args) -> None:
+    from opensearch_spark.index import snapshot as snap
+
+    spark = _spark("osps-snapshot")
+    print(json.dumps(snap.snapshot(spark, args.index, args.repo, args.name)))
+
+
+def cmd_restore(args) -> None:
+    from opensearch_spark.index import snapshot as snap
+
+    spark = _spark("osps-restore")
+    print(json.dumps(snap.restore(spark, args.repo, args.name, args.dst)))
+
+
 def cmd_query(args) -> None:
     from opensearch_spark.index.reader import InvertedIndex
     from opensearch_spark.query.executor import SearchEngine
@@ -198,6 +212,18 @@ def main(argv=None) -> int:
     m.add_argument("--dst", required=True)
     m.add_argument("--hot-blocks", type=int, default=64)
     m.set_defaults(fn=cmd_merge)
+
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--repo", required=True)
+    sn.add_argument("--name", required=True)
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore")
+    rs.add_argument("--repo", required=True)
+    rs.add_argument("--name", required=True)
+    rs.add_argument("--dst", required=True)
+    rs.set_defaults(fn=cmd_restore)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)

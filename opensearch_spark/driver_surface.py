@@ -854,14 +854,28 @@ __most AS (
   FROM __fields GROUP BY doc_id
   ORDER BY score DESC, doc_id ASC LIMIT 10
 ),
+__xbdf AS (
+  -- BlendedTermQuery.rewrite: df = max across fields (ttf = sum is
+  -- irrelevant to BM25), capped per-field at doc count below
+  SELECT x.term, greatest(coalesce(d.df, 0), coalesce(td.df, 0)) AS bdf
+  FROM (SELECT unnest(['spark', 'join']) AS term) x
+  LEFT JOIN __df d ON d.term = x.term
+  LEFT JOIN __tdf td ON td.term = x.term
+),
 __xf AS (
-  SELECT t.doc_id, t.term, CAST({_SCORE} AS DOUBLE) * 1.0 AS sc
-  FROM __tf t JOIN __df d USING (term)
+  SELECT t.doc_id, t.term,
+         CAST(CAST(ln(1 + (s.n - least(x.bdf, s.n) + 0.5) / (least(x.bdf, s.n) + 0.5))
+              * 2.2 * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * q2.qdl / s.avgdl))
+              AS REAL) AS DOUBLE) * 1.0 AS sc
+  FROM __tf t JOIN __xbdf x ON x.term = t.term
   JOIN __qdl q2 ON q2.doc_id = t.doc_id CROSS JOIN __stats s
   WHERE t.term IN ('spark', 'join')
   UNION ALL
-  SELECT t.doc_id, t.term, CAST({_TSCORE} AS DOUBLE) * 2.0 AS sc
-  FROM __ttf t JOIN __tdf d USING (term)
+  SELECT t.doc_id, t.term,
+         CAST(CAST(ln(1 + (s.tn - least(x.bdf, s.tn) + 0.5) / (least(x.bdf, s.tn) + 0.5))
+              * 2.2 * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * q2.tqdl / s.tavgdl))
+              AS REAL) AS DOUBLE) * 2.0 AS sc
+  FROM __ttf t JOIN __xbdf x ON x.term = t.term
   JOIN __tqdl q2 ON q2.doc_id = t.doc_id CROSS JOIN __tstats s
   WHERE t.term IN ('spark', 'join')
 ),
@@ -884,8 +898,10 @@ def ft_multi_match(spark, sf_dir):
     TextFieldMapper.java:110-112) in all three modes
     (MultiMatchQueryBuilder.java, 902 LoC):
     best_fields (dis_max + tie 0.3), most_fields (sum), cross_fields
-    (term-centric max-over-fields blending,
-    index/search/MultiMatchQuery.java)."""
+    (term-centric max-over-fields with BLENDED term statistics — df =
+    max across fields per BlendedTermQuery.rewrite; the oracle blends
+    identically via greatest(text_df, title_df);
+    index/search/MultiMatchQuery.java blendTerms)."""
     from opensearch_spark.query import dsl as Q
 
     meng = documents_multi_engine(spark, sf_dir)
@@ -2125,7 +2141,37 @@ def agg_terms_tree(spark, sf_dir):
 
 @_q(
     "agg_terms_variants",
-    """SELECT * FROM (
+    """WITH __sper AS (
+  SELECT event_id % 8 AS shard, CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+__srk AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, key ASC) AS rn
+  FROM __sper
+),
+__sst AS (
+  SELECT shard, sum(cnt) AS total,
+         sum(CASE WHEN rn <= 6 THEN cnt ELSE 0 END) AS ret_sum,
+         count(*) AS n_buckets,
+         min(CASE WHEN rn <= 6 THEN cnt END) AS last_cnt
+  FROM __srk GROUP BY shard
+),
+__serr AS (
+  SELECT shard, CASE WHEN n_buckets > 6 THEN last_cnt ELSE 0 END AS err,
+         total - ret_sum AS other
+  FROM __sst
+),
+__stot AS (SELECT sum(err) AS total_err, sum(other) AS shard_other FROM __serr),
+__smrg AS (
+  SELECT r.key, sum(r.cnt) AS doc_count, sum(e.err) AS err_covered
+  FROM __srk r JOIN __serr e USING (shard)
+  WHERE r.rn <= 6 GROUP BY r.key
+),
+__stop AS (
+  SELECT key, doc_count, err_covered FROM __smrg
+  ORDER BY doc_count DESC, key ASC LIMIT 5
+)
+SELECT * FROM (
   SELECT 'multi_terms' AS op, event_type || '|' || CAST(user_id % 10 AS VARCHAR) AS key,
          CAST(count(*) AS BIGINT) AS doc_count
   FROM events GROUP BY event_type, user_id % 10
@@ -2137,11 +2183,33 @@ SELECT * FROM (
          CAST(count(*) AS BIGINT) AS doc_count
   FROM events GROUP BY user_id HAVING count(*) <= 55 ORDER BY key ASC
 )
+UNION ALL
+SELECT 'shard_terms' AS op, key, CAST(doc_count AS BIGINT) AS doc_count FROM __stop
+UNION ALL
+SELECT 'shard_terms_err' AS op, key,
+       CAST((SELECT total_err FROM __stot) - err_covered AS BIGINT) AS doc_count
+FROM __stop
+UNION ALL
+SELECT 'shard_terms_meta' AS op, 'doc_count_error_upper_bound' AS key,
+       CAST((SELECT total_err FROM __stot) AS BIGINT) AS doc_count
+UNION ALL
+SELECT 'shard_terms_meta' AS op, 'sum_other_doc_count' AS key,
+       CAST((SELECT shard_other FROM __stot)
+            + (SELECT sum(doc_count) FROM __smrg)
+            - (SELECT sum(doc_count) FROM __stop) AS BIGINT) AS doc_count
 ORDER BY op, doc_count DESC, key ASC""",
 )
 def agg_terms_variants(spark, sf_dir):
     """Suite: ``multi_terms`` tuple buckets (SearchModule registry) +
-    ``rare_terms`` long-tail buckets (RareTermsAggregationBuilder.java)."""
+    ``rare_terms`` long-tail buckets (RareTermsAggregationBuilder.java)
+    + ``shard_terms`` — the reference's ACTUAL two-phase distributed
+    terms agg with error accounting (TermsAggregator.java per-shard
+    top shard_size; InternalTerms.java reduce): per-bucket
+    ``doc_count_error`` (op shard_terms_err), agg-level
+    ``doc_count_error_upper_bound`` and ``sum_other_doc_count`` (op
+    shard_terms_meta) — shard = pmod(event_id, 8), size 5,
+    shard_size 6 so every shard truncates (nonzero bounds), oracle
+    replays the same merge arithmetic."""
     ev = load_table(spark, sf_dir, "events")
     mt = (
         ev.groupBy("event_type", (F.col("user_id") % 10).alias("b"))
@@ -2154,9 +2222,28 @@ def agg_terms_variants(spark, sf_dir):
     rt = aggs.rare_terms(ev, "user_id", 55).withColumn(
         "key", F.col("key").cast("string")
     )
+    sb, smeta = aggs.terms_shard_model(
+        ev, "user_id", "event_id", size=5, shard_size=6, n_shards=8
+    )
+    sb = sb.localCheckpoint(eager=False)  # feeds two union branches once
+    st = sb.select("key", "doc_count")
+    se = sb.select("key", F.col("doc_count_error").alias("doc_count"))
+    sm = smeta.select(
+        F.explode(
+            F.create_map(
+                F.lit("doc_count_error_upper_bound"),
+                F.col("doc_count_error_upper_bound"),
+                F.lit("sum_other_doc_count"),
+                F.col("sum_other_doc_count"),
+            )
+        ).alias("key", "doc_count")
+    )
     return _union(
         _tag(mt, "multi_terms", "key", "doc_count"),
         _tag(rt, "rare_terms", "key", "doc_count"),
+        _tag(st, "shard_terms", "key", "doc_count"),
+        _tag(se, "shard_terms_err", "key", "doc_count"),
+        _tag(sm, "shard_terms_meta", "key", "doc_count"),
     ).orderBy("op", F.desc("doc_count"), F.asc("key"))
 
 
@@ -3520,6 +3607,11 @@ def _sql_match_branch(terms: Dict[str, int], required: int, p: str = "") -> str:
         flt=f"AND doc_id NOT IN (SELECT doc_id FROM __docs WHERE {_LC_DEL_TOKS})",
     )
     + "\nUNION ALL\n"
+    + _sql_match_over(
+        _LC_Q, 1, 10, "post_restore", p="",
+        flt=f"AND doc_id NOT IN (SELECT doc_id FROM __docs WHERE {_LC_DEL_TOKS})",
+    )
+    + "\nUNION ALL\n"
     + _sql_match_over(_LC_Q, 1, 10, "post_compact", p="c")
     + "\nUNION ALL\n"
     + _sql_match_over(_LC_Q, 1, 10, "upd_match", p="c")
@@ -3553,6 +3645,11 @@ def lifecycle_suite(spark, sf_dir):
       top-10 — deleted docs hidden via the tombstone anti-join while
       df/N/avgdl stay FULL-corpus (Lucene soft-delete visibility:
       deleted docs count in stats until merge).
+    - ``post_restore`` (late r3): the tombstoned commit snapshotted
+      into a content-addressed blob repository and RESTORED to a fresh
+      directory (``index/snapshot.py``; SnapshotsService.java /
+      BlobStoreRepository.java) — the restored index reproduces the
+      post-delete results exactly.
     - ``post_compact``: ``merge_index`` expunges tombstoned postings,
       rewrites docmap/stats without them; same query now scores with
       the SHRUNK corpus statistics (and term 'join' is gone from the
@@ -3616,6 +3713,18 @@ def lifecycle_suite(spark, sf_dir):
     lc.delete_by_query(eng, {"match": {"text": "join"}})
     a = lc_topk(eng, q)
 
+    # snapshot the tombstoned commit into a content-addressed repo and
+    # restore it (late r3; snapshots/SnapshotsService.java,
+    # BlobStoreRepository.java): the restored index must reproduce the
+    # post-delete results exactly — same oracle branch, op-tagged apart
+    from opensearch_spark.index import snapshot as snap
+
+    repo = os.path.join(root, "repo")
+    snap.snapshot(spark, base, repo, "s1")
+    restored = os.path.join(root, "restored")
+    snap.restore(spark, repo, "s1", restored)
+    ar = lc_topk(SearchEngine(InvertedIndex(spark, restored)), q)
+
     compacted = os.path.join(root, "compacted")
     merge_index(spark, base, compacted)
     eng_c = SearchEngine(InvertedIndex(spark, compacted))
@@ -3660,6 +3769,7 @@ def lifecycle_suite(spark, sf_dir):
 
     return _union(
         _tag(a, "post_delete", "doc_id", "score"),
+        _tag(ar, "post_restore", "doc_id", "score"),
         _tag(b, "post_compact", "doc_id", "score"),
         _tag(c, "upd_docset", "doc_id", "score"),
         _tag(d, "upd_match", "doc_id", "score"),

@@ -1068,13 +1068,22 @@ class SearchEngine:
             )
         return self._score_terms_or(weights, required=required, boost=m.boost)
 
-    def _per_term_scores(self, weights: dict) -> Optional[DataFrame]:
+    def _per_term_scores(
+        self, weights: dict, stats_override: Optional[dict] = None
+    ) -> Optional[DataFrame]:
         """(term, _docid, s float, weight int) BM25 clause scores for the
         given term->weight map, or None when no term exists in the
         corpus.  Shared by the match scorer and cross_fields multi_match
         (per-field postings decode; stats ride the plan as CASE literals
         for small term sets, as a broadcast join above
-        INLINE_STATS_MAX_TERMS — no shuffle either way)."""
+        INLINE_STATS_MAX_TERMS — no shuffle either way).
+
+        ``stats_override`` maps term -> (df, ttf) replacing this index's
+        own term statistics in the per-term constant — the
+        BlendedTermQuery hook (Lucene ``BlendedTermQuery.rewrite``
+        adjusts each field's TermStates to the cross-field blended df =
+        max / ttf = sum before scoring); df is capped at this field's
+        doc count like Lucene's TermStates can never exceed maxDoc."""
         stats = self.index.term_stats(list(weights))
         if stats.empty:
             return None
@@ -1082,12 +1091,19 @@ class SearchEngine:
         avgdl = self.index.stats["avgdl"]
         sum_dl = float(self.index.stats["sum_dl"])
         sim = self.similarity
+
+        def _eff(t: str, df_: int, ttf_: int):
+            if stats_override is not None and t in stats_override:
+                odf, ottf = stats_override[t]
+                return min(int(odf), int(N)), int(ottf)
+            return int(df_), int(ttf_)
+
         rows = [
             (
                 t,
-                float(sim.term_const(int(df_), int(ttf_), N, sum_dl)),
-                float(df_),
-                float(ttf_),
+                float(sim.term_const(*_eff(t, df_, ttf_), N, sum_dl)),
+                float(_eff(t, df_, ttf_)[0]),
+                float(_eff(t, df_, ttf_)[1]),
                 int(weights[t]),
             )
             for t, df_, ttf_ in zip(stats["term"], stats["df"], stats["total_tf"])

@@ -20,11 +20,13 @@ segment offset + stable id order, independent of the text column).
 - ``most_fields``: sum of per-field match scores.
 - ``cross_fields`` (term-centric): each analyzed term is ONE clause
   that matches if the term occurs in ANY field; the clause score is the
-  max over fields of the per-field BM25 term score (x field boost).
-  Documented deviation: Lucene's BlendedTermQuery rewrites df/ttf to
-  the max across fields before scoring; we score each field with its
-  own statistics and take the max — same matching set, near-identical
-  ranking, and exactly reproducible by the SQL oracle.
+  max over fields of the per-field BM25 term score (x field boost),
+  scored with BLENDED term statistics exactly like Lucene's
+  ``BlendedTermQuery.rewrite`` — df = max across fields, ttf = sum
+  across fields (capped at each field's doc count), substituted into
+  every field's per-term constant before scoring.  The former
+  per-field-stats deviation is closed (late r3); the SQL oracle blends
+  the same way (``greatest`` of the per-field dfs).
 """
 
 from __future__ import annotations
@@ -87,14 +89,27 @@ class MultiFieldEngine:
     def _cross_fields(self, q: Q.MultiMatch, fields) -> DataFrame:
         """Term-centric blending: per (term, doc) take the best field's
         BM25 score, then combine terms like a match query (sum +
-        minimum_should_match over distinct matched terms)."""
+        minimum_should_match over distinct matched terms).  Term
+        statistics are blended across fields first, exactly like
+        Lucene's ``BlendedTermQuery.rewrite`` (df = max over fields,
+        ttf = sum over fields), then substituted into EVERY field's
+        per-term constant — so a term rare in one field but common in
+        another scores with the common field's (blended) idf in both,
+        the whole point of cross_fields (BlendedTermQuery.java;
+        index/search/MultiMatchQuery.java ``blendTerms``)."""
         tokens = self.default.index.analyze(q.query)
         if not tokens:
             return self.default._empty_scored()
         weights = dict(Counter(tokens))
+        blended: Dict[str, Tuple[int, int]] = {}
+        for f, _ in fields:
+            st = self.engines[f].index.term_stats(list(weights))
+            for t, df_, ttf_ in zip(st["term"], st["df"], st["total_tf"]):
+                prev = blended.get(t, (0, 0))
+                blended[t] = (max(prev[0], int(df_)), prev[1] + int(ttf_))
         parts = []
         for f, boost in fields:
-            per = self.engines[f]._per_term_scores(weights)
+            per = self.engines[f]._per_term_scores(weights, stats_override=blended)
             if per is None:
                 continue
             parts.append(

@@ -70,3 +70,22 @@ def test_positions_without_stopwords_are_dense():
 def test_field_length_counts_post_stop_tokens():
     """dl = tokens emitted after stop filtering (SURVEY.md §4.6)."""
     assert len(tokenize("the the the fox", ENGLISH_STOP_WORDS)) == 1
+
+
+def test_java_lowercase_parity():
+    """Lowercasing matches Java Character.toLowerCase per code point
+    (Lucene LowerCaseFilter): U+0130 maps to plain 'i' (not i +
+    combining dot) and final sigma stays U+03C3 (no context rule) —
+    the two code points where Python's full case mapping diverges."""
+    from opensearch_spark.analysis.analyzer import java_lower, tokenize
+
+    assert java_lower("İstanbul") == "istanbul"
+    assert "̇" not in java_lower("İ")          # no combining dot
+    assert java_lower("ΟΔΥΣΣΕΥΣ") == "οδυσσευσ"          # final sigma -> σ
+    assert java_lower("Straße") == "straße"              # 1:1 path untouched
+    assert tokenize("İstanbul ΟΔΥΣΣΕΥΣ") == ["istanbul", "οδυσσευσ"]
+
+    # exhaustiveness of the fixup table: no other code point lowers to
+    # multiple characters in Python (the 1:many divergence class)
+    multi = [cp for cp in range(0x110000) if len(chr(cp).lower()) != 1]
+    assert multi == [0x0130]
