@@ -2592,18 +2592,89 @@ __div AS (
 __s2 AS (
   SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count
   FROM __div GROUP BY 1
+),
+__hh AS (
+  SELECT doc_id, lang,
+         ((doc_id + 0) * 2654435761) % 1000003 AS h0,
+         ((doc_id + 1) * 2654435761) % 1000003 AS h1,
+         ((doc_id + 2) * 2654435761) % 1000003 AS h2,
+         ((doc_id + 3) * 2654435761) % 1000003 AS h3
+  FROM documents
+),
+__spl AS (
+  SELECT CASE WHEN h0 < 100000 THEN 'test'
+              WHEN h0 < 900002 THEN 'train' ELSE 'val' END AS key, doc_id
+  FROM __hh
+),
+__strat AS (
+  SELECT lang AS key, doc_id FROM __hh
+  WHERE h1 < CASE lang WHEN 'de' THEN 250000 WHEN 'en' THEN 500001 ELSE 100000 END
+),
+__mxc AS (SELECT lang AS k, count(*) AS n FROM documents GROUP BY 1),
+__mxd AS (SELECT sum(s) AS d FROM (SELECT sqrt(CAST(n AS DOUBLE)) AS s FROM __mxc ORDER BY k)),
+__mxr AS (SELECT k, n, 300 * sqrt(CAST(n AS DOUBLE)) / (SELECT d FROM __mxd) AS r FROM __mxc),
+__mxb AS (SELECT k, n, least(CAST(n AS BIGINT), CAST(floor(r) AS BIGINT)) AS b,
+                 r - floor(r) AS fr FROM __mxr),
+__mxrem AS (SELECT 300 - sum(b) AS rem FROM __mxb),
+__mxq AS (
+  SELECT __mxb.k,
+         b + CASE WHEN rr IS NOT NULL AND rr <= (SELECT rem FROM __mxrem)
+                  THEN 1 ELSE 0 END AS q
+  FROM __mxb LEFT JOIN (
+    SELECT k, row_number() OVER (ORDER BY fr DESC, k ASC) AS rr
+    FROM __mxb WHERE b < n
+  ) nr ON nr.k = __mxb.k
+),
+__mxkept AS (
+  SELECT h.lang AS key, h.doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY h2 ASC, doc_id ASC) AS rn
+    FROM __hh
+  ) h JOIN __mxq ON __mxq.k = h.lang
+  WHERE h.rn <= __mxq.q
+),
+__resv AS (
+  SELECT lang AS key, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY h3 ASC, doc_id ASC) AS rn
+    FROM __hh
+  ) WHERE rn <= 7
 )
 SELECT 'sampler' AS op, key, doc_count FROM __s1
 UNION ALL
 SELECT 'diversified' AS op, key, doc_count FROM __s2
+UNION ALL
+SELECT 'split_count' AS op, key, CAST(count(*) AS BIGINT) AS doc_count FROM __spl GROUP BY key
+UNION ALL
+SELECT 'split_idsum' AS op, key, CAST(sum(doc_id) AS BIGINT) AS doc_count FROM __spl GROUP BY key
+UNION ALL
+SELECT 'strat_count' AS op, key, CAST(count(*) AS BIGINT) AS doc_count FROM __strat GROUP BY key
+UNION ALL
+SELECT 'strat_idsum' AS op, key, CAST(sum(doc_id) AS BIGINT) AS doc_count FROM __strat GROUP BY key
+UNION ALL
+SELECT 'mix_count' AS op, key, CAST(count(*) AS BIGINT) AS doc_count FROM __mxkept GROUP BY key
+UNION ALL
+SELECT 'mix_idsum' AS op, key, CAST(sum(doc_id) AS BIGINT) AS doc_count FROM __mxkept GROUP BY key
+UNION ALL
+SELECT 'reservoir_idsum' AS op, key, CAST(sum(doc_id) AS BIGINT) AS doc_count FROM __resv GROUP BY key
 ORDER BY op, doc_count DESC, key ASC""",
 )
 def agg_samplers(spark, sf_dir):
     """Suite: ``sampler`` (SamplerAggregationBuilder.java: sub-agg over
     the top-100-scoring docs) + ``diversified_sampler``
     (DiversifiedAggregationBuilder.java: top sample with at most 2 docs
-    per event_type, then a terms sub-agg)."""
+    per event_type, then a terms sub-agg) + the deterministic
+    training-pipeline samplers (``ops/sampling.py``; no RNG, membership
+    is pure integer hash math so reruns and the oracle agree exactly):
+    ``hash_split`` train/val/test 80/10/10 (split_count/split_idsum —
+    the idsum ops pin exact MEMBERSHIP, not just sizes),
+    ``stratified_sample`` per-lang keep rates (en .5 / de .25 /
+    default .1), ``mixture_sample`` temperature-0.5 domain mixing to
+    300 docs (quota = largest-remainder apportionment of
+    sqrt-scaled counts; rank-by-hash per domain), and
+    ``reservoir_per_key`` (7 uniform docs per lang)."""
     eng = documents_engine(spark, sf_dir)
+    from opensearch_spark.ops import sampling as smp
     from opensearch_spark.query import dsl as Q
 
     scored = eng._score(Q.Match("text", "spark"))
@@ -2621,9 +2692,48 @@ def agg_samplers(spark, sf_dir):
     s2 = div.groupBy(F.col("event_type").alias("key")).agg(
         F.count(F.lit(1)).alias("doc_count")
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _ck(df, key):
+        # each sampled frame feeds a count branch and an idsum branch:
+        # materialize once (the double-executed-union-branch pattern)
+        d = df.localCheckpoint(eager=False)
+        cnt = d.groupBy(F.col(key).alias("key")).agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+        ids = d.groupBy(F.col(key).alias("key")).agg(
+            F.sum("doc_id").alias("doc_count")
+        )
+        return cnt, ids
+
+    sp_cnt, sp_ids = _ck(
+        smp.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        "split",
+    )
+    st_cnt, st_ids = _ck(
+        smp.stratified_sample(
+            docs, "lang", "doc_id", {"en": 0.5, "de": 0.25}, default=0.1
+        ),
+        "lang",
+    )
+    mx_cnt, mx_ids = _ck(
+        smp.mixture_sample(docs, "lang", "doc_id", alpha=0.5, target=300), "lang"
+    )
+    rv = smp.reservoir_per_key(docs, "lang", "doc_id", 7)
+    rv_ids = rv.groupBy(F.col("lang").alias("key")).agg(
+        F.sum("doc_id").alias("doc_count")
+    )
     return _union(
         _tag(s1, "sampler", "key", "doc_count"),
         _tag(s2, "diversified", "key", "doc_count"),
+        _tag(sp_cnt, "split_count", "key", "doc_count"),
+        _tag(sp_ids, "split_idsum", "key", "doc_count"),
+        _tag(st_cnt, "strat_count", "key", "doc_count"),
+        _tag(st_ids, "strat_idsum", "key", "doc_count"),
+        _tag(mx_cnt, "mix_count", "key", "doc_count"),
+        _tag(mx_ids, "mix_idsum", "key", "doc_count"),
+        _tag(rv_ids, "reservoir_idsum", "key", "doc_count"),
     ).orderBy("op", F.desc("doc_count"), F.asc("key"))
 
 
