@@ -565,6 +565,16 @@ class Analyzer:
                     {"type": "stop", "stopwords": spec["stopwords"]}
                 ]
             spec = base
+        unknown = set(spec) - {
+            "type", "_name", "char_filter", "tokenizer", "filter", "stopwords"
+        }
+        if unknown:
+            # a misspelled key ("filters") would otherwise silently build
+            # a plain standard analyzer — fail loudly instead
+            raise ValueError(
+                f"unknown analyzer spec keys {sorted(unknown)}; expected "
+                "char_filter / tokenizer / filter (+ type, stopwords)"
+            )
         return cls(
             char_filters=[
                 make_char_filter(c) for c in spec.get("char_filter", [])

@@ -145,6 +145,34 @@ def documents_multi_engine(spark: SparkSession, sf_dir: str):
     return MultiFieldEngine({"text": text_eng, "title": eng}, "text")
 
 
+def documents_sayt_engine(spark: SparkSession, sf_dir: str):
+    """search_as_you_type bundle over documents.text: the cached main
+    index as the root field plus ``text._2gram`` / ``text._3gram``
+    shingle subfield indexes (``index/sayt.py``;
+    SearchAsYouTypeFieldMapper.java), all docid-aligned."""
+    from opensearch_spark.index.sayt import build_search_as_you_type
+
+    key = os.path.join(docs_index_dir(sf_dir), "_sayt")
+    eng = _ENGINES.get(key)
+    if eng is not None and eng.spark is spark:
+        return eng
+    meng = build_search_as_you_type(
+        spark,
+        documents_df(spark, sf_dir),
+        docs_index_dir(sf_dir),
+        "text",
+        base=IndexConfig(
+            n_segments=8,
+            id_cols=("doc_id",),
+            routing_col="doc_id",
+            dictionary_partitions=2,
+        ),
+        root_engine=documents_engine(spark, sf_dir),
+    )
+    _ENGINES[key] = meng
+    return meng
+
+
 def topk(engine: SearchEngine, query, k: int = 10, round_dp: int = 4) -> DataFrame:
     """Driver-comparable top-k: scores rounded to ``round_dp`` decimals
     BEFORE ordering, ties broken by doc id — so the Spark plan and the

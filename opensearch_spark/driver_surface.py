@@ -520,9 +520,72 @@ __pp AS (
   ORDER BY score DESC, p.doc_id ASC
   LIMIT 10
 )
+,
+__g2d AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS g2
+  FROM __docs
+),
+__g2dl AS (SELECT doc_id, len(g2) AS dl2 FROM __g2d),
+__g2qdl AS (SELECT doc_id, CAST(list_extract({_QT}, dl2 + 1) AS DOUBLE) AS qdl2 FROM __g2dl),
+__g2stats AS (
+  SELECT CAST(count(*) FILTER (WHERE dl2 > 0) AS DOUBLE) AS n2,
+         CAST(sum(dl2) AS DOUBLE) / CAST(count(*) FILTER (WHERE dl2 > 0) AS DOUBLE) AS avgdl2
+  FROM __g2dl
+),
+__g2tok AS (SELECT doc_id, unnest(g2) AS term FROM __g2d),
+__g2tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM __g2tok GROUP BY 1, 2),
+__g2df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM __g2tf GROUP BY 1),
+__g3tok AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+         ELSE [] END) AS term
+  FROM __docs
+),
+__sy_main AS (
+  SELECT doc_id, SUM(sc) AS sc FROM (
+    SELECT * FROM ({_sql_clause({"window": 1, "join": 1})})
+    UNION ALL
+    SELECT doc_id, CAST(1.0 AS DOUBLE) AS sc
+    FROM (SELECT DISTINCT doc_id FROM __tok WHERE term LIKE 'col%')
+  ) GROUP BY doc_id
+),
+__sy_2g AS (
+  SELECT doc_id, SUM(sc) AS sc FROM (
+    SELECT t.doc_id,
+           CAST(CAST(ln(1 + (s.n2 - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf /
+                (t.tf + 1.2 * (0.25 + 0.75 * q2.qdl2 / s.avgdl2)) AS REAL) AS DOUBLE) AS sc
+    FROM __g2tf t
+    JOIN __g2df d USING (term)
+    JOIN __g2qdl q2 ON q2.doc_id = t.doc_id
+    CROSS JOIN __g2stats s
+    WHERE t.term = 'window join'
+    UNION ALL
+    SELECT doc_id, CAST(1.0 AS DOUBLE) AS sc
+    FROM (SELECT DISTINCT doc_id FROM __g2tok WHERE term LIKE 'join col%')
+  ) GROUP BY doc_id
+),
+__sy_3g AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) AS sc
+  FROM (SELECT DISTINCT doc_id FROM __g3tok WHERE term LIKE 'window join col%')
+),
+__sayt AS (
+  SELECT doc_id, ROUND(SUM(sc), 4) AS score FROM (
+    SELECT * FROM __sy_main
+    UNION ALL SELECT * FROM __sy_2g
+    UNION ALL SELECT * FROM __sy_3g
+  ) GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
 SELECT 'bool_prefix' AS op, doc_id, score FROM __bp
 UNION ALL
 SELECT 'phrase_prefix' AS op, doc_id, score FROM __pp
+UNION ALL
+SELECT 'sayt' AS op, doc_id, score FROM __sayt
 ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_prefix_family(spark, sf_dir):
@@ -530,13 +593,27 @@ def ft_prefix_family(spark, sf_dir):
     term clauses + constant-score prefix on the last token) +
     ``match_phrase_prefix`` (MatchPhrasePrefixQueryBuilder.java:
     phrase with last-slot prefix expansion; documented scoring = idf of
-    fixed terms + idf of the expansion-union df)."""
+    fixed terms + idf of the expansion-union df) + ``sayt``: the
+    ``search_as_you_type`` field (mapper-extras
+    SearchAsYouTypeFieldMapper.java; ``index/sayt.py``) — root +
+    ``._2gram``/``._3gram`` shingle subfield indexes queried with
+    multi_match type bool_prefix ("window join col": completed
+    shingles score as BM25 term clauses per subfield, the trailing
+    partial shingle as a dictionary-expanded prefix clause; field
+    scores summed, BOOL_PREFIX tie-breaker 1.0).  The oracle rebuilds
+    the shingle token streams and replays every clause."""
     eng = documents_engine(spark, sf_dir)
+    from opensearch_spark.docs_index import documents_sayt_engine
+    from opensearch_spark.index.sayt import sayt_query
+
     a = topk(eng, {"match_bool_prefix": {"text": "dup sp"}})
     b = topk(eng, {"match_phrase_prefix": {"text": "table ha"}})
+    meng = documents_sayt_engine(spark, sf_dir)
+    c = meng.topk(sayt_query("text", "window join col"), k=10)
     return _union(
         _tag(a, "bool_prefix", "doc_id", "score"),
         _tag(b, "phrase_prefix", "doc_id", "score"),
+        _tag(c, "sayt", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 
@@ -1110,12 +1187,36 @@ __dfq AS (
   SELECT doc_id, ROUND(100.0 / (100.0 + abs(CAST(n_chars AS DOUBLE) - 250.0)), 4) AS score
   FROM __docs WHERE n_chars IS NOT NULL
   ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+__rfl AS (
+  SELECT doc_id, ROUND(ln(1.0 + CAST(n_chars AS DOUBLE)), 4) AS score
+  FROM __docs WHERE n_chars > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+__rfs AS (
+  SELECT doc_id,
+         ROUND(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 250.0), 4) AS score
+  FROM __docs WHERE n_chars > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+__rfg AS (
+  SELECT doc_id,
+         ROUND(pow(CAST(n_chars AS DOUBLE), 2.0)
+               / (pow(CAST(n_chars AS DOUBLE), 2.0) + 62500.0), 4) AS score
+  FROM __docs WHERE n_chars > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 10
 )
 SELECT 'function_score' AS op, doc_id, score FROM __fs
 UNION ALL
 SELECT 'script_score' AS op, doc_id, score FROM __ss
 UNION ALL
 SELECT 'distance_feature' AS op, doc_id, score FROM __dfq
+UNION ALL
+SELECT 'rank_feature_log' AS op, doc_id, score FROM __rfl
+UNION ALL
+SELECT 'rank_feature_sat' AS op, doc_id, score FROM __rfs
+UNION ALL
+SELECT 'rank_feature_sig' AS op, doc_id, score FROM __rfg
 UNION ALL
 {_sql_match_sim({"spark": 1, "join": 1}, _SIM_LMD, "sim_lmdirichlet")}
 UNION ALL
@@ -1132,6 +1233,9 @@ def ft_scoring(spark, sf_dir):
     ``script_score`` Catalyst expression over _score + doc columns
     (ScriptScoreQueryBuilder.java) + ``distance_feature``
     boost*pivot/(pivot+|x-origin|) (DistanceFeatureQueryBuilder.java) +
+    ``rank_feature`` log / saturation / sigmoid over a positive
+    numeric feature (mapper-extras RankFeatureQueryBuilder.java —
+    pure columnar scorers, no postings) +
     the non-BM25 similarity modules (SimilarityProviders.java /
     query/similarities.py): LMDirichlet(mu=2000),
     LMJelinekMercer(lambda=0.3), boolean, DFI(chisquared), each scoring
@@ -1169,6 +1273,12 @@ def ft_scoring(spark, sf_dir):
         },
     )
     c = topk(eng, Q.DistanceFeature(field="n_chars", origin=250, pivot=100.0))
+    rl = topk(eng, {"rank_feature": {"field": "n_chars", "log": {"scaling_factor": 1.0}}})
+    rs = topk(eng, {"rank_feature": {"field": "n_chars", "saturation": {"pivot": 250.0}}})
+    rg = topk(
+        eng,
+        {"rank_feature": {"field": "n_chars", "sigmoid": {"pivot": 250.0, "exponent": 2.0}}},
+    )
     sim_q = {"match": {"text": "spark join"}}
     d = topk(SearchEngine(eng.index, similarity={"type": "LMDirichlet"}), sim_q)
     e = topk(
@@ -1187,6 +1297,9 @@ def ft_scoring(spark, sf_dir):
         _tag(a, "function_score", "doc_id", "score"),
         _tag(b, "script_score", "doc_id", "score"),
         _tag(c, "distance_feature", "doc_id", "score"),
+        _tag(rl, "rank_feature_log", "doc_id", "score"),
+        _tag(rs, "rank_feature_sat", "doc_id", "score"),
+        _tag(rg, "rank_feature_sig", "doc_id", "score"),
         _tag(d, "sim_lmdirichlet", "doc_id", "score"),
         _tag(e, "sim_lmjelinekmercer", "doc_id", "score"),
         _tag(f, "sim_boolean", "doc_id", "score"),

@@ -322,6 +322,28 @@ class DistanceFeature:
 
 
 @dataclasses.dataclass
+class RankFeature:
+    """``rank_feature`` (modules/mapper-extras
+    ``RankFeatureQueryBuilder.java``): score a positive numeric feature
+    with one of the reference's score functions — ``log``:
+    ln(scaling_factor + S); ``saturation``: S / (S + pivot), pivot
+    defaulting to the field's geometric mean (the reference's computed
+    default, RankFeatureQueryBuilder.ScoreFunction.Saturation);
+    ``sigmoid``: S^exp / (S^exp + pivot^exp).  Docs without a positive
+    feature do not match.  Documented deviation: the reference stores
+    features freq-quantized (Lucene FeatureField's reduced-precision
+    float); we read the doc-values column at full precision — same
+    ordering, tighter score values."""
+
+    field: str
+    function: str = "saturation"  # log | saturation | sigmoid
+    pivot: Optional[float] = None
+    scaling_factor: float = 1.0
+    exponent: float = 1.0
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
 class ScriptScore:
     """``script_score`` (``ScriptScoreQueryBuilder.java``): replace the
     score with an expression over ``_score`` and doc columns — the
@@ -945,6 +967,21 @@ def from_dict(spec: Dict[str, Any]) -> Query:
     if kind == "distance_feature":
         return DistanceFeature(
             body["field"], body["origin"], body["pivot"], boost=body.get("boost", 1.0)
+        )
+    if kind == "rank_feature":
+        # {"rank_feature": {"field": f, "log": {"scaling_factor": 4}}} /
+        # {"saturation": {"pivot": p}} / {"sigmoid": {"pivot": p,
+        # "exponent": e}} — function key optional (saturation default),
+        # RankFeatureQueryBuilder.java PARSER
+        fn = next((k for k in ("log", "saturation", "sigmoid") if k in body), "saturation")
+        p = body.get(fn, {}) or {}
+        return RankFeature(
+            body["field"],
+            function=fn,
+            pivot=p.get("pivot"),
+            scaling_factor=p.get("scaling_factor", 1.0),
+            exponent=p.get("exponent", 1.0),
+            boost=body.get("boost", 1.0),
         )
     if kind == "script_score":
         return ScriptScore(

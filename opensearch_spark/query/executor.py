@@ -956,6 +956,38 @@ class SearchEngine:
                 .filter(F.col(q.field).isNotNull())
                 .select("_docid", score.cast("double").alias("score"))
             )
+        if isinstance(q, Q.RankFeature):
+            # rank_feature (mapper-extras RankFeatureQueryBuilder.java):
+            # positive features only; all three reference score
+            # functions are one Catalyst expression over the doc-values
+            # column (no postings touched — a pure columnar scorer)
+            feat = F.col(q.field).cast("double")
+            dm = self.index.docmap().filter(feat.isNotNull() & (feat > 0))
+            if q.function == "log":
+                s = F.log(F.lit(float(q.scaling_factor)) + feat)
+            elif q.function == "sigmoid":
+                e = float(q.exponent)
+                if q.pivot is None:
+                    raise ValueError("rank_feature sigmoid requires a pivot")
+                s = F.pow(feat, F.lit(e)) / (
+                    F.pow(feat, F.lit(e)) + F.lit(float(q.pivot) ** e)
+                )
+            elif q.function == "saturation":
+                pivot = q.pivot
+                if pivot is None:
+                    # the reference's computed default: (approximately)
+                    # the geometric mean of the feature over the index
+                    # (ScoreFunction.Saturation "geometric average")
+                    pivot = float(
+                        dm.agg(F.exp(F.avg(F.log(feat)))).collect()[0][0]
+                    )
+                s = feat / (feat + F.lit(float(pivot)))
+            else:
+                raise ValueError(f"unknown rank_feature function {q.function!r}")
+            return dm.select(
+                "_docid",
+                (F.lit(float(q.boost)) * s).cast("double").alias("score"),
+            )
         if isinstance(q, Q.ScriptScore):
             base = self._score(q.query)
             cols = set(q.input_cols)

@@ -65,6 +65,22 @@ class MultiFieldEngine:
                 raise ValueError(f"field {f!r} has no per-field index")
         if q.type == "cross_fields":
             return self._cross_fields(q, fields)
+        if q.type == "bool_prefix":
+            # multi_match type bool_prefix (search_as_you_type's query
+            # shape): a match_bool_prefix per field; the type's group
+            # tie-breaker is 1.0 (MultiMatchQueryBuilder.Type.BOOL_PREFIX)
+            # and dis_max with tie 1.0 is exactly the SUM of field scores
+            parts = [
+                self.engines[f]._score(Q.MatchBoolPrefix(f, q.query, boost=boost))
+                for f, boost in fields
+            ]
+            from functools import reduce as _reduce
+
+            unioned = _reduce(DataFrame.unionByName, parts)
+            out = unioned.groupBy("_docid").agg(F.sum("score").alias("score"))
+            if q.boost != 1.0:
+                out = out.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+            return out
         parts = []
         for i, (f, boost) in enumerate(fields):
             eng = self.engines[f]
