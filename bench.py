@@ -88,6 +88,12 @@ SURFACE_COMPOSITION = {
     "dedup_ngram_jaccard": "r3: 2 ops (pair + connected-component cluster); r2 had pairs only",
     "agg_histograms": "r3 late: 6 ops (+geotile_grid z=5, +geohash_grid p=3); earlier r3/r2 had 4",
     "text_suite": "r3: 4 text ops via single-pass text_profile (one tokenizer eval, no joins); r3 late adds pack_shards training-shard packing (+1 stripe-offset collect) and benchmark decontamination (broadcast 5-gram overlap + count join); r2 joined 4 frames",
+    "agg_samplers": "r3 late: 9 ops (+hash_split count/idsum, +stratified count/idsum, +mixture count/idsum, +reservoir idsum over documents); earlier had 2 (sampler + diversified)",
+    "agg_terms_variants": "r3 late: 7 ops (+two-phase shard_terms buckets/per-bucket error/meta bounds); earlier had 2 (multi_terms + rare_terms)",
+    "ft_scoring": "r3 late: 10 ops (+rank_feature log/saturation/sigmoid); earlier had 7",
+    "ft_prefix_family": "r3 late: 3 ops (+search_as_you_type over root+2gram+3gram subfield indexes, builds 2 extra small indexes on first run); earlier had 2",
+    "ft_multi_match": "r3 late: cross_fields now scores with BlendedTermQuery df-blending (same plan shape, +2 tiny term-stats lookups at plan time)",
+    "lifecycle_suite": "r3 late: +post_restore phase (snapshot to blob repo + hardlink restore + re-query); earlier had 6 phases",
 }
 
 

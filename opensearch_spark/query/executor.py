@@ -457,6 +457,7 @@ class SearchEngine:
         sort: Optional[Sequence[Tuple[str, str]]] = None,
         search_after: Optional[Sequence] = None,
         script_fields: Optional[Dict[str, Dict]] = None,
+        min_score: Optional[float] = None,
     ) -> DataFrame:
         """Top-k retrieval: DataFrame of id_cols + score (float64), ordered
         (score desc, id_cols asc). Default size 10 / from 0 mirrors
@@ -504,6 +505,12 @@ class SearchEngine:
         if scored is None:
             scored = self._score(q)
         scored = self._apply_deletes(scored)
+        if min_score is not None:
+            # ``min_score`` (SearchSourceBuilder.java minScore; applied
+            # post-scoring like the reference's MinScoreCollector) —
+            # safe under WAND pruning, which only ever drops LOWER-
+            # scoring docs than the returned top-k
+            scored = scored.filter(F.col("score") >= F.lit(float(min_score)))
         fetch_cols = list(source_cols) if source_cols else self.id_cols
         fetch_cols = [c for c in dict.fromkeys(self.id_cols + list(fetch_cols))]
         sort_cols: List[str] = []

@@ -112,3 +112,12 @@ def test_rank_feature_functions(spark, tmp_path):
     }
     gm = math.exp(sum(math.log(10.0 * (i + 1)) for i in range(5)) / 5)
     assert dflt[2] == pytest.approx(30.0 / (30.0 + gm), rel=1e-6)
+
+    # min_score (SearchSourceBuilder.minScore): drops hits below the cut
+    cut = sat[2]
+    kept = eng.search(
+        {"rank_feature": {"field": "pagerank", "saturation": {"pivot": 20.0}}},
+        size=5,
+        min_score=cut,
+    ).collect()
+    assert sorted(r.doc_id for r in kept) == [2, 3, 4]
