@@ -4339,17 +4339,106 @@ def text_suite(spark, sf_dir):
 
 # ============================== probabilistic / approximate (rows-only)
 
-@_q("dedup_lsh")  # LSH recall is probabilistic: rows-only check
+_MH_A, _MH_B = dedup._perm_params(64)
+_MH_PERM_VALUES = ", ".join(
+    f"({i}, {int(_MH_A[i])}::HUGEINT, {int(_MH_B[i])}::HUGEINT)" for i in range(64)
+)
+
+
+@_q(
+    "dedup_lsh",
+    """WITH __dtok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+__msh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[p : p + 2], ' ') AS shingle
+  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS p FROM __dtok)
+  WHERE p + 2 <= len(toks)
+),
+__mhh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM __msh),
+__mperm AS (SELECT * FROM (VALUES {perm}) p(i, a, b)),
+__msig AS (
+  SELECT doc_id, i, CAST(min((a * h + b) % 2305843009213693951::HUGEINT) AS BIGINT) AS m
+  FROM __mhh CROSS JOIN __mperm GROUP BY 1, 2
+),
+__mbkt AS (
+  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+  FROM __msig GROUP BY doc_id, i // 4
+),
+__mcand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __mbkt a
+  JOIN __mbkt b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+__msz AS (SELECT doc_id, count(*) AS sz FROM __msh GROUP BY 1),
+__minter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM __mcand c
+  JOIN __msh sa ON sa.doc_id = c.id_a
+  JOIN __msh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+__mpairs AS (
+  SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (za.sz + zb.sz - i), 6) AS metric
+  FROM __minter
+  JOIN __msz za ON za.doc_id = id_a
+  JOIN __msz zb ON zb.doc_id = id_b
+  WHERE ROUND(CAST(i AS DOUBLE) / (za.sz + zb.sz - i), 6) >= 0.8
+),
+__stf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM __dtok) GROUP BY 1, 2
+),
+__sth AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h, tf FROM __stf),
+__sbit AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM __sth CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j
+),
+__ssig AS (
+  SELECT doc_id, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS sh
+  FROM __sbit GROUP BY doc_id
+),
+__sband AS (
+  SELECT doc_id, b AS band, (sh >> (b * 15)) & 32767 AS bits, sh
+  FROM __ssig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+),
+__spairs AS (
+  SELECT id_a, id_b, metric FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS DOUBLE) AS metric
+    FROM __sband a
+    JOIN __sband b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3
+  ) WHERE metric <= 3
+)
+SELECT 'minhash' AS op, id_a, id_b, metric FROM __mpairs
+UNION ALL
+SELECT 'simhash' AS op, id_a, id_b, metric FROM __spairs
+ORDER BY op, id_a, id_b""".replace("{perm}", _MH_PERM_VALUES),
+)
 def dedup_lsh(spark, sf_dir):
-    """Suite (rows-only): MinHash+LSH candidate pairs verified with
-    exact Jaccard (64 perms, 16 bands; hash-join on band buckets) +
-    SimHash pairs (64-bit JVM bit-vote fingerprints, Hamming <= 3 via
-    pigeonhole banding).  Both are the bucketed 100 TB dedup paths."""
+    """Suite: MinHash+LSH near-dup pairs verified with exact Jaccard
+    (64 perms, 16 bands of 4; band buckets become hash-join keys) +
+    SimHash pairs (bit-vote fingerprints, Hamming <= 3 via pigeonhole
+    banding).  Both are the bucketed 100 TB dedup paths — and since r3
+    late they run under the driver's EXACT hash oracle: in ``md5``
+    hash mode (``dedup._hash64_col``) every stage — shingle hashing,
+    the 64 ``(a*h+b) mod p`` permutation mins (params embedded as a
+    VALUES table), band bucketing, candidate join, Jaccard verify,
+    bit votes, pigeonhole bands, Hamming verify — is replayed
+    bit-identically by DuckDB.  Production default stays ``xxhash64``
+    (same plan shape, ~2x cheaper hashing); the LSH geometry
+    (bands x rows, the S-curve) is identical in both modes."""
     docs = load_table(spark, sf_dir, "documents")
-    mh = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8).select(
+    mh = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8, hash_fn="md5").select(
         "id_a", "id_b", F.col("jaccard").alias("metric")
     )
-    sh = dedup.simhash_pairs(docs).select(
+    sh = dedup.simhash_pairs(docs, hash_fn="md5").select(
         "id_a", "id_b", F.col("hamming").cast("double").alias("metric")
     )
     return _union(

@@ -303,6 +303,22 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple:
     return a, b
 
 
+def _hash64_col(col_name: str, hash_fn: str):
+    """64-bit-ish non-negative hash of a string column.
+
+    ``xxhash64`` (default): JVM single-pass — the production path.
+    ``md5``: the first 15 hex chars of md5 as a 60-bit integer —
+    bit-identical in any SQL engine (DuckDB:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``), which makes the
+    whole MinHash/SimHash pipeline exactly replayable by the driver's
+    oracle.  Same asymptotics (md5 costs ~2x xxhash per byte)."""
+    if hash_fn == "xxhash64":
+        return F.abs(F.xxhash64(col_name))
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(F.col(col_name)), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -310,17 +326,19 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 64,
     seed: int = 7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """``(id, sig: array<long>)`` MinHash signatures over n-gram shingles.
 
-    Shingle hashing is JVM ``xxhash64``; the permutation mins are
+    Shingle hashing is JVM ``xxhash64`` (or the oracle-replayable
+    ``md5`` mode, see ``_hash64_col``); the permutation mins are
     computed in one grouped aggregation of ``num_perm`` JVM ``min``
     expressions over ``(a_i * h + b_i) mod p`` — fully vectorized,
     one shuffle on the doc id.
     """
     a, b = _perm_params(num_perm, seed)
     sh = shingle_sets(df, id_col, text_col, n)
-    h = F.abs(F.xxhash64("shingle")).cast("decimal(38,0)")
+    h = _hash64_col("shingle", hash_fn).cast("decimal(38,0)")
     mins = [
         F.min(
             F.pmod(
@@ -345,6 +363,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -355,8 +374,8 @@ def minhash_lsh_pairs(
     output has no false positives (recall follows the LSH S-curve
     ``1 - (1 - J^r)^b``).
     """
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
-    bucket_rows = _minhash_band_rows(sig, id_col, num_perm, bands).select(
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed, hash_fn)
+    bucket_rows = _minhash_band_rows(sig, id_col, num_perm, bands, hash_fn).select(
         F.col(id_col).alias("_id"), "band", "bucket"
     )
     a = bucket_rows.select(F.col("_id").alias("id_a"), "band", "bucket")
@@ -396,25 +415,37 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------- simhash
 
-def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """``(id, simhash: long)`` 64-bit weighted SimHash per document.
+def _simhash_n_bits(hash_fn: str) -> int:
+    # md5 mode derives a 60-bit integer (15 hex chars), so only 60
+    # fingerprint bits carry signal there; xxhash64 uses all 64
+    return 64 if hash_fn == "xxhash64" else 60
 
-    Token hashing is JVM ``xxhash64``; the 64 bit-votes are 64 JVM
-    conditional-sum aggregates (``sum(bit_j ? +tf : -tf)``) in ONE
-    grouped pass — the same pattern as the minhash min-aggregates.
-    Entirely whole-stage-codegen: no Python in the per-token path
-    (the earlier per-doc ``applyInPandas`` was one Python call per
-    document — a row-at-a-time bottleneck at corpus scale).
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``(id, simhash: long)`` weighted SimHash per document (64 bits;
+    60 in the oracle-replayable ``md5`` hash mode).
+
+    Token hashing is JVM ``xxhash64`` (or ``md5``, ``_hash64_col``);
+    the bit-votes are conditional-sum aggregates
+    (``sum(bit_j ? +tf : -tf)``) in ONE grouped pass — the same
+    pattern as the minhash min-aggregates.  Entirely
+    whole-stage-codegen: no Python in the per-token path (the earlier
+    per-doc ``applyInPandas`` was one Python call per document — a
+    row-at-a-time bottleneck at corpus scale).
     """
     from functools import reduce
 
+    n_bits = _simhash_n_bits(hash_fn)
     toks = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy("_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", _hash64_col("tok", hash_fn))
         .select("_id", "h", "tf")
     )
     votes = [
@@ -424,14 +455,14 @@ def simhash_signatures(
                 F.col("tf"),
             ).otherwise(-F.col("tf"))
         ).alias(f"v{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     agg = toks.groupBy("_id").agg(*votes)
     bit_cols = [
         F.when(
             F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
+        for j in range(n_bits)
     ]
     fingerprint = reduce(lambda a, c: a.bitwiseOR(c), bit_cols)
     return agg.select(
@@ -444,17 +475,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= ``max_hamming``.
 
-    Pigeonhole banding: split the 64-bit fingerprint into
-    ``max_hamming + 1`` bands; any pair within distance k agrees exactly
-    on at least one band, so candidates come from an equi-join on
-    ``(band, band_bits)`` and are verified with ``bit_count(xor)``.
+    Pigeonhole banding: split the fingerprint into ``max_hamming + 1``
+    bands; any pair within distance k agrees exactly on at least one
+    band, so candidates come from an equi-join on ``(band, band_bits)``
+    and are verified with ``bit_count(xor)``.
     """
     nb = max_hamming + 1
-    width = 64 // nb
-    sig = simhash_signatures(df, id_col, text_col)
+    width = _simhash_n_bits(hash_fn) // nb
+    sig = simhash_signatures(df, id_col, text_col, hash_fn)
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
@@ -598,28 +630,35 @@ def dup_clusters(
 # ----------------------------------------- persisted incremental MinHash index
 
 def _minhash_band_rows(
-    sig: DataFrame, id_col: str, num_perm: int, bands: int
+    sig: DataFrame, id_col: str, num_perm: int, bands: int, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """``(id, band, bucket)`` LSH band-bucket rows from a signature
-    frame (shared by the in-memory pair join and the persisted index)."""
+    frame (shared by the in-memory pair join and the persisted index).
+    The default bucket is ``xxhash64`` of the band's signature slice (a
+    fixed-width join key); ``md5`` mode keeps the joined slice STRING
+    as the bucket — equality semantics are identical (the hash only
+    compresses the key) and a SQL oracle can reproduce the string
+    exactly."""
     rows_per_band = num_perm // bands
+
+    def _bucket(bi: int):
+        joined = F.array_join(
+            F.transform(
+                F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                lambda c: c.cast("string"),
+            ),
+            ",",
+        )
+        # xxhash64 keeps the fixed-width LONG bucket (the persisted
+        # index format); md5 mode's string bucket is join-equivalent
+        return F.xxhash64(joined) if hash_fn == "xxhash64" else joined
+
     return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
-                                    lambda c: c.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
                     for bi in range(bands)
                 ]
             )
