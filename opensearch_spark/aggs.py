@@ -140,7 +140,10 @@ def terms_shard_model(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("key"))
-    ranked = per.withColumn("rn", F.row_number().over(w))
+    # the ranked (shard, key, cnt) frame is tiny (distinct keys x
+    # shards) but feeds every downstream branch — materialize it once
+    # so the 100 TB raw scan happens exactly once, not per branch
+    ranked = per.withColumn("rn", F.row_number().over(w)).localCheckpoint(eager=False)
     in_top = F.col("rn") <= F.lit(shard_size)
     sstats = (
         ranked.groupBy("shard")
@@ -169,6 +172,7 @@ def terms_shard_model(
             F.sum("cnt").alias("doc_count"),
             F.sum("err").alias("err_covered"),
         )
+        .localCheckpoint(eager=False)  # feeds buckets, mtot and ttot
     )
     buckets = (
         merged.crossJoin(F.broadcast(tot))

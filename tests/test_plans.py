@@ -247,3 +247,62 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     plan = _formatted(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_terms_shard_model_single_raw_scan(spark):
+    """The two-phase shard terms agg must touch the raw table ONCE
+    (one groupBy over (shard, key)); everything downstream — window,
+    error accounting, merge — runs over the pre-aggregated frame.  No
+    cartesian anywhere; the tiny totals frame is broadcast."""
+    import os
+
+    from opensearch_spark import aggs
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    buckets, meta = aggs.terms_shard_model(
+        ev, "user_id", "event_id", size=5, shard_size=6, n_shards=8
+    )
+    for df in (buckets, meta):
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan
+        # raw parquet scanned exactly once per output frame
+        assert plan.count("events.parquet") <= 2, plan
+
+
+def test_mixture_sample_row_path_is_hash_window(spark):
+    """mixture_sample's row path must be one window over the domain
+    column with pure integer hash ordering — no Python UDFs, no
+    cartesian; quotas ride the plan as a CASE literal."""
+    import os
+
+    from opensearch_spark.ops import sampling as smp
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    out = smp.mixture_sample(docs, "lang", "doc_id", alpha=0.5, target=300)
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_minhash_md5_mode_keeps_candidate_probe_order(spark):
+    """The md5 (oracle) hash mode must keep the verify-stage join order
+    fix: candidates explode first, shingles probe second — never the
+    quadratic shingle self-join (r2 VERDICT #1)."""
+    import os
+
+    from opensearch_spark.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    out = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8, hash_fn="md5")
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
