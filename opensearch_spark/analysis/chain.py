@@ -558,6 +558,17 @@ class Analyzer:
             base["_name"] = spec
             spec = base
         elif spec.get("type") in NAMED_ANALYZERS and "tokenizer" not in spec:
+            # a named-type spec carries ONLY type + stopwords; anything
+            # else (incl. a 'filter' list, or a misspelled 'filters')
+            # would be silently discarded by the base replacement below
+            # — fail loudly instead
+            extra = set(spec) - {"type", "stopwords", "_name"}
+            if extra:
+                raise ValueError(
+                    f"named analyzer {spec['type']!r} accepts only "
+                    f"'stopwords'; unknown keys {sorted(extra)} (to add "
+                    "filters, spell out tokenizer + filter as a custom spec)"
+                )
             base = dict(NAMED_ANALYZERS[spec["type"]])
             if spec.get("stopwords") is not None:
                 base = dict(base)

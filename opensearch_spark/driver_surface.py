@@ -2785,7 +2785,12 @@ def agg_samplers(spark, sf_dir):
     default .1), ``mixture_sample`` temperature-0.5 domain mixing to
     300 docs (quota = largest-remainder apportionment of
     sqrt-scaled counts; rank-by-hash per domain), and
-    ``reservoir_per_key`` (7 uniform docs per lang)."""
+    ``reservoir_per_key`` (7 uniform docs per lang).  The mixture
+    oracle replays the single +1 remainder pass, which equals
+    ``mixture_quotas`` exactly while NO domain saturates (every lang
+    here holds >= 60 docs vs quotas <= ~92 at every SF; the library's
+    multi-pass saturation spill is covered by
+    ``tests/test_sampling.py``)."""
     eng = documents_engine(spark, sf_dir)
     from opensearch_spark.ops import sampling as smp
     from opensearch_spark.query import dsl as Q

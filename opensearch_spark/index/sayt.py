@@ -80,17 +80,20 @@ def build_search_as_you_type(
         engines[field] = root_engine
     else:
         specs = [(field, None)] + specs
+    import dataclasses
+
     for name, analyzer in specs:
         d = os.path.join(root_dir, f"field={name}")
         if not os.path.exists(os.path.join(d, "stats.json")):
-            cfg = IndexConfig(
-                n_segments=base.n_segments,
-                id_cols=base.id_cols,
-                routing_col=base.routing_col,
-                text_col=field,
-                dictionary_partitions=base.dictionary_partitions,
-                analyzer=analyzer,
-            )
+            # preserve EVERY base setting (codec, stopwords, n_segments,
+            # index_sort, ...); only the text column and — for shingle
+            # subfields — the analyzer pair are overridden (the shingle
+            # analyzer must drive BOTH index and search analysis, so a
+            # base search_analyzer is cleared there)
+            overrides = {"text_col": field}
+            if analyzer is not None:
+                overrides.update(analyzer=analyzer, search_analyzer=None)
+            cfg = dataclasses.replace(base, **overrides)
             build_index(spark, docs, d, cfg)
         engines[name] = SearchEngine(InvertedIndex(spark, d))
     return MultiFieldEngine(engines, field)

@@ -110,6 +110,14 @@ def snapshot(
         raise ValueError(f"nothing to snapshot under {index_dir!r}")
     os.makedirs(os.path.join(repo_dir, "blobs"), exist_ok=True)
     os.makedirs(_snapshots_dir(repo_dir), exist_ok=True)
+    # in-progress marker: an incremental snapshot SKIPS blobs that are
+    # already present, so a concurrent delete_snapshot must not GC blobs
+    # out from under it before the manifest commits (the reference
+    # guards this with repository generations, BlobStoreRepository) —
+    # delete_snapshot skips GC while any marker exists
+    marker = _manifest_path(repo_dir, name) + ".inprogress"
+    with open(marker, "w") as f:
+        f.write(str(int(time.time() * 1000)))
 
     idx, repo = os.path.abspath(index_dir), os.path.abspath(repo_dir)
 
@@ -158,6 +166,7 @@ def snapshot(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, mp)
+    os.remove(marker)
     return {
         "name": name,
         "files_total": len(rels),
@@ -239,13 +248,29 @@ def verify_snapshot(repo_dir: str, name: str) -> Dict:
 
 def delete_snapshot(repo_dir: str, name: str) -> Dict:
     """Drop a snapshot manifest and garbage-collect blobs no remaining
-    snapshot references (the reference's snapshot-delete + blob GC)."""
+    snapshot references (the reference's snapshot-delete + blob GC).
+
+    GC is SKIPPED (manifest still removed) while any snapshot is
+    in-progress: an incremental snapshot skips blobs the repo already
+    holds, so collecting them before its manifest commits would leave a
+    committed manifest pointing at missing blobs.  Re-run the delete
+    (or any later delete) once no ``.inprogress`` markers remain; a
+    crashed snapshot leaves a stale marker — remove it manually after
+    confirming no writer is alive (the repository repair step)."""
     mp = _manifest_path(repo_dir, name)
     if not os.path.isfile(mp):
         raise ValueError(f"no such snapshot: {name!r}")
     with open(mp) as f:
         victim = json.load(f)
     os.remove(mp)
+    sd = _snapshots_dir(repo_dir)
+    in_progress = [f for f in os.listdir(sd) if f.endswith(".inprogress")]
+    if in_progress:
+        return {
+            "name": name,
+            "blobs_removed": 0,
+            "gc_skipped": f"snapshots in progress: {sorted(in_progress)}",
+        }
     live: set = set()
     for other in list_snapshots(repo_dir):
         with open(_manifest_path(repo_dir, other["name"])) as f:

@@ -304,16 +304,19 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple:
 
 
 def _hash64_col(col_name: str, hash_fn: str):
-    """64-bit-ish non-negative hash of a string column.
+    """64-bit hash of a string column.
 
-    ``xxhash64`` (default): JVM single-pass — the production path.
-    ``md5``: the first 15 hex chars of md5 as a 60-bit integer —
-    bit-identical in any SQL engine (DuckDB:
+    ``xxhash64`` (default): raw JVM single-pass hash, full signed 64
+    bits — the production path (callers that need a non-negative value,
+    like the MinHash permutations, apply ``abs`` themselves; SimHash
+    reads raw bits incl. bit 63).
+    ``md5``: the first 15 hex chars of md5 as a 60-bit non-negative
+    integer — bit-identical in any SQL engine (DuckDB:
     ``('0x' || substr(md5(s), 1, 15))::BIGINT``), which makes the
     whole MinHash/SimHash pipeline exactly replayable by the driver's
     oracle.  Same asymptotics (md5 costs ~2x xxhash per byte)."""
     if hash_fn == "xxhash64":
-        return F.abs(F.xxhash64(col_name))
+        return F.xxhash64(col_name)
     if hash_fn == "md5":
         return F.conv(F.substring(F.md5(F.col(col_name)), 1, 15), 16, 10).cast("long")
     raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
@@ -338,7 +341,9 @@ def minhash_signatures(
     """
     a, b = _perm_params(num_perm, seed)
     sh = shingle_sets(df, id_col, text_col, n)
-    h = _hash64_col("shingle", hash_fn).cast("decimal(38,0)")
+    # the permutation arithmetic needs a non-negative h (md5 mode is
+    # non-negative by construction; xxhash64 keeps its historic |.|)
+    h = F.abs(_hash64_col("shingle", hash_fn)).cast("decimal(38,0)")
     mins = [
         F.min(
             F.pmod(

@@ -984,10 +984,14 @@ class SearchEngine:
                 if pivot is None:
                     # the reference's computed default: (approximately)
                     # the geometric mean of the feature over the index
-                    # (ScoreFunction.Saturation "geometric average")
-                    pivot = float(
-                        dm.agg(F.exp(F.avg(F.log(feat)))).collect()[0][0]
-                    )
+                    # (ScoreFunction.Saturation "geometric average") —
+                    # one eager stats job at plan time, like the DFS
+                    # phase; pass an explicit pivot to avoid it
+                    gm = dm.agg(F.exp(F.avg(F.log(feat)))).collect()[0][0]
+                    if gm is None:
+                        # no doc has a positive feature: nothing matches
+                        return self._empty_scored()
+                    pivot = float(gm)
                 s = feat / (feat + F.lit(float(pivot)))
             else:
                 raise ValueError(f"unknown rank_feature function {q.function!r}")

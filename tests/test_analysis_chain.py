@@ -245,3 +245,19 @@ def test_unknown_components_raise():
         make_char_filter("no_such_char_filter")
     with pytest.raises(ValueError):
         make_token_filter({"type": "stemmer", "language": "klingon"})
+
+
+def test_from_spec_rejects_unknown_keys_on_named_and_custom_specs():
+    """A misspelled 'filters' (or a filter list on a named analyzer)
+    must raise, not silently degrade to the plain standard analyzer."""
+    import pytest
+
+    from opensearch_spark.analysis.chain import Analyzer
+
+    with pytest.raises(ValueError, match="filters"):
+        Analyzer.from_spec({"tokenizer": "standard", "filters": [{"type": "shingle"}]})
+    with pytest.raises(ValueError, match="filter"):
+        Analyzer.from_spec({"type": "standard", "filter": [{"type": "shingle"}]})
+    # the supported named shape still works (must not raise)
+    toks, _pos = Analyzer.from_spec({"type": "standard", "stopwords": ["a"]})("a b")
+    assert toks == ["b"]

@@ -146,3 +146,28 @@ def test_pit_survives_concurrent_deletes(spark, built):
     assert not os.path.isdir(pit.pit_dir)
     with pytest.raises(ValueError, match="closed"):
         pit.engine()
+
+
+def test_delete_snapshot_skips_gc_while_snapshot_in_progress(spark, index_dir, tmp_path):
+    """Blob GC must not collect shared blobs while another snapshot is
+    mid-flight (its manifest is uncommitted, so the live set cannot be
+    known) — the generation-guard analog of BlobStoreRepository."""
+    import os
+
+    from opensearch_spark.index import snapshot as snap
+
+    repo = str(tmp_path / "repo")
+    snap.snapshot(spark, index_dir, repo, "g1")
+    snap.snapshot(spark, index_dir, repo, "g2")
+    # simulate an in-flight writer: a marker with no manifest yet
+    marker = os.path.join(repo, "snapshots", "g3.json.inprogress")
+    with open(marker, "w") as f:
+        f.write("1")
+    out = snap.delete_snapshot(repo, "g1")
+    assert out["blobs_removed"] == 0 and "in progress" in out["gc_skipped"]
+    # g2 (sharing every blob) must still verify
+    snap.verify_snapshot(repo, "g2")
+    os.remove(marker)
+    # with no writer in flight, deleting g2 GCs the now-unreferenced blobs
+    out2 = snap.delete_snapshot(repo, "g2")
+    assert out2["blobs_removed"] > 0
