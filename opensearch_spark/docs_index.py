@@ -193,12 +193,19 @@ def topk(engine: SearchEngine, query, k: int = 10, round_dp: int = 4) -> DataFra
     )
 
 
-def docset(engine: SearchEngine, query) -> DataFrame:
-    """Driver-comparable docset with constant scores (filter context)."""
+def docset(engine: SearchEngine, query, derived=None) -> DataFrame:
+    """Driver-comparable docset with constant scores (filter context).
+
+    ``derived`` = query-time derived fields
+    (``SearchEngine.derived_fields``); the plan is built inside the
+    scope, so the returned frame embeds the derived expressions."""
+    import contextlib
+
     from opensearch_spark.query import dsl as Q
 
     q = Q.from_dict(query) if isinstance(query, dict) else query
-    scored = engine._score(q)
+    with engine.derived_fields(derived) if derived else contextlib.nullcontext():
+        scored = engine._score(q)
     dm = engine.index.docmap().select("_docid", *engine.id_cols)
     return (
         scored.join(dm, "_docid")

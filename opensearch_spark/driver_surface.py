@@ -776,6 +776,12 @@ FROM __docs WHERE {poly}
 UNION ALL
 SELECT 'geo_shape' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs WHERE ({shape_outer}) <> ({shape_hole})
+UNION ALL
+SELECT 'derived_range' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents WHERE length(text) >= 120 AND length(text) < 240
+UNION ALL
+SELECT 'derived_term' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents WHERE source || ':' || lang = 'src18:en'
 ORDER BY op, doc_id ASC""".replace("{poly}", _sql_polygon_pred(_POLY))
     .replace("{shape_outer}", _sql_polygon_pred(_SHAPE_OUTER))
     .replace("{shape_hole}", _sql_polygon_pred(_SHAPE_HOLE)),
@@ -798,7 +804,12 @@ def ft_filters(spark, sf_dir):
     membership unrolled into one Catalyst expression), and
     ``geo_shape`` over point docs (GeoShapeQueryBuilder.java — here a
     polygon with a hole: per-ring ray casts XORed, Polygon2D
-    even-odd)."""
+    even-odd); plus r3 search-time DERIVED FIELDS
+    (SearchSourceBuilder.java:118 derived, DerivedFieldMapper.java:33,
+    DerivedFieldType.java:138,191 — script-computed fields queried at
+    search time): a typed ``long`` derived field under a ``range``
+    predicate and an expression-shorthand derived field under a
+    ``term`` predicate, both evaluated in the same docmap scan."""
     eng = documents_engine(spark, sf_dir)
     a = docset(eng, {"range": {"n_chars": {"gte": 100, "lt": 300}}})
     b = docset(eng, {"exists": {"field": "src_alt"}})
@@ -847,6 +858,16 @@ def ft_filters(spark, sf_dir):
             }
         },
     )
+    i = docset(
+        eng,
+        {"range": {"turn_len": {"gte": 120, "lt": 240}}},
+        derived={"turn_len": {"type": "long", "script": {"source": "length(text)"}}},
+    )
+    j = docset(
+        eng,
+        {"term": {"src_lang": "src18:en"}},
+        derived={"src_lang": "concat(source, ':', lang)"},
+    )
     return _union(
         _tag(a, "range", "doc_id", "score"),
         _tag(b, "exists", "doc_id", "score"),
@@ -856,6 +877,8 @@ def ft_filters(spark, sf_dir):
         _tag(f, "script", "doc_id", "score"),
         _tag(g, "geo_polygon", "doc_id", "score"),
         _tag(h, "geo_shape", "doc_id", "score"),
+        _tag(i, "derived_range", "doc_id", "score"),
+        _tag(j, "derived_term", "doc_id", "score"),
     ).orderBy("op", F.asc("doc_id"))
 
 
@@ -3840,6 +3863,11 @@ def _sql_match_branch(terms: Dict[str, int], required: int, p: str = "") -> str:
         flt=f"AND doc_id NOT IN (SELECT doc_id FROM __docs WHERE {_LC_DEL_TOKS})",
     )
     + "\nUNION ALL\n"
+    + _sql_match_over(
+        _LC_Q, 1, 10, "post_resize", p="",
+        flt=f"AND doc_id NOT IN (SELECT doc_id FROM __docs WHERE {_LC_DEL_TOKS})",
+    )
+    + "\nUNION ALL\n"
     + _sql_match_over(_LC_Q, 1, 10, "post_compact", p="c")
     + "\nUNION ALL\n"
     + _sql_match_over(_LC_Q, 1, 10, "upd_match", p="c")
@@ -3878,6 +3906,10 @@ def lifecycle_suite(spark, sf_dir):
       directory (``index/snapshot.py``; SnapshotsService.java /
       BlobStoreRepository.java) — the restored index reproduces the
       post-delete results exactly.
+    - ``post_resize`` (late r3): the tombstoned commit SHRUNK 4 -> 2
+      routing segments (``index/resize.py``;
+      TransportResizeAction.java, hardlink + plan rewrite — the
+      reference's no-reindex resize) — again identical to post_delete.
     - ``post_compact``: ``merge_index`` expunges tombstoned postings,
       rewrites docmap/stats without them; same query now scores with
       the SHRUNK corpus statistics (and term 'join' is gone from the
@@ -3953,6 +3985,17 @@ def lifecycle_suite(spark, sf_dir):
     snap.restore(spark, repo, "s1", restored)
     ar = lc_topk(SearchEngine(InvertedIndex(spark, restored)), q)
 
+    # resize (late r3; TransportResizeAction.java / IndexMetadata.java:743
+    # routingFactor): shrink the tombstoned commit 4 -> 2 segments by
+    # hardlink + plan rewrite (index/resize.py) — zero data bytes moved,
+    # and results (incl. tombstone visibility) must be IDENTICAL to
+    # post_delete because scoring uses global stats
+    from opensearch_spark.index.resize import shrink_index
+
+    shrunk = os.path.join(root, "shrunk")
+    shrink_index(spark, base, shrunk, 2)
+    az = lc_topk(SearchEngine(InvertedIndex(spark, shrunk)), q)
+
     compacted = os.path.join(root, "compacted")
     merge_index(spark, base, compacted)
     eng_c = SearchEngine(InvertedIndex(spark, compacted))
@@ -3998,6 +4041,7 @@ def lifecycle_suite(spark, sf_dir):
     return _union(
         _tag(a, "post_delete", "doc_id", "score"),
         _tag(ar, "post_restore", "doc_id", "score"),
+        _tag(az, "post_resize", "doc_id", "score"),
         _tag(b, "post_compact", "doc_id", "score"),
         _tag(c, "upd_docset", "doc_id", "score"),
         _tag(d, "upd_match", "doc_id", "score"),

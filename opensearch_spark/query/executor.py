@@ -18,6 +18,7 @@ tie-break the reference gets from shard-internal docIDs
 
 from __future__ import annotations
 
+import contextlib
 import fnmatch
 from collections import Counter
 from functools import reduce
@@ -439,11 +440,79 @@ class SearchEngine:
         from opensearch_spark.pinned import PinnedLRU
 
         self._pinned = PinnedLRU(cap=4)
+        # per-request derived fields (SearchSourceBuilder.java:118
+        # DERIVED_FIELDS_FIELD / DerivedFieldMapper.java:33): name ->
+        # Spark SQL expression appended to the docmap for the duration
+        # of one request via the derived_fields() context manager
+        self._derived: Dict[str, str] = {}
 
     def release_caches(self) -> None:
         """Unpersist every intermediate this engine pinned (explicit
         cleanup for long-lived sessions)."""
         self._pinned.release()
+
+    # ------------------------------------------------- derived fields
+
+    def docmap(self) -> DataFrame:
+        """The index docmap plus this request's derived-field columns.
+
+        Derived fields (``DerivedFieldMapper.java:31-33``,
+        ``SearchSourceBuilder.java:118,198-200``) are query-time
+        computed fields: the reference compiles the field's script and
+        evaluates it per document at search time
+        (``DerivedFieldType.java:138,191`` wraps every term/range query
+        in a script-backed filter).  Here the script is a Spark SQL
+        expression projected onto the docmap, so filter-context
+        predicates, sorts, script inputs and fetch columns can all
+        reference the derived name exactly like a mapped doc-values
+        column — Catalyst evaluates the expression in the same scan
+        (no pushdown to parquet, matching the reference's
+        compute-at-query-time semantics)."""
+        dm = self.index.docmap()
+        for name, src in self._derived.items():
+            dm = dm.withColumn(name, F.expr(src))
+        return dm
+
+    @contextlib.contextmanager
+    def derived_fields(self, derived: Dict[str, object]):
+        """Scope ``derived`` field definitions to one request.
+
+        Each value is either a Spark SQL expression string or a
+        reference-shaped spec ``{"type": ..., "script": {"source":
+        ...}}`` (``DerivedField.java:29``); a declared type is applied
+        as a cast so e.g. ``"long"`` fields compare like longs in range
+        predicates.  Names that shadow a mapped docmap column are
+        rejected (the reference refuses conflicting derived/mapped
+        names at parse time)."""
+        casts = {
+            "long": "bigint", "integer": "int", "short": "smallint",
+            "double": "double", "float": "float", "keyword": "string",
+            "text": "string", "boolean": "boolean", "date": "timestamp",
+        }
+        spec: Dict[str, str] = {}
+        existing = set(self.index.docmap().columns)
+        for name, val in (derived or {}).items():
+            if name in existing:
+                raise ValueError(
+                    f"derived field {name!r} shadows a mapped field"
+                )
+            if isinstance(val, str):
+                src = val
+            else:
+                script = val.get("script", val)
+                src = script["source"] if isinstance(script, dict) else str(script)
+                ftype = val.get("type")
+                if ftype is not None:
+                    if ftype not in casts:
+                        raise ValueError(f"unsupported derived type {ftype!r}")
+                    src = f"CAST(({src}) AS {casts[ftype]})"
+            spec[name] = src
+        old = self._derived
+        self._derived = {**old, **spec}
+        try:
+            yield self
+        finally:
+            self._derived = old
 
     # ------------------------------------------------------------------ api
 
@@ -458,6 +527,7 @@ class SearchEngine:
         search_after: Optional[Sequence] = None,
         script_fields: Optional[Dict[str, Dict]] = None,
         min_score: Optional[float] = None,
+        derived: Optional[Dict[str, object]] = None,
     ) -> DataFrame:
         """Top-k retrieval: DataFrame of id_cols + score (float64), ordered
         (score desc, id_cols asc). Default size 10 / from 0 mirrors
@@ -480,7 +550,20 @@ class SearchEngine:
         ``WAND_AUTO_MIN_BLOCKS`` blocks (plan-time decision from the
         memoized term stats — no extra job), so small queries keep the
         cheaper single-pass dense plan and big ones take the two-pass
-        pruned plan whose savings dominate."""
+        pruned plan whose savings dominate.
+
+        ``derived`` = query-time derived fields
+        (SearchSourceBuilder.java:118): ``{name: <Spark SQL expr> |
+        {"type": ..., "script": {"source": ...}}}`` — usable in
+        filter-context predicates, sorts, script inputs and
+        ``source_cols`` for this request (see ``derived_fields``)."""
+        if derived:
+            with self.derived_fields(derived):
+                return self.search(
+                    query, size=size, from_=from_, source_cols=source_cols,
+                    prune=prune, sort=sort, search_after=search_after,
+                    script_fields=script_fields, min_score=min_score,
+                )
         q = Q.from_dict(query) if isinstance(query, dict) else query
         scored = None
         if prune is None:
@@ -558,7 +641,7 @@ class SearchEngine:
             order = [F.desc("score")] + [F.asc(c) for c in self.id_cols]
         # tie-break needs the id columns: join a column-pruned projection of
         # the docmap before the distributed top-k (TakeOrderedAndProject)
-        dm_ids = self.index.docmap().select(
+        dm_ids = self.docmap().select(
             "_docid", *dict.fromkeys(list(self.id_cols) + sort_cols)
         )
         joined = scored.join(dm_ids, "_docid")
@@ -609,7 +692,7 @@ class SearchEngine:
         if extra:
             # fetch phase: the k winners are tiny -> broadcast them into the
             # docmap join so the stored-fields lookup is a map-side join
-            dm = self.index.docmap().select("_docid", *extra)
+            dm = self.docmap().select("_docid", *extra)
             topk = dm.join(F.broadcast(topk), "_docid")
         for name, spec in script_fields.items():
             topk = topk.withColumn(name, F.expr(spec["source"]))
@@ -635,7 +718,7 @@ class SearchEngine:
         fetch_cols = list(
             dict.fromkeys(self.id_cols + list(source_cols or []))
         )
-        dm = self.index.docmap().select("_docid", *fetch_cols)
+        dm = self.docmap().select("_docid", *fetch_cols)
         full = (
             scored.join(dm, "_docid")
             .select(*fetch_cols, "score")
@@ -671,7 +754,7 @@ class SearchEngine:
         per shard; we window globally (superset semantics, documented)."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
         rq = Q.from_dict(rescore_query) if isinstance(rescore_query, dict) else rescore_query
-        dm_ids = self.index.docmap().select("_docid", *self.id_cols)
+        dm_ids = self.docmap().select("_docid", *self.id_cols)
         order = [F.desc("score")] + [F.asc(c) for c in self.id_cols]
         window = (
             self._score(q)
@@ -959,7 +1042,7 @@ class SearchEngine:
                 F.lit(float(q.pivot)) + dist
             )
             return (
-                self.index.docmap()
+                self.docmap()
                 .filter(F.col(q.field).isNotNull())
                 .select("_docid", score.cast("double").alias("score"))
             )
@@ -969,7 +1052,7 @@ class SearchEngine:
             # functions are one Catalyst expression over the doc-values
             # column (no postings touched — a pure columnar scorer)
             feat = F.col(q.field).cast("double")
-            dm = self.index.docmap().filter(feat.isNotNull() & (feat > 0))
+            dm = self.docmap().filter(feat.isNotNull() & (feat > 0))
             if q.function == "log":
                 s = F.log(F.lit(float(q.scaling_factor)) + feat)
             elif q.function == "sigmoid":
@@ -1006,12 +1089,12 @@ class SearchEngine:
                 import re as _re
 
                 cand = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", q.expr))
-                cols |= {c for c in cand if c in self.index.docmap().columns}
+                cols |= {c for c in cand if c in self.docmap().columns}
             cols.discard("_score")
             joined = base.withColumnRenamed("score", "_score")
             if cols:
                 joined = joined.join(
-                    self.index.docmap().select("_docid", *sorted(cols)), "_docid"
+                    self.docmap().select("_docid", *sorted(cols)), "_docid"
                 )
             if q.fn is not None:
                 import pandas as _pd
@@ -1515,7 +1598,7 @@ class SearchEngine:
         example docs excluded (include=false default)."""
         ids_q = Q.Ids([v if isinstance(v, tuple) else (v,) for v in q.like_ids])
         like_rows = (
-            self.index.docmap()
+            self.docmap()
             .filter(_null_safe(self._predicate(ids_q)))
             .select(self.text_col)
             .collect()
@@ -1538,7 +1621,7 @@ class SearchEngine:
             return self._empty_scored()
         required = max(1, int(q.minimum_should_match_pct * len(selected)))
         scored = self._score_terms_or({t: 1 for t in selected}, required=required)
-        like_set = self.index.docmap().filter(
+        like_set = self.docmap().filter(
             _null_safe(self._predicate(ids_q))
         ).select("_docid")
         out = scored.join(like_set, "_docid", "anti")
@@ -1565,7 +1648,7 @@ class SearchEngine:
                         "function_score filters must be columnar predicates"
                     )
                 needed_cols.update(_pred_fields(fn.filter))
-        dm = self.index.docmap().select("_docid", *sorted(needed_cols))
+        dm = self.docmap().select("_docid", *sorted(needed_cols))
         joined = base.join(dm, "_docid")
         vals = []
         for fn in q.functions:
@@ -1991,7 +2074,7 @@ class SearchEngine:
         from collections import Counter as _Counter
 
         ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
-        row = self.index.docmap().filter(_null_safe(ids_pred)).collect()
+        row = self.docmap().filter(_null_safe(ids_pred)).collect()
         if not row:
             return self.spark.createDataFrame(
                 [], "term string, tf int, df long, total_tf long"
@@ -2045,7 +2128,7 @@ class SearchEngine:
             dict.fromkeys(list(self.id_cols) + list(source_cols or []))
         )
         return (
-            self.index.docmap()
+            self.docmap()
             .filter(pred)
             .select(*cols)
             .orderBy(*[F.asc(c) for c in self.id_cols])
@@ -2056,10 +2139,10 @@ class SearchEngine:
         the docmap schema + index plan (the mapping introspection API)."""
         visible = set(
             self.index.plan.get("input_fields")
-            or [c for c in self.index.docmap().columns if not c.startswith("_")]
+            or [c for c in self.docmap().columns if not c.startswith("_")]
         )
         rows = []
-        for f in self.index.docmap().schema.fields:
+        for f in self.docmap().schema.fields:
             if f.name not in visible:
                 continue
             rows.append(
@@ -2087,7 +2170,7 @@ class SearchEngine:
             raise NotImplementedError("explain supports match/term queries")
         weights = dict(Counter(tokens))
         ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
-        row = self.index.docmap().filter(_null_safe(ids_pred)).collect()
+        row = self.docmap().filter(_null_safe(ids_pred)).collect()
         if not row:
             return {"matched": False, "reason": "no such document"}
         docid = int(row[0]["_docid"])
@@ -2174,7 +2257,7 @@ class SearchEngine:
         per_doc = post.groupBy("_docid").agg(
             F.countDistinct("term").alias("n_matched")
         )
-        dm = self.index.docmap().select(
+        dm = self.docmap().select(
             "_docid", F.col(q.minimum_should_match_field).alias("_req")
         )
         return (
@@ -2256,7 +2339,7 @@ class SearchEngine:
                 neg = reduce(lambda a, c: a | c, [_null_safe(p) for p in neg_preds])
                 combined = ~neg if combined is None else combined & ~neg
             ds = (
-                self.index.docmap()
+                self.docmap()
                 .filter(combined)
                 .select("_docid")
             )
@@ -2404,7 +2487,7 @@ class SearchEngine:
         pred = self._predicate(q)
         if pred is not None:
             # bare predicate: NULL rows drop anyway, and it pushes down
-            return self.index.docmap().filter(pred).select("_docid")
+            return self.docmap().filter(pred).select("_docid")
         return self._score(q).select("_docid")
 
     def _resolve_terms_lookup(self, q) -> "Q.Terms":
@@ -2420,7 +2503,7 @@ class SearchEngine:
             lambda a, b_: a & b_, [F.col(k) == F.lit(v) for k, v in idv.items()]
         )
         rows = (
-            self.index.docmap().filter(pred).select(q.path).limit(1).collect()
+            self.docmap().filter(pred).select(q.path).limit(1).collect()
         )
         vals: List = []
         if rows and rows[0][0] is not None:
@@ -2475,7 +2558,7 @@ class SearchEngine:
     # ------------------------------------------------------------- helpers
 
     def _all_docs(self, score: float) -> DataFrame:
-        return self.index.docmap().select(
+        return self.docmap().select(
             "_docid", F.lit(float(score)).alias("score")
         )
 
@@ -2490,7 +2573,7 @@ class SearchEngine:
         # (tests/test_plans.py::test_geo_bbox_predicate_pushdown);
         # _null_safe stays only where predicates are NEGATED
         return (
-            self.index.docmap()
+            self.docmap()
             .filter(pred)
             .select("_docid", F.lit(float(boost)).alias("score"))
         )

@@ -1,0 +1,108 @@
+"""Search-time derived fields (SearchSourceBuilder.java:118 derived /
+DerivedFieldMapper.java:31-33 / DerivedFieldType.java:138,191): script-
+computed fields defined per request and used in filter predicates,
+sorts, and fetch — validated against pandas recomputation over the
+corpus.
+"""
+
+import pandas as pd
+import pytest
+
+
+def _expected(corpus_pdf: pd.DataFrame) -> pd.DataFrame:
+    out = corpus_pdf.copy()
+    out["text_len"] = out["text"].str.len().astype("int64")
+    return out
+
+
+def test_derived_range_filter_matches_pandas(engine, corpus_pdf):
+    exp = _expected(corpus_pdf)
+    want = exp[(exp.text_len >= 80) & (exp.text_len < 160)]
+    want_ids = set(zip(want.conv_id, want.turn_idx))
+    rows = engine.search(
+        {"range": {"text_len": {"gte": 80, "lt": 160}}},
+        size=len(corpus_pdf),
+        derived={"text_len": {"type": "long", "script": {"source": "length(text)"}}},
+    ).collect()
+    got_ids = {(r["conv_id"], r["turn_idx"]) for r in rows}
+    assert got_ids == want_ids
+    assert all(r["score"] == 1.0 for r in rows)
+
+
+def test_derived_term_and_shorthand_expr(engine, corpus_pdf):
+    # expression-shorthand spec (no type): string concat derived field
+    exp = corpus_pdf.copy()
+    exp["role_turn"] = exp["role"] + ":" + (exp.turn_idx % 3).astype(str)
+    want_ids = set(
+        zip(
+            exp[exp.role_turn == "user:1"].conv_id,
+            exp[exp.role_turn == "user:1"].turn_idx,
+        )
+    )
+    rows = engine.search(
+        {"term": {"role_turn": "user:1"}},
+        size=len(corpus_pdf),
+        derived={"role_turn": "concat(role, ':', pmod(turn_idx, 3))"},
+    ).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in rows} == want_ids
+
+
+def test_derived_sort_and_fetch(engine, corpus_pdf):
+    # derived column as a sort key and a fetched source column in the
+    # same request: longest matching docs first, text_len fetched
+    rows = engine.search(
+        {"match": {"text": "the"}},
+        size=5,
+        sort=[("text_len", "desc")],
+        source_cols=["conv_id", "turn_idx", "text_len"],
+        derived={"text_len": {"type": "long", "script": {"source": "length(text)"}}},
+    ).collect()
+    assert len(rows) == 5
+    exp = _expected(corpus_pdf).set_index(["conv_id", "turn_idx"])
+    lens = [r["text_len"] for r in rows]
+    assert lens == sorted(lens, reverse=True)
+    for r in rows:
+        assert r["text_len"] == exp.loc[(r["conv_id"], r["turn_idx"]), "text_len"]
+
+
+def test_derived_in_bool_filter_context(engine, corpus_pdf):
+    # derived predicate rides the single fused docmap scan of the
+    # bool filter context alongside a mapped-column predicate
+    exp = _expected(corpus_pdf)
+    want = exp[(exp.text_len >= 100) & (exp.role == "assistant")]
+    rows = engine.search(
+        {
+            "bool": {
+                "filter": [
+                    {"range": {"text_len": {"gte": 100}}},
+                    {"term": {"role": "assistant"}},
+                ]
+            }
+        },
+        size=len(corpus_pdf),
+        derived={"text_len": "length(text)"},
+    ).collect()
+    assert len(rows) == len(want)
+
+
+def test_derived_scope_is_per_request(engine):
+    # after a derived request completes, the name is gone again
+    engine.search(
+        {"range": {"text_len": {"gte": 0}}},
+        size=1,
+        derived={"text_len": "length(text)"},
+    ).collect()
+    assert engine._derived == {}
+    with pytest.raises(Exception):
+        engine.search({"range": {"text_len": {"gte": 0}}}, size=1).collect()
+
+
+def test_derived_validation(engine):
+    with pytest.raises(ValueError, match="shadows"):
+        with engine.derived_fields({"role": "upper(role)"}):
+            pass
+    with pytest.raises(ValueError, match="unsupported derived type"):
+        with engine.derived_fields(
+            {"x": {"type": "geo_point", "script": {"source": "1"}}}
+        ):
+            pass
