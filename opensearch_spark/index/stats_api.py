@@ -1,0 +1,117 @@
+"""Index stats / cat APIs: ``_stats`` and ``_cat/indices`` analogs.
+
+Reference: ``action/admin/indices/stats/IndicesStatsResponse.java``
+(+ ``CommonStats.java``: docs / store / segments groups) and
+``rest/action/cat/RestIndicesAction.java`` (the tabular operational
+view: health, docs.count, docs.deleted, store.size).
+
+Everything here is **metadata arithmetic** — manifests, plan/stats
+JSON, and file sizes from a directory walk.  The single Spark job is
+the tombstone count (``docs.deleted``), and only when a deletes
+directory exists; at 100 TB the API cost stays O(file count), the
+same shape as the reference's in-memory per-shard counters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+from pyspark.sql import SparkSession
+
+from opensearch_spark.index.builder import _paths
+
+
+def _dir_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> Dict:
+    """``GET /<index>/_stats`` analog: docs / store / segments groups
+    (CommonStats.java) plus the build metrics the manifests recorded.
+
+    ``docs.count`` is LIVE docs (total minus tombstones) and
+    ``docs.deleted`` the tombstone count — the same convention as
+    Lucene's ``IndexReader.numDocs()`` / ``numDeletedDocs()`` split
+    that IndicesStatsResponse reports."""
+    from opensearch_spark.index.lifecycle import tombstone_docids
+
+    p = _paths(index_dir)
+    with open(p["plan"]) as f:
+        plan = json.load(f)
+    with open(p["stats"]) as f:
+        stats = json.load(f)
+    dels = tombstone_docids(spark, index_dir)
+    n_deleted = int(dels.count()) if dels is not None else 0
+    n_total = int(stats.get("n_docs") or plan.get("n_docs") or 0)
+
+    manifests: List[Dict] = []
+    mdir = p["manifests"]
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                try:
+                    with open(os.path.join(mdir, name)) as f:
+                        manifests.append(json.load(f))
+                except (OSError, ValueError):
+                    pass
+
+    store = {
+        "size_in_bytes": _dir_bytes(index_dir),
+        "postings_in_bytes": _dir_bytes(p["postings"]),
+        "docmap_in_bytes": _dir_bytes(p["docmap"]),
+        "dictionary_in_bytes": _dir_bytes(p["dictionary"]),
+    }
+    out = {
+        "docs": {"count": n_total - n_deleted, "deleted": n_deleted},
+        "store": store,
+        "segments": {
+            "count": len(manifests),
+            "n_segments_routing": int(plan["n_segments"]),
+        },
+        "build": {
+            "avgdl": stats.get("avgdl"),
+            "sum_dl": stats.get("sum_dl"),
+            "doc_count": stats.get("doc_count"),
+            "wall_ms_total": sum(int(m.get("wall_ms") or 0) for m in manifests),
+        },
+    }
+    if plan.get("resized"):
+        out["resized"] = plan["resized"]
+    if plan.get("incremental"):
+        out["incremental"] = True
+    return out
+
+
+def cat_indices(
+    spark: SparkSession, index_dirs: Dict[str, str], sizes: bool = True
+) -> List[Dict]:
+    """``GET /_cat/indices`` analog (RestIndicesAction.java): one row
+    per index — name, docs.count, docs.deleted, segment count,
+    store.size — for a mapping of ``{index_name: index_dir}``."""
+    rows = []
+    for name, d in sorted(index_dirs.items()):
+        try:
+            s = index_stats(spark, d)
+        except (OSError, KeyError, ValueError) as e:
+            rows.append({"index": name, "health": "red", "error": str(e)})
+            continue
+        rows.append(
+            {
+                "index": name,
+                "health": "green",
+                "docs.count": s["docs"]["count"],
+                "docs.deleted": s["docs"]["deleted"],
+                "segments.count": s["segments"]["count"],
+                "store.size": s["store"]["size_in_bytes"] if sizes else None,
+            }
+        )
+    return rows

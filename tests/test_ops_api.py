@@ -1,0 +1,131 @@
+"""Operational APIs: _stats / _cat/indices (IndicesStatsResponse.java,
+RestIndicesAction.java), the request cache (IndicesRequestCache.java),
+and query-insights top-N (TopQueriesService.java).
+"""
+
+import pytest
+
+from opensearch_spark.index.reader import InvertedIndex
+from opensearch_spark.index.stats_api import cat_indices, index_stats
+from opensearch_spark.query.executor import SearchEngine
+from opensearch_spark.query.insights import QueryInsights
+from opensearch_spark.query.request_cache import RequestCache
+
+QUERY = {"match": {"text": "error handling"}}
+
+
+def test_index_stats_counts(spark, index_dir, engine):
+    s = index_stats(spark, index_dir)
+    n = engine.index.stats["n_docs"]
+    assert s["docs"]["count"] + s["docs"]["deleted"] == n
+    assert s["segments"]["count"] >= 1
+    assert s["segments"]["n_segments_routing"] == engine.index.plan["n_segments"]
+    assert s["store"]["size_in_bytes"] > s["store"]["postings_in_bytes"] > 0
+    assert s["build"]["avgdl"] == engine.index.stats["avgdl"]
+
+
+def test_stats_reflect_deletes_and_resize(spark, index_dir, tmp_path):
+    from opensearch_spark.index.lifecycle import delete_by_query
+    from opensearch_spark.index.resize import shrink_index
+
+    dst = str(tmp_path / "stats_clone")
+    shrink_index(spark, index_dir, dst, 2)
+    eng = SearchEngine(InvertedIndex(spark, dst))
+    before = index_stats(spark, dst)
+    n_del = delete_by_query(eng, {"term": {"role": "tool"}})
+    after = index_stats(spark, dst)
+    assert n_del > 0
+    assert after["docs"]["deleted"] == n_del
+    assert after["docs"]["count"] == before["docs"]["count"] - n_del
+    assert after["segments"]["n_segments_routing"] == 2
+    assert after["resized"][0]["op"] == "shrink"
+
+
+def test_cat_indices(spark, index_dir, tmp_path):
+    rows = cat_indices(
+        spark, {"main": index_dir, "missing": str(tmp_path / "nope")}
+    )
+    by_name = {r["index"]: r for r in rows}
+    assert by_name["main"]["health"] == "green"
+    assert by_name["main"]["docs.count"] > 0
+    assert by_name["missing"]["health"] == "red"
+
+
+def test_request_cache_hit_and_identity(spark, index_dir):
+    eng = SearchEngine(InvertedIndex(spark, index_dir))
+    cache = RequestCache(eng)
+    r1 = cache.search(QUERY, size=10).collect()
+    assert cache.stats == {"hits": 0, "misses": 1, "evictions": 0}
+    r2 = cache.search(QUERY, size=10).collect()
+    assert cache.stats["hits"] == 1
+    assert r1 == r2
+    # different request -> different key
+    cache.search(QUERY, size=5).collect()
+    assert cache.stats["misses"] == 2
+
+
+def test_request_cache_hit_runs_no_engine_search(spark, index_dir, monkeypatch):
+    eng = SearchEngine(InvertedIndex(spark, index_dir))
+    cache = RequestCache(eng)
+    cache.search(QUERY, size=10)
+    calls = {"n": 0}
+    real = eng.search
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(eng, "search", counting)
+    cache.search(QUERY, size=10)
+    assert calls["n"] == 0  # served from cached bytes, engine untouched
+
+
+def test_request_cache_invalidated_by_commit_change(spark, index_dir, tmp_path):
+    from opensearch_spark.index.lifecycle import delete_by_query
+    from opensearch_spark.index.resize import clone_index
+
+    dst = str(tmp_path / "cache_clone")
+    clone_index(spark, index_dir, dst)
+    eng = SearchEngine(InvertedIndex(spark, dst))
+    cache = RequestCache(eng)
+    r1 = cache.search(QUERY, size=10).collect()
+    top = (r1[0]["conv_id"], r1[0]["turn_idx"])
+    delete_by_query(
+        eng,
+        {"bool": {"filter": [
+            {"term": {"conv_id": top[0]}},
+            {"term": {"turn_idx": top[1]}},
+        ]}},
+    )
+    r2 = cache.search(QUERY, size=10).collect()
+    # the reader changed: the hit was NOT served stale
+    assert cache.stats["hits"] == 0 and cache.stats["misses"] == 2
+    assert top not in [(r["conv_id"], r["turn_idx"]) for r in r2]
+
+
+def test_request_cache_eviction(spark, index_dir):
+    eng = SearchEngine(InvertedIndex(spark, index_dir))
+    cache = RequestCache(eng, max_entries=2)
+    for sz in (1, 2, 3):
+        cache.search(QUERY, size=sz)
+    assert cache.stats["evictions"] == 1
+    assert len(cache._entries) == 2
+
+
+def test_query_insights(spark, index_dir):
+    eng = SearchEngine(InvertedIndex(spark, index_dir))
+    ins = QueryInsights(capacity=5)
+    for q in ("error handling", "spark", "the"):
+        ins.measure(eng, {"match": {"text": q}}, size=5)
+    assert len(ins) == 3
+    top = ins.top_queries(n=2)
+    assert len(top) == 2
+    assert top[0]["took_ms"] >= top[1]["took_ms"]
+    by_hits = ins.top_queries(n=3, metric="hits")
+    assert by_hits[0]["hits"] >= by_hits[-1]["hits"]
+    with pytest.raises(ValueError):
+        ins.top_queries(metric="cpu")
+    # capacity bound
+    for i in range(10):
+        ins.record(f"q{i}", took_ms=i)
+    assert len(ins) == 5
