@@ -93,7 +93,9 @@ SURFACE_COMPOSITION = {
     "ft_scoring": "r3 late: 10 ops (+rank_feature log/saturation/sigmoid); earlier had 7",
     "ft_prefix_family": "r3 late: 3 ops (+search_as_you_type over root+2gram+3gram subfield indexes, builds 2 extra small indexes on first run); earlier had 2",
     "ft_multi_match": "r3 late: cross_fields now scores with BlendedTermQuery df-blending (same plan shape, +2 tiny term-stats lookups at plan time)",
-    "lifecycle_suite": "r3 late: +post_restore phase (snapshot to blob repo + hardlink restore + re-query); earlier had 6 phases",
+    "lifecycle_suite": "r3 late: +post_restore phase (snapshot to blob repo + hardlink restore + re-query), then +post_resize phase (hardlink shrink 4->2 + re-query); earlier had 6 phases",
+    "ft_filters": "r3 late: 10 ops (+derived_range typed length(text) range, +derived_term concat expression term — both extra docmap-scan docsets); earlier had 8",
+    "agg_metrics": "r3 late: 12 ops (+mapper_size byte-length stats, +mapper_murmur3 pre-hash cardinality — 2 extra documents scans); earlier r3 had 10",
 }
 
 

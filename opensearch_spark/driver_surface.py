@@ -2938,6 +2938,19 @@ SELECT 'geo_bounds' AS op, metric, value FROM (
   UNION ALL SELECT 'left', min(lon) FROM g
   UNION ALL SELECT 'right', max(lon) FROM g
 )
+UNION ALL
+SELECT 'mapper_size' AS op, metric, value FROM (
+  SELECT 'avg_bytes' AS metric,
+         ROUND(avg(strlen(text) + strlen(lang) + strlen(source)), 6) AS value
+  FROM documents
+  UNION ALL
+  SELECT 'sum_bytes',
+         CAST(sum(strlen(text) + strlen(lang) + strlen(source)) AS DOUBLE)
+  FROM documents
+)
+UNION ALL
+SELECT 'mapper_murmur3' AS op, 'cardinality' AS metric,
+       CAST(count(DISTINCT source) AS DOUBLE) AS value FROM documents
 ORDER BY op, metric""",
 )
 def agg_metrics(spark, sf_dir):
@@ -2948,9 +2961,12 @@ def agg_metrics(spark, sf_dir):
     (CardinalityAggregator.java; the HLL++ path is in approx_suite),
     ``percentiles`` exact (t-digest path in approx_suite),
     ``median_absolute_deviation``, ``percentile_ranks`` exact (the
-    t-digest inverse-quantile, r3), and r3 ``geo_centroid`` /
+    t-digest inverse-quantile, r3), r3 ``geo_centroid`` /
     ``geo_bounds`` (GeoCentroidAggregator.java /
-    GeoBoundsAggregationBuilder) over the documents' lat/lon pair."""
+    GeoBoundsAggregationBuilder) over the documents' lat/lon pair, and
+    late-r3 mapper-plugin analogs: ``mapper_size`` (`_size` source-byte
+    metadata field aggregated) and ``mapper_murmur3`` (cardinality over
+    the 64-bit pre-hash sub-field)."""
     ev = load_table(spark, sf_dir, "events")
 
     def melt(row_df, op):
@@ -2979,6 +2995,26 @@ def agg_metrics(spark, sf_dir):
     gdf = documents_df(spark, sf_dir).select("lat", "lon")
     parts.append(melt(aggs.geo_centroid(gdf), "geo_centroid"))
     parts.append(melt(aggs.geo_bounds(gdf), "geo_bounds"))
+    # late r3 mapper-plugin analogs (ops/mappers.py): _size metadata
+    # field (SizeFieldMapper.java:101 — byte length of the source
+    # payload) aggregated, and cardinality over the murmur3-style
+    # pre-hash sub-field (Murmur3FieldMapper.java:157 — cardinality of
+    # hashes == cardinality of values)
+    from opensearch_spark.ops.mappers import with_murmur3_field, with_size_field
+
+    docs_raw = load_table(spark, sf_dir, "documents")
+    sized = with_size_field(docs_raw, ["text", "lang", "source"])
+    parts.append(
+        melt(
+            sized.agg(
+                F.round(F.avg("_size"), 6).alias("avg_bytes"),
+                F.sum("_size").cast("double").alias("sum_bytes"),
+            ),
+            "mapper_size",
+        )
+    )
+    hashed = with_murmur3_field(docs_raw, "source", out="src_mm3")
+    parts.append(melt(aggs.cardinality(hashed, "src_mm3", exact=True), "mapper_murmur3"))
     return _union(*parts).orderBy("op", "metric")
 
 

@@ -1,0 +1,40 @@
+"""mapper-size / mapper-murmur3 plugin analogs (ops/mappers.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_size_field_is_byte_length(spark):
+    df = spark.createDataFrame(
+        [("a", "héllo"), ("b", None)], "id string, text string"
+    )
+    out = {r["id"]: r["_size"] for r in
+           __import__("opensearch_spark.ops.mappers", fromlist=["x"])
+           .with_size_field(df, ["id", "text"]).collect()}
+    # é is 2 UTF-8 bytes; NULL counts 0 (reference sizes the source bytes)
+    assert out["a"] == 1 + 6
+    assert out["b"] == 1
+
+
+def test_size_field_defaults_to_string_cols(spark):
+    from opensearch_spark.ops.mappers import with_size_field
+
+    df = spark.createDataFrame([(1, "ab", "cd")], "n int, s1 string, s2 string")
+    assert with_size_field(df).collect()[0]["_size"] == 4
+    with pytest.raises(ValueError):
+        with_size_field(df.select("n"))
+
+
+def test_murmur3_field_cardinality_and_nulls(spark):
+    from opensearch_spark.ops.mappers import with_murmur3_field
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(100)] + [(None,)], "v long"
+    ).withColumn("v", F.col("v").cast("string"))
+    h = with_murmur3_field(df, "v", out="h")
+    rows = h.collect()
+    assert sum(1 for r in rows if r["h"] is None) == 1
+    # cardinality of hashes == cardinality of values
+    assert h.agg(F.countDistinct("h")).collect()[0][0] == 7
+    # deterministic across evaluations (7 hashes + the NULL row)
+    assert h.select("h").distinct().count() == 8
