@@ -96,6 +96,7 @@ SURFACE_COMPOSITION = {
     "lifecycle_suite": "r3 late: +post_restore phase (snapshot to blob repo + hardlink restore + re-query), then +post_resize phase (hardlink shrink 4->2 + re-query); earlier had 6 phases",
     "ft_filters": "r3 late: 10 ops (+derived_range typed length(text) range, +derived_term concat expression term — both extra docmap-scan docsets); earlier had 8",
     "agg_metrics": "r3 late: 12 ops (+mapper_size byte-length stats, +mapper_murmur3 pre-hash cardinality — 2 extra documents scans); earlier r3 had 10",
+    "ingest_pipeline": "r3 late: +user_agent (uap-core subset CASE chain) and +geoip (inline prefix-map lookup) — same single projection, 5 more output columns",
 }
 
 

@@ -3695,7 +3695,19 @@ def suggest_suite(spark, sf_dir):
        source AS csv_b,
        CAST(n_chars * 2 + length(lang) AS BIGINT) AS script_v,
        array_to_string(list_transform(regexp_split_to_array(lang || ',' || source, ','), x -> upper(x)), '|') AS each_u,
-       'logs-' || strftime(date_trunc('month', DATE '2024-01-01' + INTERVAL ((doc_id % 60)) DAY), '%Y-%m') AS _index
+       'logs-' || strftime(date_trunc('month', DATE '2024-01-01' + INTERVAL ((doc_id % 60)) DAY), '%Y-%m') AS _index,
+       CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+            WHEN 2 THEN 'Safari' WHEN 3 THEN 'Firefox' ELSE 'Bot' END AS ua_name,
+       CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '120' WHEN 1 THEN '17'
+            WHEN 2 THEN '17' WHEN 3 THEN '115' ELSE CAST(NULL AS VARCHAR) END AS ua_major,
+       CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
+            WHEN 2 THEN 'iOS' WHEN 3 THEN 'Linux' ELSE 'Other' END AS ua_os,
+       CASE CAST(doc_id % 5 AS INT) WHEN 2 THEN 'Mobile' WHEN 4 THEN 'Spider'
+            ELSE 'Other' END AS ua_device,
+       CASE WHEN doc_id % 3 = 2 AND doc_id % 7 = 3 THEN 'CC'
+            WHEN doc_id % 3 = 0 THEN 'AA'
+            WHEN doc_id % 3 = 1 THEN 'BB'
+            ELSE 'ZZ' END AS geo_country
 FROM documents ORDER BY doc_id""",
 )
 def ingest_pipeline(spark, sf_dir):
@@ -3704,18 +3716,46 @@ def ingest_pipeline(spark, sf_dir):
     uppercase + split + join + (r3) csv + script + foreach(uppercase) +
     date_index_name + remove_by_pattern: 11 distinct processors, zero
     extra scans.  community_id (spec-vector) and dot_expander ride
-    pytest (no sha1()/struct hashing in the oracle)."""
+    pytest (no sha1()/struct hashing in the oracle).  Late r3 adds the
+    two ingest PLUGIN modules: ``user_agent``
+    (UserAgentProcessor.java:57 — uap-core regex subset over 5 canned
+    UA strings cycled by doc_id; the oracle pins the hand-derived
+    parse of each) and ``geoip`` (GeoIpProcessor.java:74 — inline
+    longest-dotted-prefix database probed /24, /16, /8)."""
     from opensearch_spark import ingest
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars", "lang", "source"
     )
+    _UAS = [
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+        "(KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 "
+        "Mobile/15E148 Safari/604.1",
+        "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+        "Googlebot/2.1 (+http://www.google.com/bot.html)",
+    ]
     docs = docs.withColumn(
         "csv_line", F.concat_ws(",", "lang", "source")
     ).withColumn(
         "ts",
         F.date_add(F.lit("2024-01-01").cast("date"),
                    (F.col("doc_id") % 60).cast("int")).cast("string"),
+    ).withColumn(
+        "ua",
+        F.element_at(
+            F.array(*[F.lit(u) for u in _UAS]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ),
+    ).withColumn(
+        "ip",
+        F.concat(
+            F.lit("10."), (F.col("doc_id") % 3).cast("string"),
+            F.lit("."), (F.col("doc_id") % 7).cast("string"), F.lit(".9"),
+        ),
     )
     out = ingest.apply_pipeline(
         docs,
@@ -3740,12 +3780,25 @@ def ingest_pipeline(spark, sf_dir):
                                  "index_name_prefix": "logs-",
                                  "index_name_format": "yyyy-MM"}},
             {"remove_by_pattern": {"field_pattern": "csv_line"}},
+            # late r3: the two ingest PLUGIN modules — user_agent
+            # (uap-core subset, ingest-user-agent) and geoip with an
+            # inline longest-prefix database (ingest-geoip; no bundled
+            # MaxMind data, the lookup plumbing is the real part)
+            {"user_agent": {"field": "ua", "target_field": "ua"}},
+            {"geoip": {"field": "ip", "target_field": "geo", "database": {
+                "10.2.3": {"country": "CC"},
+                "10.0": {"country": "AA"},
+                "10.1": {"country": "BB"},
+                "10": {"country": "ZZ"},
+            }}},
         ],
     )
     return out.select(
         "doc_id", "text", "tag", "n_chars_d", "lang_u",
         F.col("source").alias("src_norm"),
         "csv_a", "csv_b", "script_v", "each_u", "_index",
+        "ua_name", "ua_major", "ua_os", "ua_device",
+        F.col("geo_country"),
     ).orderBy("doc_id")
 
 

@@ -272,6 +272,92 @@ def _proc_community_id(df, p):  # CommunityIdProcessor.java
     )
 
 
+def _proc_user_agent(df, p):  # ingest-user-agent UserAgentProcessor.java:57,61
+    """Parse a browser User-Agent string into name / major version /
+    os / device columns (``<target>_name`` etc.) — a compact,
+    deterministic subset of the uap-core regex set the reference loads
+    from its bundled ``regexes.yml``; pure Catalyst (regexp + CASE
+    chain), one projection, no UDF.  Precedence mirrors uap-core:
+    Edge/Opera before Chrome (their UAs embed ``Chrome/``), Safari
+    requires ``Version/`` (Chrome UAs embed ``Safari/``)."""
+    ua = F.col(p["field"])
+    tgt = p.get("target_field", "user_agent")
+    name = (
+        F.when(ua.rlike(r"(?i)bot|spider|crawler"), F.lit("Bot"))
+        .when(ua.rlike(r"Edg(e|A|iOS)?/"), F.lit("Edge"))
+        .when(ua.rlike(r"OPR/|Opera"), F.lit("Opera"))
+        .when(ua.rlike(r"Chrome/"), F.lit("Chrome"))
+        .when(ua.rlike(r"Firefox/"), F.lit("Firefox"))
+        .when(ua.rlike(r"Version/.*Safari/"), F.lit("Safari"))
+        .when(ua.rlike(r"MSIE |Trident/"), F.lit("IE"))
+        .when(ua.rlike(r"curl/"), F.lit("curl"))
+        .otherwise(F.lit("Other"))
+    )
+    ver_pat = (
+        F.when(name == "Edge", F.regexp_extract(ua, r"Edg(?:e|A|iOS)?/(\d+)", 1))
+        .when(name == "Opera", F.regexp_extract(ua, r"OPR/(\d+)", 1))
+        .when(name == "Chrome", F.regexp_extract(ua, r"Chrome/(\d+)", 1))
+        .when(name == "Firefox", F.regexp_extract(ua, r"Firefox/(\d+)", 1))
+        .when(name == "Safari", F.regexp_extract(ua, r"Version/(\d+)", 1))
+        .when(name == "curl", F.regexp_extract(ua, r"curl/(\d+)", 1))
+        .otherwise(F.lit(""))
+    )
+    os_ = (
+        F.when(ua.rlike(r"Windows NT"), F.lit("Windows"))
+        .when(ua.rlike(r"iPhone|iPad|iOS"), F.lit("iOS"))
+        .when(ua.rlike(r"Android"), F.lit("Android"))
+        .when(ua.rlike(r"Mac OS X"), F.lit("Mac OS X"))
+        .when(ua.rlike(r"Linux"), F.lit("Linux"))
+        .otherwise(F.lit("Other"))
+    )
+    device = (
+        F.when(name == "Bot", F.lit("Spider"))
+        .when(ua.rlike(r"iPad|Tablet"), F.lit("Tablet"))
+        .when(ua.rlike(r"Mobi|iPhone|Android"), F.lit("Mobile"))
+        .otherwise(F.lit("Other"))
+    )
+    return (
+        df.withColumn(f"{tgt}_name", name)
+        .withColumn(f"{tgt}_major", F.nullif(ver_pat, F.lit("")))
+        .withColumn(f"{tgt}_os", os_)
+        .withColumn(f"{tgt}_device", device)
+    )
+
+
+def _proc_geoip(df, p):  # ingest-geoip GeoIpProcessor.java:74
+    """IP -> properties by longest dotted-prefix match against an
+    INLINE database: ``{"database": {"10.1.2": {...}, "10.1": {...},
+    "10": {...}}, "field": ..., "target_field": ...}``.
+
+    The reference resolves against bundled MaxMind ``.mmdb`` files; no
+    such database ships here (honest stub for the data), but the lookup
+    plumbing is real and distributed: one literal map per property
+    (broadcast to executors inside the plan) probed at /24, /16 and /8
+    via ``coalesce`` — longest prefix wins, NULL when no entry, exactly
+    the miss behavior of the reference (no geoip fields added)."""
+    ip = F.col(p["field"])
+    tgt = p.get("target_field", "geoip")
+    db = p["database"]
+    props = sorted({k for v in db.values() for k in v})
+    if not db or not props:
+        raise ValueError("geoip requires a non-empty inline database")
+    octs = F.split(ip, r"\.")
+    probes = [
+        F.concat_ws(".", *[octs.getItem(i) for i in range(n)]) for n in (3, 2, 1)
+    ]
+    out = df
+    for prop in props:
+        pairs = []
+        for prefix, vals in db.items():
+            if prop in vals:
+                pairs.extend([F.lit(prefix), F.lit(vals[prop])])
+        m = F.create_map(*pairs)
+        out = out.withColumn(
+            f"{tgt}_{prop}", F.coalesce(*[m.getItem(pr) for pr in probes])
+        )
+    return out
+
+
 PROCESSORS = {
     "set": _proc_set,
     "copy": _proc_copy,
@@ -302,6 +388,8 @@ PROCESSORS = {
     "script": _proc_script,
     "date_index_name": _proc_date_index_name,
     "community_id": _proc_community_id,
+    "user_agent": _proc_user_agent,
+    "geoip": _proc_geoip,
 }
 
 

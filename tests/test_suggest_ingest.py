@@ -170,3 +170,62 @@ def test_ingest_community_id_spec_vector(spark):
     ).collect()
     assert out[0]["community_id"] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
     assert out[1]["community_id"] == out[0]["community_id"]
+
+
+def test_ingest_user_agent(spark):
+    # ingest-user-agent UserAgentProcessor.java: uap-core subset —
+    # precedence pins Edge/Opera before Chrome, Safari needs Version/
+    rows = ingest.apply_pipeline(
+        spark.createDataFrame(
+            [
+                ("edge", "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 "
+                         "(KHTML, like Gecko) Chrome/120.0 Safari/537.36 Edg/120.0"),
+                ("opera", "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+                          "(KHTML, like Gecko) Chrome/119.0 Safari/537.36 OPR/105.0"),
+                ("android", "Mozilla/5.0 (Linux; Android 14; Pixel 8) "
+                            "AppleWebKit/537.36 (KHTML, like Gecko) "
+                            "Chrome/120.0 Mobile Safari/537.36"),
+                ("ie", "Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko"),
+                ("curl", "curl/8.4.0"),
+                ("other", "weird-client/1.0"),
+            ],
+            "id string, ua string",
+        ),
+        [{"user_agent": {"field": "ua", "target_field": "u"}}],
+    ).collect()
+    got = {r["id"]: (r["u_name"], r["u_major"], r["u_os"], r["u_device"]) for r in rows}
+    assert got["edge"] == ("Edge", "120", "Windows", "Other")
+    assert got["opera"] == ("Opera", "105", "Linux", "Other")
+    assert got["android"] == ("Chrome", "120", "Android", "Mobile")
+    assert got["ie"] == ("IE", None, "Windows", "Other")
+    assert got["curl"] == ("curl", "8", "Other", "Other")
+    assert got["other"] == ("Other", None, "Other", "Other")
+
+
+def test_ingest_geoip_longest_prefix(spark):
+    # ingest-geoip GeoIpProcessor.java: /24 beats /16 beats /8; miss -> NULL
+    rows = ingest.apply_pipeline(
+        spark.createDataFrame(
+            [("a", "10.1.2.3"), ("b", "10.1.9.9"), ("c", "10.9.9.9"),
+             ("d", "172.16.0.1")],
+            "id string, ip string",
+        ),
+        [{"geoip": {"field": "ip", "target_field": "g", "database": {
+            "10.1.2": {"country": "C24", "city": "X"},
+            "10.1": {"country": "C16"},
+            "10": {"country": "C8"},
+        }}}],
+    ).collect()
+    got = {r["id"]: (r["g_country"], r["g_city"]) for r in rows}
+    assert got["a"] == ("C24", "X")
+    assert got["b"] == ("C16", None)
+    assert got["c"] == ("C8", None)
+    assert got["d"] == (None, None)
+
+
+def test_ingest_geoip_requires_database(spark):
+    df = spark.createDataFrame([("a", "1.2.3.4")], "id string, ip string")
+    with pytest.raises(ValueError):
+        ingest.apply_pipeline(
+            df, [{"geoip": {"field": "ip", "database": {}}}]
+        )
