@@ -97,6 +97,7 @@ SURFACE_COMPOSITION = {
     "ft_filters": "r3 late: 10 ops (+derived_range typed length(text) range, +derived_term concat expression term — both extra docmap-scan docsets); earlier had 8",
     "agg_metrics": "r3 late: 12 ops (+mapper_size byte-length stats, +mapper_murmur3 pre-hash cardinality — 2 extra documents scans); earlier r3 had 10",
     "ingest_pipeline": "r3 late: +user_agent (uap-core subset CASE chain) and +geoip (inline prefix-map lookup) — same single projection, 5 more output columns",
+    "analysis_suite": "r3 late: +annotated op (mapper-annotated-text tokenizer over the 8-doc slice); earlier r3 had 11 chain ops",
 }
 
 

@@ -283,6 +283,75 @@ def make_tokenizer(spec) -> Callable[[str], TokenStream]:
             return _seq_positions(toks)
 
         return _standard
+    if typ == "annotated_text":
+        # plugins/mapper-annotated-text AnnotatedTextFieldMapper.java:
+        # markdownPattern "\[([^]\[]*)]\(([^)(]*)\)" (:200), plain text =
+        # markup replaced by group(1), annotation values = '&'-split and
+        # URL-decoded (:216-236; key=value pairs rejected), each injected
+        # as an extra token at the position of the first plain-text token
+        # its character span intersects (the AnnotationsInjector
+        # position-increment-0 behavior).  Deviation (documented): the
+        # injected value flows through the downstream filter chain like
+        # any token, while the reference keeps annotation tokens verbatim.
+        from urllib.parse import unquote
+
+        md = re.compile(r"\[([^\]\[]*)\]\(([^)(]*)\)")
+        max_len = int(spec.get("max_token_length", std.MAX_TOKEN_LENGTH))
+
+        def _annotated(s: str) -> TokenStream:
+            s = s or ""
+            sb: List[str] = []
+            plen = 0
+            last = 0
+            annos: List[tuple] = []
+            for m in md.finditer(s):
+                sb.append(s[last : m.start()])
+                plen += m.start() - last
+                start = plen
+                sb.append(m.group(1))
+                plen += len(m.group(1))
+                last = m.end()
+                for pair in m.group(2).split("&"):
+                    if "=" in pair:
+                        raise ValueError(
+                            "key=value pairs are not supported in annotations"
+                        )
+                    v = unquote(pair)
+                    if v:
+                        annos.append((start, plen, v))
+            sb.append(s[last:])
+            plain = "".join(sb)
+            toks: List[str] = []
+            spans: List[tuple] = []
+            for m2 in std._TOKEN_RE.finditer(plain):
+                raw = m2.group(0)
+                if not std._HAS_ALNUM_RE.search(raw):
+                    continue
+                o = m2.start()
+                # _split_cjk uses a capturing split: parts concatenate
+                # back to raw, so offsets accumulate exactly
+                for part in std._split_cjk(raw):
+                    for i in range(0, len(part), max_len):
+                        chunk = part[i : i + max_len]
+                        toks.append(chunk)
+                        spans.append((o, o + len(chunk)))
+                        o += len(chunk)
+            out_t = list(toks)
+            out_p = list(range(len(toks)))
+            for a0, a1, v in annos:
+                hi = max(a1, a0 + 1)  # empty-text annotation anchors right
+                anchor = next(
+                    (p for p, (s0, s1) in enumerate(spans) if s0 < hi and s1 > a0),
+                    None,
+                )
+                if anchor is None:
+                    continue  # annotation over text with no tokens
+                out_t.append(v)
+                out_p.append(anchor)
+            order = sorted(range(len(out_t)), key=lambda i: out_p[i])
+            return [out_t[i] for i in order], [out_p[i] for i in order]
+
+        return _annotated
     if typ == "whitespace":
         return lambda s: _seq_positions((s or "").split())
     if typ == "letter":

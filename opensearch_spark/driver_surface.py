@@ -1512,6 +1512,13 @@ SELECT 'path', doc_id, CAST(0 AS INT), token FROM (
                regexp_split_to_array(source || '/' || lang || '/' || CAST(doc_id AS VARCHAR), '/') AS pp
         FROM __b)
 )
+UNION ALL
+SELECT 'annotated', doc_id, pos, token FROM (
+  SELECT doc_id, CAST(0 AS INT) AS pos, lang AS token FROM __b
+  UNION ALL SELECT doc_id, CAST(0 AS INT), 'lang tag' FROM __b
+  UNION ALL SELECT doc_id, CAST(0 AS INT), source FROM __b
+  UNION ALL SELECT doc_id, CAST(pos + 1 AS INT), token FROM __wsrows
+)
 ORDER BY op, doc_id, pos, token""".replace(
         "__STOPLIST__",
         ",".join(
@@ -1613,6 +1620,24 @@ def analysis_suite(spark, sf_dir):
             "p",
             {"tokenizer": "path_hierarchy"},
             "path",
+        ),
+        # late r3: mapper-annotated-text plugin
+        # (AnnotatedTextFieldMapper.java markdownPattern parse +
+        # same-position annotation injection): '[<lang>](lang%20tag&
+        # <source>) <text>' — the lang token carries two annotation
+        # values at position 0 ('lang tag' URL-decoded, and the source),
+        # text tokens follow at +1
+        rows(
+            base.withColumn(
+                "an",
+                F.concat(
+                    F.lit("["), F.col("lang"), F.lit("](lang%20tag&"),
+                    F.col("source"), F.lit(") "), F.col("ls"),
+                ),
+            ),
+            "an",
+            {"tokenizer": {"type": "annotated_text"}},
+            "annotated",
         ),
     ]
     return _union(*parts).orderBy("op", "doc_id", "pos", "token")

@@ -16,6 +16,14 @@ Request processors:
                      requested size by ``sample_factor`` and remember
                      the original in the processing context (the
                      rerank-then-truncate pattern).
+- ``script``         ScriptRequestProcessor.java — mutate the request
+                     itself before the query phase.  The reference runs
+                     Painless over the SearchRequest; here the script is
+                     a restricted arithmetic expression assigned to a
+                     request attribute (``size`` / ``from``), e.g.
+                     ``{"script": {"source": "size = size * 2 + 1"}}``
+                     — evaluated driver-side with a safe AST walker (no
+                     eval, names limited to request attributes).
 
 Response processors:
 
@@ -34,17 +42,50 @@ decoration.
 
 from __future__ import annotations
 
+import ast
+import operator
 from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_SCRIPT_OPS = {
+    ast.Add: operator.add, ast.Sub: operator.sub,
+    ast.Mult: operator.mul, ast.FloorDiv: operator.floordiv,
+    ast.Div: operator.truediv, ast.Mod: operator.mod,
+}
+
+
+def _eval_request_script(source: str, env: Dict[str, int]) -> Dict[str, int]:
+    """Evaluate ``attr = <arithmetic over request attrs>`` safely
+    (ScriptRequestProcessor.java analog — the sandboxed subset: names
+    limited to request attributes, operators to arithmetic)."""
+    tree = ast.parse(source.strip(), mode="exec")
+    if len(tree.body) != 1 or not isinstance(tree.body[0], ast.Assign):
+        raise ValueError("request script must be a single assignment")
+    (target,) = tree.body[0].targets
+    if not isinstance(target, ast.Name) or target.id not in env:
+        raise ValueError(f"request script may only assign {sorted(env)}")
+
+    def ev(node):
+        if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+            return node.value
+        if isinstance(node, ast.Name):
+            if node.id not in env:
+                raise ValueError(f"unknown name {node.id!r} in request script")
+            return env[node.id]
+        if isinstance(node, ast.BinOp) and type(node.op) in _SCRIPT_OPS:
+            return _SCRIPT_OPS[type(node.op)](ev(node.left), ev(node.right))
+        raise ValueError(f"unsupported request-script syntax: {ast.dump(node)}")
+
+    return {**env, target.id: int(ev(tree.body[0].value))}
 
 
 class SearchPipeline:
     """A compiled pipeline: ``run(engine, query, size)`` applies
     request processors -> engine.search -> response processors."""
 
-    _KNOWN_REQUEST = frozenset({"filter_query", "oversample"})
+    _KNOWN_REQUEST = frozenset({"filter_query", "oversample", "script"})
     _KNOWN_RESPONSE = frozenset({"rename_field", "truncate_hits", "collapse"})
 
     def __init__(
@@ -92,6 +133,11 @@ class SearchPipeline:
                 factor = float(params["sample_factor"])
                 ctx["original_size"] = eff_size
                 eff_size = int(eff_size * factor)
+            elif name == "script":
+                env = _eval_request_script(
+                    params["source"], {"size": eff_size, "from": 0}
+                )
+                eff_size = env["size"]
         df = engine.search(q, size=eff_size, source_cols=source_cols)
         id_cols = list(engine.id_cols)
         for p in self.response_processors:

@@ -112,3 +112,27 @@ def test_search_pipeline(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         SearchPipeline.from_spec({"request_processors": [{"nope": {}}]})
+
+
+def test_search_pipeline_script_processor(spark, engine):
+    # ScriptRequestProcessor.java analog: restricted arithmetic over
+    # request attributes, driver-side, no eval
+    from opensearch_spark.query.searchpipeline import (
+        SearchPipeline,
+        _eval_request_script,
+    )
+
+    pipe = SearchPipeline.from_spec(
+        {"request_processors": [{"script": {"source": "size = size * 2 + 1"}}]}
+    )
+    rows = pipe.run(engine, {"match": {"text": "the"}}, size=3).collect()
+    assert len(rows) == 7
+    assert _eval_request_script("size = size // 2", {"size": 9, "from": 0})["size"] == 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="single assignment"):
+        _eval_request_script("size = 1; size = 2", {"size": 1, "from": 0})
+    with _pt.raises(ValueError, match="may only assign"):
+        _eval_request_script("query = 0", {"size": 1, "from": 0})
+    with _pt.raises(ValueError, match="unsupported"):
+        _eval_request_script("size = __import__('os')", {"size": 1, "from": 0})

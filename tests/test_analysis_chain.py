@@ -261,3 +261,47 @@ def test_from_spec_rejects_unknown_keys_on_named_and_custom_specs():
     # the supported named shape still works (must not raise)
     toks, _pos = Analyzer.from_spec({"type": "standard", "stopwords": ["a"]})("a b")
     assert toks == ["b"]
+
+
+def test_annotated_text_tokenizer():
+    # AnnotatedTextFieldMapper.java markdownPattern + AnnotationToken
+    # semantics: plain text tokens keep sequential positions, each
+    # annotation value is injected at its span's first token position
+    from opensearch_spark.analysis.chain import Analyzer
+
+    an = Analyzer.from_spec({"tokenizer": {"type": "annotated_text"}})
+    toks, poss = an("New mayor is [John Smith](person&John%20Smith) today")
+    pairs = sorted(zip(poss, toks))
+    # plain: New(0) mayor(1) is(2) John(3) Smith(4) today(5)
+    assert (3, "John") in pairs and (4, "Smith") in pairs
+    assert (3, "person") in pairs and (3, "John Smith") in pairs
+    assert (5, "today") in pairs
+    # no annotations -> plain standard tokenization
+    toks2, poss2 = an("plain text")
+    assert toks2 == ["plain", "text"] and poss2 == [0, 1]
+    # key=value pairs are rejected (the reference raises)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="key=value"):
+        an("[x](type=person)")
+    # annotation over empty text anchors at an adjoining token ...
+    toks3, poss3 = an("a [](tag)b")
+    assert ("tag" in toks3) and poss3[toks3.index("tag")] == poss3[toks3.index("b")]
+    # ... and is dropped when no token touches its span (the reference's
+    # AnnotationToken.intersects admits no token either)
+    toks3b, _ = an("a [](tag) b")
+    assert "tag" not in toks3b
+    # annotation with no token in or after its span is dropped
+    toks4, _ = an("a [.](tag)")
+    assert "tag" not in toks4
+
+
+def test_annotated_text_filters_apply_downstream():
+    from opensearch_spark.analysis.chain import Analyzer
+
+    an = Analyzer.from_spec(
+        {"tokenizer": {"type": "annotated_text"}, "filter": ["lowercase"]}
+    )
+    toks, poss = an("[Paris](City) is big")
+    assert ("paris" in toks) and ("city" in toks)
+    assert poss[toks.index("city")] == poss[toks.index("paris")]
