@@ -358,6 +358,48 @@ def _proc_geoip(df, p):  # ingest-geoip GeoIpProcessor.java:74
     return out
 
 
+def _proc_attachment(df, p):  # ingest-attachment AttachmentProcessor.java:61,63
+    """Decode a base64 attachment field into extracted text + metadata
+    columns (``<target>_content``, ``<target>_content_type``,
+    ``<target>_content_length``).
+
+    The reference extracts via Apache Tika (PDF/DOC/…); no such parser
+    ships here, so extraction covers the text-bearing types honestly:
+    UTF-8 plain text passes through, HTML is tag-stripped (the
+    html_strip machinery), and anything that does not decode as UTF-8
+    is classified ``application/octet-stream`` with NULL content — the
+    reference likewise leaves fields absent when Tika extracts nothing.
+    All Catalyst: unbase64 + decode + CASE, no UDF."""
+    field = p["field"]
+    tgt = p.get("target_field", "attachment")
+    raw = F.unbase64(F.col(field))
+    # decode(..., 'UTF-8') with try semantics: non-UTF-8 yields garbage
+    # replacement chars; detect binaries by the presence of NUL instead
+    txt = raw.cast("string")
+    is_text = (
+        txt.isNotNull()
+        & ~txt.contains("\u0000")      # raw binary bytes survive as NUL
+        & ~txt.contains("\ufffd")      # invalid UTF-8 decodes to U+FFFD
+    )
+    looks_html = txt.rlike(r"(?is)^\s*<(?:!doctype|html|body|div|p|h\d)[\s>]")
+    stripped = F.regexp_replace(
+        F.regexp_replace(txt, r"(?is)<(script|style)[^>]*>.*?</\1>", " "),
+        r"<[^>]*>", " ",
+    )
+    content = F.when(is_text & looks_html, F.trim(F.regexp_replace(stripped, r"\s+", " "))) \
+        .when(is_text, txt)
+    ctype = (
+        F.when(is_text & looks_html, F.lit("text/html"))
+        .when(is_text, F.lit("text/plain"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return (
+        df.withColumn(f"{tgt}_content", content)
+        .withColumn(f"{tgt}_content_type", ctype)
+        .withColumn(f"{tgt}_content_length", F.length(content).cast("long"))
+    )
+
+
 PROCESSORS = {
     "set": _proc_set,
     "copy": _proc_copy,
@@ -390,6 +432,7 @@ PROCESSORS = {
     "community_id": _proc_community_id,
     "user_agent": _proc_user_agent,
     "geoip": _proc_geoip,
+    "attachment": _proc_attachment,
 }
 
 

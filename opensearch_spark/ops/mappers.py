@@ -49,6 +49,29 @@ def with_size_field(
     return df.withColumn(out, size)
 
 
+def with_token_count_field(
+    df: DataFrame, col: str, out: Optional[str] = None, analyzer="standard"
+) -> DataFrame:
+    """``token_count`` field type (mapper-extras
+    ``TokenCountFieldMapper.java:53``): a sub-field holding the number
+    of analyzed tokens of the text, computed with the SAME analysis
+    chain the index would use — an Arrow-batched pandas UDF, one pass,
+    no shuffle.  NULL text counts NULL (the reference leaves the field
+    absent)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from opensearch_spark.analysis.chain import Analyzer
+
+    an = Analyzer.from_spec(analyzer)
+    out = out or f"{col}.token_count"
+
+    @pandas_udf("int")
+    def _count(s):
+        return s.map(lambda x: None if x is None else len(an(x)[0]))
+
+    return df.withColumn(out, _count(F.col(col)))
+
+
 def with_murmur3_field(df: DataFrame, col: str, out: Optional[str] = None) -> DataFrame:
     """``mapper-murmur3`` analog: append ``<col>.mm3`` = 64-bit hash of
     the value (NULL stays NULL, like the reference skipping null

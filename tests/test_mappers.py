@@ -38,3 +38,24 @@ def test_murmur3_field_cardinality_and_nulls(spark):
     assert h.agg(F.countDistinct("h")).collect()[0][0] == 7
     # deterministic across evaluations (7 hashes + the NULL row)
     assert h.select("h").distinct().count() == 8
+
+
+def test_token_count_field(spark):
+    # mapper-extras TokenCountFieldMapper: counts analyzed tokens with
+    # the index's own chain; NULL stays NULL
+    from opensearch_spark.ops.mappers import with_token_count_field
+
+    df = spark.createDataFrame(
+        [("a", "Hello, big WORLD"), ("b", ""), ("c", None)],
+        "id string, text string",
+    )
+    out = {r["id"]: r["n"] for r in
+           with_token_count_field(df, "text", out="n").collect()}
+    assert out == {"a": 3, "b": 0, "c": None}
+    # a stop-filtered chain counts surviving tokens only
+    out2 = with_token_count_field(
+        df.filter("id = 'a'"), "text", out="n",
+        analyzer={"tokenizer": "standard",
+                  "filter": ["lowercase", {"type": "stop", "stopwords": ["big"]}]},
+    ).collect()[0]["n"]
+    assert out2 == 2

@@ -229,3 +229,28 @@ def test_ingest_geoip_requires_database(spark):
         ingest.apply_pipeline(
             df, [{"geoip": {"field": "ip", "database": {}}}]
         )
+
+
+def test_ingest_attachment(spark):
+    # ingest-attachment AttachmentProcessor.java: base64 -> extracted
+    # content + content_type; text/html stripped, binary -> NULL content
+    import base64
+
+    rows = ingest.apply_pipeline(
+        spark.createDataFrame(
+            [
+                ("txt", base64.b64encode("plain body".encode()).decode()),
+                ("html", base64.b64encode(
+                    "<html><body><p>Hello <b>world</b></p></body></html>".encode()
+                ).decode()),
+                ("bin", base64.b64encode(b"\x89PNG\r\n\x1a\n\x00\x00").decode()),
+            ],
+            "id string, data string",
+        ),
+        [{"attachment": {"field": "data", "target_field": "att"}}],
+    ).collect()
+    got = {r["id"]: (r["att_content"], r["att_content_type"]) for r in rows}
+    assert got["txt"] == ("plain body", "text/plain")
+    assert got["html"][1] == "text/html" and "Hello world" in got["html"][0]
+    assert "<" not in got["html"][0]
+    assert got["bin"] == (None, "application/octet-stream")
