@@ -238,6 +238,136 @@ class Scripted(Similarity):
         ).cast("float")
 
 
+def _dfr_normalization(spec: dict):
+    """Term-frequency normalizations shared by DFR and IB
+    (``SimilarityProviders.parseNormalization``: no/h1/h2/h3/z with the
+    reference's default c/mu/z values).  Returns ``fn(tf, dl, avgdl,
+    sum_dl, ttf) -> Column`` (all Columns except the floats)."""
+    norm = spec.get("normalization", "h2")
+    if norm == "no":
+        return lambda tf, dl, avgdl, sum_dl, ttf: tf
+    if norm == "h1":
+        c = float(spec.get("normalization.h1.c", 1.0))
+        return lambda tf, dl, avgdl, sum_dl, ttf: tf * F.lit(c * avgdl) / dl
+    if norm == "h2":
+        c = float(spec.get("normalization.h2.c", 1.0))
+        return lambda tf, dl, avgdl, sum_dl, ttf: tf * F.log(
+            F.lit(1.0) + F.lit(c * avgdl) / dl
+        ) / F.lit(_LN2)
+    if norm == "h3":
+        mu = float(spec.get("normalization.h3.c", 800.0))
+        return lambda tf, dl, avgdl, sum_dl, ttf: (
+            (tf + F.lit(mu) * (ttf + F.lit(1.0)) / F.lit(sum_dl + 1.0))
+            / (dl + F.lit(mu)) * F.lit(mu)
+        )
+    if norm == "z":
+        z = float(spec.get("normalization.z.z", 0.30))
+        return lambda tf, dl, avgdl, sum_dl, ttf: tf * F.pow(
+            F.lit(avgdl) / dl, F.lit(z)
+        )
+    raise ValueError(f"unsupported normalization {norm!r}")
+
+
+class DFR(Scripted):
+    """Divergence-from-randomness (``SimilarityProviders.java:299``
+    ``createDfrSimilarity``; basic models g/if/in/ine :96-101, after
+    effects b/l :111-114, normalizations no/h1/h2/h3/z :206-226).
+
+    Formulas are the PUBLISHED DFR framework (Amati & Van Rijsbergen,
+    TOIS 2002) — ``score = gain * Inf1(tfn)`` with the classic
+    definitions below.  Documented deviation: Lucene 9 refactored the
+    after-effect/basic-model composition for provably monotone scores
+    (LUCENE-8015), which can shift low-order terms vs the textbook
+    forms; ranks are pinned by fixtures, not claimed bit-identical.
+
+    - normalized tf ``tfn``: see ``_dfr_normalization``.
+    - basic models (information content, log2):
+      ``in``  tfn * log2((N+1)/(n+0.5))
+      ``ine`` tfn * log2((N+1)/(ne+0.5)), ne = N*(1-((N-1)/N)^F)
+      ``if``  tfn * log2((N+1)/(F+0.5))
+      ``g``   lam=F/(N+F); log2(1/(1+lam)) + tfn*log2((1+lam)/lam)
+    - after effects (first normalization): ``l`` 1/(1+tfn),
+      ``b`` (F+1)/(n*(1+tfn))
+    where N = docs, n = df, F = ttf."""
+
+    name = "DFR"
+
+    def __init__(self, spec: dict):
+        model = spec.get("basic_model", "g")
+        effect = spec.get("after_effect", "l")
+        if model not in ("g", "if", "in", "ine"):
+            raise ValueError(f"unsupported basic_model {model!r}")
+        if effect not in ("b", "l"):
+            raise ValueError(f"unsupported after_effect {effect!r}")
+        tfn_fn = _dfr_normalization(spec)
+
+        def fn(tf, dl, df, ttf, n, sum_dl, avgdl):
+            tfn = tfn_fn(tf, dl, avgdl, sum_dl, ttf)
+            Nn = F.lit(float(n))
+            if model == "in":
+                inf1 = tfn * F.log((Nn + 1) / (df + F.lit(0.5))) / F.lit(_LN2)
+            elif model == "ine":
+                ne = Nn * (
+                    F.lit(1.0) - F.pow((Nn - 1) / Nn, ttf)
+                )
+                inf1 = tfn * F.log((Nn + 1) / (ne + F.lit(0.5))) / F.lit(_LN2)
+            elif model == "if":
+                inf1 = tfn * F.log((Nn + 1) / (ttf + F.lit(0.5))) / F.lit(_LN2)
+            else:  # g
+                lam = ttf / (Nn + ttf)
+                inf1 = (
+                    F.log(F.lit(1.0) / (1 + lam))
+                    + tfn * F.log((1 + lam) / lam)
+                ) / F.lit(_LN2)
+            if effect == "l":
+                gain = F.lit(1.0) / (F.lit(1.0) + tfn)
+            else:  # b
+                gain = (ttf + 1) / (df * (F.lit(1.0) + tfn))
+            return F.greatest(gain * inf1, F.lit(0.0))
+
+        super().__init__(fn)
+
+
+class IB(Scripted):
+    """Information-based similarity (``SimilarityProviders.java``
+    ``createIBSimilarity``; distributions ll/spl :135-138, lambdas
+    df/ttf :140-143; Lucene ``IBSimilarity``).  Published framework
+    (Clinchant & Gaussier, SIGIR 2010):
+
+    - ``lambda``: ``df`` (n+1)/(N+1), ``ttf`` (F+1)/(N+1)
+    - ``ll``:  -log2(lam / (tfn + lam))
+    - ``spl``: -log2((lam^(tfn/(tfn+1)) - lam) / (1 - lam))
+    with tfn from the shared normalization set."""
+
+    name = "IB"
+
+    def __init__(self, spec: dict):
+        dist = spec.get("distribution", "ll")
+        lam_kind = spec.get("lambda", "df")
+        if dist not in ("ll", "spl"):
+            raise ValueError(f"unsupported distribution {dist!r}")
+        if lam_kind not in ("df", "ttf"):
+            raise ValueError(f"unsupported lambda {lam_kind!r}")
+        tfn_fn = _dfr_normalization(spec)
+
+        def fn(tf, dl, df, ttf, n, sum_dl, avgdl):
+            tfn = tfn_fn(tf, dl, avgdl, sum_dl, ttf)
+            Nn = F.lit(float(n))
+            lam = (
+                (df + 1) / (Nn + 1) if lam_kind == "df" else (ttf + 1) / (Nn + 1)
+            )
+            if dist == "ll":
+                raw = -F.log(lam / (tfn + lam)) / F.lit(_LN2)
+            else:  # spl
+                frac = (F.pow(lam, tfn / (tfn + 1)) - lam) / (F.lit(1.0) - lam)
+                # lam -> 1 degenerates (0/0); the reference's stats make
+                # lam < 1 whenever df < N — clamp for the all-docs term
+                raw = -F.log(F.greatest(frac, F.lit(1e-12))) / F.lit(_LN2)
+            return F.greatest(raw, F.lit(0.0))
+
+        super().__init__(fn)
+
+
 def from_spec(spec, avgdl: float = 1.0) -> Similarity:
     """Build a Similarity from a mapping-style settings dict
     (``{"type": "LMDirichlet", "mu": 500}`` — the shape
@@ -261,4 +391,8 @@ def from_spec(spec, avgdl: float = 1.0) -> Similarity:
         return Boolean()
     if t == "DFI":
         return DFI(measure=spec.get("independence_measure", "standardized"))
+    if t == "DFR":
+        return DFR(spec)
+    if t == "IB":
+        return IB(spec)
     raise ValueError(f"unknown similarity type: {t!r}")

@@ -60,8 +60,11 @@ def test_from_spec_defaults():
     bm = S.from_spec({"k1": 0.9, "b": 0.4}, avgdl=7.0)
     assert (bm.k1, bm.b, bm.avgdl) == (0.9, 0.4, 7.0)
     assert bm.is_bm25
+    # DFR/IB are supported (late r3) with the reference's defaults
+    assert S.from_spec({"type": "DFR"}).name == "DFR"
+    assert S.from_spec({"type": "IB"}).name == "IB"
     with pytest.raises(ValueError):
-        S.from_spec({"type": "DFR"})
+        S.from_spec({"type": "nope"})
 
 
 # ------------------------------------------------------------- engine e2e
@@ -167,3 +170,139 @@ def test_scripted_similarity_runs_jvm_side(spark, index_dir, oracle):
     assert [(c, t) for _, c, t in got] == [(c, t) for _, c, t in exp]
     for (gs, _, _), (es, _, _) in zip(got, exp):
         assert gs == pytest.approx(es, rel=1e-6)
+
+
+# ------------------------------------------------------------- DFR / IB
+
+
+def _tfn_py(norm, tf, dl, avgdl, sum_dl=None, ttf=None):
+    if norm == "no":
+        return tf
+    if norm == "h1":
+        return tf * avgdl / dl
+    if norm == "h2":
+        return tf * math.log2(1 + avgdl / dl)
+    if norm == "z":
+        return tf * (avgdl / dl) ** 0.30
+    if norm == "h3":
+        mu = 800.0
+        return (tf + mu * (ttf + 1) / (sum_dl + 1)) / (dl + mu) * mu
+    raise AssertionError(norm)
+
+
+def _eval_full(spark, sim, tf, dl, df, ttf, n, sum_dl, avgdl):
+    from pyspark.sql import functions as F
+
+    df1 = spark.createDataFrame(
+        [(float(tf), float(dl), float(df), float(ttf))],
+        "tf double, dl double, df double, ttf double",
+    )
+    col = sim.score_full_col(
+        F.col("tf"), F.col("dl"), F.col("df"), F.col("ttf"),
+        float(n), float(sum_dl), float(avgdl),
+    )
+    return float(df1.select(col.alias("s")).collect()[0]["s"])
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        {"type": "DFR", "basic_model": "g", "after_effect": "l", "normalization": "h2"},
+        {"type": "DFR", "basic_model": "in", "after_effect": "b", "normalization": "h1"},
+        {"type": "DFR", "basic_model": "ine", "after_effect": "l", "normalization": "no"},
+        {"type": "DFR", "basic_model": "if", "after_effect": "b", "normalization": "z"},
+    ],
+)
+def test_dfr_formula_micro(spark, spec):
+    sim = S.from_spec(dict(spec))
+    tf, dl, df, ttf, n, sum_dl, avgdl = 3, 8, 5, 9, 100, 650, 6.5
+    tfn = _tfn_py(spec["normalization"], tf, dl, avgdl, sum_dl, ttf)
+    m = spec["basic_model"]
+    if m == "g":
+        lam = ttf / (n + ttf)
+        inf1 = math.log2(1 / (1 + lam)) + tfn * math.log2((1 + lam) / lam)
+    elif m == "in":
+        inf1 = tfn * math.log2((n + 1) / (df + 0.5))
+    elif m == "ine":
+        ne = n * (1 - ((n - 1) / n) ** ttf)
+        inf1 = tfn * math.log2((n + 1) / (ne + 0.5))
+    else:
+        inf1 = tfn * math.log2((n + 1) / (ttf + 0.5))
+    gain = 1 / (1 + tfn) if spec["after_effect"] == "l" else (ttf + 1) / (df * (1 + tfn))
+    exp = max(gain * inf1, 0.0)
+    got = _eval_full(spark, sim, tf, dl, df, ttf, n, sum_dl, avgdl)
+    assert got == pytest.approx(np.float32(exp), rel=1e-6)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        {"type": "IB", "distribution": "ll", "lambda": "df", "normalization": "h2"},
+        {"type": "IB", "distribution": "spl", "lambda": "ttf", "normalization": "h1"},
+    ],
+)
+def test_ib_formula_micro(spark, spec):
+    sim = S.from_spec(dict(spec))
+    tf, dl, df, ttf, n, sum_dl, avgdl = 2, 10, 4, 7, 50, 325, 6.5
+    tfn = _tfn_py(spec["normalization"], tf, dl, avgdl, sum_dl, ttf)
+    lam = (df + 1) / (n + 1) if spec["lambda"] == "df" else (ttf + 1) / (n + 1)
+    if spec["distribution"] == "ll":
+        exp = -math.log2(lam / (tfn + lam))
+    else:
+        exp = -math.log2((lam ** (tfn / (tfn + 1)) - lam) / (1 - lam))
+    exp = max(exp, 0.0)
+    got = _eval_full(spark, sim, tf, dl, df, ttf, n, sum_dl, avgdl)
+    assert got == pytest.approx(np.float32(exp), rel=1e-6)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        {"type": "DFR", "basic_model": "g", "after_effect": "l", "normalization": "h2"},
+        {"type": "IB", "distribution": "ll", "lambda": "df", "normalization": "h2"},
+    ],
+)
+def test_engine_dfr_ib_e2e(spark, index_dir, oracle, spec):
+    # engine top-10 equals a pure-python recomputation from the oracle
+    # postings (quantized dl, float32 per-term scores)
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(InvertedIndex(spark, index_dir), similarity=spec)
+    term = oracle.tokens[0][0]
+    rows = eng.search({"match": {"text": term}}, size=10).collect()
+    n = oracle.doc_count
+    avgdl = oracle.avgdl
+    posting = oracle.post[term]
+    df_t = len(posting)
+    ttf_t = sum(posting.values())
+    exp = []
+    for d, tf in posting.items():
+        dl = float(oracle.dl_q[d])
+        tfn = tf * math.log2(1 + avgdl / dl)
+        if spec["type"] == "DFR":
+            lam = ttf_t / (n + ttf_t)
+            inf1 = math.log2(1 / (1 + lam)) + tfn * math.log2((1 + lam) / lam)
+            s = max(inf1 / (1 + tfn), 0.0)
+        else:
+            lam = (df_t + 1) / (n + 1)
+            s = max(-math.log2(lam / (tfn + lam)), 0.0)
+        exp.append((float(np.float32(s)),
+                    oracle.rows[d]["conv_id"], oracle.rows[d]["turn_idx"]))
+    exp.sort(key=lambda x: (-x[0], x[1], x[2]))
+    got = [(r["score"], r["conv_id"], r["turn_idx"]) for r in rows]
+    assert [(c, t) for _, c, t in got] == [(c, t) for _, c, t in exp[:10]]
+    for (gs, _, _), (es, _, _) in zip(got, exp[:10]):
+        assert gs == pytest.approx(es, rel=1e-6)
+
+
+def test_dfr_ib_validation():
+    with pytest.raises(ValueError, match="basic_model"):
+        S.from_spec({"type": "DFR", "basic_model": "p"})
+    with pytest.raises(ValueError, match="after_effect"):
+        S.from_spec({"type": "DFR", "basic_model": "g", "after_effect": "no"})
+    with pytest.raises(ValueError, match="distribution"):
+        S.from_spec({"type": "IB", "distribution": "x"})
+    with pytest.raises(ValueError, match="normalization"):
+        S.from_spec({"type": "DFR", "basic_model": "g", "after_effect": "l",
+                     "normalization": "h9"})
