@@ -306,3 +306,19 @@ def test_minhash_md5_mode_keeps_candidate_probe_order(spark):
     out = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8, hash_fn="md5")
     plan = _formatted(out)
     assert "CartesianProduct" not in plan
+
+
+def test_derived_predicate_keeps_mapped_pushdown(engine):
+    """A derived-field predicate (computed column, not pushable) must not
+    drag the mapped-column conjunct out of the parquet scan: Catalyst
+    splits the conjunction and still pushes the role filter down."""
+    with engine.derived_fields({"tl": "length(text)"}):
+        dm = (
+            engine.docmap()
+            .filter((F.col("tl") > 50) & (F.col("role") == "user"))
+            .select("_docid")
+        )
+        plan = _formatted(dm)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    if pushed:  # raw parquet scan (not an InMemoryRelation)
+        assert any("role" in l for l in pushed), plan
