@@ -528,6 +528,7 @@ class SearchEngine:
         script_fields: Optional[Dict[str, Dict]] = None,
         min_score: Optional[float] = None,
         derived: Optional[Dict[str, object]] = None,
+        terminate_after: Optional[int] = None,
     ) -> DataFrame:
         """Top-k retrieval: DataFrame of id_cols + score (float64), ordered
         (score desc, id_cols asc). Default size 10 / from 0 mirrors
@@ -563,6 +564,7 @@ class SearchEngine:
                     query, size=size, from_=from_, source_cols=source_cols,
                     prune=prune, sort=sort, search_after=search_after,
                     script_fields=script_fields, min_score=min_score,
+                    terminate_after=terminate_after,
                 )
         q = Q.from_dict(query) if isinstance(query, dict) else query
         scored = None
@@ -575,6 +577,10 @@ class SearchEngine:
             prune
             and not sort
             and search_after is None
+            # terminate_after caps the docset in docID order; WAND prune
+            # drops docs by score bound — composing them would cap a
+            # different (score-biased) subset than the reference collects
+            and terminate_after is None
             and not self._has_deletes()
             # block-max bounds are derived from the BM25 formula; any other
             # configured similarity scores densely (similarities.py scope)
@@ -588,6 +594,26 @@ class SearchEngine:
         if scored is None:
             scored = self._score(q)
         scored = self._apply_deletes(scored)
+        if terminate_after is not None:
+            # ``terminate_after`` (SearchSourceBuilder.java:106,534;
+            # QueryPhase's EarlyTerminatingCollector): each shard stops
+            # after COLLECTING N matching docs in docID order, so hits
+            # and counts become lower bounds.  Spark analog: cap the
+            # matched docset per routing segment by a row_number window
+            # over ascending docid — the same "first N collected per
+            # shard" subset, computed declaratively (Spark has no
+            # mid-scan collector abort; the cap bounds downstream work
+            # — fetch, ranking — which is where the reference saves too)
+            from pyspark.sql import Window as _W
+
+            seg = self.docmap().select("_docid", "_seg")
+            w = _W.partitionBy("_seg").orderBy(F.asc("_docid"))
+            scored = (
+                scored.join(seg, "_docid")
+                .withColumn("_ta_rn", F.row_number().over(w))
+                .filter(F.col("_ta_rn") <= int(terminate_after))
+                .drop("_ta_rn", "_seg")
+            )
         if min_score is not None:
             # ``min_score`` (SearchSourceBuilder.java minScore; applied
             # post-scoring like the reference's MinScoreCollector) —
@@ -848,6 +874,30 @@ class SearchEngine:
         track_total_hits=10000 default, SURVEY.md §2.6)."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
         return self._apply_deletes(self._score(q)).count()
+
+    def total_hits(self, query, track_total_hits: object = 10000) -> Dict:
+        """``track_total_hits`` semantics
+        (SearchSourceBuilder.java:184,633; TopDocsCollectorContext's
+        threshold collector): count matching docs but STOP once the
+        threshold is proven exceeded — ``{"value": n, "relation":
+        "eq"}`` below it, ``{"value": threshold, "relation": "gte"}``
+        at/above it.  ``True`` = exact (TRACK_TOTAL_HITS_ACCURATE),
+        ``False`` = disabled (value 0, like the reference omitting the
+        total).  Spark analog of the early-terminating count:
+        ``limit(threshold + 1).count()`` — the scan stops feeding once
+        the limit is satisfied, so a million-hit query costs the
+        threshold, not the corpus."""
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        if track_total_hits is False:
+            return {"value": 0, "relation": "gte"}
+        scored = self._apply_deletes(self._score(q)).select("_docid")
+        if track_total_hits is True:
+            return {"value": int(scored.count()), "relation": "eq"}
+        th = int(track_total_hits)
+        n = int(scored.limit(th + 1).count())
+        if n > th:
+            return {"value": th, "relation": "gte"}
+        return {"value": n, "relation": "eq"}
 
     def validate(self, query, explain: bool = False) -> Dict:
         """``_validate/query`` (TransportValidateQueryAction / the

@@ -1,0 +1,64 @@
+"""terminate_after and track_total_hits search options
+(SearchSourceBuilder.java:106,184 — early-terminating collectors)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _matched_docids(engine, query):
+    from opensearch_spark.query import dsl as Q
+
+    return {
+        r["_docid"]
+        for r in engine._score(Q.from_dict(query)).select("_docid").collect()
+    }
+
+
+def test_terminate_after_caps_per_segment(engine):
+    q = {"match": {"text": "the"}}
+    full = _matched_docids(engine, q)
+    n_segs = engine.index.plan["n_segments"]
+    rows = engine.search(q, size=10000, terminate_after=3).collect()
+    assert 0 < len(rows) <= 3 * n_segs < len(full)
+    # the capped subset is the FIRST matching docids per segment (docID
+    # collection order, like EarlyTerminatingCollector)
+    seg_rows = (
+        engine.docmap()
+        .select("_docid", "_seg", "conv_id", "turn_idx")
+        .collect()
+    )
+    by_id = {(r["conv_id"], r["turn_idx"]): (r["_seg"], r["_docid"]) for r in seg_rows}
+    docid_by_seg = {}
+    for r in seg_rows:
+        if r["_docid"] in full:
+            docid_by_seg.setdefault(r["_seg"], []).append(r["_docid"])
+    expected = set()
+    for seg, ids in docid_by_seg.items():
+        expected.update(sorted(ids)[:3])
+    got = {by_id[(r["conv_id"], r["turn_idx"])][1] for r in rows}
+    assert got <= expected
+
+
+def test_terminate_after_forces_dense_path(engine):
+    # WAND prune + terminate_after would cap a score-biased subset; the
+    # engine must fall back to dense scoring
+    q = {"match": {"text": "the"}}
+    rows = engine.search(q, size=5, terminate_after=2, prune=True).collect()
+    assert len(rows) <= 2 * engine.index.plan["n_segments"]
+
+
+def test_track_total_hits_thresholds(engine):
+    q = {"match": {"text": "the"}}
+    exact = engine.count(q)
+    assert exact > 10
+    t_exact = engine.total_hits(q, track_total_hits=True)
+    assert t_exact == {"value": exact, "relation": "eq"}
+    t_low = engine.total_hits(q, track_total_hits=10)
+    assert t_low == {"value": 10, "relation": "gte"}
+    t_high = engine.total_hits(q, track_total_hits=exact + 5)
+    assert t_high == {"value": exact, "relation": "eq"}
+    t_off = engine.total_hits(q, track_total_hits=False)
+    assert t_off == {"value": 0, "relation": "gte"}
+    # boundary: threshold exactly equal to the hit count stays "eq"
+    t_eq = engine.total_hits(q, track_total_hits=exact)
+    assert t_eq == {"value": exact, "relation": "eq"}
