@@ -44,13 +44,28 @@ def terms(
     field: str,
     size: int = 10,
     order_by_key: bool = False,
+    min_doc_count: int = 1,
+    missing=None,
 ) -> DataFrame:
     """``terms`` bucket agg (``TermsAggregationBuilder.java:81-86``):
     top ``size`` buckets by doc count desc, key asc tie-break (the
-    reference's default ordering)."""
-    out = df.groupBy(F.col(field).alias("key")).agg(
+    reference's default ordering).
+
+    ``min_doc_count`` (default 1, the reference's) drops buckets below
+    the threshold AFTER counting; ``missing`` substitutes a bucket key
+    for docs without the field (ValuesSourceAggregationBuilder
+    ``missing``), and when unset such docs are simply not bucketed —
+    both exactly the reference's semantics."""
+    key = F.col(field)
+    if missing is not None:
+        key = F.coalesce(key, F.lit(missing))
+    else:
+        df = df.filter(F.col(field).isNotNull())
+    out = df.groupBy(key.alias("key")).agg(
         F.count(F.lit(1)).alias("doc_count")
     )
+    if min_doc_count > 1:
+        out = out.filter(F.col("doc_count") >= int(min_doc_count))
     if order_by_key:
         return out.orderBy(F.asc("key")).limit(size)
     return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)

@@ -2358,6 +2358,22 @@ SELECT 'shard_terms_meta' AS op, 'sum_other_doc_count' AS key,
        CAST((SELECT shard_other FROM __stot)
             + (SELECT sum(doc_count) FROM __smrg)
             - (SELECT sum(doc_count) FROM __stop) AS BIGINT) AS doc_count
+UNION ALL
+SELECT * FROM (
+  SELECT 'terms_missing' AS op, key, doc_count FROM (
+    SELECT COALESCE(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END,
+                    '__missing__') AS key,
+           CAST(count(*) AS BIGINT) AS doc_count
+    FROM documents GROUP BY 1
+  ) ORDER BY doc_count DESC, key ASC LIMIT 5
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'terms_mindoc' AS op, key, doc_count FROM (
+    SELECT source AS key, CAST(count(*) AS BIGINT) AS doc_count
+    FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
+  ) WHERE doc_count >= 3 ORDER BY key ASC LIMIT 10
+)
 ORDER BY op, doc_count DESC, key ASC""",
 )
 def agg_terms_variants(spark, sf_dir):
@@ -2370,7 +2386,10 @@ def agg_terms_variants(spark, sf_dir):
     ``doc_count_error_upper_bound`` and ``sum_other_doc_count`` (op
     shard_terms_meta) — shard = pmod(event_id, 8), size 5,
     shard_size 6 so every shard truncates (nonzero bounds), oracle
-    replays the same merge arithmetic."""
+    replays the same merge arithmetic.  Late r3 adds the terms agg
+    OPTIONS over the null-bearing src_alt column: ``terms_missing``
+    (``missing`` substitute key) and ``terms_mindoc``
+    (``min_doc_count`` bucket pruning, key-ordered)."""
     ev = load_table(spark, sf_dir, "events")
     mt = (
         ev.groupBy("event_type", (F.col("user_id") % 10).alias("b"))
@@ -2399,12 +2418,22 @@ def agg_terms_variants(spark, sf_dir):
             )
         ).alias("key", "doc_count")
     )
+    # late r3: the terms agg's ``missing`` and ``min_doc_count`` options
+    # (ValuesSourceAggregationBuilder missing / TermsAggregationBuilder
+    # minDocCount) over src_alt, which is NULL for every 7th doc
+    docs_null = documents_df(spark, sf_dir)
+    tm = aggs.terms(docs_null, "src_alt", size=5, missing="__missing__")
+    td = aggs.terms(
+        docs_null, "src_alt", size=10, order_by_key=True, min_doc_count=3
+    )
     return _union(
         _tag(mt, "multi_terms", "key", "doc_count"),
         _tag(rt, "rare_terms", "key", "doc_count"),
         _tag(st, "shard_terms", "key", "doc_count"),
         _tag(se, "shard_terms_err", "key", "doc_count"),
         _tag(sm, "shard_terms_meta", "key", "doc_count"),
+        _tag(tm, "terms_missing", "key", "doc_count"),
+        _tag(td, "terms_mindoc", "key", "doc_count"),
     ).orderBy("op", F.desc("doc_count"), F.asc("key"))
 
 
