@@ -98,6 +98,8 @@ SURFACE_COMPOSITION = {
     "agg_metrics": "r3 late: 12 ops (+mapper_size byte-length stats, +mapper_murmur3 pre-hash cardinality — 2 extra documents scans); earlier r3 had 10",
     "ingest_pipeline": "r3 late: +user_agent (uap-core subset CASE chain) and +geoip (inline prefix-map lookup) — same single projection, 5 more output columns",
     "analysis_suite": "r3 late: +annotated op (mapper-annotated-text tokenizer over the 8-doc slice); earlier r3 had 11 chain ops",
+    "streaming_percolate": "r3 late: +correlated_error/+correlated_purchase (events-correlation banded time join over the events table); earlier had 2 percolator ops",
+    "agg_terms_variants": "r3 late: +terms_missing/+terms_mindoc option ops (2 extra documents scans); earlier r3 had 7",
 }
 
 

@@ -3869,13 +3869,36 @@ SELECT 'q_msm' AS op, doc_id FROM (
   SELECT doc_id FROM __tf WHERE term IN ('spark', 'merge', 'vector')
   GROUP BY doc_id HAVING count(DISTINCT term) >= 2
 )
+UNION ALL
+SELECT 'correlated_error' AS op, event_id AS doc_id FROM (
+  SELECT DISTINCT a.event_id
+  FROM events a JOIN events b
+    ON abs(epoch(a.ts) - epoch(b.ts)) <= 60
+  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+)
+UNION ALL
+SELECT 'correlated_purchase' AS op, event_id AS doc_id FROM (
+  SELECT DISTINCT b.event_id
+  FROM events a JOIN events b
+    ON abs(epoch(a.ts) - epoch(b.ts)) <= 60
+  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+)
 ORDER BY op, doc_id""",
 )
 def streaming_percolate(spark, sf_dir):
     """Percolator (modules/percolator/; SURVEY.md §2.10): stored
     queries compiled ONCE to JVM token-array predicates, documents
     streamed through them — here a batch percolation of the corpus
-    against a match-AND and a match-msm stored query."""
+    against a match-AND and a match-msm stored query.
+
+    Late r3 adds the EVENTS-CORRELATION rule engine
+    (plugins/events-correlation-engine, CorrelationRule.java:28-45 /
+    CorrelationQuery.java:37-66; ``ops/correlate.py``): two correlate
+    entries — 'error' and 'purchase' events — within a 60-second
+    ``correlation_time_window``, evaluated as a banded time join (no
+    range/cross join); ops ``correlated_error`` /
+    ``correlated_purchase`` list each side's rule-hit event ids."""
+    from opensearch_spark.ops.correlate import correlate_events, correlated_ids
     from opensearch_spark.streaming.percolator import Percolator
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3887,8 +3910,25 @@ def streaming_percolate(spark, sf_dir):
             },
         }
     )
-    out = perc.percolate(docs, id_cols=["doc_id"])
-    return out.select(F.col("query_id").alias("op"), "doc_id").orderBy("op", "doc_id")
+    out = perc.percolate(docs, id_cols=["doc_id"]).select(
+        F.col("query_id").alias("op"), "doc_id"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    pairs = correlate_events(
+        {
+            "error": ev.filter(F.col("event_type") == "error"),
+            "purchase": ev.filter(F.col("event_type") == "purchase"),
+        },
+        window_seconds=60.0,
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # feeds both sides once
+    ce = correlated_ids(pairs, "error").select(F.col("id").alias("doc_id"))
+    cp = correlated_ids(pairs, "purchase").select(F.col("id").alias("doc_id"))
+    return _union(
+        out,
+        _tag(ce, "correlated_error", "doc_id"),
+        _tag(cp, "correlated_purchase", "doc_id"),
+    ).orderBy("op", "doc_id")
 
 
 # ================================================= index lifecycle
