@@ -122,6 +122,27 @@ def cmd_restore(args) -> None:
     print(json.dumps(snap.restore(spark, args.repo, args.name, args.dst)))
 
 
+def cmd_stats(args) -> None:
+    """``_stats`` over an index directory (index/stats_api.py)."""
+    from opensearch_spark.index.stats_api import index_stats
+
+    spark = _spark("osps-stats")
+    print(json.dumps(index_stats(spark, args.index)))
+
+
+def cmd_resize(args) -> None:
+    """``_clone`` / ``_shrink`` / ``_split`` (index/resize.py)."""
+    from opensearch_spark.index import resize as rz
+
+    spark = _spark("osps-resize")
+    fn = {"clone": rz.clone_index, "shrink": rz.shrink_index,
+          "split": rz.split_index}[args.op]
+    if args.op == "clone":
+        print(json.dumps(fn(spark, args.src, args.dst)))
+    else:
+        print(json.dumps(fn(spark, args.src, args.dst, args.segments)))
+
+
 def cmd_query(args) -> None:
     from opensearch_spark.index.reader import InvertedIndex
     from opensearch_spark.query.executor import SearchEngine
@@ -224,6 +245,17 @@ def main(argv=None) -> int:
     rs.add_argument("--name", required=True)
     rs.add_argument("--dst", required=True)
     rs.set_defaults(fn=cmd_restore)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    rz = sub.add_parser("resize")
+    rz.add_argument("--op", required=True, choices=["clone", "shrink", "split"])
+    rz.add_argument("--src", required=True)
+    rz.add_argument("--dst", required=True)
+    rz.add_argument("--segments", type=int, default=None)
+    rz.set_defaults(fn=cmd_resize)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
