@@ -134,6 +134,8 @@ def cmd_resize(args) -> None:
     """``_clone`` / ``_shrink`` / ``_split`` (index/resize.py)."""
     from opensearch_spark.index import resize as rz
 
+    if args.op != "clone" and args.segments is None:
+        raise SystemExit(f"resize --op {args.op} requires --segments")
     spark = _spark("osps-resize")
     fn = {"clone": rz.clone_index, "shrink": rz.shrink_index,
           "split": rz.split_index}[args.op]

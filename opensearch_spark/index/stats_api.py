@@ -64,8 +64,20 @@ def index_stats(spark: SparkSession, index_dir: str) -> Dict:
                 except (OSError, ValueError):
                     pass
 
+    # commit files only (snapshot._walk_index): open PITs / snapshot
+    # working dirs under index_dir are transient and must not inflate
+    # the reported store size — the same commit definition resize and
+    # the request cache use
+    from opensearch_spark.index.snapshot import _walk_index
+
+    commit_bytes = 0
+    for rel in _walk_index(index_dir):
+        try:
+            commit_bytes += os.path.getsize(os.path.join(index_dir, rel))
+        except OSError:
+            pass
     store = {
-        "size_in_bytes": _dir_bytes(index_dir),
+        "size_in_bytes": commit_bytes,
         "postings_in_bytes": _dir_bytes(p["postings"]),
         "docmap_in_bytes": _dir_bytes(p["docmap"]),
         "dictionary_in_bytes": _dir_bytes(p["dictionary"]),

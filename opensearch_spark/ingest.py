@@ -376,10 +376,14 @@ def _proc_attachment(df, p):  # ingest-attachment AttachmentProcessor.java:61,63
     # decode(..., 'UTF-8') with try semantics: non-UTF-8 yields garbage
     # replacement chars; detect binaries by the presence of NUL instead
     txt = raw.cast("string")
+    # cast(binary AS string) wraps the raw bytes WITHOUT validation, so
+    # binary detection needs two real checks: a NUL byte (valid UTF-8,
+    # but never in extractable text) and actual UTF-8 validity
+    # (is_valid_utf8 — Spark 4 — catches NUL-free non-UTF-8 payloads)
     is_text = (
         txt.isNotNull()
-        & ~txt.contains("\u0000")      # raw binary bytes survive as NUL
-        & ~txt.contains("\ufffd")      # invalid UTF-8 decodes to U+FFFD
+        & ~txt.contains("\u0000")
+        & F.call_function("is_valid_utf8", txt)
     )
     looks_html = txt.rlike(r"(?is)^\s*<(?:!doctype|html|body|div|p|h\d)[\s>]")
     stripped = F.regexp_replace(

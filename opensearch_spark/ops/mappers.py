@@ -63,7 +63,9 @@ def with_token_count_field(
     from opensearch_spark.analysis.chain import Analyzer
 
     an = Analyzer.from_spec(analyzer)
-    out = out or f"{col}.token_count"
+    # underscore, not the reference's dotted sub-field name: a dot in a
+    # Spark column name reads as struct-field access in F.col()/select
+    out = out or f"{col}_token_count"
 
     @pandas_udf("int")
     def _count(s):
@@ -73,10 +75,12 @@ def with_token_count_field(
 
 
 def with_murmur3_field(df: DataFrame, col: str, out: Optional[str] = None) -> DataFrame:
-    """``mapper-murmur3`` analog: append ``<col>.mm3`` = 64-bit hash of
+    """``mapper-murmur3`` analog: append ``<col>_mm3`` = 64-bit hash of
     the value (NULL stays NULL, like the reference skipping null
-    values), for cheap cardinality over long strings."""
-    out = out or f"{col}.mm3"
+    values), for cheap cardinality over long strings.  (Underscore, not
+    the reference's dotted sub-field: dots in Spark column names read
+    as struct-field access.)"""
+    out = out or f"{col}_mm3"
     return df.withColumn(
         out,
         F.when(F.col(col).isNull(), F.lit(None).cast("long")).otherwise(

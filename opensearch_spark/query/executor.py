@@ -566,6 +566,15 @@ class SearchEngine:
                     script_fields=script_fields, min_score=min_score,
                     terminate_after=terminate_after,
                 )
+        if terminate_after is not None and int(terminate_after) < 0:
+            raise ValueError(
+                f"terminate_after must be >= 0, got {terminate_after}"
+            )
+        if terminate_after == 0:
+            # the reference's DEFAULT_TERMINATE_AFTER: 0 means "no early
+            # termination", NOT "collect nothing" — normalized before the
+            # prune decision so 0 keeps the WAND fast path eligible
+            terminate_after = None
         q = Q.from_dict(query) if isinstance(query, dict) else query
         scored = None
         if prune is None:

@@ -19,11 +19,15 @@ Request processors:
 - ``script``         ScriptRequestProcessor.java — mutate the request
                      itself before the query phase.  The reference runs
                      Painless over the SearchRequest; here the script is
-                     a restricted arithmetic expression assigned to a
-                     request attribute (``size`` / ``from``), e.g.
+                     a restricted arithmetic expression assigned to the
+                     ``size`` request attribute, e.g.
                      ``{"script": {"source": "size = size * 2 + 1"}}``
                      — evaluated driver-side with a safe AST walker (no
-                     eval, names limited to request attributes).
+                     eval, names limited to request attributes; the
+                     result clamps at 0).  ``from`` is not assignable:
+                     it is a Python keyword, so the expression grammar
+                     cannot express it — the validator names the
+                     assignable attributes in its error.
 
 Response processors:
 
@@ -60,7 +64,15 @@ def _eval_request_script(source: str, env: Dict[str, int]) -> Dict[str, int]:
     """Evaluate ``attr = <arithmetic over request attrs>`` safely
     (ScriptRequestProcessor.java analog — the sandboxed subset: names
     limited to request attributes, operators to arithmetic)."""
-    tree = ast.parse(source.strip(), mode="exec")
+    try:
+        tree = ast.parse(source.strip(), mode="exec")
+    except SyntaxError as e:
+        # keep the ValueError contract (e.g. 'from = ...' — a Python
+        # keyword — cannot even parse)
+        raise ValueError(
+            f"unparsable request script {source!r} "
+            f"(assignable attributes: {sorted(env)}): {e}"
+        ) from None
     if len(tree.body) != 1 or not isinstance(tree.body[0], ast.Assign):
         raise ValueError("request script must be a single assignment")
     (target,) = tree.body[0].targets
@@ -134,10 +146,8 @@ class SearchPipeline:
                 ctx["original_size"] = eff_size
                 eff_size = int(eff_size * factor)
             elif name == "script":
-                env = _eval_request_script(
-                    params["source"], {"size": eff_size, "from": 0}
-                )
-                eff_size = env["size"]
+                env = _eval_request_script(params["source"], {"size": eff_size})
+                eff_size = max(0, env["size"])
         df = engine.search(q, size=eff_size, source_cols=source_cols)
         id_cols = list(engine.id_cols)
         for p in self.response_processors:

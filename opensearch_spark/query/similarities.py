@@ -359,9 +359,14 @@ class IB(Scripted):
             if dist == "ll":
                 raw = -F.log(lam / (tfn + lam)) / F.lit(_LN2)
             else:  # spl
+                # lam == 1 (a term in EVERY doc: df == N, or ttf == N)
+                # makes the denominator 0 — under Spark's ANSI mode the
+                # division itself would throw, so clamp lam BELOW 1
+                # before dividing (the degenerate all-docs term carries
+                # ~no information either way); the inner greatest()
+                # keeps the log argument positive against float noise
+                lam = F.least(lam, F.lit(1.0 - 1e-9))
                 frac = (F.pow(lam, tfn / (tfn + 1)) - lam) / (F.lit(1.0) - lam)
-                # lam -> 1 degenerates (0/0); the reference's stats make
-                # lam < 1 whenever df < N — clamp for the all-docs term
                 raw = -F.log(F.greatest(frac, F.lit(1e-12))) / F.lit(_LN2)
             return F.greatest(raw, F.lit(0.0))
 

@@ -136,3 +136,21 @@ def test_search_pipeline_script_processor(spark, engine):
         _eval_request_script("query = 0", {"size": 1, "from": 0})
     with _pt.raises(ValueError, match="unsupported"):
         _eval_request_script("size = __import__('os')", {"size": 1, "from": 0})
+
+
+def test_script_processor_from_keyword_and_clamp(spark, engine):
+    from opensearch_spark.query.searchpipeline import (
+        SearchPipeline,
+        _eval_request_script,
+    )
+    import pytest as _pt
+
+    # 'from' is a Python keyword: unparsable, but still the promised
+    # ValueError (not SyntaxError)
+    with _pt.raises(ValueError, match="unparsable"):
+        _eval_request_script("from = from + 10", {"size": 5})
+    # negative result clamps to 0 hits instead of crashing the search
+    pipe = SearchPipeline.from_spec(
+        {"request_processors": [{"script": {"source": "size = size - 100"}}]}
+    )
+    assert pipe.run(engine, {"match": {"text": "the"}}, size=3).collect() == []

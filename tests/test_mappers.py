@@ -59,3 +59,18 @@ def test_token_count_field(spark):
                   "filter": ["lowercase", {"type": "stop", "stopwords": ["big"]}]},
     ).collect()[0]["n"]
     assert out2 == 2
+
+
+def test_default_out_names_have_no_dots(spark):
+    # dotted defaults would read as struct-field access downstream
+    from opensearch_spark.ops.mappers import (
+        with_murmur3_field,
+        with_token_count_field,
+    )
+
+    df = spark.createDataFrame([("x",)], "v string")
+    h = with_murmur3_field(df, "v")
+    assert "v_mm3" in h.columns
+    assert h.select(F.col("v_mm3")).count() == 1  # resolvable unquoted
+    t = with_token_count_field(df, "v")
+    assert "v_token_count" in t.columns

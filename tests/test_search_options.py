@@ -62,3 +62,14 @@ def test_track_total_hits_thresholds(engine):
     # boundary: threshold exactly equal to the hit count stays "eq"
     t_eq = engine.total_hits(q, track_total_hits=exact)
     assert t_eq == {"value": exact, "relation": "eq"}
+
+
+def test_terminate_after_zero_means_disabled(engine):
+    # the reference's DEFAULT_TERMINATE_AFTER: 0 disables early
+    # termination (it must NOT return an empty result)
+    q = {"match": {"text": "the"}}
+    full = engine.search(q, size=10000).collect()
+    zero = engine.search(q, size=10000, terminate_after=0).collect()
+    assert len(zero) == len(full) > 0
+    with pytest.raises(ValueError, match=">= 0"):
+        engine.search(q, size=5, terminate_after=-1)

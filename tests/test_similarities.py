@@ -306,3 +306,12 @@ def test_dfr_ib_validation():
     with pytest.raises(ValueError, match="normalization"):
         S.from_spec({"type": "DFR", "basic_model": "g", "after_effect": "l",
                      "normalization": "h9"})
+
+
+def test_ib_spl_all_docs_term_does_not_divide_by_zero(spark):
+    # df == N makes lambda == 1; the spl divisor (1 - lambda) must be
+    # guarded BEFORE the division (ANSI mode throws on /0)
+    sim = S.from_spec({"type": "IB", "distribution": "spl", "lambda": "df"})
+    got = _eval_full(spark, sim, tf=2, dl=10, df=100, ttf=300,
+                     n=100, sum_dl=650, avgdl=6.5)
+    assert np.isfinite(got) and got >= 0.0

@@ -254,3 +254,20 @@ def test_ingest_attachment(spark):
     assert got["html"][1] == "text/html" and "Hello world" in got["html"][0]
     assert "<" not in got["html"][0]
     assert got["bin"] == (None, "application/octet-stream")
+
+
+def test_ingest_attachment_nul_free_binary(spark):
+    # NUL-free invalid UTF-8 (latin-1 'café') must classify as binary:
+    # cast(binary AS string) wraps bytes unvalidated, so the processor
+    # must validate UTF-8 explicitly (review finding)
+    import base64
+
+    rows = ingest.apply_pipeline(
+        spark.createDataFrame(
+            [("latin1", base64.b64encode("café".encode("latin-1")).decode())],
+            "id string, data string",
+        ),
+        [{"attachment": {"field": "data", "target_field": "att"}}],
+    ).collect()
+    assert rows[0]["att_content"] is None
+    assert rows[0]["att_content_type"] == "application/octet-stream"
