@@ -40,3 +40,28 @@ def render_search_template(source, params: Dict[str, Any]) -> dict:
     rendered = _TOJSON_RE.sub(tojson, source)
     rendered = _VAR_RE.sub(var, rendered)
     return json.loads(rendered)
+
+
+def msearch_template(engine, requests, size: int = 10):
+    """``_msearch/template`` (rest-api-spec ``msearch_template.json``):
+    a batch of templated searches — each request is ``{"id": ...,
+    "source": <template>, "params": {...}, "size": n}`` — rendered
+    driver-side and executed as one unioned DataFrame tagged by
+    ``query_id`` (the ``_msearch`` batching shape: Spark schedules the
+    per-query plans concurrently, amortizing job overhead exactly like
+    the reference amortizes network round-trips)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i, req in enumerate(requests):
+        q = render_search_template(
+            req.get("source", req.get("template")), req.get("params", {})
+        )
+        df = engine.search(q, size=int(req.get("size", size)))
+        parts.append(df.withColumn("query_id", F.lit(str(req.get("id", f"q{i}")))))
+    if not parts:
+        raise ValueError("msearch_template requires at least one request")
+    return reduce(DataFrame.unionByName, parts)

@@ -271,3 +271,27 @@ def test_ingest_attachment_nul_free_binary(spark):
     ).collect()
     assert rows[0]["att_content"] is None
     assert rows[0]["att_content_type"] == "application/octet-stream"
+
+
+def test_msearch_template(spark, engine):
+    # _msearch/template: rendered templates batched into one frame
+    from opensearch_spark.query.templates import msearch_template
+
+    out = msearch_template(
+        engine,
+        [
+            {"id": "a", "source": '{"match": {"text": "{{q}}"}}',
+             "params": {"q": "error handling"}, "size": 3},
+            {"source": '{"term": {"role": "{{r}}"}}',
+             "params": {"r": "user"}, "size": 2},
+        ],
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"a", "q1"}
+    assert len(by_q["a"]) == 3 and len(by_q["q1"]) == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        msearch_template(engine, [])
