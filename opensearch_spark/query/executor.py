@@ -2216,17 +2216,68 @@ class SearchEngine:
             sorted(rows), "field string, type string, full_text boolean, aggregatable boolean"
         )
 
+    def _score_at(self, q, docid: int):
+        """The compiled query's score for ONE doc (None = no match) —
+        the generic explain evaluator: runs the same plan the search
+        runs, filtered to the doc (the reference's _explain likewise
+        re-scores the single document through the real scorer)."""
+        rows = (
+            self._score(q).filter(F.col("_docid") == F.lit(int(docid))).collect()
+        )
+        return float(rows[0]["score"]) if rows else None
+
     def explain(self, query, doc_id_tuple) -> dict:
-        """Per-doc score breakdown for match/term queries — the
-        ``_explain`` API analog (SURVEY.md §3.3): per-term tf/df/idf,
-        raw + quantized dl, per-term scores and the total."""
+        """``_explain`` API analog (SURVEY.md §3.3).
+
+        match/term queries get the full per-term breakdown (tf/df/idf,
+        raw + quantized dl, per-term scores and the total); ``bool``
+        gets a clause tree (per-clause value/matched via the real
+        compiled scorer); every other query type gets the generic
+        ``{matched, value, description}`` shape — the late-r3 closure
+        of the former match/term-only scope."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
+        if isinstance(q, Q.Bool):
+            ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
+            row = self.docmap().filter(_null_safe(ids_pred)).collect()
+            if not row:
+                return {"matched": False, "reason": "no such document"}
+            docid = int(row[0]["_docid"])
+            total = self._score_at(q, docid)
+            clauses = []
+            for role, subs in (
+                ("must", q.must), ("should", q.should),
+                ("filter", q.filter), ("must_not", q.must_not),
+            ):
+                for sub in subs:
+                    s = self._score_at(sub, docid)
+                    clauses.append(
+                        {
+                            "role": role,
+                            "description": repr(sub),
+                            "matched": s is not None,
+                            "value": s,
+                        }
+                    )
+            return {
+                "matched": total is not None,
+                "value": total,
+                "description": repr(q),
+                "details": clauses,
+            }
+        if not (
+            (isinstance(q, Q.Term) and q.field == self.text_col)
+            or isinstance(q, Q.Match)
+        ):
+            ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
+            row = self.docmap().filter(_null_safe(ids_pred)).collect()
+            if not row:
+                return {"matched": False, "reason": "no such document"}
+            s = self._score_at(q, int(row[0]["_docid"]))
+            return {"matched": s is not None, "value": s, "description": repr(q)}
         if isinstance(q, Q.Term) and q.field == self.text_col:
             tokens = [str(q.value)]
-        elif isinstance(q, Q.Match):
-            tokens = self.index.analyze(q.query)
         else:
-            raise NotImplementedError("explain supports match/term queries")
+            tokens = self.index.analyze(q.query)
         weights = dict(Counter(tokens))
         ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
         row = self.docmap().filter(_null_safe(ids_pred)).collect()

@@ -229,3 +229,32 @@ def test_mget(engine):
         l for l in plan.splitlines() if "PushedFilters" in l and "conv_id" in l
     ]
     assert pushed, plan
+
+
+def test_explain_generic_and_bool_tree(engine, oracle):
+    # late-r3 scope closure: explain any query type generically and
+    # bool as a clause tree, both via the real compiled scorer
+    term = oracle.tokens[0][0]
+    hit = engine.search({"match_phrase": {"text": " ".join(oracle.tokens[0][:2])}},
+                        size=1).collect()
+    if hit:
+        d = (hit[0]["conv_id"], hit[0]["turn_idx"])
+        out = engine.explain(
+            {"match_phrase": {"text": " ".join(oracle.tokens[0][:2])}}, d
+        )
+        assert out["matched"] and out["value"] > 0
+    b = {"bool": {"must": [{"match": {"text": term}}],
+                  "filter": [{"term": {"role": "user"}}],
+                  "must_not": [{"term": {"role": "tool"}}]}}
+    top = engine.search(b, size=1).collect()[0]
+    out = engine.explain(b, (top["conv_id"], top["turn_idx"]))
+    assert out["matched"] and out["value"] == pytest.approx(top["score"], rel=1e-6)
+    roles = {c["role"] for c in out["details"]}
+    assert roles == {"must", "filter", "must_not"}
+    must = next(c for c in out["details"] if c["role"] == "must")
+    assert must["matched"] and must["value"] > 0
+    # a non-matching doc explains as unmatched, not an error
+    miss = engine.explain({"term": {"role": "nonexistent_role"}},
+                          (top["conv_id"], top["turn_idx"]))
+    assert miss == {"matched": False, "value": None,
+                    "description": miss["description"]}
