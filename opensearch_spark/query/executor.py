@@ -529,6 +529,7 @@ class SearchEngine:
         min_score: Optional[float] = None,
         derived: Optional[Dict[str, object]] = None,
         terminate_after: Optional[int] = None,
+        docvalue_fields: Optional[Dict[str, Optional[str]]] = None,
     ) -> DataFrame:
         """Top-k retrieval: DataFrame of id_cols + score (float64), ordered
         (score desc, id_cols asc). Default size 10 / from 0 mirrors
@@ -565,6 +566,7 @@ class SearchEngine:
                     prune=prune, sort=sort, search_after=search_after,
                     script_fields=script_fields, min_score=min_score,
                     terminate_after=terminate_after,
+                    docvalue_fields=docvalue_fields,
                 )
         if terminate_after is not None and int(terminate_after) < 0:
             raise ValueError(
@@ -723,6 +725,14 @@ class SearchEngine:
         script_fields = script_fields or {}
         for spec in script_fields.values():
             fetch_cols = list(dict.fromkeys(fetch_cols + list(spec.get("fields", []))))
+        # docvalue_fields (SearchSourceBuilder docValueFields / the
+        # fetch-phase FieldAndFormat): each entry rides the fetch join;
+        # a format renders the value IN PLACE under the field name —
+        # "epoch_millis"/"epoch_second", else a Spark datetime pattern
+        # (close to, not identical to, the reference's joda patterns —
+        # documented deviation for exotic pattern letters)
+        docvalue_fields = docvalue_fields or {}
+        fetch_cols = list(dict.fromkeys(fetch_cols + list(docvalue_fields)))
         extra = [c for c in fetch_cols if c not in self.id_cols and c not in sort_cols]
         if extra:
             # fetch phase: the k winners are tiny -> broadcast them into the
@@ -731,6 +741,17 @@ class SearchEngine:
             topk = dm.join(F.broadcast(topk), "_docid")
         for name, spec in script_fields.items():
             topk = topk.withColumn(name, F.expr(spec["source"]))
+        for fld, fmt in docvalue_fields.items():
+            if fmt is None:
+                continue
+            c = F.col(fld)
+            if fmt == "epoch_millis":
+                rendered = F.unix_millis(c.cast("timestamp")).cast("string")
+            elif fmt == "epoch_second":
+                rendered = F.unix_seconds(c.cast("timestamp")).cast("string")
+            else:
+                rendered = F.date_format(c.cast("timestamp"), fmt)
+            topk = topk.withColumn(fld, rendered)
         out_cols = list(fetch_cols) + list(script_fields)
         return topk.select(*out_cols, "score").orderBy(*order)
 

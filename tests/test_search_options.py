@@ -73,3 +73,23 @@ def test_terminate_after_zero_means_disabled(engine):
     assert len(zero) == len(full) > 0
     with pytest.raises(ValueError, match=">= 0"):
         engine.search(q, size=5, terminate_after=-1)
+
+
+def test_docvalue_fields_formats(engine):
+    # docvalue_fields: formatted in place under the field name
+    rows = engine.search(
+        {"match": {"text": "the"}},
+        size=3,
+        docvalue_fields={"ts": "yyyy-MM-dd", "role": None},
+    ).collect()
+    assert len(rows) == 3
+    import re
+
+    for r in rows:
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", r["ts"])
+        assert r["role"] in ("user", "assistant", "tool")
+    ms = engine.search(
+        {"match": {"text": "the"}}, size=1,
+        docvalue_fields={"ts": "epoch_millis"},
+    ).collect()[0]
+    assert int(ms["ts"]) > 1_500_000_000_000  # millis, not seconds
