@@ -136,6 +136,11 @@ def cmd_resize(args) -> None:
 
     if args.op != "clone" and args.segments is None:
         raise SystemExit(f"resize --op {args.op} requires --segments")
+    if args.op == "clone" and args.segments is not None:
+        # a clone never changes the segment count: a passed --segments
+        # almost certainly meant --op split/shrink — fail instead of
+        # silently producing an identically-sharded copy
+        raise SystemExit("resize --op clone takes no --segments")
     spark = _spark("osps-resize")
     fn = {"clone": rz.clone_index, "shrink": rz.shrink_index,
           "split": rz.split_index}[args.op]

@@ -741,19 +741,23 @@ class SearchEngine:
             topk = dm.join(F.broadcast(topk), "_docid")
         for name, spec in script_fields.items():
             topk = topk.withColumn(name, F.expr(spec["source"]))
-        for fld, fmt in docvalue_fields.items():
+        # docvalue formats render in the FINAL projection, after the
+        # Sort: formatting in place before orderBy would sort (and feed
+        # search_after) string renderings instead of the raw values
+        # whenever the formatted field is also a sort key
+        def _out(fld):
+            fmt = docvalue_fields.get(fld)
             if fmt is None:
-                continue
+                return F.col(fld)
             c = F.col(fld)
             if fmt == "epoch_millis":
-                rendered = F.unix_millis(c.cast("timestamp")).cast("string")
-            elif fmt == "epoch_second":
-                rendered = F.unix_seconds(c.cast("timestamp")).cast("string")
-            else:
-                rendered = F.date_format(c.cast("timestamp"), fmt)
-            topk = topk.withColumn(fld, rendered)
-        out_cols = list(fetch_cols) + list(script_fields)
-        return topk.select(*out_cols, "score").orderBy(*order)
+                return F.unix_millis(c.cast("timestamp")).cast("string").alias(fld)
+            if fmt == "epoch_second":
+                return F.unix_seconds(c.cast("timestamp")).cast("string").alias(fld)
+            return F.date_format(c.cast("timestamp"), fmt).alias(fld)
+
+        out_cols = [_out(c) for c in list(fetch_cols) + list(script_fields)]
+        return topk.orderBy(*order).select(*out_cols, "score")
 
     def scan(self, query, batch_size: int = 500, source_cols=None):
         """Scroll the full result set in stable batches (the `scroll` /
@@ -2240,10 +2244,13 @@ class SearchEngine:
     def _score_at(self, q, docid: int):
         """The compiled query's score for ONE doc (None = no match) —
         the generic explain evaluator: runs the same plan the search
-        runs, filtered to the doc (the reference's _explain likewise
-        re-scores the single document through the real scorer)."""
+        runs, deletes applied, filtered to the doc (the reference's
+        _explain likewise re-scores the single document through the
+        real scorer)."""
         rows = (
-            self._score(q).filter(F.col("_docid") == F.lit(int(docid))).collect()
+            self._apply_deletes(self._score(q))
+            .filter(F.col("_docid") == F.lit(int(docid)))
+            .collect()
         )
         return float(rows[0]["score"]) if rows else None
 
@@ -2255,14 +2262,24 @@ class SearchEngine:
         gets a clause tree (per-clause value/matched via the real
         compiled scorer); every other query type gets the generic
         ``{matched, value, description}`` shape — the late-r3 closure
-        of the former match/term-only scope."""
+        of the former match/term-only scope.
+
+        A soft-deleted doc explains as unmatched ("document is
+        deleted") — the same visibility search has; scoring a tombstone
+        as matched would contradict the hit list."""
         q = Q.from_dict(query) if isinstance(query, dict) else query
+        # one doc lookup for every branch
+        ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
+        row = self.docmap().filter(_null_safe(ids_pred)).collect()
+        if not row:
+            return {"matched": False, "reason": "no such document"}
+        docid = int(row[0]["_docid"])
+        from opensearch_spark.index.lifecycle import tombstone_docids
+
+        dels = tombstone_docids(self.spark, self.index.index_dir)
+        if dels is not None and dels.filter(F.col("_docid") == docid).count():
+            return {"matched": False, "reason": "document is deleted"}
         if isinstance(q, Q.Bool):
-            ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
-            row = self.docmap().filter(_null_safe(ids_pred)).collect()
-            if not row:
-                return {"matched": False, "reason": "no such document"}
-            docid = int(row[0]["_docid"])
             total = self._score_at(q, docid)
             clauses = []
             for role, subs in (
@@ -2289,22 +2306,13 @@ class SearchEngine:
             (isinstance(q, Q.Term) and q.field == self.text_col)
             or isinstance(q, Q.Match)
         ):
-            ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
-            row = self.docmap().filter(_null_safe(ids_pred)).collect()
-            if not row:
-                return {"matched": False, "reason": "no such document"}
-            s = self._score_at(q, int(row[0]["_docid"]))
+            s = self._score_at(q, docid)
             return {"matched": s is not None, "value": s, "description": repr(q)}
         if isinstance(q, Q.Term) and q.field == self.text_col:
             tokens = [str(q.value)]
         else:
             tokens = self.index.analyze(q.query)
         weights = dict(Counter(tokens))
-        ids_pred = self._predicate(Q.Ids([tuple(doc_id_tuple)]))
-        row = self.docmap().filter(_null_safe(ids_pred)).collect()
-        if not row:
-            return {"matched": False, "reason": "no such document"}
-        docid = int(row[0]["_docid"])
         dl_q = int(sfl.byte4_to_int(np.array([row[0]["norm_byte"]]))[0])
         N = self.index.stats["doc_count"]
         avgdl = self.index.stats["avgdl"]

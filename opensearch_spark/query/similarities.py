@@ -359,14 +359,22 @@ class IB(Scripted):
             if dist == "ll":
                 raw = -F.log(lam / (tfn + lam)) / F.lit(_LN2)
             else:  # spl
-                # lam == 1 (a term in EVERY doc: df == N, or ttf == N)
-                # makes the denominator 0 — under Spark's ANSI mode the
-                # division itself would throw, so clamp lam BELOW 1
-                # before dividing (the degenerate all-docs term carries
-                # ~no information either way); the inner greatest()
-                # keeps the log argument positive against float noise
-                lam = F.least(lam, F.lit(1.0 - 1e-9))
-                frac = (F.pow(lam, tfn / (tfn + 1)) - lam) / (F.lit(1.0) - lam)
+                # the SPL fraction is well-defined for lam > 1 (both
+                # numerator and denominator negative — routine for
+                # lambda='ttf' where lam = (F+1)/(N+1) exceeds 1 for
+                # any term averaging >1 occurrence/doc) and ONLY
+                # degenerates at lam == 1 (0/0).  Guard exactly that
+                # neighborhood with the analytic limit
+                # (lam^t - lam)/(1 - lam) -> 1 - t = 1/(tfn + 1) by
+                # L'Hopital — never clamp lam itself, which would skew
+                # every lam > 1 score; ANSI division is safe because
+                # the branch condition removes the zero denominator
+                t = tfn / (tfn + 1)
+                denom = F.lit(1.0) - lam
+                frac = F.when(
+                    F.abs(denom) < F.lit(1e-9),
+                    F.lit(1.0) / (tfn + 1),
+                ).otherwise((F.pow(lam, t) - lam) / denom)
                 raw = -F.log(F.greatest(frac, F.lit(1e-12))) / F.lit(_LN2)
             return F.greatest(raw, F.lit(0.0))
 

@@ -57,9 +57,12 @@ def msearch_template(engine, requests, size: int = 10):
 
     parts = []
     for i, req in enumerate(requests):
-        q = render_search_template(
-            req.get("source", req.get("template")), req.get("params", {})
-        )
+        source = req.get("source", req.get("template"))
+        if source is None:
+            raise ValueError(
+                f"msearch_template request {i} has neither 'source' nor 'template'"
+            )
+        q = render_search_template(source, req.get("params", {}))
         df = engine.search(q, size=int(req.get("size", size)))
         parts.append(df.withColumn("query_id", F.lit(str(req.get("id", f"q{i}")))))
     if not parts:

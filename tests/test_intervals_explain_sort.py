@@ -258,3 +258,27 @@ def test_explain_generic_and_bool_tree(engine, oracle):
                           (top["conv_id"], top["turn_idx"]))
     assert miss == {"matched": False, "value": None,
                     "description": miss["description"]}
+
+
+def test_explain_tombstoned_doc_reports_deleted(spark, tmp_path, corpus_pdf):
+    # review finding: explain must share search's tombstone visibility
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.index.lifecycle import delete_by_query
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+    from opensearch_spark.transcripts import generate
+
+    d = str(tmp_path / "exp_del")
+    build_index(spark, generate(spark, 60, partitions=2), d,
+                IndexConfig(n_segments=2))
+    eng = SearchEngine(InvertedIndex(spark, d))
+    top = eng.search({"match": {"text": "the"}}, size=1).collect()[0]
+    key = (top["conv_id"], top["turn_idx"])
+    assert eng.explain({"match": {"text": "the"}}, key)["matched"]
+    delete_by_query(eng, {"bool": {"filter": [
+        {"term": {"conv_id": key[0]}}, {"term": {"turn_idx": key[1]}}]}})
+    out = eng.explain({"match": {"text": "the"}}, key)
+    assert out == {"matched": False, "reason": "document is deleted"}
+    # generic path too
+    out2 = eng.explain({"term": {"role": top["conv_id"] and "user"}}, key)
+    assert out2["matched"] is False

@@ -93,3 +93,16 @@ def test_docvalue_fields_formats(engine):
         docvalue_fields={"ts": "epoch_millis"},
     ).collect()[0]
     assert int(ms["ts"]) > 1_500_000_000_000  # millis, not seconds
+
+
+def test_docvalue_format_does_not_break_sort_order(engine):
+    # review finding: formatting in place before orderBy sorted by the
+    # rendered STRING; the raw value must drive the order
+    raw = engine.search({"match": {"text": "the"}}, size=8,
+                        sort=[("ts", "asc")]).collect()
+    fmt = engine.search({"match": {"text": "the"}}, size=8,
+                        sort=[("ts", "asc")],
+                        docvalue_fields={"ts": "MM-dd"}).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in fmt] == \
+           [(r["conv_id"], r["turn_idx"]) for r in raw]
+    assert all(len(r["ts"]) == 5 for r in fmt)

@@ -315,3 +315,26 @@ def test_ib_spl_all_docs_term_does_not_divide_by_zero(spark):
     got = _eval_full(spark, sim, tf=2, dl=10, df=100, ttf=300,
                      n=100, sum_dl=650, avgdl=6.5)
     assert np.isfinite(got) and got >= 0.0
+
+
+def test_ib_spl_lambda_gt_one_uses_published_formula(spark):
+    # lambda='ttf' routinely gives lam > 1; the formula is well-defined
+    # there and must NOT be clamped (review finding: the old guard
+    # clamped all lam > 1, inflating every frequent-term score)
+    sim = S.from_spec({"type": "IB", "distribution": "spl", "lambda": "ttf",
+                       "normalization": "h2"})
+    tf, dl, df, ttf, n, sum_dl, avgdl = 2, 10, 50, 300, 100, 650, 6.5
+    tfn = _tfn_py("h2", tf, dl, avgdl)
+    lam = (ttf + 1) / (n + 1)  # ~2.98 > 1
+    exp = max(-math.log2((lam ** (tfn / (tfn + 1)) - lam) / (1 - lam)), 0.0)
+    got = _eval_full(spark, sim, tf, dl, df, ttf, n, sum_dl, avgdl)
+    assert got == pytest.approx(np.float32(exp), rel=1e-6)
+
+
+def test_ib_spl_lambda_one_analytic_limit(spark):
+    # lam == 1 exactly: the analytic limit -log2(1/(tfn+1)) = log2(tfn+1)
+    sim = S.from_spec({"type": "IB", "distribution": "spl", "lambda": "df",
+                       "normalization": "no"})
+    got = _eval_full(spark, sim, tf=3, dl=10, df=100, ttf=300,
+                     n=100, sum_dl=650, avgdl=6.5)
+    assert got == pytest.approx(np.float32(math.log2(4.0)), rel=1e-6)
