@@ -353,7 +353,7 @@ def _proc_geoip(df, p):  # ingest-geoip GeoIpProcessor.java:74
                 pairs.extend([F.lit(prefix), F.lit(vals[prop])])
         m = F.create_map(*pairs)
         out = out.withColumn(
-            f"{tgt}_{prop}", F.coalesce(*[m.getItem(pr) for pr in probes])
+            f"{tgt}_{prop}", F.coalesce(*[m[pr] for pr in probes])
         )
     return out
 
