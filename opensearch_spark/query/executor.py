@@ -2493,6 +2493,9 @@ class SearchEngine:
         return scored
 
     def _score_dismax(self, q: Q.DisMax) -> DataFrame:
+        fused = self._score_dismax_fused(q)
+        if fused is not None:
+            return fused
         parts = [
             self._score(sub).withColumn("cid", F.lit(i))
             for i, sub in enumerate(q.queries)
@@ -2506,6 +2509,69 @@ class SearchEngine:
         )
         return grouped.select(
             "_docid", (score * F.lit(float(q.boost))).alias("score")
+        )
+
+    def _score_dismax_fused(self, q: Q.DisMax) -> Optional[DataFrame]:
+        """Single-scan dis_max for all-simple clauses (plain match-OR /
+        text term): decode the UNION of the clauses' terms once and
+        compute every clause's sum as a conditional aggregate in the
+        same groupBy — one postings scan + one shuffle instead of one
+        scan per clause plus a union (the p99 driver q11_dismax plan).
+        Returns None when any clause needs its own scorer (AND/msm
+        semantics, phrases, non-text fields, ...) — the union path
+        handles those."""
+        clauses = []
+        for sub in q.queries:
+            if (
+                isinstance(sub, Q.Match)
+                and sub.operator != "and"
+                and not sub.minimum_should_match
+            ):
+                toks = self.index.analyze(sub.query)
+                if not toks:
+                    continue  # empty clause contributes nothing
+                clauses.append((dict(Counter(toks)), float(sub.boost)))
+            elif isinstance(sub, Q.Term) and sub.field == self.text_col:
+                clauses.append(({str(sub.value): 1}, float(sub.boost)))
+            else:
+                return None
+        if not clauses:
+            return self._empty_scored()
+        union_w = {t: 1 for w, _ in clauses for t in w}
+        per = self._per_term_scores(union_w)
+        if per is None:
+            return self._empty_scored()
+        aggs = []
+        for i, (w, b) in enumerate(clauses):
+            # per-clause weight (query-term multiplicity) as a CASE over
+            # the term column; stays inside whole-stage codegen
+            weight = F.lit(0.0)
+            for t, c in w.items():
+                weight = F.when(F.col("term") == t, F.lit(float(c))).otherwise(weight)
+            aggs.append(
+                F.sum(F.col("s").cast("double") * weight * F.lit(b)).alias(f"_c{i}")
+            )
+            aggs.append(
+                F.max(
+                    F.when(F.col("term").isin(list(w)), F.lit(1)).otherwise(0)
+                ).alias(f"_m{i}")
+            )
+        grouped = per.groupBy("_docid").agg(*aggs)
+        # best/total over MATCHED clauses only (an unmatched clause's
+        # conditional sum is 0.0, which must not count as a score)
+        svals = [
+            F.when(F.col(f"_m{i}") == 1, F.col(f"_c{i}"))
+            for i in range(len(clauses))
+        ]
+        best = F.greatest(*svals) if len(svals) > 1 else svals[0]
+        total = reduce(
+            lambda a, c: a + F.coalesce(c, F.lit(0.0)),
+            svals,
+            F.lit(0.0),
+        )
+        score = best + F.lit(float(q.tie_breaker)) * (total - best)
+        return grouped.select(
+            "_docid", (score * F.lit(float(q.boost))).cast("double").alias("score")
         )
 
     def _score_boosting(self, q: Q.Boosting) -> DataFrame:

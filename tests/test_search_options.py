@@ -106,3 +106,63 @@ def test_docvalue_format_does_not_break_sort_order(engine):
     assert [(r["conv_id"], r["turn_idx"]) for r in fmt] == \
            [(r["conv_id"], r["turn_idx"]) for r in raw]
     assert all(len(r["ts"]) == 5 for r in fmt)
+
+
+def test_dismax_fused_equals_union_path(engine):
+    # the single-scan dis_max must reproduce the per-clause union plan
+    from opensearch_spark.query import dsl as Q
+
+    q = Q.from_dict(
+        {
+            "dis_max": {
+                "queries": [
+                    {"match": {"text": "error handling"}},
+                    {"match": {"text": "the data"}},
+                    {"term": {"text": "spark"}},
+                ],
+                "tie_breaker": 0.4,
+            }
+        }
+    )
+    fused = engine._score_dismax_fused(q)
+    assert fused is not None
+    got = {r["_docid"]: r["score"] for r in fused.collect()}
+    # force the union path by bypassing the fused dispatch
+    from functools import reduce as _red
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    parts = [engine._score(sub) for sub in q.queries]
+    unioned = _red(_DF.unionByName, parts)
+    grouped = unioned.groupBy("_docid").agg(
+        F.max("score").alias("best"), F.sum("score").alias("total")
+    )
+    want = {
+        r["_docid"]: r["best"] + 0.4 * (r["total"] - r["best"])
+        for r in grouped.collect()
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_dismax_falls_back_for_complex_clauses(engine):
+    from opensearch_spark.query import dsl as Q
+
+    q = Q.from_dict(
+        {
+            "dis_max": {
+                "queries": [
+                    {"match_phrase": {"text": "error handling"}},
+                    {"match": {"text": "the"}},
+                ]
+            }
+        }
+    )
+    assert engine._score_dismax_fused(q) is None
+    # and the public path still answers
+    assert engine.search({"dis_max": {"queries": [
+        {"match_phrase": {"text": "error handling"}},
+        {"match": {"text": "the"}},
+    ]}}, size=3).collect()
