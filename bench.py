@@ -358,12 +358,23 @@ def run_bench(build_only: bool = False, waves: int = 1) -> dict:
         surface = surface_phase(spark, SF_DIR)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         result["queries"] = {**per_query, **surface}
-        result["surface_composition"] = SURFACE_COMPOSITION
         result["msearch"] = msearch
         result["wand"] = wand
         result["query_p50_sec"] = pct["p50_sec"]
         result["query_p99_sec"] = pct["p99_sec"]
     result["value"] = round(time.monotonic() - t_all, 3)
+    # VERDICT r3 #1: the printed line must stay small enough for the
+    # driver's tail buffer — verbose composition notes go to a side file
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {**result, "surface_composition": SURFACE_COMPOSITION}, f, indent=1
+            )
+    except OSError:
+        pass
     return result
 
 

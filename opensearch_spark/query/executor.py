@@ -2524,6 +2524,7 @@ class SearchEngine:
         for sub in q.queries:
             if (
                 isinstance(sub, Q.Match)
+                and sub.field == self.text_col
                 and sub.operator != "and"
                 and not sub.minimum_should_match
             ):

@@ -87,7 +87,10 @@ def _eval_request_script(source: str, env: Dict[str, int]) -> Dict[str, int]:
                 raise ValueError(f"unknown name {node.id!r} in request script")
             return env[node.id]
         if isinstance(node, ast.BinOp) and type(node.op) in _SCRIPT_OPS:
-            return _SCRIPT_OPS[type(node.op)](ev(node.left), ev(node.right))
+            try:
+                return _SCRIPT_OPS[type(node.op)](ev(node.left), ev(node.right))
+            except ZeroDivisionError:
+                raise ValueError("division by zero in request script") from None
         raise ValueError(f"unsupported request-script syntax: {ast.dump(node)}")
 
     return {**env, target.id: int(ev(tree.body[0].value))}

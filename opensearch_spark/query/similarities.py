@@ -335,9 +335,13 @@ class IB(Scripted):
     (Clinchant & Gaussier, SIGIR 2010):
 
     - ``lambda``: ``df`` (n+1)/(N+1), ``ttf`` (F+1)/(N+1)
-    - ``ll``:  -log2(lam / (tfn + lam))
-    - ``spl``: -log2((lam^(tfn/(tfn+1)) - lam) / (1 - lam))
-    with tfn from the shared normalization set."""
+    - ``ll``:  -ln(lam / (tfn + lam))
+    - ``spl``: -ln((lam^(tfn/(tfn+1)) - lam) / (1 - lam))
+    with tfn from the shared normalization set.  NOTE: Lucene's
+    ``DistributionLL``/``DistributionSPL`` (which the reference's
+    IBSimilarity delegates to) use NATURAL log, unlike the paper's
+    log2 presentation and unlike Lucene's DFR basic models — we match
+    Lucene's absolute scores (ranks identical either way)."""
 
     name = "IB"
 
@@ -357,7 +361,7 @@ class IB(Scripted):
                 (df + 1) / (Nn + 1) if lam_kind == "df" else (ttf + 1) / (Nn + 1)
             )
             if dist == "ll":
-                raw = -F.log(lam / (tfn + lam)) / F.lit(_LN2)
+                raw = -F.log(lam / (tfn + lam))
             else:  # spl
                 # the SPL fraction is well-defined for lam > 1 (both
                 # numerator and denominator negative — routine for
@@ -375,7 +379,7 @@ class IB(Scripted):
                     F.abs(denom) < F.lit(1e-9),
                     F.lit(1.0) / (tfn + 1),
                 ).otherwise((F.pow(lam, t) - lam) / denom)
-                raw = -F.log(F.greatest(frac, F.lit(1e-12))) / F.lit(_LN2)
+                raw = -F.log(F.greatest(frac, F.lit(1e-12)))
             return F.greatest(raw, F.lit(0.0))
 
         super().__init__(fn)

@@ -34,5 +34,8 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the bench's machine-readable JSON line must
+        # not interleave with console progress bars (VERDICT r3 #1)
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

@@ -166,3 +166,38 @@ def test_dismax_falls_back_for_complex_clauses(engine):
         {"match_phrase": {"text": "error handling"}},
         {"match": {"text": "the"}},
     ]}}, size=3).collect()
+
+
+def test_dismax_non_text_match_clause_raises_like_union_path(engine):
+    # ADVICE r3: a dis_max Match clause on a non-text field must NOT be
+    # silently scored against the text postings by the fused path — it
+    # falls back to the union path, which raises the same ValueError a
+    # bare match on that field does
+    from opensearch_spark.query import dsl as Q
+
+    q = Q.from_dict(
+        {
+            "dis_max": {
+                "queries": [
+                    {"match": {"role": "user words"}},
+                    {"match": {"text": "error"}},
+                ]
+            }
+        }
+    )
+    assert engine._score_dismax_fused(q) is None
+    with pytest.raises(ValueError, match="match targets the indexed text field"):
+        engine.search(
+            {"dis_max": {"queries": [
+                {"match": {"role": "user words"}},
+                {"match": {"text": "error"}},
+            ]}},
+            size=3,
+        ).collect()
+
+
+def test_request_script_division_by_zero_is_value_error():
+    from opensearch_spark.query.searchpipeline import _eval_request_script
+
+    with pytest.raises(ValueError, match="division by zero"):
+        _eval_request_script("size = size / 0", {"size": 10, "from": 0})

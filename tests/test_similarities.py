@@ -246,10 +246,11 @@ def test_ib_formula_micro(spark, spec):
     tf, dl, df, ttf, n, sum_dl, avgdl = 2, 10, 4, 7, 50, 325, 6.5
     tfn = _tfn_py(spec["normalization"], tf, dl, avgdl, sum_dl, ttf)
     lam = (df + 1) / (n + 1) if spec["lambda"] == "df" else (ttf + 1) / (n + 1)
+    # Lucene's DistributionLL/SPL use natural log (unlike DFR's log2)
     if spec["distribution"] == "ll":
-        exp = -math.log2(lam / (tfn + lam))
+        exp = -math.log(lam / (tfn + lam))
     else:
-        exp = -math.log2((lam ** (tfn / (tfn + 1)) - lam) / (1 - lam))
+        exp = -math.log((lam ** (tfn / (tfn + 1)) - lam) / (1 - lam))
     exp = max(exp, 0.0)
     got = _eval_full(spark, sim, tf, dl, df, ttf, n, sum_dl, avgdl)
     assert got == pytest.approx(np.float32(exp), rel=1e-6)
@@ -286,7 +287,7 @@ def test_engine_dfr_ib_e2e(spark, index_dir, oracle, spec):
             s = max(inf1 / (1 + tfn), 0.0)
         else:
             lam = (df_t + 1) / (n + 1)
-            s = max(-math.log2(lam / (tfn + lam)), 0.0)
+            s = max(-math.log(lam / (tfn + lam)), 0.0)
         exp.append((float(np.float32(s)),
                     oracle.rows[d]["conv_id"], oracle.rows[d]["turn_idx"]))
     exp.sort(key=lambda x: (-x[0], x[1], x[2]))
@@ -326,15 +327,15 @@ def test_ib_spl_lambda_gt_one_uses_published_formula(spark):
     tf, dl, df, ttf, n, sum_dl, avgdl = 2, 10, 50, 300, 100, 650, 6.5
     tfn = _tfn_py("h2", tf, dl, avgdl)
     lam = (ttf + 1) / (n + 1)  # ~2.98 > 1
-    exp = max(-math.log2((lam ** (tfn / (tfn + 1)) - lam) / (1 - lam)), 0.0)
+    exp = max(-math.log((lam ** (tfn / (tfn + 1)) - lam) / (1 - lam)), 0.0)
     got = _eval_full(spark, sim, tf, dl, df, ttf, n, sum_dl, avgdl)
     assert got == pytest.approx(np.float32(exp), rel=1e-6)
 
 
 def test_ib_spl_lambda_one_analytic_limit(spark):
-    # lam == 1 exactly: the analytic limit -log2(1/(tfn+1)) = log2(tfn+1)
+    # lam == 1 exactly: the analytic limit -ln(1/(tfn+1)) = ln(tfn+1)
     sim = S.from_spec({"type": "IB", "distribution": "spl", "lambda": "df",
                        "normalization": "no"})
     got = _eval_full(spark, sim, tf=3, dl=10, df=100, ttf=300,
                      n=100, sum_dl=650, avgdl=6.5)
-    assert got == pytest.approx(np.float32(math.log2(4.0)), rel=1e-6)
+    assert got == pytest.approx(np.float32(math.log(4.0)), rel=1e-6)
