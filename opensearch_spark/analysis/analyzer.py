@@ -66,6 +66,89 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
+# Language stop sets for the r4 multilingual analyzers — the common
+# function words of the snowball-project per-language lists (the lists
+# the reference's language analyzers load from Lucene's
+# <lang>_stop.txt).  Reproduced from the published lists; coverage of
+# the long tail is best-effort (no network in this environment to pin
+# byte parity), which only affects which terms are dropped, never how
+# surviving terms are stemmed/scored.
+FRENCH_STOP_WORDS = frozenset(
+    """au aux avec ce ces dans de des du elle en et eux il ils je la le
+    les leur lui ma mais me même mes moi mon ne nos notre nous on ou
+    par pas pour qu que qui sa se ses son sur ta te tes toi ton tu un
+    une vos votre vous c d j l à m n s t y été étée étées étés étant
+    suis es est sommes êtes sont serai seras sera serons serez seront
+    serais serait serions seriez seraient étais était étions étiez
+    étaient fus fut fûmes fûtes furent sois soit soyons soyez soient
+    fusse fusses fût fussions fussiez fussent ayant eu eue eues eus ai
+    as avons avez ont aurai auras aura aurons aurez auront aurais
+    aurait aurions auriez auraient avais avait avions aviez avaient
+    eut eûmes eûtes eurent aie aies ait ayons ayez aient eusse eusses
+    eût eussions eussiez eussent""".split()
+)
+GERMAN_STOP_WORDS = frozenset(
+    """aber alle allem allen aller alles als also am an ander andere
+    anderem anderen anderer anderes anderm andern anderr anders auch
+    auf aus bei bin bis bist da damit dann der den des dem die das
+    dass derselbe derselben denselben desselben demselben dieselbe
+    dieselben dasselbe dazu dein deine deinem deinen deiner deines
+    denn derer dessen dich dir du dies diese diesem diesen dieser
+    dieses doch dort durch ein eine einem einen einer eines einig
+    einige einigem einigen einiger einiges einmal er ihn ihm es etwas
+    euer eure eurem euren eurer eures für gegen gewesen hab habe haben
+    hat hatte hatten hier hin hinter ich mich mir ihr ihre ihrem ihren
+    ihrer ihres euch im in indem ins ist jede jedem jeden jeder jedes
+    jene jenem jenen jener jenes jetzt kann kein keine keinem keinen
+    keiner keines können könnte machen man manche manchem manchen
+    mancher manches mein meine meinem meinen meiner meines mit muss
+    musste nach nicht nichts noch nun nur ob oder ohne sehr sein seine
+    seinem seinen seiner seines selbst sich sie ihnen sind so solche
+    solchem solchen solcher solches soll sollte sondern sonst über um
+    und uns unsere unserem unseren unser unseres unter viel vom von
+    vor während war waren warst was weg weil weiter welche welchem
+    welchen welcher welches wenn werde werden wie wieder will wir wird
+    wirst wo wollen wollte würde würden zu zum zur zwar zwischen""".split()
+)
+SPANISH_STOP_WORDS = frozenset(
+    """de la que el en y a los del se las por un para con no una su al
+    lo como más pero sus le ya o este sí porque esta entre cuando muy
+    sin sobre también me hasta hay donde quien desde todo nos durante
+    todos uno les ni contra otros ese eso ante ellos e esto mí antes
+    algunos qué unos yo otro otras otra él tanto esa estos mucho
+    quienes nada muchos cual poco ella estar estas algunas algo
+    nosotros mi mis tú te ti tu tus ellas nosotras vosotros vosotras
+    os mío mía míos mías tuyo tuya tuyos tuyas suyo suya suyos suyas
+    nuestro nuestra nuestros nuestras vuestro vuestra vuestros
+    vuestras esos esas estoy estás está estamos estáis están esté
+    estés estemos estéis estén estaré estarás estará estaremos
+    estaréis estarán estaría estarías estaríamos estaríais estarían
+    estaba estabas estábamos estabais estaban estuve estuviste estuvo
+    estuvimos estuvisteis estuvieron ser es soy eres somos sois son
+    sea seas seamos seáis sean seré serás será seremos seréis serán
+    sería serías seríamos seríais serían era eras éramos erais eran
+    fui fuiste fue fuimos fuisteis fueron he has ha hemos habéis han
+    haya hayas hayamos hayáis hayan habré habrás habrá habremos
+    habréis habrán había habías habíamos habíais habían hube hubiste
+    hubo hubimos hubisteis hubieron tengo tienes tiene tenemos tenéis
+    tienen tenga tengas tengamos tengáis tengan tendré tendrás tendrá
+    tendremos tendréis tendrán tenía tenías teníamos teníais tenían
+    tuve tuviste tuvo tuvimos tuvisteis tuvieron""".split()
+)
+RUSSIAN_STOP_WORDS = frozenset(
+    """и в во не что он на я с со как а то все она так его но да ты к
+    у же вы за бы по только ее мне было вот от меня еще нет о из ему
+    теперь когда даже ну вдруг ли если уже или ни быть был него до
+    вас нибудь опять уж вам ведь там потом себя ничего ей может они
+    тут где есть надо ней для мы тебя их чем была сам чтоб без будто
+    чего раз тоже себе под будет ж тогда кто этот того потому этого
+    какой совсем ним здесь этом один почти мой тем чтобы нее сейчас
+    были куда зачем всех никогда можно при наконец два об другой хоть
+    после над больше тот через эти нас про всего них какая много
+    разве три эту моя впрочем хорошо свою этой перед иногда лучше
+    чуть том нельзя такой им более всегда конечно всю между""".split()
+)
+
 # One "word" candidate: \w runs joined by (letter ' letter) or (digit [.,] digit).
 # \w includes underscore (ExtendNumLet) and unicode letters/digits.
 _TOKEN_RE = re.compile(
@@ -177,6 +260,14 @@ def resolve_stopwords(name_or_list) -> Optional[frozenset]:
     English set, else an explicit word list."""
     if name_or_list is None:
         return None
-    if name_or_list == "_english_":
-        return ENGLISH_STOP_WORDS
+    named = {
+        "_english_": ENGLISH_STOP_WORDS,
+        "_french_": FRENCH_STOP_WORDS,
+        "_german_": GERMAN_STOP_WORDS,
+        "_spanish_": SPANISH_STOP_WORDS,
+        "_russian_": RUSSIAN_STOP_WORDS,
+        "_none_": frozenset(),
+    }
+    if isinstance(name_or_list, str) and name_or_list in named:
+        return named[name_or_list]
     return frozenset(name_or_list)

@@ -431,14 +431,63 @@ def make_tokenizer(spec) -> Callable[[str], TokenStream]:
 # Token filters
 # --------------------------------------------------------------------------
 
+#: non-decomposable Latin letters from ASCIIFoldingFilter's table —
+#: NFKD cannot strip these (they have no combining-mark decomposition),
+#: so they are mapped explicitly first (r4, VERDICT #3 "icu_folding-
+#: equivalent asciifolding extension")
+_FOLD_EXTRA = str.maketrans({
+    "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+    "ŋ": "n", "Ŋ": "N", "ı": "i", "ĸ": "k", "ſ": "s",
+    "ĳ": "ij", "Ĳ": "IJ",
+})
+
+
 def _fold_ascii(tok: str) -> str:
-    # NFKD decompose then drop combining marks — covers the Latin accent
-    # block of Lucene's ASCIIFoldingFilter (its full table also maps
-    # ligatures; NFKD handles those too, e.g. ﬁ -> fi).
+    # Explicit table for non-decomposables (ß, æ, ø, đ, þ, ł, ...) then
+    # NFKD decompose and drop combining marks — together covering the
+    # Latin blocks of Lucene's ASCIIFoldingFilter (NFKD also handles
+    # compat ligatures, e.g. ﬁ -> fi).
+    tok = tok.translate(_FOLD_EXTRA)
     return "".join(
         c for c in unicodedata.normalize("NFKD", tok)
         if not unicodedata.combining(c)
     )
+
+
+def _cjk_width(tok: str) -> str:
+    # CJKWidthFilterFactory.java / Lucene CJKWidthFilter: fold fullwidth
+    # ASCII variants to halfwidth, and halfwidth katakana variants to
+    # fullwidth (composing halfwidth voiced/semi-voiced marks into the
+    # preceding kana, e.g. ﾊ + ﾞ -> バ)
+    out = []
+    for c in tok:
+        o = ord(c)
+        if 0xFF01 <= o <= 0xFF5E:
+            out.append(chr(o - 0xFEE0))
+        elif o == 0xFF9E:  # halfwidth voiced mark -> combining
+            out.append("゙")
+        elif o == 0xFF9F:  # halfwidth semi-voiced mark -> combining
+            out.append("゚")
+        elif 0xFF61 <= o <= 0xFF9D:
+            out.append(unicodedata.normalize("NFKC", c))
+        else:
+            out.append(c)
+    return unicodedata.normalize("NFC", "".join(out))
+
+
+def _cjk_script(ch: str) -> Optional[str]:
+    o = ord(ch)
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF or 0xF900 <= o <= 0xFAFF:
+        return "han"
+    if 0x3040 <= o <= 0x309F:
+        return "hiragana"
+    if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF:
+        return "katakana"
+    if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF or 0x3130 <= o <= 0x318F:
+        return "hangul"
+    return None
 
 
 def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
@@ -461,11 +510,109 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
         return _map1(_fold_ascii)
     if typ in ("porter_stem", "kstem"):
         return _map1(porter_stem)
-    if typ == "stemmer":
-        lang = spec.get("language", spec.get("name", "porter"))
-        if lang not in ("porter", "english"):
-            raise ValueError(f"stemmer language not implemented: {lang}")
-        return _map1(porter_stem)
+    if typ in ("stemmer", "snowball"):
+        # StemmerTokenFilterFactory.java language table; the `snowball`
+        # filter (SnowballTokenFilterFactory.java) takes capitalized
+        # names and defaults to English
+        lang = spec.get("language", spec.get("name", "porter" if typ == "stemmer" else "English"))
+        lang = str(lang).lower()
+        from opensearch_spark.analysis import snowball as _sb
+
+        if lang in ("porter", "english"):
+            # deviation note: `snowball` English in the reference is
+            # Porter2 (EnglishStemmer); we serve Porter 1980 for both
+            return _map1(porter_stem)
+        if lang == "french":
+            return _map1(_sb.french_stem)
+        if lang in ("german", "german2"):
+            return _map1(_sb.german_stem)
+        if lang == "spanish":
+            return _map1(_sb.spanish_stem)
+        if lang == "russian":
+            return _map1(_sb.russian_stem)
+        raise ValueError(f"stemmer language not implemented: {lang}")
+    if typ == "elision":
+        # ElisionFilterFactory.java — strip l'/d'/qu'... article prefixes;
+        # default article set = FrenchAnalyzer.DEFAULT_ARTICLES
+        articles = tuple(
+            spec.get(
+                "articles",
+                ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+                 "jusqu", "quoiqu", "lorsqu", "puisqu"),
+            )
+        )
+        ci = bool(spec.get("articles_case", True))
+
+        def _elide(t: str) -> str:
+            low = t.lower() if ci else t
+            for a in articles:
+                for apo in ("'", "’"):
+                    p = a + apo
+                    if low.startswith(p) and len(t) > len(p):
+                        return t[len(p):]
+            return t
+
+        return _map1(_elide)
+    if typ == "cjk_width":
+        return _map1(_cjk_width)
+    if typ == "cjk_bigram":
+        # CJKBigramFilterFactory.java: form character bigrams across
+        # adjacent CJK tokens (standard tokenizer emits han/hiragana as
+        # single-char tokens and katakana/hangul as runs; adjacency =
+        # consecutive positions).  A lone CJK char stays a unigram;
+        # output_unigrams=true emits both (bigram shares the position of
+        # its first char).  Output positions are renumbered sequentially
+        # (each emitted token advances one position), matching the
+        # filter's one-increment-per-token stream shape.
+        ignored = set(spec.get("ignored_scripts", ()))
+        enabled = {"han", "hiragana", "katakana", "hangul"} - ignored
+        out_uni = bool(spec.get("output_unigrams", False))
+
+        def _cjk_bigram(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            groups: List[List] = []
+            prev_p = None
+            for t, p in zip(toks, pos):
+                s = _cjk_script(t[0]) if t else None
+                is_run = (
+                    s in enabled
+                    and all(_cjk_script(c) == s for c in t)
+                )
+                if (
+                    is_run
+                    and groups
+                    and groups[-1][0] == "cjk"
+                    and prev_p is not None
+                    and p == prev_p + 1
+                ):
+                    groups[-1][1] += t
+                else:
+                    groups.append(["cjk" if is_run else "plain", t])
+                prev_p = p
+            out_t: List[str] = []
+            out_p: List[int] = []
+            np_ = 0
+            for kind, s in groups:
+                if kind == "plain" or len(s) == 1:
+                    out_t.append(s)
+                    out_p.append(np_)
+                    np_ += 1
+                    continue
+                for i in range(len(s)):
+                    if out_uni:
+                        out_t.append(s[i])
+                        out_p.append(np_)
+                        if i < len(s) - 1:
+                            out_t.append(s[i : i + 2])
+                            out_p.append(np_)
+                        np_ += 1
+                    elif i < len(s) - 1:
+                        out_t.append(s[i : i + 2])
+                        out_p.append(np_)
+                        np_ += 1
+            return out_t, out_p
+
+        return _cjk_bigram
     if typ == "reverse":
         return _map1(lambda t: t[::-1])
     if typ == "trim":
@@ -601,6 +748,54 @@ NAMED_ANALYZERS: Dict[str, dict] = {
     "whitespace": {"tokenizer": "whitespace", "filter": []},
     "keyword": {"tokenizer": "keyword", "filter": []},
     "stop": {"tokenizer": "lowercase", "filter": ["stop"]},
+    # r4 language analyzers (analysis-common LanguageAnalyzerProviders;
+    # Lucene FrenchAnalyzer/GermanAnalyzer/SpanishAnalyzer/
+    # RussianAnalyzer/CJKAnalyzer component order).  Deviations: no
+    # per-language keyword-marker exclusion set (none configured by
+    # default anyway) and German skips GermanNormalizationFilter (our
+    # snowball german stemmer already folds umlauts/ß at the end).
+    "french": {
+        "tokenizer": "standard",
+        "filter": [
+            {"type": "elision"},
+            "lowercase",
+            {"type": "stop", "stopwords": "_french_"},
+            {"type": "stemmer", "language": "french"},
+        ],
+    },
+    "german": {
+        "tokenizer": "standard",
+        "filter": [
+            "lowercase",
+            {"type": "stop", "stopwords": "_german_"},
+            {"type": "stemmer", "language": "german"},
+        ],
+    },
+    "spanish": {
+        "tokenizer": "standard",
+        "filter": [
+            "lowercase",
+            {"type": "stop", "stopwords": "_spanish_"},
+            {"type": "stemmer", "language": "spanish"},
+        ],
+    },
+    "russian": {
+        "tokenizer": "standard",
+        "filter": [
+            "lowercase",
+            {"type": "stop", "stopwords": "_russian_"},
+            {"type": "stemmer", "language": "russian"},
+        ],
+    },
+    "cjk": {
+        "tokenizer": "standard",
+        "filter": [
+            "cjk_width",
+            "lowercase",
+            {"type": "cjk_bigram"},
+            {"type": "stop", "stopwords": "_english_"},
+        ],
+    },
 }
 
 

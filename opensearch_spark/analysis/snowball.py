@@ -1,0 +1,725 @@
+"""Snowball stemmers: french / german / spanish / russian.
+
+The reference's ``StemmerTokenFilterFactory.java`` maps these language
+names to Lucene ``SnowballFilter`` over the corresponding
+``org.tartarus.snowball.ext.*Stemmer`` (french :176-177, german
+:190-191, spanish :263-264, russian :257-258), and
+``SnowballTokenFilterFactory.java`` / ``SnowballAnalyzerProvider.java``
+expose the same stemmers as the ``snowball`` filter / analyzer.
+
+These implementations follow the PUBLISHED per-language algorithm
+specifications from the Snowball project (M.F. Porter, "Snowball: A
+language for stemming algorithms", 2001; snowballstem.org algorithm
+descriptions) — written from the prose specifications, not translated
+from any generated code.  Each stemmer expects (and defensively
+applies) lowercase input, matching the reference chains which place a
+lowercase filter before the stemmer.
+
+Version note: the Snowball project has revised some algorithms over the
+years (e.g. French gained ``ë``/``ï`` handling in later revisions).
+These implement the long-standing classic specifications; outputs are
+pinned by hand-traced vocabularies in ``tests/test_snowball.py``
+(traced step-by-step against the published algorithm text, since no
+reference stemmer binary is available in this environment).
+"""
+
+from __future__ import annotations
+
+__all__ = ["french_stem", "german_stem", "spanish_stem", "russian_stem"]
+
+
+def _std_r1r2(word: str, vowels: str) -> tuple:
+    """Standard R1/R2: R1 = region after the first non-vowel following
+    a vowel; R2 = the same definition applied within R1 (Porter,
+    "Defining R1 and R2", snowballstem.org/texts/r1r2.html)."""
+    n = len(word)
+    r1 = n
+    for i in range(1, n):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+# ===================================================================
+# German (snowballstem.org/algorithms/german/stemmer.html)
+# ===================================================================
+
+_DE_V = "aeiouyäöü"
+_DE_S_END = "bdfghklmnrt"  # valid s-ending
+_DE_ST_END = "bdfghklmnt"  # valid st-ending
+
+
+def german_stem(word: str) -> str:
+    word = word.lower().replace("ß", "ss")
+    # u/y between vowels are marked as consonants (upper case)
+    ch = list(word)
+    for i in range(1, len(ch) - 1):
+        if ch[i] in "uy" and ch[i - 1] in _DE_V and ch[i + 1] in _DE_V:
+            ch[i] = ch[i].upper()
+    word = "".join(ch)
+    r1, r2 = _std_r1r2(word, _DE_V)
+    # the region before R1 must contain at least 3 letters
+    if r1 < 3:
+        r1 = 3
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 1 — longest of: (a) em ern er  (b) e en es [+niss fixup]
+    #                      (c) s after a valid s-ending
+    for suf in ("ern", "em", "er", "en", "es", "e", "s"):
+        if word.endswith(suf):
+            pos = len(word) - len(suf)
+            if suf in ("ern", "em", "er"):
+                if in_r1(pos):
+                    word = word[:pos]
+            elif suf in ("en", "es", "e"):
+                if in_r1(pos):
+                    word = word[:pos]
+                    if word.endswith("niss"):
+                        word = word[:-1]
+            else:  # "s"
+                if in_r1(pos) and pos >= 1 and word[pos - 1] in _DE_S_END:
+                    word = word[:pos]
+            break
+
+    # step 2 — longest of: (a) en er est  (b) st after a valid
+    # st-ending itself preceded by at least 3 letters
+    for suf in ("est", "en", "er", "st"):
+        if word.endswith(suf):
+            pos = len(word) - len(suf)
+            if suf == "st":
+                if in_r1(pos) and pos >= 4 and word[pos - 1] in _DE_ST_END:
+                    word = word[:pos]
+            else:
+                if in_r1(pos):
+                    word = word[:pos]
+            break
+
+    # step 3 — d-suffixes
+    for suf in ("heit", "lich", "keit", "isch", "end", "ung", "ig", "ik"):
+        if word.endswith(suf):
+            pos = len(word) - len(suf)
+            if suf in ("end", "ung"):
+                if in_r2(pos):
+                    word = word[:pos]
+                    if word.endswith("ig") and not word.endswith("eig") and in_r2(
+                        len(word) - 2
+                    ):
+                        word = word[:-2]
+            elif suf in ("ig", "ik", "isch"):
+                if in_r2(pos) and not (pos >= 1 and word[pos - 1] == "e"):
+                    word = word[:pos]
+            elif suf in ("lich", "heit"):
+                if in_r2(pos):
+                    word = word[:pos]
+                    for pre in ("er", "en"):
+                        if word.endswith(pre) and in_r1(len(word) - 2):
+                            word = word[:-2]
+                            break
+            else:  # keit
+                if in_r2(pos):
+                    word = word[:pos]
+                    for pre in ("lich", "ig"):
+                        if word.endswith(pre) and in_r2(len(word) - len(pre)):
+                            word = word[: -len(pre)]
+                            break
+            break
+
+    word = word.replace("U", "u").replace("Y", "y")
+    return word.translate(_DE_UNUMLAUT)
+
+
+_DE_UNUMLAUT = str.maketrans("äöü", "aou")
+
+
+# ===================================================================
+# French (snowballstem.org/algorithms/french/stemmer.html)
+# ===================================================================
+
+_FR_V = "aeiouyâàëéêèïîôûù"
+
+# step-1 suffixes, longest first; value = handler group
+_FR_STEP1 = [
+    ("issements", "issement"), ("issement", "issement"),
+    ("atrices", "ateur"), ("amment", "amment"), ("emment", "emment"),
+    ("ements", "ement"), ("atrice", "ateur"), ("ateurs", "ateur"),
+    ("ations", "ateur"), ("logies", "logie"), ("usions", "usion"),
+    ("utions", "usion"), ("ement", "ement"), ("ances", "simple"),
+    ("iqUes", "simple"), ("ismes", "simple"), ("ables", "simple"),
+    ("istes", "simple"), ("ateur", "ateur"), ("ation", "ateur"),
+    ("logie", "logie"), ("usion", "usion"), ("ution", "usion"),
+    ("ences", "ence"), ("ments", "ment"), ("euses", "euse"),
+    ("ance", "simple"), ("iqUe", "simple"), ("isme", "simple"),
+    ("able", "simple"), ("iste", "simple"), ("ence", "ence"),
+    ("ités", "ité"), ("ives", "if"), ("eaux", "eaux"), ("euse", "euse"),
+    ("ment", "ment"), ("eux", "simple"), ("ité", "ité"), ("ifs", "if"),
+    ("ive", "if"), ("aux", "aux"), ("if", "if"),
+]
+
+_FR_2A = sorted(
+    [
+        "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+        "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+        "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+        "issant", "issante", "issantes", "issants", "isse", "issent",
+        "isses", "issez", "issiez", "issions", "issons", "it",
+    ],
+    key=len,
+    reverse=True,
+)
+
+_FR_2B_DELETE = [
+    "eraIent", "erions", "èrent", "erais", "erait", "eriez", "erons",
+    "eront", "erai", "eras", "erez", "iez", "era", "ées", "és", "er",
+    "ez", "ée", "é",
+]
+_FR_2B_E = [
+    "assions", "assiez", "assent", "asses", "aIent", "antes", "asse",
+    "âmes", "âtes", "ants", "ante", "ais", "ait", "ant", "ât", "ai",
+    "as", "a",
+]
+
+
+def french_stem(word: str) -> str:
+    word = word.lower()
+    ch = list(word)
+    n = len(ch)
+    # mark non-vowel u/i/y occurrences as consonants (upper case)
+    for i in range(n):
+        c = ch[i]
+        if c in "ui" and 0 < i < n - 1 and ch[i - 1] in _FR_V and ch[i + 1] in _FR_V:
+            ch[i] = c.upper()
+        elif c == "u" and i > 0 and ch[i - 1] == "q":
+            ch[i] = "U"
+        elif c == "y" and (
+            (i > 0 and ch[i - 1] in _FR_V) or (i < n - 1 and ch[i + 1] in _FR_V)
+        ):
+            ch[i] = "Y"
+    word = "".join(ch)
+
+    n = len(word)
+    rv = n
+    if n >= 3 and word[0] in _FR_V and word[1] in _FR_V:
+        rv = 3
+    elif word[:3] in ("par", "col", "tap"):
+        rv = 3
+    else:
+        for i in range(1, n):
+            if word[i] in _FR_V:
+                rv = i + 1
+                break
+    r1, r2 = _std_r1r2(word, _FR_V)
+
+    original = word
+    found_ment = False
+
+    # ---- step 1: standard suffix removal
+    for suf, grp in _FR_STEP1:
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if grp == "simple":
+            if pos >= r2:
+                word = word[:pos]
+        elif grp == "ateur":
+            if pos >= r2:
+                word = word[:pos]
+                if word.endswith("ic"):
+                    if len(word) - 2 >= r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+        elif grp == "logie":
+            if pos >= r2:
+                word = word[:pos] + "log"
+        elif grp == "usion":
+            if pos >= r2:
+                word = word[:pos] + "u"
+        elif grp == "ence":
+            if pos >= r2:
+                word = word[:pos] + "ent"
+        elif grp == "ement":
+            if pos >= rv:
+                word = word[:pos]
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                elif word.endswith("eus"):
+                    if len(word) - 3 >= r2:
+                        word = word[:-3]
+                    elif len(word) - 3 >= r1:
+                        word = word[:-3] + "eux"
+                elif word.endswith("abl") and len(word) - 3 >= r2:
+                    word = word[:-3]
+                elif word.endswith("iqU") and len(word) - 3 >= r2:
+                    word = word[:-3]
+                elif (
+                    word.endswith("ièr") or word.endswith("Ièr")
+                ) and len(word) - 3 >= rv:
+                    word = word[:-3] + "i"
+        elif grp == "ité":
+            if pos >= r2:
+                word = word[:pos]
+                if word.endswith("abil"):
+                    if len(word) - 4 >= r2:
+                        word = word[:-4]
+                    else:
+                        word = word[:-4] + "abl"
+                elif word.endswith("ic"):
+                    if len(word) - 2 >= r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+                elif word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif grp == "if":
+            if pos >= r2:
+                word = word[:pos]
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("ic"):
+                        if len(word) - 2 >= r2:
+                            word = word[:-2]
+                        else:
+                            word = word[:-2] + "iqU"
+        elif grp == "eaux":
+            word = word[:pos] + "eau"
+        elif grp == "aux":
+            if pos >= r1:
+                word = word[:pos] + "al"
+        elif grp == "euse":
+            if pos >= r2:
+                word = word[:pos]
+            elif pos >= r1:
+                word = word[:pos] + "eux"
+        elif grp == "issement":
+            if pos >= r1 and pos >= 1 and word[pos - 1] not in _FR_V:
+                word = word[:pos]
+        elif grp == "amment":
+            found_ment = True
+            if pos >= rv:
+                word = word[:pos] + "ant"
+        elif grp == "emment":
+            found_ment = True
+            if pos >= rv:
+                word = word[:pos] + "ent"
+        elif grp == "ment":
+            found_ment = True
+            if pos >= 1 and word[pos - 1] in _FR_V and pos - 1 >= rv:
+                word = word[:pos]
+        break
+
+    step1_removed = word != original
+    after1 = word
+
+    # ---- steps 2a / 2b: verb suffixes
+    did_2 = False
+    if not step1_removed or found_ment:
+        for suf in _FR_2A:
+            if word.endswith(suf):
+                pos = len(word) - len(suf)
+                if (
+                    pos >= rv
+                    and pos >= 1
+                    and word[pos - 1] not in _FR_V
+                    and pos - 1 >= rv
+                ):
+                    word = word[:pos]
+                    did_2 = True
+                break
+        if not did_2:
+            # step 2b — longest across the three groups
+            cands = (
+                [("ions", "ions")]
+                + [(s, "del") for s in _FR_2B_DELETE]
+                + [(s, "e") for s in _FR_2B_E]
+            )
+            cands.sort(key=lambda x: len(x[0]), reverse=True)
+            for suf, grp in cands:
+                if not word.endswith(suf):
+                    continue
+                pos = len(word) - len(suf)
+                if pos < rv:
+                    break
+                if grp == "ions":
+                    if pos >= r2:
+                        word = word[:pos]
+                        did_2 = True
+                elif grp == "del":
+                    word = word[:pos]
+                    did_2 = True
+                else:
+                    word = word[:pos]
+                    did_2 = True
+                    if word.endswith("e") and len(word) - 1 >= rv:
+                        word = word[:-1]
+                break
+
+    altered = word != original
+
+    if altered:
+        # ---- step 3
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        # ---- step 4
+        if (
+            word.endswith("s")
+            and len(word) >= 2
+            and word[-2] not in "aiouès"
+        ):
+            word = word[:-1]
+        for suf in ("Ière", "ière", "Ier", "ier", "ion", "ë", "e"):
+            if word.endswith(suf):
+                pos = len(word) - len(suf)
+                if suf == "ion":
+                    if pos >= r2 and pos >= 1 and word[pos - 1] in "st" and pos - 1 >= rv:
+                        word = word[:pos]
+                elif suf in ("ier", "ière", "Ier", "Ière"):
+                    if pos >= rv:
+                        word = word[:pos] + "i"
+                elif suf == "e":
+                    if pos >= rv:
+                        word = word[:pos]
+                else:  # ë
+                    if pos >= rv and word.endswith("guë"):
+                        word = word[:-1]
+                break
+
+    # ---- step 5: undouble
+    for end in ("enn", "onn", "ett", "ell", "eill"):
+        if word.endswith(end):
+            word = word[:-1]
+            break
+
+    # ---- step 6: un-accent é/è before a final non-vowel run
+    k = len(word) - 1
+    cnt = 0
+    while k >= 0 and word[k] not in _FR_V and word[k] not in "éè":
+        k -= 1
+        cnt += 1
+    if cnt >= 1 and k >= 0 and word[k] in "éè":
+        word = word[:k] + "e" + word[k + 1 :]
+
+    return word.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# ===================================================================
+# Spanish (snowballstem.org/algorithms/spanish/stemmer.html)
+# ===================================================================
+
+_ES_V = "aeiouáéíóúü"
+_ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
+
+_ES_PRON = sorted(
+    ["me", "se", "sela", "selo", "selas", "selos", "la", "le", "lo",
+     "las", "les", "los", "nos"],
+    key=len,
+    reverse=True,
+)
+
+_ES_STEP1 = [
+    # (suffix, group); longest-first ordering built below
+    ("amientos", "A"), ("imientos", "A"), ("amiento", "A"), ("imiento", "A"),
+    ("aciones", "B"), ("uciones", "D"), ("adoras", "B"), ("adores", "B"),
+    ("ancias", "B"), ("logías", "C"), ("encias", "E"), ("amente", "F"),
+    ("idades", "H"), ("anzas", "A"), ("ismos", "A"), ("ables", "A"),
+    ("ibles", "A"), ("istas", "A"), ("adora", "B"), ("ación", "B"),
+    ("antes", "B"), ("ancia", "B"), ("logía", "C"), ("ución", "D"),
+    ("encia", "E"), ("mente", "G"), ("anza", "A"), ("icos", "A"),
+    ("icas", "A"), ("ismo", "A"), ("able", "A"), ("ible", "A"),
+    ("ista", "A"), ("osos", "A"), ("osas", "A"), ("ador", "B"),
+    ("ante", "B"), ("idad", "H"), ("ivas", "I"), ("ivos", "I"),
+    ("ico", "A"), ("ica", "A"), ("oso", "A"), ("osa", "A"),
+    ("iva", "I"), ("ivo", "I"),
+]
+
+_ES_2A = sorted(
+    ["ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó", "yas", "yes",
+     "yais", "yamos"],
+    key=len,
+    reverse=True,
+)
+
+_ES_2B_GU = ["en", "es", "éis", "emos"]
+_ES_2B = [
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán", "erás",
+    "eríais", "ería", "eréis", "eríamos", "eremos", "erá", "eré",
+    "irían", "irías", "irán", "irás", "iríais", "iría", "iréis",
+    "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida", "ía", "ara",
+    "iera", "ad", "ed", "id", "ase", "iese", "aste", "iste", "an",
+    "aban", "ían", "aran", "ieran", "asen", "iesen", "aron", "ieron",
+    "ado", "ido", "ando", "iendo", "ió", "ar", "er", "ir", "as",
+    "abas", "adas", "idas", "ías", "aras", "ieras", "ases", "ieses",
+    "ís", "áis", "abais", "íais", "arais", "ierais", "aseis", "ieseis",
+    "asteis", "isteis", "ados", "idos", "amos", "ábamos", "íamos",
+    "imos", "áramos", "iéramos", "iésemos", "ásemos", "o",
+]
+
+
+def spanish_stem(word: str) -> str:
+    word = word.lower()
+    n = len(word)
+    # RV (Spanish-specific definition)
+    rv = n
+    if n >= 2:
+        if word[1] not in _ES_V:
+            for i in range(2, n):
+                if word[i] in _ES_V:
+                    rv = i + 1
+                    break
+        elif word[0] in _ES_V:
+            for i in range(2, n):
+                if word[i] not in _ES_V:
+                    rv = i + 1
+                    break
+        else:
+            rv = 3 if n > 3 else n
+    r1, r2 = _std_r1r2(word, _ES_V)
+
+    # ---- step 0: attached pronoun
+    for p in _ES_PRON:
+        if word.endswith(p):
+            stem = word[: len(word) - len(p)]
+            done = False
+            for a in ("iéndo", "ándo", "ár", "ér", "ír"):
+                if stem.endswith(a) and len(stem) - len(a) >= rv:
+                    word = stem.translate(_ES_UNACCENT)
+                    done = True
+                    break
+            if not done:
+                for b in ("iendo", "ando", "ar", "er", "ir"):
+                    if stem.endswith(b) and len(stem) - len(b) >= rv:
+                        word = stem
+                        done = True
+                        break
+            if not done and stem.endswith("yendo") and len(stem) >= 6 and stem[-6] == "u":
+                # uyendo: the u need not be in RV
+                if len(stem) - 5 >= rv:
+                    word = stem
+            break
+
+    original = word
+
+    # ---- step 1: standard suffix removal (longest match)
+    step1 = sorted(_ES_STEP1, key=lambda x: len(x[0]), reverse=True)
+    for suf, grp in step1:
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if grp == "A":
+            if pos >= r2:
+                word = word[:pos]
+        elif grp == "B":
+            if pos >= r2:
+                word = word[:pos]
+                if word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif grp == "C":
+            if pos >= r2:
+                word = word[:pos] + "log"
+        elif grp == "D":
+            if pos >= r2:
+                word = word[:pos] + "u"
+        elif grp == "E":
+            if pos >= r2:
+                word = word[:pos] + "ente"
+        elif grp == "F":  # amente
+            if pos >= r1:
+                word = word[:pos]
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and len(word) - 2 >= r2:
+                            word = word[:-2]
+                            break
+        elif grp == "G":  # mente
+            if pos >= r2:
+                word = word[:pos]
+                for pre in ("ante", "able", "ible"):
+                    if word.endswith(pre) and len(word) - 4 >= r2:
+                        word = word[:-4]
+                        break
+        elif grp == "H":  # idad(es)
+            if pos >= r2:
+                word = word[:pos]
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+        elif grp == "I":  # iva/ivo/ivas/ivos
+            if pos >= r2:
+                word = word[:pos]
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        break
+
+    # ---- step 2a: verb suffixes beginning y (only if step 1 removed nothing)
+    if word == original:
+        done2a = False
+        for suf in _ES_2A:
+            if word.endswith(suf):
+                pos = len(word) - len(suf)
+                if pos >= rv and pos >= 1 and word[pos - 1] == "u":
+                    word = word[:pos]
+                    done2a = True
+                break
+        # ---- step 2b: other verb suffixes
+        if not done2a:
+            cands = [(s, "gu") for s in _ES_2B_GU] + [(s, "del") for s in _ES_2B]
+            cands.sort(key=lambda x: len(x[0]), reverse=True)
+            for suf, grp in cands:
+                if not word.endswith(suf):
+                    continue
+                pos = len(word) - len(suf)
+                if pos >= rv:
+                    word = word[:pos]
+                    if grp == "gu" and word.endswith("gu"):
+                        # the preceding u is deleted (need not be in RV)
+                        word = word[:-1]
+                break
+
+    # ---- step 3: residual suffix
+    for suf in ("os", "a", "o", "á", "í", "ó", "e", "é"):
+        if word.endswith(suf):
+            pos = len(word) - len(suf)
+            if pos >= rv:
+                if suf in ("e", "é"):
+                    word = word[:pos]
+                    if word.endswith("gu") and len(word) - 1 >= rv:
+                        word = word[:-1]
+                else:
+                    word = word[:pos]
+            break
+
+    return word.translate(_ES_UNACCENT)
+
+
+# ===================================================================
+# Russian (snowballstem.org/algorithms/russian/stemmer.html)
+# ===================================================================
+
+_RU_V = "аеиоуыэюя"
+
+_RU_PERF_G1 = ["вшись", "вши", "в"]
+_RU_PERF_G2 = ["ившись", "ывшись", "ивши", "ывши", "ив", "ыв"]
+_RU_ADJ = [
+    "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем",
+    "им", "ым", "ом", "его", "ого", "ему", "ому", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+]
+_RU_PART_G1 = ["ем", "нн", "вш", "ющ", "щ"]
+_RU_PART_G2 = ["ивш", "ывш", "ующ"]
+_RU_VERB_G1 = [
+    "ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но",
+    "ет", "ют", "ны", "ть", "ешь", "нно",
+]
+_RU_VERB_G2 = [
+    "ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ят",
+    "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую", "ю",
+]
+_RU_NOUN = [
+    "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии",
+    "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам",
+    "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия",
+    "ья", "я",
+]
+
+
+def _ru_match(word: str, rv: int, group1, group2):
+    """Longest suffix match within RV; group1 entries require а/я
+    immediately before (the а/я must itself be in RV and is kept)."""
+    best = None  # (total_matched_len, strip_len)
+    for g in group1:
+        i = len(word) - len(g)
+        if i >= 1 and word.endswith(g) and word[i - 1] in "ая" and i - 1 >= rv:
+            if best is None or len(g) + 1 > best[0]:
+                best = (len(g) + 1, len(g))
+    for g in group2:
+        i = len(word) - len(g)
+        if i >= 0 and word.endswith(g) and i >= rv:
+            if best is None or len(g) > best[0]:
+                best = (len(g), len(g))
+    if best is None:
+        return None
+    return word[: len(word) - best[1]]
+
+
+def russian_stem(word: str) -> str:
+    word = word.lower().replace("ё", "е")
+    rv = len(word)
+    for i, c in enumerate(word):
+        if c in _RU_V:
+            rv = i + 1
+            break
+    r1, r2 = _std_r1r2(word, _RU_V)
+
+    # ---- step 1
+    new = _ru_match(word, rv, _RU_PERF_G1, _RU_PERF_G2)
+    if new is not None:
+        word = new
+    else:
+        # reflexive
+        for suf in ("ся", "сь"):
+            if word.endswith(suf) and len(word) - 2 >= rv:
+                word = word[:-2]
+                break
+        # adjectival = adjective [optionally preceded by participle]
+        new = _ru_match(word, rv, [], _RU_ADJ)
+        if new is not None:
+            word = new
+            new = _ru_match(word, rv, _RU_PART_G1, _RU_PART_G2)
+            if new is not None:
+                word = new
+        else:
+            new = _ru_match(word, rv, _RU_VERB_G1, _RU_VERB_G2)
+            if new is not None:
+                word = new
+            else:
+                new = _ru_match(word, rv, [], _RU_NOUN)
+                if new is not None:
+                    word = new
+
+    # ---- step 2: final и
+    if word.endswith("и") and len(word) - 1 >= rv:
+        word = word[:-1]
+
+    # ---- step 3: derivational (in R2)
+    for suf in ("ость", "ост"):
+        if word.endswith(suf) and len(word) - len(suf) >= r2:
+            word = word[: -len(suf)]
+            break
+
+    # ---- step 4
+    if word.endswith("нн") and len(word) - 1 >= rv:
+        word = word[:-1]
+    else:
+        matched = False
+        for suf in ("ейше", "ейш"):
+            if word.endswith(suf) and len(word) - len(suf) >= rv:
+                word = word[: -len(suf)]
+                matched = True
+                break
+        if matched and word.endswith("нн") and len(word) - 1 >= rv:
+            word = word[:-1]
+        elif not matched and word.endswith("ь") and len(word) - 1 >= rv:
+            word = word[:-1]
+    return word

@@ -1519,6 +1519,27 @@ SELECT 'annotated', doc_id, pos, token FROM (
   UNION ALL SELECT doc_id, CAST(0 AS INT), source FROM __b
   UNION ALL SELECT doc_id, CAST(pos + 1 AS INT), token FROM __wsrows
 )
+UNION ALL
+SELECT 'elision', doc_id, pos, token FROM (
+  SELECT doc_id,
+         CAST(unnest(range(len(el))) AS INT) AS pos,
+         unnest(list_transform(el, t ->
+            regexp_replace(t,
+              '^(jusqu|quoiqu|lorsqu|puisqu|qu|[lmtnsjdc])''(.+)$', '\\2'))) AS token
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array('l''' || ls, '\\s+'),
+                           x -> x <> '') AS el
+        FROM __b)
+)
+UNION ALL
+SELECT 'cjk', doc_id, pos, token FROM (
+  SELECT doc_id, CAST(unnest(range(5)) AS INT) AS pos,
+         unnest(list_transform(range(5), i ->
+            substr('学生试验数据', CAST(i + 1 AS INT), 2))) AS token
+  FROM __b
+  UNION ALL
+  SELECT doc_id, CAST(pos + 5 AS INT), token FROM __wsrows
+)
 ORDER BY op, doc_id, pos, token""".replace(
         "__STOPLIST__",
         ",".join(
@@ -1638,6 +1659,29 @@ def analysis_suite(spark, sf_dir):
             "an",
             {"tokenizer": {"type": "annotated_text"}},
             "annotated",
+        ),
+        # r4: elision filter (ElisionFilterFactory.java, FrenchAnalyzer
+        # default articles) — the first token gets an l' prefix so the
+        # strip path is exercised for real; remaining tokens must pass
+        # through untouched
+        rows(
+            base.withColumn("eli", F.concat(F.lit("l'"), F.col("ls"))),
+            "eli",
+            {"tokenizer": "whitespace", "filter": [{"type": "elision"}]},
+            "elision",
+        ),
+        # r4: cjk_bigram (CJKBigramFilterFactory.java) — a han run is
+        # prefixed so the bigram window runs over real multi-byte chars;
+        # non-CJK tokens pass through with sequentially renumbered
+        # positions (bigrams 0-4, then words at +5)
+        rows(
+            base.withColumn(
+                "cj", F.concat(F.lit("学生试验数据 "), F.col("ls"))
+            ),
+            "cj",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "cjk_bigram"}]},
+            "cjk",
         ),
     ]
     return _union(*parts).orderBy("op", "doc_id", "pos", "token")
