@@ -207,6 +207,39 @@ _SIM_LMJM = (
     " (0.3 * (c.ttf + 1.0) / (m.sum_dl + 1.0))), 0.0) AS REAL)"
 )
 _SIM_BOOL = "CAST(1.0 AS REAL)"
+
+# r4 (VERDICT #5): DFR / IB per-term twins (similarities.py DFR/IB;
+# SimilarityProviders.java:90-143,299).  tfn normalizations h2/h1 over
+# the quantized doc length, float32-narrowed like the engine.
+_TFN_H2 = "(t.tf * ln(1 + s.avgdl / q2.qdl) / ln(2))"
+_TFN_H1 = "(t.tf * s.avgdl / q2.qdl)"
+# DFR defaults: basic_model g, after_effect l, normalization h2
+_SIM_DFR_GL2 = (
+    f"CAST(greatest((1.0 / (1.0 + {_TFN_H2})) * "
+    f"((ln(1.0 / (1.0 + (c.ttf / (s.n + c.ttf)))) + {_TFN_H2} * "
+    f"ln((1.0 + (c.ttf / (s.n + c.ttf))) / (c.ttf / (s.n + c.ttf)))) "
+    f"/ ln(2)), 0.0) AS REAL)"
+)
+# DFR in/b/h1
+_SIM_DFR_INB = (
+    f"CAST(greatest(((c.ttf + 1.0) / (d.df * (1.0 + {_TFN_H1}))) * "
+    f"({_TFN_H1} * ln((s.n + 1.0) / (d.df + 0.5)) / ln(2)), 0.0) AS REAL)"
+)
+# IB defaults: distribution ll, lambda df, normalization h2 (natural
+# log — Lucene DistributionLL)
+_SIM_IB_LL = (
+    f"CAST(greatest(-ln(((d.df + 1.0) / (s.n + 1.0)) / "
+    f"({_TFN_H2} + ((d.df + 1.0) / (s.n + 1.0)))), 0.0) AS REAL)"
+)
+# IB spl/ttf/h1 with the lam==1 analytic-limit guard of similarities.py
+_SIM_IB_SPL = (
+    f"CAST(greatest(-ln(greatest("
+    f"CASE WHEN abs(1.0 - ((c.ttf + 1.0) / (s.n + 1.0))) < 1e-9 "
+    f"THEN 1.0 / ({_TFN_H1} + 1.0) "
+    f"ELSE (pow((c.ttf + 1.0) / (s.n + 1.0), {_TFN_H1} / ({_TFN_H1} + 1.0)) "
+    f"- ((c.ttf + 1.0) / (s.n + 1.0))) / (1.0 - ((c.ttf + 1.0) / (s.n + 1.0))) "
+    f"END, 1e-12)), 0.0) AS REAL)"
+)
 _SIM_DFI_CHI = (
     "CASE WHEN t.tf <= ((c.ttf + 1.0) / (m.sum_dl + 1.0)) * q2.qdl THEN CAST(0.0 AS REAL)"
     " ELSE CAST(ln((t.tf - ((c.ttf + 1.0) / (m.sum_dl + 1.0)) * q2.qdl)"
@@ -1248,6 +1281,14 @@ UNION ALL
 {_sql_match_sim({"spark": 1, "join": 1}, _SIM_BOOL, "sim_boolean")}
 UNION ALL
 {_sql_match_sim({"table": 1, "hash": 1}, _SIM_DFI_CHI, "sim_dfi_chisquared")}
+UNION ALL
+{_sql_match_sim({"spark": 1, "join": 1}, _SIM_DFR_GL2, "sim_dfr_gl_h2")}
+UNION ALL
+{_sql_match_sim({"spark": 1, "join": 1}, _SIM_DFR_INB, "sim_dfr_in_b_h1")}
+UNION ALL
+{_sql_match_sim({"spark": 1, "join": 1}, _SIM_IB_LL, "sim_ib_ll_df_h2")}
+UNION ALL
+{_sql_match_sim({"spark": 1, "join": 1}, _SIM_IB_SPL, "sim_ib_spl_ttf_h1")}
 ORDER BY op, score DESC, doc_id ASC""",
 )
 def ft_scoring(spark, sf_dir):
@@ -1316,6 +1357,26 @@ def ft_scoring(spark, sf_dir):
         ),
         {"match": {"text": "table hash"}},
     )
+    # r4 (VERDICT #5): DFR / IB under the oracle, defaults + one
+    # non-default config each
+    h = topk(SearchEngine(eng.index, similarity={"type": "DFR"}), sim_q)
+    i = topk(
+        SearchEngine(
+            eng.index,
+            similarity={"type": "DFR", "basic_model": "in",
+                        "after_effect": "b", "normalization": "h1"},
+        ),
+        sim_q,
+    )
+    j = topk(SearchEngine(eng.index, similarity={"type": "IB"}), sim_q)
+    k = topk(
+        SearchEngine(
+            eng.index,
+            similarity={"type": "IB", "distribution": "spl",
+                        "lambda": "ttf", "normalization": "h1"},
+        ),
+        sim_q,
+    )
     return _union(
         _tag(a, "function_score", "doc_id", "score"),
         _tag(b, "script_score", "doc_id", "score"),
@@ -1327,6 +1388,10 @@ def ft_scoring(spark, sf_dir):
         _tag(e, "sim_lmjelinekmercer", "doc_id", "score"),
         _tag(f, "sim_boolean", "doc_id", "score"),
         _tag(g, "sim_dfi_chisquared", "doc_id", "score"),
+        _tag(h, "sim_dfr_gl_h2", "doc_id", "score"),
+        _tag(i, "sim_dfr_in_b_h1", "doc_id", "score"),
+        _tag(j, "sim_ib_ll_df_h2", "doc_id", "score"),
+        _tag(k, "sim_ib_spl_ttf_h1", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 
@@ -4274,6 +4339,201 @@ def lifecycle_suite(spark, sf_dir):
         _tag(d, "upd_match", "doc_id", "score"),
         _tag(e, "post_append", "doc_id", "score"),
         _tag(g, "ds_search", "doc_id", "score"),
+    ).orderBy("op", F.desc("score"), F.asc("doc_id"))
+
+
+def _sql_match_raw(terms: Dict[str, int], required: int, k: int, op: str,
+                   flt: str = "") -> str:
+    """Tagged top-k ordered by the RAW double score (display rounded to
+    4dp) — the twin of ``engine.search``'s ordering, vs
+    ``_sql_match_over`` which mirrors ``topk``'s round-before-order."""
+    vals = ", ".join(f"('{t}', {w})" for t, w in terms.items())
+    return f"""SELECT '{op}' AS op, doc_id, score FROM (
+  SELECT doc_id, ROUND(sc, 4) AS score FROM (
+    SELECT doc_id, sc FROM (
+      SELECT t.doc_id,
+             SUM(CAST({_SCORE} AS DOUBLE) * v.w) AS sc,
+             SUM(v.w) AS matched
+      FROM __tf t
+      JOIN __df d USING (term)
+      JOIN (SELECT * FROM (VALUES {vals}) AS x(term, w)) v ON v.term = t.term
+      JOIN __qdl q2 ON q2.doc_id = t.doc_id
+      CROSS JOIN __stats s
+      GROUP BY t.doc_id
+    ) WHERE matched >= {required} {flt}
+    ORDER BY sc DESC, doc_id ASC
+    LIMIT {k}
+  )
+)"""
+
+
+_OP_SRC3 = "AND doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')"
+
+
+@_q(
+    "operational_suite",
+    _PRE
+    + "\n"
+    + _sql_match_over(
+        _LC_Q, 1, 10, "alias_search", p="",
+        flt=_OP_SRC3,
+    )
+    + "\nUNION ALL\n"
+    + _sql_match_over(_LC_Q, 1, 10, "template_sorted_search", p="")
+    + "\nUNION ALL\n"
+    + _sql_match_raw(_LC_Q, 1, 10, "cache_miss")
+    + "\nUNION ALL\n"
+    + _sql_match_raw(_LC_Q, 1, 10, "cache_hit")
+    + "\nUNION ALL\n"
+    + _sql_match_raw(_LC_Q, 1, 3, "pipeline_search", flt=_OP_SRC3)
+    + "\nUNION ALL\n"
+    + _sql_match_over(_LC_Q, 1, 10, "pit_search", p="")
+    + "\nUNION ALL\n"
+    + _sql_match_over(
+        _LC_Q, 1, 10, "pit_live", p="",
+        flt=f"AND doc_id NOT IN (SELECT doc_id FROM __docs WHERE {_LC_DEL_TOKS})",
+    )
+    + """
+UNION ALL
+SELECT 'stats_docs' AS op, CAST(count(*) AS BIGINT) AS doc_id,
+       CAST(0.0 AS DOUBLE) AS score
+FROM documents
+ORDER BY op, score DESC, doc_id ASC""",
+)
+def operational_suite(spark, sf_dir):
+    """Suite: the OPERATIONAL surface under the oracle (VERDICT r3 #4 —
+    these components were implemented but pytest-only):
+
+    - ``alias_search``: a FILTERED alias (``aliases.py``;
+      rest-api-spec indices.put_alias, IndicesAliasesRequest.java) over
+      the docs index with filter ``term source=src3`` — the alias
+      filter joins as a scoreless bool filter clause, so hits are
+      src3-only while df/N/avgdl stay full-corpus.
+    - ``template_sorted_search``: a composable INDEX TEMPLATE
+      (``index/templates.py``; MetadataIndexTemplateService.java)
+      matching ``docs-*`` resolves component + template settings
+      (2 segments, ``index.sort`` doc_id DESC) and builds
+      ``docs-op``; the sorted build must be RANK-IDENTICAL to the
+      plain oracle — index sorting (IndexSortConfig.java) changes
+      docID layout for scan pruning, never results.
+    - ``cache_miss`` / ``cache_hit``: the REQUEST CACHE
+      (``query/request_cache.py``; IndicesRequestCache.java) — the
+      first search populates, the second is served from the cached
+      pandas payload (zero Spark jobs); both must equal the oracle.
+    - ``pipeline_search``: a SEARCH PIPELINE
+      (``query/searchpipeline.py``; search-pipeline-common
+      FilterQueryRequestProcessor + script processor +
+      TruncateHitsResponseProcessor): filter_query ``source=src3``,
+      request script ``size = size - 5`` (10 -> 5), truncate to 3.
+    - ``pit_search`` / ``pit_live``: a POINT IN TIME
+      (``index/snapshot.py:326``; PitService.java) opened BEFORE a
+      ``delete_by_query`` of every 'join' doc — the PIT engine still
+      returns the pre-delete top-10 while the live engine shows the
+      tombstone-filtered view.
+    - ``stats_docs``: ``GET /_stats`` (``index/stats_api.py``;
+      rest-api-spec indices.stats) — live ``docs.count`` equals the
+      table count (encoded as the doc_id column of a single row).
+    """
+    import shutil
+
+    from opensearch_spark.aliases import AliasRegistry
+    from opensearch_spark.index import lifecycle as lc
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.index.snapshot import open_pit
+    from opensearch_spark.index.stats_api import index_stats
+    from opensearch_spark.index.templates import TemplateRegistry
+    from opensearch_spark.query.executor import SearchEngine
+    from opensearch_spark.query.request_cache import RequestCache
+    from opensearch_spark.query.searchpipeline import SearchPipeline
+
+    q = {"match": {"text": {"query": "spark join"}}}
+    eng = documents_engine(spark, sf_dir)
+    root = docs_index_dir(sf_dir) + "_operational"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cfg = IndexConfig(
+        n_segments=4,
+        id_cols=("doc_id",),
+        routing_col="doc_id",
+        text_col="text",
+        dictionary_partitions=2,
+    )
+
+    # filtered alias over the shared docs index
+    reg = AliasRegistry(spark)
+    reg.add("docs-src3", eng.index.index_dir,
+            filter={"term": {"source": "src3"}})
+    a = reg.search("docs-src3", q, size=10, round_scores=4)
+
+    # template-resolved build with index sorting (doc_id DESC layout)
+    treg = TemplateRegistry(os.path.join(root, "templates.json"))
+    treg.put_component("base-settings", {
+        "id_cols": ["doc_id"], "routing_col": "doc_id",
+        "text_col": "text", "dictionary_partitions": 2,
+    })
+    treg.put_template(
+        "docs-template", ["docs-*"],
+        settings={"n_segments": 2, "index_sort": [["doc_id", "desc"]]},
+        composed_of=["base-settings"], priority=10,
+    )
+    treg.create_index(spark, documents_df(spark, sf_dir), root, "docs-op")
+    eng_t = SearchEngine(InvertedIndex(spark, os.path.join(root, "docs-op")))
+    b = topk(eng_t, q)
+
+    # request cache: miss populates, hit replays the pandas payload
+    cache = RequestCache(eng)
+    miss = cache.search(q, size=10)
+    hit = cache.search(q, size=10)
+    assert cache.stats["hits"] == 1 and cache.stats["misses"] == 1, cache.stats
+    c = miss.withColumn("score", F.round("score", 4)).select("doc_id", "score")
+    d = hit.withColumn("score", F.round("score", 4)).select("doc_id", "score")
+
+    # search pipeline: filter_query + request script + truncate_hits
+    pipe = SearchPipeline(
+        request_processors=[
+            {"filter_query": {"query": {"term": {"source": "src3"}}}},
+            {"script": {"source": "size = size - 5"}},
+        ],
+        response_processors=[{"truncate_hits": {"target_size": 3}}],
+    )
+    e = pipe.run(eng, q, size=10).withColumn(
+        "score", F.round("score", 4)
+    ).select("doc_id", "score")
+
+    # PIT pinned before a delete_by_query on a throwaway copy
+    pit_base = os.path.join(root, "pit-base")
+    build_index(spark, documents_df(spark, sf_dir), pit_base, cfg)
+    eng_p = SearchEngine(InvertedIndex(spark, pit_base))
+    pit = open_pit(spark, pit_base)
+    lc.delete_by_query(eng_p, {"match": {"text": "join"}})
+    f_ = topk(pit.engine(), q)
+    scored = eng_p._score_with_deletes_applied(q)
+    dm = eng_p.index.docmap().select("_docid", "doc_id")
+    g = (
+        scored.join(dm, "_docid")
+        .withColumn("score", F.round(F.col("score"), 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+    # _stats: live docs.count of the full shared index
+    st = index_stats(spark, eng.index.index_dir)
+    h = spark.range(1).select(
+        F.lit(int(st["docs"]["count"])).cast("long").alias("doc_id"),
+        F.lit(0.0).cast("double").alias("score"),
+    )
+
+    return _union(
+        _tag(a, "alias_search", "doc_id", "score"),
+        _tag(b, "template_sorted_search", "doc_id", "score"),
+        _tag(c, "cache_miss", "doc_id", "score"),
+        _tag(d, "cache_hit", "doc_id", "score"),
+        _tag(e, "pipeline_search", "doc_id", "score"),
+        _tag(f_, "pit_search", "doc_id", "score"),
+        _tag(g, "pit_live", "doc_id", "score"),
+        _tag(h, "stats_docs", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 
