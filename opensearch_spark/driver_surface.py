@@ -1761,21 +1761,100 @@ __top AS (
     SELECT doc_id, ROUND(sc, 4) AS score FROM __c1
     ORDER BY score DESC, doc_id ASC LIMIT 10
   )
+),
+__t5 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROUND(sc, 4) AS score FROM __c1
+    ORDER BY score DESC, doc_id ASC LIMIT 5
+  )
+),
+__hltok AS (
+  SELECT doc_id, tok, pos,
+         SUM(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS eo
+  FROM (
+    SELECT doc_id, unnest(tl) AS tok, generate_subscripts(tl, 1) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS tl
+          FROM documents WHERE doc_id IN (SELECT doc_id FROM __t5))
+  )
+),
+__hlfr AS (
+  SELECT doc_id, CAST(floor((eo - 1) / 60.0) AS INT) AS frag,
+         SUM(CASE WHEN tok IN ('spark', 'join') THEN 1 ELSE 0 END) AS nm,
+         array_to_string(list(CASE WHEN tok IN ('spark', 'join')
+             THEN '<em>' || tok || '</em>' ELSE tok END ORDER BY pos), ' ')
+           AS em_fragment,
+         array_to_string(list(CASE WHEN tok IN ('spark', 'join')
+             THEN '*HL*' || tok || '*/HL*' ELSE tok END ORDER BY pos), ' ')
+           AS hl_fragment
+  FROM __hltok
+  GROUP BY doc_id, CAST(floor((eo - 1) / 60.0) AS INT)
 )
-SELECT d.doc_id,
-       regexp_replace(d.text, '\\b(spark|join)\\b', '<em>\\0</em>', 'g') AS highlight
+SELECT 'whole' AS op, d.doc_id, CAST(0 AS INT) AS frag,
+       regexp_replace(d.text, '\\b(spark|join)\\b', '<em>\\0</em>', 'g') AS fragment
 FROM documents d JOIN __top USING (doc_id)
-ORDER BY d.doc_id""",
+UNION ALL
+SELECT 'frags', doc_id, frag, em_fragment FROM (
+  SELECT doc_id, frag, em_fragment,
+         row_number() OVER (PARTITION BY doc_id ORDER BY frag ASC) AS rn
+  FROM __hlfr WHERE nm >= 1
+) WHERE rn <= 3
+UNION ALL
+SELECT 'frags_score', doc_id, frag, hl_fragment FROM (
+  SELECT doc_id, frag, hl_fragment,
+         row_number() OVER (PARTITION BY doc_id ORDER BY nm DESC, frag ASC) AS rn
+  FROM __hlfr WHERE nm >= 1
+) WHERE rn <= 2
+UNION ALL
+SELECT 'nomatch', doc_id, CAST(-1 AS INT), substr(text, 1, 40) FROM (
+  SELECT doc_id, text FROM documents WHERE source = 'src3'
+  ORDER BY doc_id ASC LIMIT 10
+)
+ORDER BY op, doc_id, frag""",
 )
 def ft_highlight(spark, sf_dir):
-    """Fetch-phase highlighting (SearchModule.java:1048-1057): wrap
-    every analyzed query-term occurrence in the stored text of the
-    top-k hits.  Oracle: DuckDB ``regexp_replace`` with the same
-    word-boundary semantics (the corpus alphabet makes RE2's \\b equal
-    to the engine's [0-9A-Za-z_] lookaround)."""
+    """Suite: fetch-phase highlighting with the HighlightBuilder option
+    set (SearchModule.java:1048-1057; HighlightBuilder.java — r4
+    VERDICT #6 closed the options gap):
+
+    - ``whole``: number_of_fragments=0 semantics — the full stored
+      field with every analyzed query-term occurrence wrapped
+      (oracle: RE2 \\b replace, equal on this corpus alphabet).
+    - ``frags``: fragment_size=60 / number_of_fragments=3, document
+      order — SimpleFragmenter end-offset windows; only fragments
+      containing a match are returned.
+    - ``frags_score``: order="score" (match-count desc) with CUSTOM
+      pre/post tags and number_of_fragments=2.
+    - ``nomatch``: a pure term-level query on ANOTHER field
+      (require_field_match leaves the text field with zero query
+      terms) — ``no_match_size=40`` emits the raw text prefix as
+      fragment -1 (HighlightBuilder noMatchSize)."""
     eng = documents_engine(spark, sf_dir)
-    out = eng.search_highlight({"match": {"text": "spark join"}}, size=10)
-    return out.select("doc_id", "highlight").orderBy("doc_id")
+    q = {"match": {"text": "spark join"}}
+    whole = (
+        eng.search_highlight(q, size=10)
+        .select(
+            "doc_id",
+            F.lit(0).cast("int").alias("frag"),
+            F.col("highlight").alias("fragment"),
+        )
+    )
+    frags = eng.search_highlight_fragments(
+        q, size=5, fragment_size=60, number_of_fragments=3
+    )
+    fscore = eng.search_highlight_fragments(
+        q, size=5, fragment_size=60, number_of_fragments=2, order="score",
+        pre_tag="*HL*", post_tag="*/HL*",
+    )
+    nomatch = eng.search_highlight_fragments(
+        {"term": {"source": "src3"}}, size=10, no_match_size=40
+    )
+    cols = ("doc_id", "frag", "fragment")
+    return _union(
+        _tag(whole, "whole", *cols),
+        _tag(frags, "frags", *cols),
+        _tag(fscore, "frags_score", *cols),
+        _tag(nomatch, "nomatch", *cols),
+    ).orderBy("op", "doc_id", "frag")
 
 
 @_q(
@@ -4114,6 +4193,18 @@ _LC_SRC_GEN2 = (
     "(SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
     "FROM documents WHERE doc_id < 50)"
 )
+# r4 `_update` corpus (UpdateHelper.java semantics): doc 0 partially
+# updated (old version tombstoned but still COUNTED in stats until
+# merge — surrogate id -1 keeps it in the corpus while the result
+# filter hides it) + one upserted doc
+_LC_TXT_UPD = "spark join spark join updated doc text"
+_LC_TXT_UPS = "spark join upsert spark document"
+_LC_SRC_UPD = (
+    "(SELECT CASE WHEN doc_id = 0 THEN -1 ELSE doc_id END AS doc_id, "
+    "text, lang, source, n_chars FROM documents "
+    f"UNION ALL SELECT 0, '{_LC_TXT_UPD}', 'upd', 'srcu', {len(_LC_TXT_UPD)} "
+    f"UNION ALL SELECT 2000000, '{_LC_TXT_UPS}', 'ups', 'srcu', {len(_LC_TXT_UPS)})"
+)
 _LC_Q = {"spark": 1, "join": 1}
 
 
@@ -4144,6 +4235,8 @@ def _sql_match_branch(terms: Dict[str, int], required: int, p: str = "") -> str:
     + _pre_chain(_LC_SRC_APPEND, "a")
     + ",\n"
     + _pre_chain(_LC_SRC_GEN2, "g")
+    + ",\n"
+    + _pre_chain(_LC_SRC_UPD, "u")
     + "\n"
     + _sql_match_over(
         _LC_Q, 1, 10, "post_delete", p="",
@@ -4179,6 +4272,9 @@ SELECT 'ds_search' AS op, doc_id, score FROM (
     {_sql_match_branch(_LC_Q, 1, p="g")}
   ) ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
+    + "\nUNION ALL\n"
+    + _sql_match_over(_LC_Q, 1, 10, "upd_doc_match", p="u",
+                      flt="AND doc_id >= 0")
     + "\nORDER BY op, score DESC, doc_id ASC",
 )
 def lifecycle_suite(spark, sf_dir):
@@ -4223,6 +4319,14 @@ def lifecycle_suite(spark, sf_dir):
       search scores each generation with ITS OWN corpus statistics
       (per-shard QUERY_THEN_FETCH), which the oracle models as two
       separate corpus CTE chains unioned before the global top-10.
+
+    - ``upd_doc_match`` (r4): the single-doc ``_update`` API
+      (``lifecycle.update_doc``; action/update/UpdateHelper.java) —
+      partial-doc update of doc 0 (tombstone + 1-row exactly-once
+      append) plus an UPSERT of a missing id; the oracle keeps the
+      tombstoned old version in the corpus statistics under a
+      surrogate id (soft-delete stats semantics) while hiding it from
+      results.
 
     Rebuilds its own throwaway index directories on every call —
     deliberately NOT the shared read-only docs-index cache."""
@@ -4330,6 +4434,32 @@ def lifecycle_suite(spark, sf_dir):
     ds.append(clones, batch_id=0)
     g = ds.search(q, size=10, round_scores=4).select("doc_id", "score")
 
+    # r4 `_update` API (UpdateHelper.java; lifecycle.update_doc):
+    # partial-doc update of doc 0 (tombstone old + 1-row append; old
+    # version still counts in stats — soft-delete semantics) and an
+    # UPSERT of a missing id
+    upd_dir = os.path.join(root, "upd1")
+    build_index(
+        spark,
+        docs.select("doc_id", "text", "lang", "source", "n_chars"),
+        upd_dir,
+        cfg,
+    )
+    eng_d = SearchEngine(InvertedIndex(spark, upd_dir))
+    lc.update_doc(
+        spark, eng_d, {"doc_id": 0},
+        doc={"text": _LC_TXT_UPD, "lang": "upd", "source": "srcu",
+             "n_chars": len(_LC_TXT_UPD)},
+    )
+    eng_d = SearchEngine(InvertedIndex(spark, upd_dir))
+    lc.update_doc(
+        spark, eng_d, {"doc_id": 2000000},
+        doc={"text": "ignored"},
+        upsert={"doc_id": 2000000, "text": _LC_TXT_UPS, "lang": "ups",
+                "source": "srcu", "n_chars": len(_LC_TXT_UPS)},
+    )
+    h = lc_topk(SearchEngine(InvertedIndex(spark, upd_dir)), q)
+
     return _union(
         _tag(a, "post_delete", "doc_id", "score"),
         _tag(ar, "post_restore", "doc_id", "score"),
@@ -4339,6 +4469,7 @@ def lifecycle_suite(spark, sf_dir):
         _tag(d, "upd_match", "doc_id", "score"),
         _tag(e, "post_append", "doc_id", "score"),
         _tag(g, "ds_search", "doc_id", "score"),
+        _tag(h, "upd_doc_match", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 

@@ -877,6 +877,151 @@ class SearchEngine:
 
         return topk.withColumn("highlight", hl(F.col(self.text_col)))
 
+    def search_highlight_fragments(
+        self,
+        query,
+        size: int = 10,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+        fragment_size: int = 100,
+        number_of_fragments: int = 5,
+        order: Optional[str] = None,
+        no_match_size: int = 0,
+        require_field_match: bool = True,
+    ) -> DataFrame:
+        """Fragment highlighting with the HighlightBuilder option set
+        (``HighlightBuilder.java``: fragment_size default 100,
+        number_of_fragments default 5, order="score",
+        no_match_size, require_field_match, pre/post tags; r4 VERDICT
+        #6).  Returns one row per selected fragment:
+        ``id_cols + (frag int, fragment string)``.
+
+        Fragmenter: Lucene SimpleFragmenter's end-offset rule over the
+        single-space token stream — token i belongs to fragment
+        ``floor((end_offset_i - 1) / fragment_size)`` where
+        ``end_offset`` is its exclusive char end in the joined text.
+        Only fragments containing >= 1 query-term match are returned,
+        in document order (default) or by match count desc
+        (``order="score"``), capped at ``number_of_fragments``
+        (``0`` = no fragmenting: use ``search_highlight``).
+        ``no_match_size`` > 0 emits the raw text prefix of that length
+        as fragment -1 for hits with NO matching fragment.
+        ``require_field_match=False`` additionally highlights values of
+        term-level clauses targeting OTHER fields
+        (HighlightBuilder.DEFAULT_REQUIRE_FIELD_MATCH=true).
+
+        The whole computation is columnar (split/posexplode/window
+        cumsum/groupBy — no Python in the plan): fetch-phase work over
+        the top-k hits only, exactly where the reference spends its
+        per-hit highlighting CPU."""
+        from pyspark.sql import Window
+
+        q = Q.from_dict(query) if isinstance(query, dict) else query
+        terms = sorted(set(self._collect_text_terms(q)))
+        if not require_field_match:
+            terms = sorted(set(terms) | set(self._collect_other_field_values(q)))
+        topk = self.search(q, size=size, source_cols=[self.text_col])
+        ids = list(self.id_cols)
+        if not terms:
+            # no query terms target the highlighted field (e.g. a pure
+            # term-level query on another field under
+            # require_field_match) — the no_match_size fallback is the
+            # ONLY output (HighlightBuilder noMatchSize)
+            if no_match_size > 0:
+                return topk.select(
+                    *ids,
+                    F.lit(-1).cast("int").alias("frag"),
+                    F.substring(
+                        F.col(self.text_col), 1, int(no_match_size)
+                    ).alias("fragment"),
+                )
+            return topk.select(
+                *ids,
+                F.lit(-1).cast("int").alias("frag"),
+                F.lit(None).cast("string").alias("fragment"),
+            ).limit(0)
+
+        toks = topk.select(
+            *ids,
+            F.col(self.text_col).alias("_hl_text"),
+            F.posexplode(
+                F.filter(
+                    F.split(F.col(self.text_col), " "), lambda t: t != ""
+                )
+            ).alias("_hl_pos", "_hl_tok"),
+        )
+        w = Window.partitionBy(*ids).orderBy("_hl_pos")
+        toks = toks.withColumn(
+            "_hl_end", F.sum(F.length("_hl_tok") + F.lit(1)).over(w) - F.lit(1)
+        ).withColumn(
+            "frag",
+            F.floor((F.col("_hl_end") - F.lit(1)) / F.lit(int(fragment_size))).cast(
+                "int"
+            ),
+        ).withColumn(
+            "_hl_m", F.when(F.col("_hl_tok").isin(terms), F.lit(1)).otherwise(F.lit(0))
+        )
+        frags = toks.groupBy(*ids, "frag").agg(
+            F.array_sort(
+                F.collect_list(F.struct("_hl_pos", "_hl_tok", "_hl_m"))
+            ).alias("_hl_toks"),
+            F.sum("_hl_m").alias("_hl_nm"),
+            F.first("_hl_text").alias("_hl_text"),
+        )
+        tagged = F.array_join(
+            F.transform(
+                F.col("_hl_toks"),
+                lambda x: F.when(
+                    x["_hl_m"] == 1,
+                    F.concat(F.lit(pre_tag), x["_hl_tok"], F.lit(post_tag)),
+                ).otherwise(x["_hl_tok"]),
+            ),
+            " ",
+        )
+        matched = frags.filter(F.col("_hl_nm") >= 1)
+        if order == "score":
+            rk = Window.partitionBy(*ids).orderBy(
+                F.desc("_hl_nm"), F.asc("frag")
+            )
+        else:
+            rk = Window.partitionBy(*ids).orderBy(F.asc("frag"))
+        sel = (
+            matched.withColumn("_hl_rn", F.row_number().over(rk))
+            .filter(F.col("_hl_rn") <= F.lit(int(number_of_fragments)))
+            .select(*ids, "frag", tagged.alias("fragment"))
+        )
+        if no_match_size > 0:
+            no_match = (
+                frags.groupBy(*ids)
+                .agg(F.sum("_hl_nm").alias("_t"), F.first("_hl_text").alias("_x"))
+                .filter(F.col("_t") == 0)
+                .select(
+                    *ids,
+                    F.lit(-1).cast("int").alias("frag"),
+                    F.substring("_x", 1, int(no_match_size)).alias("fragment"),
+                )
+            )
+            sel = sel.unionByName(no_match)
+        return sel
+
+    def _collect_other_field_values(self, q) -> List[str]:
+        """Term-level values targeting NON-text fields — the extra
+        highlight vocabulary when require_field_match=false."""
+        out: List[str] = []
+        if isinstance(q, Q.Term) and q.field != self.text_col:
+            out.append(str(q.value))
+        elif isinstance(q, Q.Terms) and q.field != self.text_col:
+            out.extend(str(v) for v in q.values)
+        elif isinstance(q, Q.Bool):
+            for sub in (
+                list(q.must) + list(q.should) + list(q.filter)
+            ):
+                out.extend(self._collect_other_field_values(sub))
+        elif isinstance(q, Q.DisMax):
+            for sub in q.queries:
+                out.extend(self._collect_other_field_values(sub))
+        return out
+
     def _collect_text_terms(self, q) -> List[str]:
         """Analyzed text-field terms mentioned by a query tree (for
         highlighting)."""

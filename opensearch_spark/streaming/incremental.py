@@ -173,7 +173,10 @@ def _recover_batch(
     dict_has_batch = False
     if os.path.isdir(p["dictionary"]):
         try:
-            d = spark.read.parquet(p["dictionary"])
+            # mergeSchema: a build_index-origin base dictionary has no
+            # _batch column — without merging, footer-sampling could
+            # hide the delta tags and re-append a committed delta
+            d = spark.read.option("mergeSchema", "true").parquet(p["dictionary"])
             if "_batch" in d.columns:
                 dict_has_batch = (
                     d.filter(F.col("_batch") == int(batch_id)).limit(1).count() > 0
@@ -279,6 +282,16 @@ def append_batch(
             f"index_sort mismatch: index has {plan.get('index_sort')!r}, "
             f"append cfg has {cfg_sort!r}"
         )
+    if not plan.get("incremental"):
+        # appending to a build_index-origin index: the per-batch
+        # dictionary deltas written below are only folded into term
+        # statistics by readers when the plan is marked incremental
+        # (InvertedIndex.dictionary aggregates df/total_tf across base
+        # rows + deltas).  Without this flip, term_stats would keep
+        # serving the pre-append df — stale IDF after _update/upsert.
+        plan["incremental"] = True
+        with open(p["plan"], "w") as f:
+            json.dump(plan, f, indent=1)
     with open(p["stats"]) as f:
         stats = json.load(f)
     hw = int(stats["n_docs"])  # docID high-water mark

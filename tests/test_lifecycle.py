@@ -111,3 +111,96 @@ def test_update_by_query_does_not_resurrect_deleted(spark, lifecycle_idx, tmp_pa
     assert ueng.index.docmap().count() == n_live
     hits = ueng.search(q, size=10).collect()
     assert victim not in [(r["conv_id"], r["turn_idx"]) for r in hits]
+
+
+# ---------------------------------------------------------------- _update
+
+
+def test_update_doc_partial_merge(spark, lifecycle_idx):
+    from opensearch_spark.index.lifecycle import update_doc
+
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    hit = eng.search({"match": {"text": "error"}}, size=1).collect()[0]
+    ids = {"conv_id": hit["conv_id"], "turn_idx": hit["turn_idx"]}
+    out = update_doc(
+        spark, eng, ids, doc={"text": "completely rewritten error text"}
+    )
+    assert out == {"result": "updated"}
+    # reopen: the new version is visible, the old tombstoned
+    eng2 = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    rows = eng2.search(
+        {"match": {"text": {"query": "completely rewritten", "operator": "and"}}},
+        size=5,
+        source_cols=["text"],
+    ).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [
+        (ids["conv_id"], ids["turn_idx"])
+    ]
+    assert rows[0]["text"] == "completely rewritten error text"
+    # exactly one live version of the id
+    from opensearch_spark.index.lifecycle import tombstone_docids
+
+    dm = eng2.index.docmap().filter(
+        (F.col("conv_id") == ids["conv_id"])
+        & (F.col("turn_idx") == ids["turn_idx"])
+    )
+    dels = tombstone_docids(spark, lifecycle_idx)
+    assert dm.count() == 2
+    assert dm.join(dels, "_docid", "anti").count() == 1
+
+
+def test_update_doc_noop_and_script(spark, lifecycle_idx):
+    import os
+
+    from opensearch_spark.index.lifecycle import update_doc
+
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    hit = eng.search({"match": {"text": "error"}}, size=1,
+                     source_cols=["text", "role"]).collect()[0]
+    ids = {"conv_id": hit["conv_id"], "turn_idx": hit["turn_idx"]}
+    mdir = os.path.join(lifecycle_idx, "manifests")
+    before = sorted(os.listdir(mdir))
+    # identical partial doc -> noop, zero writes
+    out = update_doc(spark, eng, ids, doc={"role": hit["role"]})
+    assert out == {"result": "noop"}
+    assert sorted(os.listdir(mdir)) == before
+    # scripted update (ctx._source analog)
+    out = update_doc(
+        spark, eng, ids,
+        script=lambda s: {**s, "text": s["text"] + " scripted suffix"},
+    )
+    assert out == {"result": "updated"}
+    eng2 = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    rows = eng2.search(
+        {"match_phrase": {"text": "scripted suffix"}}, size=5
+    ).collect()
+    assert (ids["conv_id"], ids["turn_idx"]) in [
+        (r["conv_id"], r["turn_idx"]) for r in rows
+    ]
+
+
+def test_update_doc_upsert(spark, lifecycle_idx):
+    from opensearch_spark.index.lifecycle import update_doc
+
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    ids = {"conv_id": "c-upsert", "turn_idx": 0}
+    # missing without upsert -> error
+    with pytest.raises(KeyError, match="document missing"):
+        update_doc(spark, eng, ids, doc={"text": "x"})
+    row = dict(eng.index.docmap().select(
+        *[c for c in eng.index.plan["input_fields"]]
+    ).limit(1).collect()[0].asDict())
+    row.update({"conv_id": "c-upsert", "turn_idx": 0,
+                "text": "upserted document text"})
+    out = update_doc(spark, eng, ids, doc={"text": "ignored"}, upsert=row)
+    assert out == {"result": "created"}
+    eng2 = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    rows = eng2.search(
+        {"match": {"text": {"query": "upserted document", "operator": "and"}}},
+        size=5,
+    ).collect()
+    assert ("c-upsert", 0) in [(r["conv_id"], r["turn_idx"]) for r in rows]
+    # second update now finds it (updated, not created)
+    out = update_doc(spark, eng2, ids, doc={"role": "assistant"},
+                     detect_noop=False)
+    assert out == {"result": "updated"}
