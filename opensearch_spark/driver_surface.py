@@ -3871,7 +3871,13 @@ def nested_suite(spark, sf_dir):
 @_q(
     "suggest_suite",
     _PRE
-    + """
+    + """,
+__comp AS (
+  SELECT lower(trim(array_to_string(list_slice(toks, 1, 2), ' '))) AS s,
+         CAST(n_chars AS BIGINT) AS w, lang, source
+  FROM __docs
+  WHERE lower(trim(array_to_string(list_slice(toks, 1, 2), ' '))) <> ''
+)
 SELECT 'term' AS op, term AS suggestion, CAST(df AS BIGINT) AS freq,
        CAST(levenshtein(term, 'spak') AS DOUBLE) AS metric
 FROM (
@@ -3892,6 +3898,47 @@ FROM (
   SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
   FROM __df WHERE levenshtein(term, 'spak') <= 1
 ) WHERE rn <= 3
+UNION ALL
+SELECT 'comp_field_prefix' AS op, s AS suggestion,
+       CAST(0 AS BIGINT) AS freq, CAST(mw AS DOUBLE) AS metric
+FROM (
+  SELECT s, max(w) AS mw FROM __comp WHERE s LIKE 'sp%'
+  GROUP BY s ORDER BY mw DESC, s ASC LIMIT 5
+)
+UNION ALL
+SELECT 'comp_field_fuzzy' AS op, s AS suggestion,
+       CAST(ed AS BIGINT) AS freq, CAST(mw AS DOUBLE) AS metric
+FROM (
+  SELECT s, min(ed) AS ed, max(w) AS mw FROM (
+    SELECT s, w,
+           CASE WHEN s LIKE 'sapkr%' OR s LIKE 'spkar%' OR s LIKE 'spark%'
+                THEN least(l, 1) ELSE l END AS ed
+    FROM (
+      SELECT s, w, LEAST(
+               levenshtein(substr(s, 1, 4), 'spakr'),
+               levenshtein(substr(s, 1, 5), 'spakr'),
+               levenshtein(substr(s, 1, 6), 'spakr')) AS l
+      FROM __comp WHERE s LIKE 's%'
+    )
+  ) WHERE ed BETWEEN 1 AND 1 AND s NOT LIKE 'spakr%'
+  GROUP BY s ORDER BY ed ASC, mw DESC, s ASC LIMIT 8
+)
+UNION ALL
+SELECT 'comp_field_ctx' AS op, s AS suggestion,
+       CAST(0 AS BIGINT) AS freq, CAST(msc AS DOUBLE) AS metric
+FROM (
+  SELECT s, max(w * CASE lang WHEN 'de' THEN 3.0 ELSE 1.0 END) AS msc
+  FROM __comp WHERE s LIKE 's%' AND lang IN ('de', 'fr')
+  GROUP BY s ORDER BY msc DESC, s ASC LIMIT 6
+)
+UNION ALL
+SELECT 'comp_field_regex' AS op, s AS suggestion,
+       CAST(0 AS BIGINT) AS freq, CAST(mw AS DOUBLE) AS metric
+FROM (
+  SELECT s, max(w) AS mw FROM __comp
+  WHERE regexp_matches(s, '^(sp[ae]rk)')
+  GROUP BY s ORDER BY mw DESC, s ASC LIMIT 5
+)
 ORDER BY op, suggestion""",
 )
 def suggest_suite(spark, sf_dir):
@@ -3899,10 +3946,67 @@ def suggest_suite(spark, sf_dir):
     edit-distance corrections ranked (distance, freq), ``completion``
     prefix lookup over the term-sorted dictionary (the FST analog),
     ``phrase`` correction (per-token candidate recombination; single
-    unknown token here so suggestions = ranked candidate terms)."""
+    unknown token here so suggestions = ranked candidate terms).
+
+    r4 (VERDICT #10) ``comp_field_*`` ops: the completion FIELD path
+    (``CompletionSuggestionBuilder`` + ``CompletionFieldMapper``) over
+    a ``build_completion_index`` table whose inputs are each doc's
+    first two tokens, weight = n_chars, category context = lang:
+
+    - ``comp_field_prefix``: PrefixCompletionQuery, skip_duplicates,
+      weight ranking.
+    - ``comp_field_fuzzy``: FuzzyCompletionQuery with the reference
+      defaults (fuzziness 1, prefix_length 1, min_length 3,
+      transpositions) on the typed key 'spakr' — the transposed
+      variant 'spark' admits the whole family at 1 edit.
+    - ``comp_field_ctx``: CategoryQueryContext filter+boost
+      (lang=de boost 3 OR lang=fr).
+    - ``comp_field_regex``: RegexCompletionQuery anchored prefix
+      automaton ('sp[ae]rk')."""
     from opensearch_spark.query import suggest
 
     eng = documents_engine(spark, sf_dir)
+    comp_src = documents_df(spark, sf_dir).select(
+        F.array_join(
+            F.slice(F.filter(F.split("text", " "), lambda x: x != ""), 1, 2), " "
+        ).alias("inp"),
+        F.col("n_chars").alias("wgt"),
+        "lang",
+        "source",
+    )
+    comp = suggest.build_completion_index(
+        comp_src, "inp", weight_col="wgt", context_cols={"lang": "lang"}
+    )
+
+    def _comp(df):
+        return df.select(
+            "suggestion",
+            F.col("edits").cast("long").alias("freq"),
+            F.col("score").cast("double").alias("metric"),
+        )
+
+    cp = _comp(
+        suggest.completion_suggest_field(comp, prefix="sp", size=5, skip_duplicates=True)
+    )
+    cf = _comp(
+        suggest.completion_suggest_field(
+            comp, prefix="spakr", size=8, skip_duplicates=True, fuzzy={"fuzziness": 1}
+        )
+    )
+    cc = _comp(
+        suggest.completion_suggest_field(
+            comp,
+            prefix="s",
+            size=6,
+            skip_duplicates=True,
+            contexts={"lang": [{"context": "de", "boost": 3}, "fr"]},
+        )
+    )
+    cr = _comp(
+        suggest.completion_suggest_field(
+            comp, regex="sp[ae]rk", size=5, skip_duplicates=True
+        )
+    )
     t = suggest.term_suggest(eng.index, "spak", max_edits=2, size=5).select(
         F.col("suggestion"),
         F.col("freq").cast("long").alias("freq"),
@@ -3922,6 +4026,10 @@ def suggest_suite(spark, sf_dir):
         _tag(t, "term", "suggestion", "freq", "metric"),
         _tag(c, "completion", "suggestion", "freq", "metric"),
         _tag(p, "phrase", "suggestion", "freq", "metric"),
+        _tag(cp, "comp_field_prefix", "suggestion", "freq", "metric"),
+        _tag(cf, "comp_field_fuzzy", "suggestion", "freq", "metric"),
+        _tag(cc, "comp_field_ctx", "suggestion", "freq", "metric"),
+        _tag(cr, "comp_field_regex", "suggestion", "freq", "metric"),
     ).orderBy("op", "suggestion")
 
 

@@ -295,3 +295,115 @@ def test_msearch_template(spark, engine):
 
     with _pt.raises(ValueError, match="at least one"):
         msearch_template(engine, [])
+
+
+# ------------------------------------------- completion field (r4, VERDICT #10)
+
+
+@pytest.fixture(scope="module")
+def comp_table(spark):
+    from opensearch_spark.query.suggest import build_completion_index
+
+    rows = [
+        (["spark sql", "Spark Core"], 10, "en"),
+        (["spark streaming"], 40, "de"),
+        (["sparc chip"], 25, "en"),
+        (["shark tank"], 30, "fr"),
+        (["spork utils"], 15, "de"),
+        ([""], 99, "en"),  # empty input dropped
+    ]
+    docs = spark.createDataFrame(
+        rows, "inp array<string>, wgt int, lang string"
+    )
+    return build_completion_index(
+        docs, "inp", weight_col="wgt", context_cols={"lang": "lang"}
+    ).cache()
+
+
+def test_completion_field_prefix_and_weight(spark, comp_table):
+    from opensearch_spark.query.suggest import completion_suggest_field
+
+    out = completion_suggest_field(comp_table, prefix="spark", size=10).collect()
+    assert [(r["suggestion"], r["score"], r["edits"]) for r in out] == [
+        ("spark streaming", 40.0, 0),
+        ("spark core", 10.0, 0),
+        ("spark sql", 10.0, 0),
+    ]
+    # empty input was dropped at build time
+    assert comp_table.filter("suggestion = ''").count() == 0
+
+
+def test_completion_field_fuzzy_gates(spark, comp_table):
+    from opensearch_spark.query.suggest import completion_suggest_field
+
+    # transposition 'psark' -> below prefix_length match fails (head 'p')
+    out = completion_suggest_field(
+        comp_table, prefix="psark", fuzzy={"fuzziness": 1}
+    ).collect()
+    assert out == []
+    # 'spakr' transposes to 'spark' -> 1 edit; 'sparc' is 1 sub edit
+    out = completion_suggest_field(
+        comp_table, prefix="spakr", fuzzy={"fuzziness": 1}, size=10
+    ).collect()
+    got = {(r["suggestion"], r["edits"]) for r in out}
+    assert ("spark streaming", 1) in got and ("sparc chip", 1) in got
+    assert all(r["edits"] == 1 for r in out)
+    # transpositions off: 'spark ...' is STILL 1 edit away — deleting
+    # the typed 'k' leaves 'spar', a matching completion prefix (the
+    # automaton-on-prefixes semantics); transpositions only matter when
+    # no single insert/delete/sub can reach any completion prefix
+    out = completion_suggest_field(
+        comp_table, prefix="spakr",
+        fuzzy={"fuzziness": 1, "transpositions": False}, size=10,
+    ).collect()
+    assert {r["suggestion"] for r in out} == {
+        "sparc chip", "spark sql", "spark core", "spark streaming"
+    }
+    # a pure-transposition case: 'shrak' -> swap gives 'shark'; no
+    # single levenshtein edit reaches any 4-6 char prefix of it
+    out = completion_suggest_field(
+        comp_table, prefix="shrak", fuzzy={"fuzziness": 1}, size=10
+    ).collect()
+    assert {r["suggestion"] for r in out} == {"shark tank"}
+    out = completion_suggest_field(
+        comp_table, prefix="shrak",
+        fuzzy={"fuzziness": 1, "transpositions": False}, size=10,
+    ).collect()
+    assert out == []
+    # min_length gate: short keys never go fuzzy
+    out = completion_suggest_field(
+        comp_table, prefix="sp", fuzzy={"fuzziness": 1}, size=10
+    ).collect()
+    assert all(r["edits"] == 0 for r in out)
+
+
+def test_completion_field_contexts_and_regex(spark, comp_table):
+    from opensearch_spark.query.suggest import completion_suggest_field
+
+    out = completion_suggest_field(
+        comp_table,
+        prefix="s",
+        size=10,
+        contexts={"lang": [{"context": "de", "boost": 2}, "en"]},
+    ).collect()
+    scores = {r["suggestion"]: r["score"] for r in out}
+    assert scores["spark streaming"] == 80.0  # 40 * de-boost 2
+    assert scores["spark sql"] == 10.0  # en boost 1
+    assert "shark tank" not in scores  # fr filtered out
+    # prefix-valued context
+    out = completion_suggest_field(
+        comp_table, prefix="s", size=10,
+        contexts={"lang": [{"context": "e", "prefix": True}]},
+    ).collect()
+    assert {r["suggestion"] for r in out} == {"spark sql", "spark core", "sparc chip"}
+    # regex = anchored prefix automaton
+    out = completion_suggest_field(
+        comp_table, regex="sp[oa]r[kc]", size=10
+    ).collect()
+    assert {r["suggestion"] for r in out} == {
+        "spark sql", "spark core", "spark streaming", "sparc chip", "spork utils"
+    }
+    with pytest.raises(ValueError, match="exactly one"):
+        completion_suggest_field(comp_table, prefix="a", regex="b")
+    with pytest.raises(ValueError, match="unknown completion context"):
+        completion_suggest_field(comp_table, prefix="a", contexts={"geo": ["x"]})
