@@ -4033,6 +4033,138 @@ def suggest_suite(spark, sf_dir):
     ).orderBy("op", "suggestion")
 
 
+def _mm_values() -> str:
+    """VALUES rows mirroring ``multimodal.synthetic_media(spark, 64)``:
+    (i, kind, r, g, b, w, h, alpha, nfr, dur).  Only the three seed
+    BYTES per row are inlined (sha256 preimage arithmetic is not
+    SQL-expressible); every pixel/PCM statistic is recomputed in SQL
+    from these and the generator's closed-form gradient formulas."""
+    import hashlib
+
+    rows = []
+    for i in range(64):
+        mod = ["image", "audio", "video"][i % 3]
+        r = g = b = alpha = w = h = nfr = dur = 0
+        if mod == "image":
+            w, h = 8 + i % 8, 6
+            if (i // 3) % 2 == 0:
+                kind = "bmp"
+                r, g, b = hashlib.sha256(f"bmp-5-{i}".encode()).digest()[:3]
+            else:
+                kind = "png"
+                r, g, b = hashlib.sha256(f"png-5-{i}".encode()).digest()[:3]
+                alpha = 1 if (i // 3) % 4 == 1 else 0
+        elif mod == "audio":
+            kind, nfr = "wav", 800 + 16 * i
+        else:
+            kind, dur = "vid", (i + 1) * 500
+        rows.append(f"({i},'{kind}',{r},{g},{b},{w},{h},{alpha},{nfr},{dur})")
+    return ",\n    ".join(rows)
+
+
+@_q(
+    "multimodal_suite",
+    f"""WITH __mm(i, kind, r, g, b, w, h, alpha, nfr, dur) AS (VALUES
+    {_mm_values()}),
+__pgrid AS (
+  SELECT m.i,
+         ((gx.x * 17 + m.r) % 256) / 255.0 AS pr,
+         ((gy.y * 29 + m.g) % 256) / 255.0 AS pg,
+         (((gx.x + gy.y) * 13 + m.b) % 256) / 255.0 AS pb,
+         (CASE WHEN m.alpha = 1 THEN (255 - 7 * (gx.x + gy.y)) % 256
+               ELSE 255 END) / 255.0 AS pa
+  FROM __mm m,
+       generate_series(0, 14) gx(x),
+       generate_series(0, 5) gy(y)
+  WHERE m.kind = 'png' AND gx.x < m.w AND gy.y < m.h
+),
+__pstat AS (
+  SELECT g.i, m.w, m.h, m.alpha,
+         avg(g.pr) AS mr, avg(g.pg) AS mg, avg(g.pb) AS mb,
+         stddev_pop(0.299 * g.pr + 0.587 * g.pg + 0.114 * g.pb) AS sl,
+         avg(g.pa) AS ma
+  FROM __pgrid g JOIN __mm m ON m.i = g.i
+  GROUP BY g.i, m.w, m.h, m.alpha
+)
+SELECT 'img' AS op, CAST(i AS BIGINT) AS media_id, k, ROUND(v, 3) AS v
+FROM (
+  SELECT i, UNNEST(['00','01','02','03','04','05','06']) AS k,
+         UNNEST([w / 4096.0, h / 4096.0, r / 255.0, g / 255.0, b / 255.0,
+                 0.0, 0.0]) AS v
+  FROM __mm WHERE kind = 'bmp'
+  UNION ALL
+  SELECT i, UNNEST(['00','01','02','03','04','05','06']) AS k,
+         UNNEST([w / 4096.0, h / 4096.0, mr, mg, mb, sl,
+                 CASE WHEN alpha = 1 THEN ma ELSE 1.0 END]) AS v
+  FROM __pstat
+)
+UNION ALL
+SELECT 'audio' AS op, CAST(i AS BIGINT) AS media_id, k, ROUND(v, 3) AS v
+FROM (
+  SELECT i, UNNEST(['00','01']) AS k,
+         UNNEST([nfr / 16000.0, 16000 / 48000.0]) AS v
+  FROM __mm WHERE kind = 'wav'
+)
+UNION ALL
+SELECT 'frames' AS op, CAST(m.i AS BIGINT) AS media_id,
+       lpad(CAST(t.ms // 1000 AS VARCHAR), 2, '0') AS k,
+       CAST(t.ms AS DOUBLE) AS v
+FROM __mm m, generate_series(0, 32000, 1000) t(ms)
+WHERE m.kind = 'vid' AND t.ms <= m.dur
+ORDER BY op, media_id, k""",
+)
+def multimodal_suite(spark, sf_dir):
+    """Suite: multimodal decode plumbing under the oracle (r4 — was
+    pytest-only, VERDICT's weakest-pipeline-piece note):
+
+    - ``img``: REAL stdlib decodes inside Arrow ``mapInPandas`` —
+      24-bit BMPs (struct parse) and zlib PNGs (chunk walk + inflate +
+      full None/Sub/Up/Average/Paeth unfilter; RGB and RGBA rows) —
+      feature slots 0-6 (dims, channel means, luma std, alpha mean)
+      vs the oracle recomputing the SAME statistics in SQL over the
+      generator's closed-form gradient (only the 3 seed bytes per
+      payload are inlined; all pixel math is SQL).
+    - ``audio``: real WAV header+PCM decode; the two closed-form slots
+      (duration, sample-rate ratio) under oracle (RMS/peak/ZCR are
+      pytest-pinned — a sha256-chain PCM is not SQL-expressible).
+    - ``frames``: ``frame_sample_plan`` video frame fan-out (pure JVM
+      sequence/explode) vs generate_series.
+
+    Payloads are deterministic stdlib-generated media
+    (``synthetic_media``), independent of sf_dir by construction."""
+    from opensearch_spark.ops import multimodal as mm
+
+    media = mm.synthetic_media(spark, 64)
+    feats = mm.extract_features(
+        media.filter(F.col("meta.modality") != "video"), use_codecs=True
+    )
+
+    def _slots(df, n):
+        return df.select(
+            "media_id",
+            F.posexplode(F.slice("features", 1, n)).alias("pos", "val"),
+        ).select(
+            "media_id",
+            F.lpad(F.col("pos").cast("string"), 2, "0").alias("k"),
+            F.round(F.col("val").cast("double"), 3).alias("v"),
+        )
+
+    img = _slots(feats.filter(F.col("modality") == "image"), 7)
+    aud = _slots(feats.filter(F.col("modality") == "audio"), 2)
+    frames = mm.frame_sample_plan(media).select(
+        "media_id",
+        F.lpad(
+            (F.col("frame_ms") / F.lit(1000)).cast("int").cast("string"), 2, "0"
+        ).alias("k"),
+        F.col("frame_ms").cast("double").alias("v"),
+    )
+    return _union(
+        _tag(img, "img", "media_id", "k", "v"),
+        _tag(aud, "audio", "media_id", "k", "v"),
+        _tag(frames, "frames", "media_id", "k", "v"),
+    ).orderBy("op", "media_id", "k")
+
+
 @_q(
     "ingest_pipeline",
     """SELECT doc_id,

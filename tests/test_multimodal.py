@@ -106,3 +106,87 @@ def test_use_codecs_pipeline_and_honest_stub(spark, media):
         mm.extract_features(
             media.filter("meta.modality = 'video'"), use_codecs=True
         ).collect()
+
+
+# ---------------------------------------------------- real PNG codec (r4)
+
+
+def test_real_png_decode_roundtrip():
+    """make_png cycles filter types 0-4 across scanlines; the decoder's
+    unfilter must reconstruct the exact gradient pixels (checked via
+    channel means recomputed independently from the generator formula)."""
+    import numpy as np
+
+    for alpha in (False, True):
+        w, h = 11, 7  # h=7 -> filters 0,1,2,3,4,0,1 all exercised
+        payload = mm.make_png(seed=5, i=3, w=w, h=h, alpha=alpha)
+        f = mm.decode_media(payload, "image/png")
+        assert len(f) == mm.FEATURE_DIM
+        import hashlib as _h
+
+        sr, sg, sb = _h.sha256(b"png-5-3").digest()[:3]
+        ys, xs = np.mgrid[0:h, 0:w]
+        r = ((xs * 17 + sr) & 0xFF) / 255.0
+        g = ((ys * 29 + sg) & 0xFF) / 255.0
+        b = (((xs + ys) * 13 + sb) & 0xFF) / 255.0
+        assert abs(f[0] - w / 4096.0) < 1e-6 and abs(f[1] - h / 4096.0) < 1e-6
+        assert abs(f[2] - r.mean()) < 1e-6
+        assert abs(f[3] - g.mean()) < 1e-6
+        assert abs(f[4] - b.mean()) < 1e-6
+        luma = 0.299 * r + 0.587 * g + 0.114 * b
+        assert abs(f[5] - luma.std()) < 1e-6
+        if alpha:
+            a = ((255 - 7 * (xs + ys)) & 0xFF) / 255.0
+            assert abs(f[6] - a.mean()) < 1e-6
+        else:
+            assert f[6] == 1.0
+
+
+def test_png_grayscale_and_honest_gaps():
+    """Grayscale decode plus the honest NotImplementedError gaps
+    (palette / 16-bit / interlaced)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def png(ctype, depth=8, interlace=0, w=4, h=3, ch=1):
+        px = (np.arange(h * w * ch, dtype=np.uint8) * 7).reshape(h, w * ch)
+        scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        return (mm._PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+
+    f = mm.decode_media(png(0), "image/png")  # grayscale
+    px = (np.arange(12, dtype=np.uint8) * 7) / 255.0
+    assert abs(f[2] - px.mean()) < 1e-6 and f[2] == f[3] == f[4]
+    assert abs(f[5] - px.std()) < 1e-6
+
+    with pytest.raises(NotImplementedError, match="palette"):
+        mm.decode_media(png(3), "image/png")
+    with pytest.raises(NotImplementedError, match="8-bit only"):
+        mm.decode_media(png(0, depth=16), "image/png")
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        mm.decode_media(png(0, interlace=1), "image/png")
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_media(b"JUNK" * 4, "image/png")
+
+
+def test_use_codecs_includes_png_rows(spark, media):
+    """synthetic_media's image rows alternate BMP/PNG; use_codecs must
+    decode BOTH for real inside mapInPandas."""
+    imgs = media.filter("meta.modality = 'image'")
+    src = {r["media_id"]: (bytes(r["payload"]), r["meta"]["mime"])
+           for r in imgs.collect()}
+    mimes = {m for _, m in src.values()}
+    assert mimes == {"image/bmp", "image/png"}
+    out = {r["media_id"]: r for r in
+           mm.extract_features(imgs, use_codecs=True).collect()}
+    assert set(out) == set(src)
+    for mid, (payload, mime) in src.items():
+        expect = mm.decode_media(payload, mime)
+        got = out[mid]["features"]
+        assert np.allclose(got, expect, atol=1e-6), (mid, mime)
