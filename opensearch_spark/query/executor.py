@@ -1642,35 +1642,31 @@ class SearchEngine:
         components like the phrase-prefix expansion df)."""
         if isinstance(idf_sum, (int, float)):
             idf_sum = F.lit(float(idf_sum))
-        qmap = {t: np.asarray(ps, dtype=np.int64) for t, ps in qpos_by_term.items()}
+        # r4 (VERDICT #9): the exact-phrase frequency is pure position
+        # algebra with NO sequential data dependency, so it lowers to
+        # JVM higher-order functions instead of a per-doc pandas UDF —
+        # anchor s matches iff every query slot (term, qp) has s+qp in
+        # that term's position list.  The whole scorer stays inside
+        # whole-stage codegen: zero Python in the hot phrase path, one
+        # shuffle (the groupBy that built ``agg``), and the per-doc
+        # cost is |starts| × Σ array_contains over per-doc position
+        # lists (bounded by tf, typically single digits).
+        first_t = next(t for t, qps in qpos_by_term.items() if 0 in qps)
+        pmap = F.map_from_entries("tp")  # term -> positions (unique per doc)
 
-        @F.pandas_udf(T.IntegerType())
-        def phrase_tf(tp: pd.Series) -> pd.Series:
-            def one(entries) -> int:
-                pos = {}
-                for e in entries:
-                    if isinstance(e, dict):
-                        pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
-                    else:  # Row-like
-                        pos[e[0]] = np.asarray(e[1], dtype=np.int64)
-                # candidate phrase starts: positions of the slot-0 token
-                first_t = None
-                for t, qps in qmap.items():
-                    if 0 in qps:
-                        first_t = t
-                        break
-                starts = pos[first_t]
-                ok = np.ones(starts.shape, dtype=bool)
-                for t, qps in qmap.items():
-                    pset = pos[t]
-                    for qp in qps:
-                        ok &= np.isin(starts + qp, pset)
-                return int(ok.sum())
+        def _all_slots(s: Column) -> Column:
+            conds = [
+                F.array_contains(pmap[F.lit(t)], s + F.lit(int(qp)))
+                for t, qps in qpos_by_term.items()
+                for qp in qps
+                if not (t == first_t and qp == 0)
+            ]
+            return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
 
-            return tp.map(one).astype("int32")
+        ptf_col = F.size(F.filter(pmap[F.lit(first_t)], _all_slots))
 
         scored = (
-            agg.withColumn("ptf", phrase_tf(F.col("tp")))
+            agg.withColumn("ptf", ptf_col.cast("int"))
             .filter(F.col("ptf") > 0)
             .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
             .withColumn(

@@ -322,3 +322,14 @@ def test_derived_predicate_keeps_mapped_pushdown(engine):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     if pushed:  # raw parquet scan (not an InMemoryRelation)
         assert any("role" in l for l in pushed), plan
+
+
+def test_exact_phrase_scorer_has_no_python_eval(engine):
+    """r4 (VERDICT #9): the slop-0 phrase frequency lowers to JVM
+    higher-order functions (map_from_entries + filter/array_contains) —
+    the scoring stage must contain NO Python eval node.  The only
+    Python in the plan is the posting-block Arrow decode (MapInPandas),
+    which is shared by every query type."""
+    df = engine.search({"match_phrase": {"text": "error handling"}}, size=5)
+    plan = _formatted(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
