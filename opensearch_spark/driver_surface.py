@@ -2456,28 +2456,40 @@ def ft_diagnostics(spark, sf_dir):
 
 @_q(
     "agg_terms",
-    """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count
-FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10""",
+    """SELECT 'terms' AS op, key, doc_count,
+       CAST(NULL AS DOUBLE) AS avg_value, CAST(NULL AS DOUBLE) AS max_value,
+       CAST(NULL AS BIGINT) AS users
+FROM (
+  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count
+  FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+)
+UNION ALL
+SELECT 'tree' AS op, key, doc_count, avg_value, max_value, users FROM (
+  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count,
+         ROUND(avg(value), 6) AS avg_value,
+         ROUND(CAST(max(value) AS DOUBLE), 6) AS max_value,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS users
+  FROM events GROUP BY 1
+  ORDER BY doc_count DESC, key ASC LIMIT 10
+)
+ORDER BY op, doc_count DESC, key ASC""",
 )
 def agg_terms(spark, sf_dir):
-    """``terms`` bucket agg, default ordering (TermsAggregationBuilder.java:81-86)."""
-    return aggs.terms(load_table(spark, sf_dir, "events"), "event_type")
-
-
-@_q(
-    "agg_terms_tree",
-    """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count,
-       ROUND(avg(value), 6) AS avg_value,
-       ROUND(CAST(max(value) AS DOUBLE), 6) AS max_value,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS users
-FROM events GROUP BY 1
-ORDER BY doc_count DESC, key ASC LIMIT 10""",
-)
-def agg_terms_tree(spark, sf_dir):
-    """Aggregation tree: terms buckets with nested metric sub-aggs
-    (avg/max/cardinality) in one grouped pass (SURVEY.md §2.4)."""
+    """Suite (r4 repack — the registry is capped at 50 driver entries,
+    so the former standalone ``agg_terms_tree`` rides here as the
+    ``tree`` op): ``terms`` bucket agg with default ordering
+    (TermsAggregationBuilder.java:81-86) + the aggregation tree —
+    terms buckets with nested metric sub-aggs (avg/max/cardinality) in
+    one grouped pass (SURVEY.md §2.4)."""
     ev = load_table(spark, sf_dir, "events")
-    return aggs.terms_tree(
+    t = aggs.terms(ev, "event_type", size=10).select(
+        "key",
+        "doc_count",
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(None).cast("long").alias("users"),
+    )
+    tree = aggs.terms_tree(
         ev,
         "event_type",
         {
@@ -2486,6 +2498,10 @@ def agg_terms_tree(spark, sf_dir):
             "users": F.count_distinct(F.col("user_id")),
         },
     )
+    cols = ("key", "doc_count", "avg_value", "max_value", "users")
+    return _union(
+        _tag(t, "terms", *cols), _tag(tree, "tree", *cols)
+    ).orderBy("op", F.desc("doc_count"), F.asc("key"))
 
 
 @_q(
@@ -3630,35 +3646,16 @@ def agg_lineitem_pricing(spark, sf_dir):
 # ================================================= sort / pagination
 
 @_q(
-    "sort_search_after_engine",
+    "sort_suite",
     _PRE
     + f""", __c1 AS ({_sql_clause({"spark": 1, "join": 1})})
-SELECT doc_id, ROUND(sc, 4) AS score FROM (
+SELECT 'engine_after' AS op, CAST(rn AS INT) AS rk, doc_id AS event_id,
+       ROUND(sc, 4) AS value FROM (
   SELECT doc_id, sc, row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS rn
   FROM __c1
 ) WHERE rn BETWEEN 6 AND 10
-ORDER BY score DESC, doc_id ASC""",
-)
-def sort_search_after_engine(spark, sf_dir):
-    """Engine-level ``search_after``: page 2 of the match via the last
-    page-1 hit's raw (score, doc_id) sort key (SearchAfterBuilder.java)
-    — equals ranks 6..10 of the full ordering."""
-    eng = documents_engine(spark, sf_dir)
-    page1 = eng.search({"match": {"text": "spark join"}}, size=5).collect()
-    last = page1[-1]
-    page2 = eng.search(
-        {"match": {"text": "spark join"}},
-        size=5,
-        search_after=(last["score"], last["doc_id"]),
-    )
-    return page2.withColumn("score", F.round(F.col("score"), 4)).select(
-        "doc_id", "score"
-    )
-
-
-@_q(
-    "sort_suite",
-    """SELECT 'field_sort' AS op, CAST(rn AS INT) AS rk, event_id, value FROM (
+UNION ALL
+SELECT 'field_sort' AS op, CAST(rn AS INT) AS rk, event_id, value FROM (
   SELECT event_id, value,
          row_number() OVER (ORDER BY value DESC NULLS LAST, event_id ASC) AS rn
   FROM events
@@ -3696,7 +3693,9 @@ SELECT 'script_after' AS op, CAST(rn AS INT) AS rk, doc_id AS event_id, sv AS va
 ORDER BY op, rk, event_id""",
 )
 def sort_suite(spark, sf_dir):
-    """Suite: field sort with deterministic tie-break
+    """Suite: engine relevance ``search_after`` page-2 (r4 repack from
+    the standalone sort_search_after_engine entry), field sort with
+    deterministic tie-break
     (FieldSortBuilder.java), raw ``search_after`` keyset filter
     (SearchAfterBuilder.java), ``collapse`` best-hit-per-group
     (CollapseBuilder.java), collapse ``inner_hits`` (top-3 per
@@ -3733,8 +3732,24 @@ def sort_suite(spark, sf_dir):
     ci = grouped.filter(F.col("rn") <= 3).select(
         F.col("rn").cast("int").alias("rk"), "event_id", "value"
     )
-    # engine script sort + script_fields + keyset page 2 (r3)
+    # engine relevance search_after (r4 repack: formerly the standalone
+    # sort_search_after_engine entry — the registry is capped at 50):
+    # page 2 of the match via the last page-1 hit's raw
+    # (score, doc_id) sort key (SearchAfterBuilder.java) == ranks 6..10
     eng = documents_engine(spark, sf_dir)
+    page1 = eng.search({"match": {"text": "spark join"}}, size=5).collect()
+    lastp1 = page1[-1]
+    page2 = eng.search(
+        {"match": {"text": "spark join"}},
+        size=5,
+        search_after=(lastp1["score"], lastp1["doc_id"]),
+    )
+    w_ea = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ea = page2.select(
+        (F.row_number().over(w_ea) + F.lit(5)).cast("int").alias("rk"),
+        F.col("doc_id").alias("event_id"),
+        F.round(F.col("score"), 4).alias("value"),
+    )
     sexpr = "CAST((n_chars * 37) % 101 AS DOUBLE)"
     srt = [({"_script": {"source": sexpr, "fields": ["n_chars"]}}, "asc")]
     sfields = {"sv": {"source": sexpr, "fields": ["n_chars"]}}
@@ -3759,6 +3774,7 @@ def sort_suite(spark, sf_dir):
         F.col("sv").alias("value"),
     )
     return _union(
+        _tag(ea, "engine_after", "rk", "event_id", "value"),
         _tag(fs, "field_sort", "rk", "event_id", "value"),
         _tag(sa, "search_after", "rk", "event_id", "value"),
         _tag(co, "collapse", "rk", "event_id", "value"),

@@ -117,6 +117,7 @@ def update_doc(
     script: Optional[Callable[[dict], dict]] = None,
     upsert: Optional[dict] = None,
     doc_as_upsert: bool = False,
+    scripted_upsert: bool = False,
     detect_noop: bool = True,
     batch_id: Optional[int] = None,
 ) -> dict:
@@ -133,9 +134,10 @@ def update_doc(
     - ``script``: ``fn(source_dict) -> source_dict`` — the Painless
       ctx._source analog (applied instead of ``doc``).
     - ``upsert`` / ``doc_as_upsert``: document to index when the id is
-      missing (UpdateHelper.prepareUpsert; ``scripted_upsert`` is not
-      modeled — the upsert doc is indexed as given, the reference's
-      default).
+      missing (UpdateHelper.prepareUpsert).  ``scripted_upsert=True``
+      runs ``script`` over the upsert source before indexing
+      (UpdateHelper's UpdateOpType.CREATE branch); default False
+      indexes the upsert doc as given, like the reference.
     - ``detect_noop`` (partial-doc updates only, like the reference):
       merged == existing -> ``{"result": "noop"}`` with ZERO writes.
 
@@ -211,6 +213,10 @@ def update_doc(
     if upsert is None and not doc_as_upsert:
         raise KeyError(f"document missing: {id_values} (and no upsert given)")
     source = dict(upsert if upsert is not None else doc)
+    if scripted_upsert:
+        if script is None:
+            raise ValueError("scripted_upsert requires a script")
+        source = dict(script(dict(source)))
     missing = set(src_cols) - set(source)
     if missing:
         raise ValueError(f"upsert document missing fields: {sorted(missing)}")

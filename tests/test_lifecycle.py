@@ -204,3 +204,30 @@ def test_update_doc_upsert(spark, lifecycle_idx):
     out = update_doc(spark, eng2, ids, doc={"role": "assistant"},
                      detect_noop=False)
     assert out == {"result": "updated"}
+
+
+def test_update_doc_scripted_upsert(spark, lifecycle_idx):
+    from opensearch_spark.index.lifecycle import update_doc
+
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    base = dict(eng.index.docmap().select(
+        *[c for c in eng.index.plan["input_fields"]]
+    ).limit(1).collect()[0].asDict())
+    base.update({"conv_id": "c-sups", "turn_idx": 7,
+                 "text": "seed upsert text"})
+    out = update_doc(
+        spark, eng, {"conv_id": "c-sups", "turn_idx": 7},
+        script=lambda s: {**s, "text": s["text"] + " scripted-over-upsert"},
+        upsert=base, scripted_upsert=True,
+    )
+    assert out == {"result": "created"}
+    eng2 = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    rows = eng2.search(
+        {"match_phrase": {"text": "scripted-over-upsert"}}, size=5,
+        source_cols=["text"],
+    ).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [("c-sups", 7)]
+    assert rows[0]["text"] == "seed upsert text scripted-over-upsert"
+    with pytest.raises(ValueError, match="requires a script"):
+        update_doc(spark, eng2, {"conv_id": "nope", "turn_idx": 0},
+                   doc={"text": "x"}, upsert=base, scripted_upsert=True)

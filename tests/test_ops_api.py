@@ -129,3 +129,26 @@ def test_query_insights(spark, index_dir):
     for i in range(10):
         ins.record(f"q{i}", took_ms=i)
     assert len(ins) == 5
+
+
+def test_dir_bytes_hadoop_fs_uri(spark, index_dir):
+    """URI paths route through the Hadoop FileSystem getContentSummary
+    (object-storage path of the stats API); file:// over the same
+    local directory must agree byte-for-byte with the os.walk path."""
+    from opensearch_spark.index.builder import _paths
+    from opensearch_spark.index.stats_api import _dir_bytes
+
+    postings = _paths(index_dir)["postings"]
+    import os
+
+    visible = 0  # LocalFileSystem is a ChecksumFileSystem: .crc sidecars hidden
+    for dp, _dirs, files in os.walk(postings):
+        visible += sum(
+            os.path.getsize(os.path.join(dp, f)) for f in files
+            if not f.startswith(".")
+        )
+    via_fs = _dir_bytes("file://" + postings, spark)
+    assert visible == via_fs > 0
+    assert _dir_bytes("file:///nonexistent/osps-xyz", spark) == 0
+    with pytest.raises(ValueError, match="SparkSession is required"):
+        _dir_bytes("file://" + postings)
