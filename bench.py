@@ -89,17 +89,22 @@ SURFACE_COMPOSITION = {
     "agg_histograms": "r3 late: 6 ops (+geotile_grid z=5, +geohash_grid p=3); earlier r3/r2 had 4",
     "text_suite": "r3: 4 text ops via single-pass text_profile (one tokenizer eval, no joins); r3 late adds pack_shards training-shard packing (+1 stripe-offset collect) and benchmark decontamination (broadcast 5-gram overlap + count join); r2 joined 4 frames",
     "agg_samplers": "r3 late: 9 ops (+hash_split count/idsum, +stratified count/idsum, +mixture count/idsum, +reservoir idsum over documents); earlier had 2 (sampler + diversified)",
-    "agg_terms_variants": "r3 late: 7 ops (+two-phase shard_terms buckets/per-bucket error/meta bounds); earlier had 2 (multi_terms + rare_terms)",
-    "ft_scoring": "r3 late: 10 ops (+rank_feature log/saturation/sigmoid); earlier had 7",
+    "ft_scoring": "r3 late: 10 ops (+rank_feature log/saturation/sigmoid); earlier had 7; r4: +4 similarity ops (DFR gl/h2, DFR in/b/h1, IB ll, IB spl)",
     "ft_prefix_family": "r3 late: 3 ops (+search_as_you_type over root+2gram+3gram subfield indexes, builds 2 extra small indexes on first run); earlier had 2",
     "ft_multi_match": "r3 late: cross_fields now scores with BlendedTermQuery df-blending (same plan shape, +2 tiny term-stats lookups at plan time)",
-    "lifecycle_suite": "r3 late: +post_restore phase (snapshot to blob repo + hardlink restore + re-query), then +post_resize phase (hardlink shrink 4->2 + re-query); earlier had 6 phases",
+    "lifecycle_suite": "r3 late: +post_restore phase (snapshot to blob repo + hardlink restore + re-query), then +post_resize phase (hardlink shrink 4->2 + re-query); earlier had 6 phases; see r4 note below",
     "ft_filters": "r3 late: 10 ops (+derived_range typed length(text) range, +derived_term concat expression term — both extra docmap-scan docsets); earlier had 8",
     "agg_metrics": "r3 late: 12 ops (+mapper_size byte-length stats, +mapper_murmur3 pre-hash cardinality — 2 extra documents scans); earlier r3 had 10",
     "ingest_pipeline": "r3 late: +user_agent (uap-core subset CASE chain) and +geoip (inline prefix-map lookup) — same single projection, 5 more output columns",
     "analysis_suite": "r3 late: +annotated op (mapper-annotated-text tokenizer over the 8-doc slice); earlier r3 had 11 chain ops",
     "streaming_percolate": "r3 late: +correlated_error/+correlated_purchase (events-correlation banded time join over the events table); earlier had 2 percolator ops",
-    "agg_terms_variants": "r3 late: +terms_missing/+terms_mindoc option ops (2 extra documents scans); earlier r3 had 7",
+    "agg_terms_variants": "r3 late: 9 ops (7 incl. two-phase shard_terms error accounting, then +terms_missing/+terms_mindoc option ops)",
+    "agg_terms": "r4 repack: 2 ops (terms + tree, former standalone agg_terms_tree folded in to keep the registry at 50) — one extra events groupBy vs r3's 1-op entry",
+    "_r4_phrase_scorer": "ft_match_phrase slop-0 and q10_phrase now run the JVM higher-order-function scorer (no pandas UDF); sloppy slop=2 unchanged",
+    "ft_highlight": "r4: 4 ops (whole + fragment windows + score-ordered frags + no_match_size fallback); earlier had 1",
+    "suggest_suite": "r4: 7 ops (+comp_field prefix/fuzzy/ctx/regex over a per-doc completion table built on the fly); earlier had 3",
+    "_r4_lifecycle_suite": "r4: +upd_doc_match phase (one extra throwaway build + 2 single-doc updates); r3 late had 8 phases",
+    "sort_suite": "r4 repack: +engine_after op (former standalone sort_search_after_engine; 2 extra engine searches)",
 }
 
 

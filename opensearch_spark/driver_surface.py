@@ -2356,6 +2356,16 @@ FROM (
   SELECT doc_id, sc, row_number() OVER (ORDER BY doc_id ASC) AS rn
   FROM ({{scan_clause}})
 )
+UNION ALL
+SELECT 'validate' AS op, k, v FROM (VALUES
+  ('good', 1.0), ('bad_op', 0.0), ('bad_field', 0.0)) AS vq(k, v)
+UNION ALL
+SELECT 'profile' AS op, k, v FROM (VALUES
+  ('hits', 10.0), ('phases', 3.0)) AS pf(k, v)
+UNION ALL
+SELECT 'insights' AS op, k, v FROM (VALUES
+  ('1:q_slow', 120.5), ('2:q_mid', 60.25), ('3:q_fast', 15.125),
+  ('hits_top', 77.0)) AS iq(k, v)
 ORDER BY op, k""".replace("{score}", _SCORE).replace(
         "{scan_clause}", _sql_clause({"dup": 1})
     ),
@@ -2365,10 +2375,13 @@ def ft_diagnostics(spark, sf_dir):
     (exact hit count), ``_explain`` (per-term score breakdown for one
     doc, TransportExplainAction analog), ``_termvectors`` (per-doc
     tf + corpus df), ``_field_caps`` (mapping introspection), ``_mget``
-    (batched stored-fields fetch by id), and the
+    (batched stored-fields fetch by id), the
     ``scan``/scroll export cursor (r3: full scored set in stable
-    id-ordered batches, batch index in the checked key) — in a long
-    (op, k, v) shape."""
+    id-ordered batches, batch index in the checked key), and (r4 — the
+    last pytest-only diagnostics) ``_validate/query`` good/bad-op/
+    bad-field verdicts, ``profile`` deterministic structure (hit count
+    + phase count), and query-insights top-N ordering over recorded
+    timings — in a long (op, k, v) shape."""
     eng = documents_engine(spark, sf_dir)
     from opensearch_spark.query import dsl as Q
 
@@ -2443,6 +2456,33 @@ def ft_diagnostics(spark, sf_dir):
         for r in batch:
             rows.append(("scan", f"{bi}:{r['doc_id']}", float(r["score"])))
             i += 1
+    # r4 — the last pytest-only diagnostics under the oracle:
+    # _validate/query (TransportValidateQueryAction: parse + lazy plan
+    # build, no hits; malformed -> valid=false instead of raising),
+    # profile (ProfileResult.java: deterministic STRUCTURE — hit count
+    # + phase count; wall times are runtime noise and stay unchecked),
+    # query insights (TopQueriesService: top-N by latency over
+    # deterministic recorded timings, plus top-by-hits head).
+    v_good = eng.validate({"match": {"text": "spark join"}})
+    rows.append(("validate", "good", 1.0 if v_good.get("valid") else 0.0))
+    v_bad = eng.validate({"frobnicate": {"text": "x"}})
+    rows.append(("validate", "bad_op", 1.0 if v_bad.get("valid") else 0.0))
+    v_field = eng.validate({"match": {"no_such_column": "x"}})
+    rows.append(("validate", "bad_field", 1.0 if v_field.get("valid") else 0.0))
+    prof = eng.profile({"match": {"text": "spark join"}}, size=10)
+    rows.append(("profile", "hits", float(prof["hits"])))
+    rows.append(("profile", "phases", float(len(prof["breakdown_ms"]))))
+    from opensearch_spark.query.insights import QueryInsights
+
+    qi = QueryInsights(capacity=16)
+    qi.record("q_fast", 15.125, hits=9, timestamp=1.0)
+    qi.record("q_slow", 120.5, hits=3, timestamp=2.0)
+    qi.record("q_mid", 60.25, hits=77, timestamp=3.0)
+    for rank, rec in enumerate(qi.top_queries(n=3, metric="latency"), start=1):
+        rows.append(("insights", f"{rank}:{rec['query']}", float(rec["took_ms"])))
+    rows.append(
+        ("insights", "hits_top", float(qi.top_queries(n=1, metric="hits")[0]["hits"]))
+    )
     # round in Spark (HALF_UP like SQL ROUND) — Python round() is
     # banker's and disagrees on .5-boundary doubles
     return (
