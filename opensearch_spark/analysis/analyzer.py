@@ -254,6 +254,46 @@ def make_tokenize_udf(stopwords: Optional[Sequence[str]] = None):
     return tokenize_udf
 
 
+ITALIAN_STOP_WORDS = frozenset(
+    """ad al allo ai agli all agl alla alle con col coi da dal dallo
+    dai dagli dall dagl dalla dalle di del dello dei degli dell degl
+    della delle in nel nello nei negli nell negl nella nelle su sul
+    sullo sui sugli sull sugl sulla sulle per tra contro io tu lui lei
+    noi voi loro mio mia miei mie tuo tua tuoi tue suo sua suoi sue
+    nostro nostra nostri nostre vostro vostra vostri vostre mi ti ci
+    vi lo la li le gli ne il un uno una ma ed se perché anche come dov
+    dove che chi cui non più quale quanto quanti quanta quante quello
+    quelli quella quelle questo questi questa queste si tutto tutti a
+    c e i l o ho hai ha abbiamo avete hanno abbia abbiate abbiano avrò
+    avrai avrà avremo avrete avranno avrei avresti avrebbe avremmo
+    avreste avrebbero avevo avevi aveva avevamo avevate avevano ebbi
+    avesti ebbe avemmo aveste ebbero avessi avesse avessimo avessero
+    avendo avuto avuta avuti avute sono sei è siamo siete sia siate
+    siano sarò sarai sarà saremo sarete saranno sarei saresti sarebbe
+    saremmo sareste sarebbero ero eri era eravamo eravate erano fui
+    fosti fu fummo foste furono fossi fosse fossimo fossero essendo
+    faccio fai facciamo fanno faccia facciate facciano farò farai farà
+    faremo farete faranno farei faresti farebbe faremmo fareste
+    farebbero fa facevo facevi faceva facevamo facevate facevano feci
+    facesti fece facemmo faceste fecero facessi facesse facessimo
+    facessero facendo sto stai sta stiamo stanno stia stiate stiano
+    starò starai starà staremo starete staranno starei staresti
+    starebbe staremmo stareste starebbero stavo stavi stava stavamo
+    stavate stavano stetti stesti stette stemmo steste stettero stessi
+    stesse stessimo stessero stando""".split()
+)
+DUTCH_STOP_WORDS = frozenset(
+    """de en van ik te dat die in een hij het niet zijn is was op aan
+    met als voor had er maar om hem dan zou of wat mijn men dit zo
+    door over ze zich bij ook tot je mij uit der daar haar naar heb
+    hoe heeft hebben deze u want nog zal me zij nu ge geen omdat iets
+    worden toch al waren veel meer doen toen moet ben zonder kan hun
+    dus alles onder ja eens hier wie werd altijd doch wordt wezen
+    kunnen ons zelf tegen na reeds wil kon niets uw iemand geweest
+    andere""".split()
+)
+
+
 def resolve_stopwords(name_or_list) -> Optional[frozenset]:
     """Resolve a stopword config like the reference: None/[] -> empty set
     (default standard analyzer removes nothing), "_english_" -> Lucene's
@@ -266,6 +306,8 @@ def resolve_stopwords(name_or_list) -> Optional[frozenset]:
         "_german_": GERMAN_STOP_WORDS,
         "_spanish_": SPANISH_STOP_WORDS,
         "_russian_": RUSSIAN_STOP_WORDS,
+        "_italian_": ITALIAN_STOP_WORDS,
+        "_dutch_": DUTCH_STOP_WORDS,
         "_none_": frozenset(),
     }
     if isinstance(name_or_list, str) and name_or_list in named:

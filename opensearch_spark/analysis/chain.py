@@ -530,6 +530,10 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
             return _map1(_sb.spanish_stem)
         if lang == "russian":
             return _map1(_sb.russian_stem)
+        if lang == "italian":
+            return _map1(_sb.italian_stem)
+        if lang == "dutch":
+            return _map1(_sb.dutch_stem)
         raise ValueError(f"stemmer language not implemented: {lang}")
     if typ == "elision":
         # ElisionFilterFactory.java — strip l'/d'/qu'... article prefixes;
@@ -794,6 +798,32 @@ NAMED_ANALYZERS: Dict[str, dict] = {
             "lowercase",
             {"type": "cjk_bigram"},
             {"type": "stop", "stopwords": "_english_"},
+        ],
+    },
+    # r4 late.  Deviations: Lucene's ItalianAnalyzer stems with
+    # ItalianLightStemFilter (we serve the snowball stemmer the
+    # `stemmer`/`snowball` filters use — the StemmerTokenFilterFactory
+    # `italian` table entry); DutchAnalyzer adds a 4-word
+    # StemmerOverrideFilter table (fiets/bromfiets/ei/kind) we omit.
+    "italian": {
+        "tokenizer": "standard",
+        "filter": [
+            {"type": "elision", "articles": [
+                "c", "l", "all", "dall", "dell", "nell", "sull", "coll",
+                "pell", "gl", "agl", "dagl", "degl", "negl", "sugl",
+                "un", "m", "t", "s", "v", "d",
+            ]},
+            "lowercase",
+            {"type": "stop", "stopwords": "_italian_"},
+            {"type": "stemmer", "language": "italian"},
+        ],
+    },
+    "dutch": {
+        "tokenizer": "standard",
+        "filter": [
+            "lowercase",
+            {"type": "stop", "stopwords": "_dutch_"},
+            {"type": "stemmer", "language": "dutch"},
         ],
     },
 }

@@ -1,11 +1,12 @@
-"""Snowball stemmers: french / german / spanish / russian.
+"""Snowball stemmers: french / german / spanish / russian / italian / dutch.
 
 The reference's ``StemmerTokenFilterFactory.java`` maps these language
 names to Lucene ``SnowballFilter`` over the corresponding
 ``org.tartarus.snowball.ext.*Stemmer`` (french :176-177, german
 :190-191, spanish :263-264, russian :257-258), and
 ``SnowballTokenFilterFactory.java`` / ``SnowballAnalyzerProvider.java``
-expose the same stemmers as the ``snowball`` filter / analyzer.
+expose the same stemmers as the ``snowball`` filter / analyzer
+(italian :219, dutch :139).
 
 These implementations follow the PUBLISHED per-language algorithm
 specifications from the Snowball project (M.F. Porter, "Snowball: A
@@ -25,7 +26,8 @@ reference stemmer binary is available in this environment).
 
 from __future__ import annotations
 
-__all__ = ["french_stem", "german_stem", "spanish_stem", "russian_stem"]
+__all__ = ["french_stem", "german_stem", "spanish_stem", "russian_stem",
+           "italian_stem", "dutch_stem"]
 
 
 def _std_r1r2(word: str, vowels: str) -> tuple:
@@ -723,3 +725,328 @@ def russian_stem(word: str) -> str:
         elif not matched and word.endswith("ь") and len(word) - 1 >= rv:
             word = word[:-1]
     return word
+
+
+# ===================================================================
+# Italian (snowballstem.org/algorithms/italian/stemmer.html; reference
+# surface StemmerTokenFilterFactory.java:219 `italian` ->
+# SnowballFilter(ItalianStemmer))
+# ===================================================================
+
+_IT_V = "aeiouàèìòù"
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRON = sorted(
+    ["ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+     "sene", "gliela", "gliele", "glieli", "glielo", "gliene",
+     "mela", "mele", "meli", "melo", "mene",
+     "tela", "tele", "teli", "telo", "tene",
+     "cela", "cele", "celi", "celo", "cene",
+     "vela", "vele", "veli", "velo", "vene"],
+    key=len, reverse=True,
+)
+
+_IT_STEP1 = [
+    # group A: delete if in R2
+    *[(s, "A") for s in (
+        "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+        "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+        "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+        "ose", "mente", "atrice", "atrici", "ante", "anti",
+    )],
+    ("azione", "B"), ("azioni", "B"), ("atore", "B"), ("atori", "B"),
+    ("logia", "C"), ("logie", "C"),
+    ("uzione", "D"), ("uzioni", "D"), ("usione", "D"), ("usioni", "D"),
+    ("enza", "E"), ("enze", "E"),
+    ("amento", "F"), ("amenti", "F"), ("imento", "F"), ("imenti", "F"),
+    ("amente", "G"),
+    ("ità", "H"),
+    ("ivo", "I"), ("ivi", "I"), ("iva", "I"), ("ive", "I"),
+]
+
+_IT_STEP2 = sorted(
+    ["ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+     "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+     "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+     "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+     "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+     "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+     "Iamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+     "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti",
+     "irete", "irò", "irono", "isca", "iscano", "isce", "isci",
+     "isco", "iscono", "issero", "ita", "ite", "iti", "ito", "iva",
+     "ivamo", "ivano", "ivate", "ivi", "ivo", "ono", "uta", "ute",
+     "uti", "uto", "ar", "ir"],
+    key=len, reverse=True,
+)
+
+
+def _romance_rv(word: str, vowels: str) -> int:
+    """Romance RV (the shared French/Spanish/Italian/Portuguese
+    definition): second letter consonant -> after the next vowel;
+    first two letters vowels -> after the next consonant; otherwise
+    after the third letter."""
+    n = len(word)
+    rv = n
+    if n >= 2:
+        if word[1] not in vowels:
+            for i in range(2, n):
+                if word[i] in vowels:
+                    rv = i + 1
+                    break
+        elif word[0] in vowels:
+            for i in range(2, n):
+                if word[i] not in vowels:
+                    rv = i + 1
+                    break
+        else:
+            rv = 3 if n > 3 else n
+    return rv
+
+
+def italian_stem(word: str) -> str:
+    word = word.lower().translate(_IT_ACUTE)
+    # mark u after q and u/i between vowels as non-vowels (upper case)
+    chars = list(word)
+    for i, c in enumerate(chars):
+        if c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif c in "ui" and 0 < i < len(chars) - 1 and (
+            # an already-marked U/I neighbor is a non-vowel, so the
+            # lowercase-only vowel test is exactly the spec's
+            chars[i - 1] in _IT_V and chars[i + 1] in _IT_V
+        ):
+            chars[i] = c.upper()
+    word = "".join(chars)
+    rv = _romance_rv(word, _IT_V)
+    r1, r2 = _std_r1r2(word, _IT_V)
+
+    # ---- step 0: attached pronoun (all tests inside RV)
+    for p in _IT_PRON:
+        if word.endswith(p):
+            stem = word[: len(word) - len(p)]
+            for a in ("ando", "endo"):
+                if stem.endswith(a) and len(stem) - len(a) >= rv:
+                    word = stem
+                    break
+            else:
+                for b in ("ar", "er", "ir"):
+                    if stem.endswith(b) and len(stem) - len(b) >= rv:
+                        word = stem + "e"
+                        break
+            break
+
+    original = word
+
+    # ---- step 1: standard suffixes (longest match decides the rule)
+    step1 = sorted(_IT_STEP1, key=lambda x: len(x[0]), reverse=True)
+    for suf, grp in step1:
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if grp == "A":
+            if pos >= r2:
+                word = word[:pos]
+        elif grp == "B":
+            if pos >= r2:
+                word = word[:pos]
+                if word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif grp == "C":
+            if pos >= r2:
+                word = word[:pos] + "log"
+        elif grp == "D":
+            if pos >= r2:
+                word = word[:pos] + "u"
+        elif grp == "E":
+            if pos >= r2:
+                word = word[:pos] + "ente"
+        elif grp == "F":  # amento/amenti/imento/imenti: RV, not R2
+            if pos >= rv:
+                word = word[:pos]
+        elif grp == "G":  # amente
+            if pos >= r1:
+                word = word[:pos]
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "abil"):
+                        if word.endswith(pre) and len(word) - len(pre) >= r2:
+                            word = word[: -len(pre)]
+                            break
+        elif grp == "H":  # ità
+            if pos >= r2:
+                word = word[:pos]
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+        elif grp == "I":  # ivo/ivi/iva/ive
+            if pos >= r2:
+                word = word[:pos]
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("ic") and len(word) - 2 >= r2:
+                        word = word[:-2]
+        break
+
+    # ---- step 2: verb suffixes (only if step 1 removed nothing)
+    if word == original:
+        for suf in _IT_STEP2:
+            if word.endswith(suf):
+                if len(word) - len(suf) >= rv:
+                    word = word[: -len(suf)]
+                break
+
+    # ---- step 3a: residual vowel (+ a preceding i), both in RV
+    for suf in ("a", "e", "i", "o", "à", "è", "ì", "ò"):
+        if word.endswith(suf):
+            if len(word) - 1 >= rv:
+                word = word[:-1]
+                if word.endswith("i") and len(word) - 1 >= rv:
+                    word = word[:-1]
+            break
+    # ---- step 3b: final ch/gh -> c/g in RV
+    for suf, rep in (("ch", "c"), ("gh", "g")):
+        if word.endswith(suf) and len(word) - 2 >= rv:
+            word = word[:-2] + rep
+            break
+
+    return word.replace("I", "i").replace("U", "u")
+
+
+# ===================================================================
+# Dutch (snowballstem.org/algorithms/dutch/stemmer.html; reference
+# surface StemmerTokenFilterFactory.java:139 `dutch` ->
+# SnowballFilter(DutchStemmer))
+# ===================================================================
+
+_NL_V = "aeiouyè"
+_NL_FOLD = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_undouble(word: str) -> str:
+    for dd in ("kk", "dd", "tt"):
+        if word.endswith(dd):
+            return word[:-1]
+    return word
+
+
+def _nl_valid_en(stem: str) -> bool:
+    """Valid en-ending: a non-vowel, and not the string gem."""
+    return (
+        bool(stem)
+        and stem[-1] not in _NL_V
+        and not stem.endswith("gem")
+    )
+
+
+def dutch_stem(word: str) -> str:
+    word = word.lower().translate(_NL_FOLD)
+    # mark initial y, y after a vowel, and i between vowels
+    chars = list(word)
+    for i, c in enumerate(chars):
+        if c == "y" and (i == 0 or chars[i - 1] in _NL_V):
+            chars[i] = "Y"
+        elif c == "i" and 0 < i < len(chars) - 1 and (
+            chars[i - 1] in _NL_V and chars[i + 1] in _NL_V
+        ):
+            chars[i] = "I"
+    word = "".join(chars)
+    r1, r2 = _std_r1r2(word, _NL_V)
+    r1 = max(r1, 3) if len(word) >= 3 else r1  # >=3 letters before R1
+
+    # ---- step 1: longest among heden / ene / en / se / s
+    for suf in ("heden", "ene", "en", "se", "s"):
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if suf == "heden":
+            if pos >= r1:
+                word = word[:pos] + "heid"
+        elif suf in ("ene", "en"):
+            stem = word[:pos]
+            if pos >= r1 and _nl_valid_en(stem):
+                word = _nl_undouble(stem)
+        else:  # se / s: valid s-ending = non-vowel other than j
+            stem = word[:pos]
+            if pos >= r1 and stem and stem[-1] not in _NL_V + "j":
+                word = stem
+        break
+
+    # ---- step 2: final e after a non-vowel
+    e_removed = False
+    if (
+        word.endswith("e")
+        and len(word) - 1 >= r1
+        and len(word) >= 2
+        and word[-2] not in _NL_V
+    ):
+        word = _nl_undouble(word[:-1])
+        e_removed = True
+
+    # ---- step 3a: heid (not after c), then an en-suffix as in step 1
+    if (
+        word.endswith("heid")
+        and len(word) - 4 >= r2
+        and (len(word) < 5 or word[-5] != "c")
+    ):
+        word = word[:-4]
+        if word.endswith("en"):
+            stem = word[:-2]
+            if len(word) - 2 >= r1 and _nl_valid_en(stem):
+                word = _nl_undouble(stem)
+
+    # ---- step 3b: d-suffixes (longest match decides)
+    for suf in ("baar", "lijk", "end", "ing", "bar", "ig"):
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if suf in ("end", "ing"):
+            if pos >= r2:
+                word = word[:pos]
+                if (
+                    word.endswith("ig")
+                    and len(word) - 2 >= r2
+                    and (len(word) < 3 or word[-3] != "e")
+                ):
+                    word = word[:-2]
+                else:
+                    word = _nl_undouble(word)
+        elif suf == "ig":
+            if pos >= r2 and (pos == 0 or word[pos - 1] != "e"):
+                word = word[:pos]
+        elif suf == "lijk":
+            if pos >= r2:
+                word = word[:pos]
+                # then repeat step 2
+                if (
+                    word.endswith("e")
+                    and len(word) - 1 >= r1
+                    and len(word) >= 2
+                    and word[-2] not in _NL_V
+                ):
+                    word = _nl_undouble(word[:-1])
+        elif suf == "baar":
+            if pos >= r2:
+                word = word[:pos]
+        elif suf == "bar":
+            if pos >= r2 and e_removed:
+                word = word[:pos]
+        break
+
+    # ---- step 4: undouble vowel — C + aa/ee/oo/uu + non-I consonant
+    if len(word) >= 4:
+        c, v1, v2, d = word[-4], word[-3], word[-2], word[-1]
+        if (
+            c not in _NL_V
+            and v1 == v2
+            and v1 in "aeou"
+            and d not in _NL_V
+            and d != "I"
+        ):
+            word = word[:-2] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")

@@ -213,3 +213,74 @@ def test_named_language_analyzers():
     cjk = Analyzer.from_spec("cjk")
     toks, _ = cjk("多くの学生 test")
     assert toks == ["多く", "くの", "の学", "学生", "test"]
+
+
+# ---------------------------------------------------- italian / dutch (r4 late)
+
+IT = {
+    # step 2 verb suffixes in RV
+    "abbandonata": "abbandon",        # ata
+    "abbandoneranno": "abbandon",     # eranno
+    "pronunciare": "pronunc",         # are, then step-3a i
+    "mangiare": "mang",               # are + step-3a i
+    # step 0 attached pronouns
+    "mangiarlo": "mang",              # lo after ar -> +e -> are chain
+    "mangiandolo": "mang",            # lo after ando (deletion case)
+    # step 1 standard suffixes
+    "città": "citt",                  # ità fails R2; step-3a à
+    "felicità": "felic",              # ità in R2; ic NOT further removed (R2)
+    "generazione": "gener",           # azione in R2
+    "comunicazione": "comun",         # azione + preceding ic in R2
+    "teologia": "teolog",             # step-3a a then i (logia fails R2)
+    "esecuzione": "esecu",            # uzione -> u
+    "differenza": "different",        # enza -> ente, then step-3a e
+    "cambiamento": "camb",            # amento in RV + step-3a i
+    # prelim marking: u after q is a non-vowel
+    "quotidiano": "quotid",           # ano + step-3a i; qU mark
+}
+
+NL = {
+    "lichamelijk": "licham",          # lijk in R2 + repeated step 2 e
+    "lichamelijkheden": "licham",     # heden->heid, heid del, lijk, e
+    "boeken": "boek",                 # en after valid ending
+    "bakken": "bak",                  # en + undouble kk
+    "vogels": "vogel",                # s after valid s-ending
+    "huizen": "huiz",                 # en
+    "gemeen": "gemen",                # en blocked (vowel before); step-4 ee
+    "spelen": "spel",                 # en
+    "opening": "open",                # ing in R2
+    "volledig": "volled",             # ig in R2 not after e
+    "openbaar": "open",               # baar in R2
+    "zichtbare": "zichtbar",          # step-2 e; bar needs R2 (fails)
+    "royaal": "royal",                # Y mark + step-4 aa undouble
+    "draaien": "draai",               # I mark protects step-4 (D == I)
+}
+
+
+def test_italian_stemmer():
+    from opensearch_spark.analysis.snowball import italian_stem
+
+    for w, s in IT.items():
+        assert italian_stem(w) == s, (w, italian_stem(w), s)
+
+
+def test_dutch_stemmer():
+    from opensearch_spark.analysis.snowball import dutch_stem
+
+    for w, s in NL.items():
+        assert dutch_stem(w) == s, (w, dutch_stem(w), s)
+
+
+def test_named_italian_dutch_analyzers():
+    it = Analyzer.from_spec("italian")
+    # elision strips l'; stopwords drop della; stems survive
+    assert it("l'abbandonata della città") == (
+        ["abbandon", "citt"], [0, 2]
+    )
+    nl = Analyzer.from_spec("dutch")
+    assert nl("de boeken van het huis") == (["boek", "huis"], [1, 4])
+    # stemmer filter direct (StemmerTokenFilterFactory language table)
+    f_it = make_token_filter({"type": "stemmer", "language": "italian"})
+    assert f_it((["generazione"], [0]))[0] == ["gener"]
+    f_nl = make_token_filter({"type": "stemmer", "language": "dutch"})
+    assert f_nl((["bakken"], [0]))[0] == ["bak"]
