@@ -4820,6 +4820,8 @@ _OP_SRC3 = "AND doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')"
         _LC_Q, 1, 10, "pit_live", p="",
         flt=f"AND doc_id NOT IN (SELECT doc_id FROM __docs WHERE {_LC_DEL_TOKS})",
     )
+    + "\nUNION ALL\n"
+    + _sql_match_over(_LC_Q, 1, 10, "stream_search", p="")
     + """
 UNION ALL
 SELECT 'stats_docs' AS op, CAST(count(*) AS BIGINT) AS doc_id,
@@ -4860,6 +4862,11 @@ def operational_suite(spark, sf_dir):
     - ``stats_docs``: ``GET /_stats`` (``index/stats_api.py``;
       rest-api-spec indices.stats) — live ``docs.count`` equals the
       table count (encoded as the doc_id column of a single row).
+    - ``stream_search`` (r4 late): the STRUCTURED STREAMING build path
+      (``streaming/incremental.py start_incremental_index``) — a
+      readStream file source drained as two exactly-once foreachBatch
+      appends (availableNow) must search rank/score-identical to a
+      batch build of the same corpus.
     """
     import shutil
 
@@ -4952,6 +4959,34 @@ def operational_suite(spark, sf_dir):
         F.lit(0.0).cast("double").alias("score"),
     )
 
+    # r4 late — STRUCTURED STREAMING build path (was the last
+    # pytest-only build component): the docs land as two parquet files,
+    # a readStream file source with maxFilesPerTrigger=1 drains them as
+    # two exactly-once foreachBatch appends (trigger availableNow), and
+    # the search over the streamed index must equal the plain
+    # full-corpus oracle — stats and ranks identical to a batch build.
+    from opensearch_spark.streaming.incremental import start_incremental_index
+
+    ddf = documents_df(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    sdir = os.path.join(root, "stream-src")
+    ddf.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(sdir)
+    ddf.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(sdir)
+    stream = (
+        spark.readStream.schema(ddf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    sidx = os.path.join(root, "stream-idx")
+    sq = start_incremental_index(
+        spark, stream, sidx, cfg,
+        checkpoint_dir=os.path.join(root, "stream-ckpt"),
+        available_now=True,
+    )
+    sq.awaitTermination()
+    i_ = topk(SearchEngine(InvertedIndex(spark, sidx)), q)
+
     return _union(
         _tag(a, "alias_search", "doc_id", "score"),
         _tag(b, "template_sorted_search", "doc_id", "score"),
@@ -4961,6 +4996,7 @@ def operational_suite(spark, sf_dir):
         _tag(f_, "pit_search", "doc_id", "score"),
         _tag(g, "pit_live", "doc_id", "score"),
         _tag(h, "stats_docs", "doc_id", "score"),
+        _tag(i_, "stream_search", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 
