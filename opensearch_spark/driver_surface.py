@@ -1457,9 +1457,14 @@ __r2 AS (SELECT 'q2' AS query_id, doc_id, ROUND(sc, 4) AS score FROM __c2
 __r3 AS (SELECT op AS query_id, doc_id, score
          FROM ({_sql_match_sub({"batch": 1, "window": 1}, required=2, k=5, op="q3_template")})),
 __r4 AS (SELECT 'q4_wrapper' AS query_id, doc_id, ROUND(sc, 4) AS score FROM __c2
-         ORDER BY score DESC, doc_id ASC LIMIT 5)
+         ORDER BY score DESC, doc_id ASC LIMIT 5),
+__r5 AS (SELECT op AS query_id, doc_id, score
+         FROM ({_sql_match_sub({"dup": 1, "scan": 1}, required=1, k=3, op="q5_mt")})),
+__r6 AS (SELECT op AS query_id, doc_id, score
+         FROM ({_sql_match_sub({"spark": 1, "merge": 1}, required=2, k=3, op="q6_mt")}))
 SELECT * FROM __r1 UNION ALL SELECT * FROM __r2
-UNION ALL SELECT * FROM __r3 UNION ALL SELECT * FROM __r4""",
+UNION ALL SELECT * FROM __r3 UNION ALL SELECT * FROM __r4
+UNION ALL SELECT * FROM __r5 UNION ALL SELECT * FROM __r6""",
 )
 def ft_msearch(spark, sf_dir):
     """``_msearch`` batching: independent queries unioned with a
@@ -1496,10 +1501,30 @@ def ft_msearch(spark, sf_dir):
     d = topk(eng, {"wrapper": {"query": wrapped}}, k=5).withColumn(
         "query_id", F.lit("q4_wrapper")
     )
+    # r4 late: `_msearch/template` batch API under the oracle (was the
+    # last pytest-only component) — two templated requests rendered and
+    # unioned by templates.msearch_template, incl. an operator=and body
+    from opensearch_spark.query.templates import msearch_template
+
+    mt = msearch_template(
+        eng,
+        [
+            {"id": "q5_mt",
+             "source": '{"match": {"text": {"query": "{{q}}"}}}',
+             "params": {"q": "dup scan"}, "size": 3},
+            {"id": "q6_mt",
+             "source": '{"match": {"text": {"query": "{{q}}", '
+                       '"operator": "and"}}}',
+             "params": {"q": "spark merge"}, "size": 3},
+        ],
+    ).select(
+        "query_id", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
         .unionByName(d)
+        .unionByName(mt)
         .select("query_id", "doc_id", "score")
     )
 
