@@ -888,6 +888,7 @@ class SearchEngine:
         order: Optional[str] = None,
         no_match_size: int = 0,
         require_field_match: bool = True,
+        matched_fields: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         """Fragment highlighting with the HighlightBuilder option set
         (``HighlightBuilder.java``: fragment_size default 100,
@@ -920,6 +921,16 @@ class SearchEngine:
         terms = sorted(set(self._collect_text_terms(q)))
         if not require_field_match:
             terms = sorted(set(terms) | set(self._collect_other_field_values(q)))
+        if matched_fields:
+            # HighlightBuilder matched_fields: blend the match
+            # vocabulary of the LISTED fields into this field's
+            # highlight (the FVH combines their term vectors; our
+            # analog is the analyzed/term-level vocabulary union —
+            # same tokens lit, no per-position blending)
+            terms = sorted(
+                set(terms)
+                | set(self._collect_matched_field_terms(q, set(matched_fields)))
+            )
         topk = self.search(q, size=size, source_cols=[self.text_col])
         ids = list(self.id_cols)
         if not terms:
@@ -1020,6 +1031,28 @@ class SearchEngine:
         elif isinstance(q, Q.DisMax):
             for sub in q.queries:
                 out.extend(self._collect_other_field_values(sub))
+        return out
+
+    def _collect_matched_field_terms(self, q, fields: set) -> List[str]:
+        """Vocabulary of clauses targeting one of ``fields`` —
+        HighlightBuilder ``matched_fields`` support: match-type clause
+        text is analyzed with the index analyzer, term-level values
+        are taken raw."""
+        out: List[str] = []
+        if isinstance(
+            q, (Q.Match, Q.MatchPhrase, Q.MatchPhrasePrefix, Q.MatchBoolPrefix)
+        ) and getattr(q, "field", None) in fields:
+            out.extend(self.index.analyze(q.query))
+        elif isinstance(q, Q.Term) and q.field in fields:
+            out.append(str(q.value))
+        elif isinstance(q, Q.Terms) and q.field in fields:
+            out.extend(str(v) for v in q.values)
+        elif isinstance(q, Q.Bool):
+            for sub in list(q.must) + list(q.should) + list(q.filter):
+                out.extend(self._collect_matched_field_terms(sub, fields))
+        elif isinstance(q, Q.DisMax):
+            for sub in q.queries:
+                out.extend(self._collect_matched_field_terms(sub, fields))
         return out
 
     def _collect_text_terms(self, q) -> List[str]:

@@ -201,3 +201,48 @@ def test_request_script_division_by_zero_is_value_error():
 
     with pytest.raises(ValueError, match="division by zero"):
         _eval_request_script("size = size / 0", {"size": 10, "from": 0})
+
+
+# -------------------------------------- highlight fragments (r4, VERDICT #6)
+
+
+def test_highlight_fragments_options(engine):
+    out = engine.search_highlight_fragments(
+        {"match": {"text": "error handling"}}, size=5,
+        fragment_size=50, number_of_fragments=2,
+    ).collect()
+    assert out
+    for r in out:
+        assert "<em>error</em>" in r["fragment"] or "<em>handling</em>" in r["fragment"]
+        # SimpleFragmenter window: tagged length minus tags stays near
+        # fragment_size (last token may overhang, like Lucene)
+        raw = r["fragment"].replace("<em>", "").replace("</em>", "")
+        assert len(raw) < 50 + 30
+    # per-hit cap respected
+    from collections import Counter
+
+    ids = Counter((r["conv_id"], r["turn_idx"]) for r in out)
+    assert max(ids.values()) <= 2
+
+
+def test_highlight_matched_fields_and_field_match(engine):
+    # a bool query: text match + role term. Under require_field_match
+    # (default) only text terms highlight; matched_fields=["role"]
+    # blends the role vocabulary in.
+    q = {"bool": {"must": [{"match": {"text": "error"}}],
+                  "filter": [{"term": {"role": "user"}}]}}
+    base = engine.search_highlight_fragments(q, size=5, fragment_size=80).collect()
+    assert base and all("<em>user</em>" not in r["fragment"] for r in base)
+    blended = engine.search_highlight_fragments(
+        q, size=5, fragment_size=80, matched_fields=["role"]
+    ).collect()
+    # 'user' appears as a text token in transcript bodies -> now lit
+    assert any("<em>user</em>" in r["fragment"] for r in blended) or all(
+        "user" not in r["fragment"].replace("<em>", "").replace("</em>", "")
+        for r in blended
+    )
+    # require_field_match=False is a superset of matched_fields
+    loose = engine.search_highlight_fragments(
+        q, size=5, fragment_size=80, require_field_match=False
+    ).collect()
+    assert len(loose) >= len(base)
