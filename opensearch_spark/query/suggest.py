@@ -205,7 +205,11 @@ def completion_suggest_field(
         )
         out = exact
         f = dict(fuzzy) if fuzzy else None
-        if f is not None and len(key) >= int(f.get("min_length", 3)):
+        if (
+            f is not None
+            and len(key) >= int(f.get("min_length", 3))
+            and int(f.get("fuzziness", 1)) >= 1  # fuzziness 0 == pure prefix
+        ):
             edits_max = int(f.get("fuzziness", 1))
             plen = int(f.get("prefix_length", 1))
             head = key[:plen]

@@ -407,3 +407,16 @@ def test_completion_field_contexts_and_regex(spark, comp_table):
         completion_suggest_field(comp_table, prefix="a", regex="b")
     with pytest.raises(ValueError, match="unknown completion context"):
         completion_suggest_field(comp_table, prefix="a", contexts={"geo": ["x"]})
+
+
+def test_completion_field_fuzziness_zero_is_prefix(spark, comp_table):
+    from opensearch_spark.query.suggest import completion_suggest_field
+
+    out = completion_suggest_field(
+        comp_table, prefix="spakr", fuzzy={"fuzziness": 0}, size=10
+    ).collect()
+    assert out == []  # no exact-prefix matches, fuzzy disabled
+    out = completion_suggest_field(
+        comp_table, prefix="spark", fuzzy={"fuzziness": 0}, size=10
+    ).collect()
+    assert all(r["edits"] == 0 for r in out) and len(out) == 3
