@@ -295,9 +295,14 @@ DUTCH_STOP_WORDS = frozenset(
 
 
 def resolve_stopwords(name_or_list) -> Optional[frozenset]:
-    """Resolve a stopword config like the reference: None/[] -> empty set
-    (default standard analyzer removes nothing), "_english_" -> Lucene's
-    English set, else an explicit word list."""
+    """Resolve a stopword config like the reference
+    (``Analysis.parseWords`` + ``resolveNamedWords``): None -> no
+    filtering, "_english_"/"_none_"/... -> the named set, a LIST mixes
+    named sets and literal words element-wise (an unrecognized
+    ``_name_`` stays a literal word, never an error — reference
+    parity).  A bare string that is not a named set is a single literal
+    word (``Settings.getAsList`` of an unsplittable value); it is NOT
+    split into characters."""
     if name_or_list is None:
         return None
     named = {
@@ -310,6 +315,12 @@ def resolve_stopwords(name_or_list) -> Optional[frozenset]:
         "_dutch_": DUTCH_STOP_WORDS,
         "_none_": frozenset(),
     }
-    if isinstance(name_or_list, str) and name_or_list in named:
-        return named[name_or_list]
-    return frozenset(name_or_list)
+    if isinstance(name_or_list, str):
+        name_or_list = [name_or_list]
+    out = set()
+    for w in name_or_list:
+        if isinstance(w, str) and w in named:
+            out |= named[w]
+        else:
+            out.add(w)
+    return frozenset(out)

@@ -536,8 +536,12 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
             return _map1(_sb.dutch_stem)
         raise ValueError(f"stemmer language not implemented: {lang}")
     if typ == "elision":
-        # ElisionFilterFactory.java — strip l'/d'/qu'... article prefixes;
-        # default article set = FrenchAnalyzer.DEFAULT_ARTICLES
+        # ElisionTokenFilterFactory.java — strip l'/d'/qu'... article
+        # prefixes; default article set = FrenchAnalyzer.DEFAULT_ARTICLES
+        # (a case-INSENSITIVE CharArraySet).  Custom `articles` default
+        # to case-SENSITIVE matching: Analysis.parseArticles reads
+        # articles_case with default FALSE (ignoreCase=false).
+        custom = "articles" in spec
         articles = tuple(
             spec.get(
                 "articles",
@@ -545,7 +549,7 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
                  "jusqu", "quoiqu", "lorsqu", "puisqu"),
             )
         )
-        ci = bool(spec.get("articles_case", True))
+        ci = bool(spec.get("articles_case", not custom))
 
         def _elide(t: str) -> str:
             low = t.lower() if ci else t

@@ -1517,9 +1517,11 @@ def ft_msearch(spark, sf_dir):
                        '"operator": "and"}}}',
              "params": {"q": "spark merge"}, "size": 3},
         ],
-    ).select(
-        "query_id", "doc_id", F.round(F.col("score"), 4).alias("score")
-    )
+        # round-before-order: boundary rows must match the oracle's
+        # rounded ordering even under last-ulp summation noise (the
+        # same contract q1-q4 get via topk)
+        round_dp=4,
+    ).select("query_id", "doc_id", "score")
     return (
         a.unionByName(b)
         .unionByName(c)
@@ -1794,7 +1796,10 @@ __t5 AS (
   )
 ),
 __hltok AS (
-  SELECT doc_id, tok, pos,
+  SELECT doc_id, tok,
+         lower(regexp_replace(tok,
+           '^[^\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}]+$', '', 'g')) AS ntok,
+         pos,
          SUM(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS eo
   FROM (
     SELECT doc_id, unnest(tl) AS tok, generate_subscripts(tl, 1) AS pos
@@ -1804,11 +1809,11 @@ __hltok AS (
 ),
 __hlfr AS (
   SELECT doc_id, CAST(floor((eo - 1) / 60.0) AS INT) AS frag,
-         SUM(CASE WHEN tok IN ('spark', 'join') THEN 1 ELSE 0 END) AS nm,
-         array_to_string(list(CASE WHEN tok IN ('spark', 'join')
+         SUM(CASE WHEN ntok IN ('spark', 'join') THEN 1 ELSE 0 END) AS nm,
+         array_to_string(list(CASE WHEN ntok IN ('spark', 'join')
              THEN '<em>' || tok || '</em>' ELSE tok END ORDER BY pos), ' ')
            AS em_fragment,
-         array_to_string(list(CASE WHEN tok IN ('spark', 'join')
+         array_to_string(list(CASE WHEN ntok IN ('spark', 'join')
              THEN '*HL*' || tok || '*/HL*' ELSE tok END ORDER BY pos), ' ')
            AS hl_fragment
   FROM __hltok

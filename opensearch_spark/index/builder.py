@@ -411,6 +411,7 @@ def build_index(
         "routing_col": cfg.routing(),
         "text_col": cfg.text_col,
         "store_positions": cfg.store_positions,
+        "dictionary_partitions": cfg.dictionary_partitions,
         "n_docs": n_docs_total,
         "seg_offsets": {str(k): v for k, v in offsets.items()},
         "input_fields": orig_cols,

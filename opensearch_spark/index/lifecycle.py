@@ -55,9 +55,16 @@ def tombstone_docids(spark: SparkSession, index_dir: str) -> Optional[DataFrame]
     that name said the opposite of what it returns and invited an
     inverted join; the alias below keeps old callers working.)"""
     ddir = deletes_dir(index_dir)
-    if not os.path.isdir(ddir):
+    if "://" in index_dir:
+        # object-storage index (s3a/hdfs/file URIs): probe via Hadoop FS
+        from opensearch_spark.index.stats_api import _list_files_any
+
+        files = _list_files_any(spark, ddir)
+    elif not os.path.isdir(ddir):
         return None
-    files = [f for f in os.listdir(ddir) if f.endswith(".parquet") or "part-" in f]
+    else:
+        files = os.listdir(ddir)
+    files = [f for f in files if f.endswith(".parquet") or "part-" in f]
     if not files:
         return None
     return spark.read.parquet(ddir).select("_docid").distinct()
@@ -152,6 +159,7 @@ def update_doc(
         raise ValueError("update_doc needs exactly one of doc / script")
 
     index_dir = engine.index.index_dir
+    _complete_pending_updates(spark, index_dir)
     dm = engine.index.docmap()
     cond = None
     for k, v in id_values.items():
@@ -175,8 +183,7 @@ def update_doc(
         )
     schema = _select_schema(dm, src_cols)
 
-    def _append(source: dict) -> None:
-        bid = batch_id if batch_id is not None else _next_batch_id(index_dir)
+    def _append(source: dict, bid: int) -> None:
         vals = []
         for c in src_cols:
             v = source[c]
@@ -202,12 +209,25 @@ def update_doc(
             raise ValueError(f"update fields not in the index schema: {sorted(unknown)}")
         if detect_noop and script is None and new == old:
             return {"result": "noop"}
-        # tombstone the old version, then commit the new one
-        ddir = deletes_dir(index_dir)
+        # commit order: append the replacement FIRST, tombstone second.
+        # The reverse order could soft-delete the doc and then fail the
+        # append (bad script value, index_sort mismatch, crash between
+        # the writes) — silent data loss with no new version.  This
+        # order's worst crash leaves BOTH versions briefly visible, and
+        # the update intent written before the append lets the next
+        # update_doc on this index finish the tombstone idempotently
+        # (_complete_pending_updates).
+        bid = batch_id if batch_id is not None else _next_batch_id(index_dir)
+        ipath = _update_intent_path(index_dir, bid)
+        with open(ipath, "w") as f:
+            json.dump(
+                {"batch": int(bid), "old_docid": int(rows[0]["_docid"])}, f
+            )
+        _append(new, bid)
         spark.createDataFrame(
             [(int(rows[0]["_docid"]),)], "_docid BIGINT"
-        ).write.mode("append").parquet(ddir)
-        _append(new)
+        ).write.mode("append").parquet(deletes_dir(index_dir))
+        os.remove(ipath)
         return {"result": "updated"}
 
     if upsert is None and not doc_as_upsert:
@@ -220,7 +240,9 @@ def update_doc(
     missing = set(src_cols) - set(source)
     if missing:
         raise ValueError(f"upsert document missing fields: {sorted(missing)}")
-    _append(source)
+    _append(
+        source, batch_id if batch_id is not None else _next_batch_id(index_dir)
+    )
     return {"result": "created"}
 
 
@@ -233,6 +255,54 @@ def _select_schema(dm: DataFrame, src_cols) -> "object":
     ])
 
 
+def _update_intent_path(index_dir: str, batch_id: int) -> str:
+    return os.path.join(
+        _paths(index_dir)["manifests"], f"update-intent-{int(batch_id):010d}.json"
+    )
+
+
+def _complete_pending_updates(spark: SparkSession, index_dir: str) -> None:
+    """Finish a crashed ``update_doc``'s tombstone half.
+
+    The update intent records ``(batch, old_docid)`` before the
+    replacement append.  Three states per leftover intent:
+
+    - batch manifest committed -> the replacement is durable but the
+      crash hit before the tombstone: (re-)write it (idempotent — the
+      tombstone read side is a distinct union) and drop the intent;
+    - neither manifest nor the append's own ``batch-*-intent.json``
+      sentinel exists -> the append never started; the update simply
+      did not happen (old doc still live): drop the record;
+    - append intent without a manifest -> a half-committed append that
+      ``append_batch``'s recovery owns (PartialBatchError repair); keep
+      the update intent so the tombstone still lands after repair.
+    """
+    mdir = _paths(index_dir)["manifests"]
+    if not os.path.isdir(mdir):
+        return
+    for fn in sorted(os.listdir(mdir)):
+        if not (fn.startswith("update-intent-") and fn.endswith(".json")):
+            continue
+        path = os.path.join(mdir, fn)
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            bid = int(rec["batch"])
+            old_docid = int(rec["old_docid"])
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+        bman = os.path.join(mdir, f"batch-{bid:010d}.json")
+        if os.path.exists(bman):
+            spark.createDataFrame(
+                [(old_docid,)], "_docid BIGINT"
+            ).write.mode("append").parquet(deletes_dir(index_dir))
+            os.remove(path)
+        elif not os.path.exists(
+            os.path.join(mdir, f"batch-{bid:010d}-intent.json")
+        ):
+            os.remove(path)
+
+
 def _next_batch_id(index_dir: str) -> int:
     """Smallest unused incremental batch id (batch manifests are the
     committed record; intent files mark in-flight ones)."""
@@ -240,12 +310,20 @@ def _next_batch_id(index_dir: str) -> int:
     used = [-1]
     if os.path.isdir(mdir):
         for fn in os.listdir(mdir):
-            for pre, suf in (("batch-", ".json"), ("batch-intent-", ".json")):
-                if fn.startswith(pre) and fn.endswith(suf):
-                    try:
-                        used.append(int(fn[len(pre):-len(suf)]))
-                    except ValueError:
-                        pass
+            if not (fn.startswith("batch-") and fn.endswith(".json")):
+                continue
+            core = fn[len("batch-"):-len(".json")]
+            # in-flight sentinel: batch-<id>-intent.json
+            # (streaming.incremental._intent_path) — its id is RESERVED
+            # even without a committed manifest, else a crashed append's
+            # id gets reused and _recover_batch "recovers" the crashed
+            # batch's data as the new append's commit
+            if core.endswith("-intent"):
+                core = core[: -len("-intent")]
+            try:
+                used.append(int(core))
+            except ValueError:
+                pass
     return max(used) + 1
 
 
@@ -266,6 +344,10 @@ def _append_cfg(engine) -> IndexConfig:
         text_col=plan.get("text_col", "text"),
         store_positions=bool(plan.get("store_positions", True)),
         index_sort=[tuple(s) for s in sort] if sort else None,
+        dictionary_partitions=int(
+            plan.get("dictionary_partitions")
+            or IndexConfig.dictionary_partitions
+        ),
     )
 
 

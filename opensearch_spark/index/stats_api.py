@@ -23,6 +23,42 @@ from pyspark.sql import SparkSession
 from opensearch_spark.index.builder import _paths
 
 
+def _hfs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path, jvm) for a URI path via the session's Hadoop
+    configuration."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(hconf), path, jvm
+
+
+def _read_json_any(spark: SparkSession, path: str):
+    """json.load for a local path OR a Hadoop-FS URI (s3a/hdfs/file)."""
+    if "://" not in path:
+        with open(path) as f:
+            return json.load(f)
+    fs, p, jvm = _hfs(spark, path)
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def _list_files_any(spark: SparkSession, dir_path: str):
+    """Sorted names of regular files directly under ``dir_path``
+    ([] when the directory does not exist) — local or Hadoop-FS URI."""
+    if "://" not in dir_path:
+        return sorted(os.listdir(dir_path)) if os.path.isdir(dir_path) else []
+    fs, p, _ = _hfs(spark, dir_path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(p) if st.isFile()
+    )
+
+
 def _dir_bytes(root: str, spark: Optional[SparkSession] = None) -> int:
     """Recursive byte count of a directory tree.  Plain-path inputs use
     ``os.walk`` (driver-local index dirs); URI inputs (``s3a://``,
@@ -61,37 +97,47 @@ def index_stats(spark: SparkSession, index_dir: str) -> Dict:
     from opensearch_spark.index.lifecycle import tombstone_docids
 
     p = _paths(index_dir)
-    with open(p["plan"]) as f:
-        plan = json.load(f)
-    with open(p["stats"]) as f:
-        stats = json.load(f)
+    plan = _read_json_any(spark, p["plan"])
+    stats = _read_json_any(spark, p["stats"])
     dels = tombstone_docids(spark, index_dir)
     n_deleted = int(dels.count()) if dels is not None else 0
     n_total = int(stats.get("n_docs") or plan.get("n_docs") or 0)
 
     manifests: List[Dict] = []
     mdir = p["manifests"]
-    if os.path.isdir(mdir):
-        for name in sorted(os.listdir(mdir)):
-            if name.endswith(".json"):
-                try:
-                    with open(os.path.join(mdir, name)) as f:
-                        manifests.append(json.load(f))
-                except (OSError, ValueError):
-                    pass
+    for name in _list_files_any(spark, mdir):
+        if name.endswith(".json"):
+            try:
+                manifests.append(_read_json_any(spark, os.path.join(mdir, name)))
+            except (OSError, ValueError):
+                pass
 
     # commit files only (snapshot._walk_index): open PITs / snapshot
     # working dirs under index_dir are transient and must not inflate
     # the reported store size — the same commit definition resize and
-    # the request cache use
-    from opensearch_spark.index.snapshot import _walk_index
+    # the request cache use.  URI indexes sum the commit members
+    # directly (same membership as _walk_index) via getContentSummary.
+    from opensearch_spark.index.snapshot import (
+        _INDEX_FILES,
+        _INDEX_MEMBERS,
+        _walk_index,
+    )
 
     commit_bytes = 0
-    for rel in _walk_index(index_dir):
-        try:
-            commit_bytes += os.path.getsize(os.path.join(index_dir, rel))
-        except OSError:
-            pass
+    if "://" in index_dir:
+        base = index_dir.rstrip("/")
+        for member in _INDEX_MEMBERS:
+            commit_bytes += _dir_bytes(f"{base}/{member}", spark)
+        for fname in _INDEX_FILES:
+            fs, fp, _ = _hfs(spark, f"{base}/{fname}")
+            if fs.exists(fp):
+                commit_bytes += int(fs.getFileStatus(fp).getLen())
+    else:
+        for rel in _walk_index(index_dir):
+            try:
+                commit_bytes += os.path.getsize(os.path.join(index_dir, rel))
+            except OSError:
+                pass
     store = {
         "size_in_bytes": commit_bytes,
         "postings_in_bytes": _dir_bytes(p["postings"], spark),

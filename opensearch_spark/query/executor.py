@@ -952,16 +952,28 @@ class SearchEngine:
                 F.lit(None).cast("string").alias("fragment"),
             ).limit(0)
 
+        # keep EMPTY split tokens: they carry the +1 separator char of
+        # runs of spaces, so _hl_end stays the TRUE char offset in the
+        # original text (and re-joining with " " reproduces the original
+        # spacing); coalesce guards hits with a NULL text field so they
+        # still reach the no_match fallback
         toks = topk.select(
             *ids,
             F.col(self.text_col).alias("_hl_text"),
             F.posexplode(
-                F.filter(
-                    F.split(F.col(self.text_col), " "), lambda t: t != ""
-                )
+                F.split(F.coalesce(F.col(self.text_col), F.lit("")), " ")
             ).alias("_hl_pos", "_hl_tok"),
         )
         w = Window.partitionBy(*ids).orderBy("_hl_pos")
+        # match rule: analyzed query terms are lowercase with edge
+        # punctuation stripped, so compare the same normalization of the
+        # raw token — consistent with search_highlight's IGNORECASE
+        # word-boundary regex ("Spark" and "join," highlight too)
+        norm = F.lower(
+            F.regexp_replace(
+                "_hl_tok", r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$", ""
+            )
+        )
         toks = toks.withColumn(
             "_hl_end", F.sum(F.length("_hl_tok") + F.lit(1)).over(w) - F.lit(1)
         ).withColumn(
@@ -970,7 +982,7 @@ class SearchEngine:
                 "int"
             ),
         ).withColumn(
-            "_hl_m", F.when(F.col("_hl_tok").isin(terms), F.lit(1)).otherwise(F.lit(0))
+            "_hl_m", F.when(norm.isin(terms), F.lit(1)).otherwise(F.lit(0))
         )
         frags = toks.groupBy(*ids, "frag").agg(
             F.array_sort(

@@ -42,14 +42,20 @@ def render_search_template(source, params: Dict[str, Any]) -> dict:
     return json.loads(rendered)
 
 
-def msearch_template(engine, requests, size: int = 10):
+def msearch_template(engine, requests, size: int = 10, round_dp=None):
     """``_msearch/template`` (rest-api-spec ``msearch_template.json``):
     a batch of templated searches — each request is ``{"id": ...,
     "source": <template>, "params": {...}, "size": n}`` — rendered
     driver-side and executed as one unioned DataFrame tagged by
     ``query_id`` (the ``_msearch`` batching shape: Spark schedules the
     per-query plans concurrently, amortizing job overhead exactly like
-    the reference amortizes network round-trips)."""
+    the reference amortizes network round-trips).
+
+    ``round_dp``: when set, scores are rounded to that many decimals
+    BEFORE the top-k ordering (ties then break by id) — the
+    oracle-comparable contract of ``docs_index.topk``, so boundary rows
+    are stable under float summation-order noise.  Default None keeps
+    raw-score ordering (the user-facing search path)."""
     from functools import reduce
 
     from pyspark.sql import DataFrame
@@ -63,7 +69,23 @@ def msearch_template(engine, requests, size: int = 10):
                 f"msearch_template request {i} has neither 'source' nor 'template'"
             )
         q = render_search_template(source, req.get("params", {}))
-        df = engine.search(q, size=int(req.get("size", size)))
+        k = int(req.get("size", size))
+        if round_dp is None:
+            df = engine.search(q, size=k)
+        else:
+            from opensearch_spark.query import dsl as Q
+
+            qq = Q.from_dict(q) if isinstance(q, dict) else q
+            scored = engine._score(qq)
+            dm = engine.index.docmap().select("_docid", *engine.id_cols)
+            order = [F.desc("score")] + [F.asc(c) for c in engine.id_cols]
+            df = (
+                scored.join(dm, "_docid")
+                .withColumn("score", F.round(F.col("score"), int(round_dp)))
+                .orderBy(*order)
+                .limit(k)
+                .select(*engine.id_cols, "score")
+            )
         parts.append(df.withColumn("query_id", F.lit(str(req.get("id", f"q{i}")))))
     if not parts:
         raise ValueError("msearch_template requires at least one request")

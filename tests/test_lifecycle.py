@@ -231,3 +231,108 @@ def test_update_doc_scripted_upsert(spark, lifecycle_idx):
     with pytest.raises(ValueError, match="requires a script"):
         update_doc(spark, eng2, {"conv_id": "nope", "turn_idx": 0},
                    doc={"text": "x"}, upsert=base, scripted_upsert=True)
+
+
+def test_next_batch_id_reserves_intent_sentinels(tmp_path):
+    """r4 review: the in-flight sentinel is batch-<id>-intent.json —
+    its id must be reserved even without a committed manifest, else a
+    crashed append's id gets reused and recovery misattributes data."""
+    import os
+
+    from opensearch_spark.index.lifecycle import _next_batch_id
+
+    idx = tmp_path / "idx"
+    mdir = idx / "manifests"
+    mdir.mkdir(parents=True)
+    assert _next_batch_id(str(idx)) == 0
+    (mdir / "batch-0000000002.json").write_text("{}")
+    assert _next_batch_id(str(idx)) == 3
+    (mdir / "batch-0000000005-intent.json").write_text("{}")
+    assert _next_batch_id(str(idx)) == 6
+    assert os.path.isdir(str(mdir))
+
+
+def test_update_doc_failed_append_keeps_doc_live(spark, lifecycle_idx):
+    """r4 review: the replacement append commits BEFORE the tombstone —
+    a failing append (here: a script returning a type createDataFrame
+    rejects) must leave the old version live and searchable."""
+    from opensearch_spark.index.lifecycle import tombstone_docids, update_doc
+
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    hit = eng.search({"match": {"text": "error"}}, size=1).collect()[0]
+    ids = {"conv_id": hit["conv_id"], "turn_idx": hit["turn_idx"]}
+    with pytest.raises(Exception):
+        update_doc(
+            spark, eng, ids,
+            script=lambda s: {**s, "turn_idx": "not-an-int"},
+        )
+    eng2 = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    dm = eng2.index.docmap().filter(
+        (F.col("conv_id") == ids["conv_id"])
+        & (F.col("turn_idx") == ids["turn_idx"])
+    )
+    dels = tombstone_docids(spark, lifecycle_idx)
+    live = dm if dels is None else dm.join(dels, "_docid", "anti")
+    assert live.count() == 1  # still exactly one LIVE version, no loss
+    # and a subsequent good update self-heals the leftover intent
+    out = update_doc(spark, eng2, ids, doc={"text": "post-failure update"})
+    assert out == {"result": "updated"}
+    eng3 = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    import os
+
+    mdir = os.path.join(lifecycle_idx, "manifests")
+    assert not [f for f in os.listdir(mdir) if f.startswith("update-intent-")]
+    rows = eng3.search(
+        {"match": {"text": {"query": "post-failure update", "operator": "and"}}},
+        size=5,
+    ).collect()
+    assert (ids["conv_id"], ids["turn_idx"]) in [
+        (r["conv_id"], r["turn_idx"]) for r in rows
+    ]
+
+
+def test_update_doc_crash_before_tombstone_heals(spark, lifecycle_idx):
+    """Simulated crash AFTER the replacement append committed but BEFORE
+    the tombstone write: the leftover update intent must finish the
+    tombstone on the next update_doc call."""
+    import json
+    import os
+
+    from opensearch_spark.index.lifecycle import (
+        _update_intent_path,
+        tombstone_docids,
+        update_doc,
+    )
+
+    eng = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    hits = eng.search({"match": {"text": "the"}}, size=3).collect()
+    a, b = hits[0], hits[1]
+    ids_a = {"conv_id": a["conv_id"], "turn_idx": a["turn_idx"]}
+    # a real update commits batch manifest 0
+    out = update_doc(spark, eng, ids_a, doc={"text": "first real update"})
+    assert out == {"result": "updated"}
+    # manufacture the crash state: an update intent pointing at the
+    # COMMITTED batch 0 with victim b, tombstone never written
+    eng2 = SearchEngine(InvertedIndex(spark, lifecycle_idx))
+    victim_docid = int(
+        eng2.index.docmap()
+        .filter(
+            (F.col("conv_id") == b["conv_id"])
+            & (F.col("turn_idx") == b["turn_idx"])
+        )
+        .select("_docid")
+        .collect()[0]["_docid"]
+    )
+    with open(_update_intent_path(lifecycle_idx, 0), "w") as f:
+        json.dump({"batch": 0, "old_docid": victim_docid}, f)
+    # any subsequent update (of a THIRD, unrelated doc) heals it first
+    c = hits[2]
+    update_doc(
+        spark, eng2,
+        {"conv_id": c["conv_id"], "turn_idx": c["turn_idx"]},
+        doc={"text": "third update"}, detect_noop=False,
+    )
+    dels = tombstone_docids(spark, lifecycle_idx)
+    assert dels.filter(F.col("_docid") == victim_docid).count() == 1
+    mdir = os.path.join(lifecycle_idx, "manifests")
+    assert not [f for f in os.listdir(mdir) if f.startswith("update-intent-")]

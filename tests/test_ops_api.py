@@ -152,3 +152,32 @@ def test_dir_bytes_hadoop_fs_uri(spark, index_dir):
     assert _dir_bytes("file:///nonexistent/osps-xyz", spark) == 0
     with pytest.raises(ValueError, match="SparkSession is required"):
         _dir_bytes("file://" + postings)
+
+
+def test_index_stats_over_hadoop_fs_uri(spark, index_dir):
+    """r4 review: _stats must work end-to-end on a URI index path
+    (object-storage analog — exercised via file:// + LocalFileSystem),
+    not just route _dir_bytes.  docs/segments/build groups must agree
+    with the local-path result; store sizes agree up to hidden
+    checksum sidecars (LocalFileSystem hides dotfiles, os.walk sees
+    them)."""
+    import os
+
+    from opensearch_spark.index.stats_api import index_stats
+
+    local = index_stats(spark, index_dir)
+    via_uri = index_stats(spark, "file://" + index_dir)
+    assert via_uri["docs"] == local["docs"]
+    assert via_uri["segments"] == local["segments"]
+    assert via_uri["build"] == local["build"]
+    hidden = 0
+    for dp, _dirs, files in os.walk(index_dir):
+        hidden += sum(
+            os.path.getsize(os.path.join(dp, f))
+            for f in files if f.startswith(".")
+        )
+    assert via_uri["store"]["size_in_bytes"] > 0
+    assert (
+        via_uri["store"]["size_in_bytes"]
+        == local["store"]["size_in_bytes"] - hidden
+    ) or via_uri["store"]["size_in_bytes"] == local["store"]["size_in_bytes"]

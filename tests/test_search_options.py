@@ -246,3 +246,47 @@ def test_highlight_matched_fields_and_field_match(engine):
         q, size=5, fragment_size=80, require_field_match=False
     ).collect()
     assert len(loose) >= len(base)
+
+
+def test_highlight_fragments_case_punct_and_spacing(spark, tmp_path):
+    """r4 review fixes: (1) raw tokens are matched case-insensitively
+    with edge punctuation stripped — the rule hits are produced by
+    (analysis lowercases) and search_highlight's IGNORECASE regex uses;
+    (2) empty split tokens keep their separator char so offsets stay
+    TRUE char offsets and fragments reproduce the original spacing;
+    (3) a NULL text hit still reaches the no_match fallback."""
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Spark joins the tables, join them fast."),
+            (1, "alpha  beta spark gamma"),
+            (2, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    d = str(tmp_path / "hlidx")
+    build_index(
+        spark, docs, d,
+        IndexConfig(n_segments=2, id_cols=("doc_id",), routing_col="doc_id"),
+    )
+    eng = SearchEngine(InvertedIndex(spark, d))
+    out = {
+        r["doc_id"]: r["fragment"]
+        for r in eng.search_highlight_fragments(
+            {"match": {"text": "spark join"}}, size=5,
+            fragment_size=200, number_of_fragments=1,
+        ).collect()
+    }
+    # capitalized occurrences are tagged, original surface form
+    # preserved inside the tags
+    assert out[0] == "<em>Spark</em> joins the tables, <em>join</em> them fast."
+    # double space survives the re-join (true offsets, original spacing)
+    assert out[1] == "alpha  beta <em>spark</em> gamma"
+    # NULL text: absent from matches, present in no_match fallback
+    nm = eng.search_highlight_fragments(
+        {"term": {"doc_id": 2}}, size=5, no_match_size=30
+    ).collect()
+    assert [(r["doc_id"], r["frag"]) for r in nm] == [(2, -1)]

@@ -284,3 +284,35 @@ def test_named_italian_dutch_analyzers():
     assert f_it((["generazione"], [0]))[0] == ["gener"]
     f_nl = make_token_filter({"type": "stemmer", "language": "dutch"})
     assert f_nl((["bakken"], [0]))[0] == ["bak"]
+
+
+def test_elision_custom_articles_case_sensitive():
+    """Analysis.parseArticles: articles_case defaults FALSE for custom
+    article sets (case-sensitive); the built-in default set stays
+    case-insensitive (FrenchAnalyzer.DEFAULT_ARTICLES ignoreCase)."""
+    f = make_token_filter({"type": "elision", "articles": ["x"]})
+    assert f((["X'y", "x'y"], [0, 1]))[0] == ["X'y", "y"]
+    f = make_token_filter(
+        {"type": "elision", "articles": ["x"], "articles_case": True}
+    )
+    assert f((["X'y", "x'y"], [0, 1]))[0] == ["y", "y"]
+    # default set: case-insensitive
+    f = make_token_filter({"type": "elision"})
+    assert f((["L'avion"], [0]))[0] == ["avion"]
+
+
+def test_resolve_stopwords_literal_and_mixed():
+    """Analysis.resolveNamedWords parity: an unrecognized _name_ is a
+    LITERAL word (never split into characters); lists mix named sets
+    and literal words element-wise."""
+    from opensearch_spark.analysis.analyzer import (
+        ENGLISH_STOP_WORDS,
+        resolve_stopwords,
+    )
+
+    sw = resolve_stopwords("_swedish_")
+    assert sw == frozenset({"_swedish_"})  # NOT characters
+    mixed = resolve_stopwords(["_english_", "foo"])
+    assert "foo" in mixed and ENGLISH_STOP_WORDS <= mixed
+    assert resolve_stopwords("_none_") == frozenset()
+    assert resolve_stopwords(None) is None
