@@ -292,6 +292,66 @@ DUTCH_STOP_WORDS = frozenset(
     kunnen ons zelf tegen na reeds wil kon niets uw iemand geweest
     andere""".split()
 )
+# r4 late additions (snowball project stop lists, the same source
+# Lucene's {danish,norwegian,swedish,portuguese}_stop.txt ship from)
+DANISH_STOP_WORDS = frozenset(
+    """og i jeg det at en den til er som på de med han af for ikke
+    der var mig sig men et har om vi min havde ham hun nu over da fra
+    du ud sin dem os op man hans hvor eller hvad skal selv her alle
+    vil blev kunne ind når være dog noget ville jo deres efter ned
+    skulle denne end dette mit også under have dig anden hende mine
+    alt meget sit sine vor mod disse hvis din nogle hos blive mange
+    ad bliver hendes været thi jer sådan""".split()
+)
+NORWEGIAN_STOP_WORDS = frozenset(
+    """og i jeg det at en et den til er som på de med han av ikke
+    ikkje der så var meg seg men ett har om vi min mitt ha hadde hun
+    nå over da ved fra du ut sin dem oss opp man kan hans hvor eller
+    hva skal selv sjøl her alle vil bli ble blei blitt kunne inn når
+    være kom noen noe ville dere som deres kun ja etter ned skulle
+    denne for deg si sine sitt mot å meget hvorfor dette disse uten
+    hvordan ingen din ditt blir samme hvilken hvilke sånn inni mellom
+    vår hver hvem vors hvis både bare enn fordi før mange også slik
+    vært være båe begge siden dykk dykkar dei deira deires deim di då
+    eg ein eit eitt elles honom hjå ho hoe henne hennar hennes hoss
+    hossen ikkje ingi inkje korleis korso kva kvar kvarhelst kven kvi
+    kvifor me medan mi mine mykje no nokon noka nokor noko nokre si
+    sia sidan so somt somme um upp vere vore verte vort varte
+    vart""".split()
+)
+SWEDISH_STOP_WORDS = frozenset(
+    """och det att i en jag hon som han på den med var sig för så
+    till är men ett om hade de av icke mig du henne då sin nu har
+    inte hans honom skulle hennes där min man ej vid kunde något från
+    ut när efter upp vi dem vara vad över än dig kan sina här ha mot
+    alla under någon eller allt mycket sedan ju denna själv detta åt
+    utan varit hur ingen mitt ni bli blev oss din dessa några deras
+    blir mina samma vilken er sådan vår blivit dess inom mellan
+    sådant varför varje vilka ditt vem vilket sitta sådana vart dina
+    vars vårt våra ert era vilkas""".split()
+)
+PORTUGUESE_STOP_WORDS = frozenset(
+    """de a o que e do da em um para é com não uma os no se na por
+    mais as dos como mas foi ao ele das tem à seu sua ou ser quando
+    muito há nos já está eu também só pelo pela até isso ela entre
+    era depois sem mesmo aos ter seus quem nas me esse eles estão
+    você tinha foram essa num nem suas meu às minha têm numa pelos
+    elas havia seja qual será nós tenho lhe deles essas esses pelas
+    este fosse dele tu te vocês vos lhes meus minhas teu tua teus
+    tuas nosso nossa nossos nossas dela delas esta estes estas aquele
+    aquela aqueles aquelas isto aquilo estou estamos estive esteve
+    estivemos estiveram estava estávamos estavam estivera estivéramos
+    esteja estejamos estejam estivesse estivéssemos estivessem
+    estiver estivermos estiverem hei havemos hão houve houvemos
+    houveram houvera houvéramos haja hajamos hajam houvesse
+    houvéssemos houvessem houver houvermos houverem houverei houverá
+    houveremos houverão houveria houveríamos houveriam sou somos são
+    éramos eram fui fomos fora fôramos sejamos sejam fôssemos fossem
+    for formos forem serei seremos serão seria seríamos seriam temos
+    tínhamos tinham tive teve tivemos tiveram tivera tivéramos tenha
+    tenhamos tenham tivesse tivéssemos tivessem tiver tivermos
+    tiverem terei terá teremos terão teria teríamos teriam""".split()
+)
 
 
 def resolve_stopwords(name_or_list) -> Optional[frozenset]:
@@ -313,6 +373,10 @@ def resolve_stopwords(name_or_list) -> Optional[frozenset]:
         "_russian_": RUSSIAN_STOP_WORDS,
         "_italian_": ITALIAN_STOP_WORDS,
         "_dutch_": DUTCH_STOP_WORDS,
+        "_danish_": DANISH_STOP_WORDS,
+        "_norwegian_": NORWEGIAN_STOP_WORDS,
+        "_swedish_": SWEDISH_STOP_WORDS,
+        "_portuguese_": PORTUGUESE_STOP_WORDS,
         "_none_": frozenset(),
     }
     if isinstance(name_or_list, str):

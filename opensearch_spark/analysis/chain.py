@@ -534,6 +534,14 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
             return _map1(_sb.italian_stem)
         if lang == "dutch":
             return _map1(_sb.dutch_stem)
+        if lang == "danish":
+            return _map1(_sb.danish_stem)
+        if lang == "norwegian":
+            return _map1(_sb.norwegian_stem)
+        if lang == "swedish":
+            return _map1(_sb.swedish_stem)
+        if lang == "portuguese":
+            return _map1(_sb.portuguese_stem)
         raise ValueError(f"stemmer language not implemented: {lang}")
     if typ == "elision":
         # ElisionTokenFilterFactory.java — strip l'/d'/qu'... article
@@ -828,6 +836,46 @@ NAMED_ANALYZERS: Dict[str, dict] = {
             "lowercase",
             {"type": "stop", "stopwords": "_dutch_"},
             {"type": "stemmer", "language": "dutch"},
+        ],
+    },
+    # r4 late: the Scandinavian trio + Portuguese
+    # (DanishAnalyzer/NorwegianAnalyzer/SwedishAnalyzer component
+    # order: standard -> lowercase -> stop -> snowball stemmer).
+    # Deviation: Lucene's PortugueseAnalyzer stems with
+    # PortugueseLightStemFilter by default; we serve the snowball
+    # stemmer the `stemmer`/`snowball` filters use (the
+    # StemmerTokenFilterFactory `portuguese` table entry), same policy
+    # as the italian preset above.
+    "danish": {
+        "tokenizer": "standard",
+        "filter": [
+            "lowercase",
+            {"type": "stop", "stopwords": "_danish_"},
+            {"type": "stemmer", "language": "danish"},
+        ],
+    },
+    "norwegian": {
+        "tokenizer": "standard",
+        "filter": [
+            "lowercase",
+            {"type": "stop", "stopwords": "_norwegian_"},
+            {"type": "stemmer", "language": "norwegian"},
+        ],
+    },
+    "swedish": {
+        "tokenizer": "standard",
+        "filter": [
+            "lowercase",
+            {"type": "stop", "stopwords": "_swedish_"},
+            {"type": "stemmer", "language": "swedish"},
+        ],
+    },
+    "portuguese": {
+        "tokenizer": "standard",
+        "filter": [
+            "lowercase",
+            {"type": "stop", "stopwords": "_portuguese_"},
+            {"type": "stemmer", "language": "portuguese"},
         ],
     },
 }

@@ -1,4 +1,5 @@
-"""Snowball stemmers: french / german / spanish / russian / italian / dutch.
+"""Snowball stemmers: french / german / spanish / russian / italian /
+dutch / danish / norwegian / swedish / portuguese.
 
 The reference's ``StemmerTokenFilterFactory.java`` maps these language
 names to Lucene ``SnowballFilter`` over the corresponding
@@ -27,7 +28,8 @@ reference stemmer binary is available in this environment).
 from __future__ import annotations
 
 __all__ = ["french_stem", "german_stem", "spanish_stem", "russian_stem",
-           "italian_stem", "dutch_stem"]
+           "italian_stem", "dutch_stem", "danish_stem", "norwegian_stem",
+           "swedish_stem", "portuguese_stem"]
 
 
 def _std_r1r2(word: str, vowels: str) -> tuple:
@@ -1050,3 +1052,374 @@ def dutch_stem(word: str) -> str:
             word = word[:-2] + word[-1]
 
     return word.replace("I", "i").replace("Y", "y")
+
+
+# ===================================================================
+# Scandinavian trio: Danish / Norwegian / Swedish
+# (snowballstem.org/algorithms/{danish,norwegian,swedish}/stemmer.html;
+# reference surface StemmerTokenFilterFactory.java:134 `danish`,
+# :230 `norwegian`, :273 `swedish` -> SnowballFilter over the
+# corresponding org.tartarus.snowball.ext stemmer)
+# ===================================================================
+#
+# Shared structure: R1 with the Scandinavian minimum — "R1 is adjusted
+# so that the region before it contains at least 3 letters".  Suffix
+# matching follows snowball `among` semantics: the LONGEST matching
+# suffix is selected first and its condition applied; a failed
+# condition does NOT fall back to a shorter suffix.  The valid
+# s-ending character itself need not be in R1 (only the matched
+# suffix is region-limited — `setlimit tomark p1 for ([substring])`).
+
+
+def _scand_r1(word: str, vowels: str) -> int:
+    n = len(word)
+    r1 = n
+    for i in range(1, n):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            r1 = i + 1
+            break
+    return max(r1, 3) if n >= 3 else r1
+
+
+_DA_V = "aeiouyæåø"
+_DA_S_END = "abcdfghjklmnoprtvyzå"
+_DA_STEP1 = sorted(
+    ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+     "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+     "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+     "hedens", "erens", "ers", "ets", "erets", "et", "eret", "s"],
+    key=len, reverse=True,
+)
+_DA_STEP2 = ("gd", "dt", "gt", "kt")
+
+
+def danish_stem(word: str) -> str:
+    word = word.lower()
+    r1 = _scand_r1(word, _DA_V)
+
+    # step 1: longest suffix in R1 (the bare `s` needs a valid
+    # s-ending just before it; that char may lie before R1)
+    for suf in _DA_STEP1:
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if pos >= r1:
+            if suf == "s":
+                if pos >= 1 and word[pos - 1] in _DA_S_END:
+                    word = word[:pos]
+            else:
+                word = word[:pos]
+        break
+
+    def _step2(w: str) -> str:
+        if len(w) >= 2 and w[-2:] in _DA_STEP2 and len(w) - 2 >= r1:
+            return w[:-1]
+        return w
+
+    word = _step2(word)
+
+    # step 3: igst loses st first; then ig/lig/elig/els delete (and
+    # step 2 repeats) or løst -> løs — longest match across the groups
+    if word.endswith("igst"):
+        word = word[:-2]
+    for suf in ("elig", "løst", "lig", "els", "ig"):
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if suf == "løst":
+            if pos >= r1:
+                word = word[:-1]
+        elif pos >= r1:
+            word = word[:pos]
+            word = _step2(word)
+        break
+
+    # step 4 (undouble): final consonant in R1 equal to its
+    # predecessor (the first of the pair may lie before R1 —
+    # out_grouping_b within the p1 limit, then eq_v_b)
+    if (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and word[-1] not in _DA_V
+        and len(word) - 1 >= r1
+    ):
+        word = word[:-1]
+    return word
+
+
+_NO_V = "aeiouyæåø"
+_NO_S_END = "bcdfghjlmnoprtvyz"
+_NO_STEP1 = sorted(
+    ["a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+     "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+     "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast",
+     "s", "erte", "ert"],
+    key=len, reverse=True,
+)
+_NO_STEP3 = sorted(
+    ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+     "slov", "hetslov"],
+    key=len, reverse=True,
+)
+
+
+def norwegian_stem(word: str) -> str:
+    word = word.lower()
+    r1 = _scand_r1(word, _NO_V)
+
+    # step 1: delete group, `s` with valid s-ending (or k not
+    # preceded by a vowel), erte/ert -> er
+    for suf in _NO_STEP1:
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if pos >= r1:
+            if suf == "s":
+                prev = word[pos - 1] if pos >= 1 else ""
+                ok = prev in _NO_S_END or (
+                    prev == "k"
+                    and (pos < 2 or word[pos - 2] not in _NO_V)
+                )
+                if ok:
+                    word = word[:pos]
+            elif suf in ("erte", "ert"):
+                word = word[:pos] + "er"
+            else:
+                word = word[:pos]
+        break
+
+    # step 2: dt / vt in R1 -> drop the final letter
+    if len(word) >= 2 and word[-2:] in ("dt", "vt") and len(word) - 2 >= r1:
+        word = word[:-1]
+
+    # step 3
+    for suf in _NO_STEP3:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)]
+            break
+    return word
+
+
+_SV_V = "aeiouyäåö"
+_SV_S_END = "bcdfghjklmnoprtvy"
+_SV_STEP1 = sorted(
+    ["a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+     "arne", "are", "aste", "en", "anden", "aren", "heten", "ern",
+     "ar", "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es",
+     "ades", "andes", "ens", "arens", "hetens", "erns", "at", "andet",
+     "het", "ast", "s"],
+    key=len, reverse=True,
+)
+_SV_STEP2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+
+def swedish_stem(word: str) -> str:
+    word = word.lower()
+    r1 = _scand_r1(word, _SV_V)
+
+    for suf in _SV_STEP1:
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if pos >= r1:
+            if suf == "s":
+                if pos >= 1 and word[pos - 1] in _SV_S_END:
+                    word = word[:pos]
+            else:
+                word = word[:pos]
+        break
+
+    if len(word) >= 2 and word[-2:] in _SV_STEP2 and len(word) - 2 >= r1:
+        word = word[:-1]
+
+    # step 3: lig/ig/els delete; löst -> lös; fullt -> full
+    for suf, act in sorted(
+        [("lig", "del"), ("ig", "del"), ("els", "del"),
+         ("löst", "t"), ("fullt", "t")],
+        key=lambda x: len(x[0]), reverse=True,
+    ):
+        if not word.endswith(suf):
+            continue
+        if len(word) - len(suf) >= r1:
+            word = word[: -len(suf)] if act == "del" else word[:-1]
+        break
+    return word
+
+
+# ===================================================================
+# Portuguese (snowballstem.org/algorithms/portuguese/stemmer.html;
+# reference surface StemmerTokenFilterFactory.java:244 `portuguese`
+# -> SnowballFilter(PortugueseStemmer))
+# ===================================================================
+
+_PT_V = "aeiouáéíóúâêô"
+
+_PT_STEP1 = [
+    # (suffix, group) — nasal vowels already rewritten ã->a~, õ->o~
+    ("amentos", "A"), ("imentos", "A"), ("uciones", "D"),
+    ("amento", "A"), ("imento", "A"), ("adoras", "A"), ("adores", "A"),
+    ("aço~es", "A"), ("logías", "C"), ("ências", "E"), ("amente", "F"),
+    ("idades", "H"), ("ância", "A"), ("ismos", "A"), ("istas", "A"),
+    ("adora", "A"), ("aça~o", "A"), ("antes", "A"), ("logía", "C"),
+    ("ución", "D"), ("ência", "E"), ("mente", "G"), ("idade", "H"),
+    ("ezas", "A"), ("icos", "A"), ("icas", "A"), ("ismo", "A"),
+    ("ável", "A"), ("ível", "A"), ("ista", "A"), ("osos", "A"),
+    ("osas", "A"), ("ador", "A"), ("ante", "A"), ("ivas", "I"),
+    ("ivos", "I"), ("iras", "J"), ("eza", "A"), ("ico", "A"),
+    ("ica", "A"), ("oso", "A"), ("osa", "A"), ("iva", "I"),
+    ("ivo", "I"), ("ira", "J"),
+]
+
+_PT_STEP2 = sorted(
+    ["ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+     "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+     "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+     "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
+     "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
+     "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as",
+     "adas", "idas", "ias", "arias", "erias", "irias", "arás", "aras",
+     "erás", "eras", "irás", "avas", "es", "ardes", "erdes", "irdes",
+     "ares", "eres", "ires", "asses", "esses", "isses", "astes",
+     "estes", "istes", "is", "ais", "eis", "íeis", "aríeis", "eríeis",
+     "iríeis", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+     "ásseis", "ésseis", "ísseis", "áveis", "ados", "idos", "ámos",
+     "amos", "íamos", "aríamos", "eríamos", "iríamos", "áramos",
+     "éramos", "íramos", "ávamos", "emos", "aremos", "eremos",
+     "iremos", "ássemos", "êssemos", "íssemos", "imos", "armos",
+     "ermos", "irmos", "eu", "iu", "ou", "ira", "iras"],
+    key=len, reverse=True,
+)
+
+
+def portuguese_stem(word: str) -> str:
+    """Snowball Portuguese.  The published classic table keeps the
+    Spanish-orthography oddities ``logía``/``ución`` (noted on the
+    algorithm page; they are practically unreachable in Portuguese
+    text and later Snowball revisions dropped them)."""
+    word = word.lower().replace("ã", "a~").replace("õ", "o~")
+    n = len(word)
+    # RV (same definition as Spanish)
+    rv = n
+    if n >= 2:
+        if word[1] not in _PT_V:
+            for i in range(2, n):
+                if word[i] in _PT_V:
+                    rv = i + 1
+                    break
+        elif word[0] in _PT_V:
+            for i in range(2, n):
+                if word[i] not in _PT_V:
+                    rv = i + 1
+                    break
+        else:
+            rv = 3 if n > 3 else n
+    r1, r2 = _std_r1r2(word, _PT_V)
+
+    original = word
+
+    # ---- step 1: standard suffix removal (longest match)
+    step1 = sorted(_PT_STEP1, key=lambda x: len(x[0]), reverse=True)
+    for suf, grp in step1:
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if grp == "A":
+            if pos >= r2:
+                word = word[:pos]
+        elif grp == "C":
+            if pos >= r2:
+                word = word[:pos] + "log"
+        elif grp == "D":
+            if pos >= r2:
+                word = word[:pos] + "u"
+        elif grp == "E":
+            if pos >= r2:
+                word = word[:pos] + "ente"
+        elif grp == "F":  # amente
+            if pos >= r1:
+                word = word[:pos]
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and len(word) - 2 >= r2:
+                            word = word[:-2]
+                            break
+        elif grp == "G":  # mente
+            if pos >= r2:
+                word = word[:pos]
+                for pre in ("ante", "avel", "ível"):
+                    if word.endswith(pre) and len(word) - 4 >= r2:
+                        word = word[:-4]
+                        break
+        elif grp == "H":  # idade(s)
+            if pos >= r2:
+                word = word[:pos]
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+        elif grp == "I":  # iva/ivo(s)
+            if pos >= r2:
+                word = word[:pos]
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif grp == "J":  # ira(s) -> ir when preceded by e, in RV
+            if pos >= rv and pos >= 1 and word[pos - 1] == "e":
+                word = word[:pos] + "ir"
+        break
+
+    step1_changed = word != original
+
+    # ---- step 2: verb suffixes (only if step 1 removed nothing)
+    step2_changed = False
+    if not step1_changed:
+        for suf in _PT_STEP2:
+            if word.endswith(suf):
+                if len(word) - len(suf) >= rv:
+                    word = word[: -len(suf)]
+                    step2_changed = True
+                break
+
+    # ---- step 3 / step 4
+    if step1_changed or step2_changed:
+        # final i preceded by c, the i in RV
+        if (
+            word.endswith("i")
+            and len(word) >= 2
+            and word[-2] == "c"
+            and len(word) - 1 >= rv
+        ):
+            word = word[:-1]
+    else:
+        # residual suffix
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if word.endswith(suf):
+                if len(word) - len(suf) >= rv:
+                    word = word[: -len(suf)]
+                break
+
+    # ---- step 5: residual form
+    ended_e = False
+    for suf in ("e", "é", "ê"):
+        if word.endswith(suf):
+            if len(word) - 1 >= rv:
+                word = word[:-1]
+                ended_e = True
+                # gu/ci: drop the u/i when it is in RV
+                if (
+                    word.endswith("gu")
+                    and len(word) - 1 >= rv
+                ) or (
+                    word.endswith("ci")
+                    and len(word) - 1 >= rv
+                ):
+                    word = word[:-1]
+            break
+    if not ended_e and word.endswith("ç"):
+        word = word[:-1] + "c"
+
+    return word.replace("a~", "ã").replace("o~", "õ")

@@ -310,9 +310,116 @@ def test_resolve_stopwords_literal_and_mixed():
         resolve_stopwords,
     )
 
-    sw = resolve_stopwords("_swedish_")
-    assert sw == frozenset({"_swedish_"})  # NOT characters
+    sw = resolve_stopwords("_klingon_")
+    assert sw == frozenset({"_klingon_"})  # NOT characters
     mixed = resolve_stopwords(["_english_", "foo"])
     assert "foo" in mixed and ENGLISH_STOP_WORDS <= mixed
     assert resolve_stopwords("_none_") == frozenset()
     assert resolve_stopwords(None) is None
+
+
+# ------------------------------ r4 late: da / no / sv / pt stemmers
+
+from opensearch_spark.analysis.snowball import (  # noqa: E402
+    danish_stem,
+    norwegian_stem,
+    portuguese_stem,
+    swedish_stem,
+)
+
+DA = {
+    "friskhed": "frisk",          # step 1 'hed' in R1
+    "bestemmelse": "bestem",      # e -> els -> undouble mm
+    "sikkerhed": "sikker",
+    "undervisning": "undervisning",  # no suffix matches
+    "kvindens": "kvind",          # step 1 'ens'
+    "hans": "han",                # bare s after valid s-ending n
+    "løst": "løst",               # suffix before R1 (min-3 rule)
+    "venligst": "ven",            # igst -> ig-family 'lig'
+}
+
+NO = {
+    "mulighetene": "mulig",       # 'hetene'; step-3 'lig' NOT in R1
+    "billigere": "billiger",      # only 'e' in the table
+    "flertallet": "flertall",     # 'et'
+    "servert": "server",          # 'ert' -> 'er'
+    "bilens": "bil",              # 'ens'
+    "fisks": "fisk",              # s after k NOT preceded by a vowel
+    "boks": "boks",               # s after k preceded by a vowel: kept
+    "blandt": "bland",            # step 2 'dt' drops the final letter
+}
+
+SV = {
+    "jackorna": "jack",           # the spec page's own example
+    "starkast": "stark",
+    "upplöst": "upplös",          # step 3 löst -> lös
+    "flickans": "flickan",        # bare s after valid s-ending
+    "inledningen": "inledning",
+    "kraftfullt": "kraftfull",    # step 3 fullt -> full
+    "bakelse": "bak",             # e then els
+}
+
+PT = {
+    "livros": "livr",             # residual 'os' in RV
+    "cantar": "cant",             # verb 'ar'
+    "meninas": "menin",           # verb 'as'
+    "amoroso": "amor",            # 'oso' in R2
+    "felizmente": "feliz",        # 'mente' in R2
+    "nacionalização": "nacionaliz",  # nasal rewrite + 'aça~o' in R2
+    "felicidade": "felic",        # 'idade' in R2; 'ic' NOT in R2
+    "grande": "grand",            # step 5 final e in RV
+    "bonita": "bonit",            # residual 'a'
+    "lógica": "lógic",            # 'ica' matched but not in R2 -> residual
+    "falaram": "fal",             # verb 'aram'
+    "comendo": "com",             # verb 'endo'
+    "chegue": "cheg",             # step 5 e then gu -> g
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(DA.items()))
+def test_danish(word, stem):
+    assert danish_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", sorted(NO.items()))
+def test_norwegian(word, stem):
+    assert norwegian_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", sorted(SV.items()))
+def test_swedish(word, stem):
+    assert swedish_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", sorted(PT.items()))
+def test_portuguese(word, stem):
+    assert portuguese_stem(word) == stem
+
+
+def test_new_stemmer_filter_languages():
+    for lang, word, stem in [
+        ("danish", "friskhed", "frisk"),
+        ("norwegian", "bilens", "bil"),
+        ("swedish", "jackorna", "jack"),
+        ("portuguese", "livros", "livr"),
+    ]:
+        f = make_token_filter({"type": "stemmer", "language": lang})
+        assert f(([word], [0])) == ([stem], [0])
+
+
+def test_named_scandinavian_portuguese_analyzers():
+    from opensearch_spark.analysis.chain import Analyzer
+
+    # danish: stopword dropped (position gap kept), stem applied
+    assert Analyzer.from_spec("danish")("Friskhed og sikkerhed") == (
+        ["frisk", "sikker"], [0, 2]
+    )
+    assert Analyzer.from_spec("swedish")("jackorna och starkast") == (
+        ["jack", "stark"], [0, 2]
+    )
+    assert Analyzer.from_spec("norwegian")("mulighetene og bilens") == (
+        ["mulig", "bil"], [0, 2]
+    )
+    assert Analyzer.from_spec("portuguese")("os livros de meninas") == (
+        ["livr", "menin"], [1, 3]
+    )
