@@ -15,9 +15,11 @@ Design (the part that matters at 100 TB):
 Codecs: formats the Python STANDARD LIBRARY can parse are decoded for
 REAL — WAV audio via ``wave`` (sample rate, duration, RMS/peak/ZCR
 features from the PCM), uncompressed 24-bit BMP images via header
-``struct`` parsing, and non-interlaced 8-bit PNG (gray/RGB/RGBA) via
+``struct`` parsing, non-interlaced 8-bit PNG (gray/RGB/RGBA) via
 ``zlib`` inflate + full scanline unfiltering (None/Sub/Up/Average/
-Paeth) — see ``decode_media``.  Formats that genuinely need external
+Paeth), and GIF87a/89a via a pure-Python LZW inflater (variable-width
+codes, CLEAR/END, 12-bit cap, 4-pass interlace, animation frame
+count) — see ``decode_media``.  Formats that genuinely need external
 codecs (JPEG/MP4: PIL/ffmpeg/torchaudio, not available here) stay
 honestly stubbed: ``decode_stub`` raises ``NotImplementedError``
 unless ``deterministic_fake=True``, in which case it produces a seeded
@@ -396,6 +398,8 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
         return _decode_bmp(payload)
     if mime == "image/png":
         return _decode_png(payload)
+    if mime == "image/gif":
+        return _decode_gif(payload)
     raise NotImplementedError(
         f"no stdlib codec for {mime!r}; real decode requires external "
         "libraries (PIL/ffmpeg) — use deterministic_fake for tests"
@@ -515,3 +519,263 @@ def make_bmp(seed: int, i: int, w: int = 8, h: int = 6) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     return header + dib + data
+
+
+# ------------------------------------------------------------------ GIF
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
+    """GIF-flavor LZW (GIF89a spec appendix F): LSB-first variable-width
+    codes starting at ``min_code + 1`` bits, CLEAR/END control codes,
+    12-bit cap.  Code width grows when the table size reaches
+    ``2^width`` (the canonical deferred rule every encoder pairs
+    with)."""
+    clear = 1 << min_code
+    end = clear + 1
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = min_code + 1
+    table: list = []
+    prev: list = []
+    out: list = []
+
+    def _reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [None, None]
+        width = min_code + 1
+        prev = []
+
+    _reset()
+    while len(out) < npix:
+        if bitpos + width > total_bits:
+            break
+        byte0 = bitpos >> 3
+        code = (
+            int.from_bytes(data[byte0 : byte0 + 3], "little")
+            >> (bitpos & 7)
+        ) & ((1 << width) - 1)
+        bitpos += width
+        if code == end:
+            break
+        if code == clear:
+            _reset()
+            continue
+        if not prev:
+            entry = table[code]
+            out += entry
+            prev = entry
+            continue
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + [entry[0]])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < npix:
+        raise ValueError("GIF LZW stream ended before the raster filled")
+    return np.array(out[:npix], dtype=np.uint16)
+
+
+def _deinterlace_rows(h: int) -> np.ndarray:
+    """GIF 4-pass interlace: the stored row order -> display row."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    inv = np.empty(h, dtype=np.int64)
+    inv[np.array(order, dtype=np.int64)] = np.arange(h)
+    return inv
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Real GIF decode via a pure-stdlib LZW inflater: header + logical
+    screen descriptor, global/local color tables, extension-block skip,
+    first image descriptor's raster (interlace supported).  Animated
+    GIFs report their frame count in feature slot 7 (frames/256);
+    pixel statistics come from the FIRST frame, palette-mapped to RGB.
+    Layout otherwise matches ``_decode_bmp``: [w/4096, h/4096, mean_r,
+    mean_g, mean_b, std_luma, 1.0 (opaque), n_frames/256, 0...]."""
+    b = bytes(payload)
+    if b[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_inner(b)
+    except IndexError:
+        raise ValueError("truncated GIF payload") from None
+
+
+def _decode_gif_inner(b: bytes) -> np.ndarray:
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed >> 7 & 1:
+        n = 2 ** ((packed & 7) + 1)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    first = None  # (px HxWx3 float64 in [0,1])
+    frames = 0
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked >> 7 & 1:
+                n = 2 ** ((ipacked & 7) + 1)
+                pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            min_code = b[pos]
+            pos += 1
+            sub = bytearray()
+            while b[pos] != 0:
+                n = b[pos]
+                sub += b[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            frames += 1
+            if first is None:
+                if pal is None:
+                    raise ValueError("GIF image without a color table")
+                idx = _gif_lzw_decode(bytes(sub), min_code, iw * ih)
+                if int(idx.max(initial=0)) >= len(pal):
+                    raise ValueError("GIF pixel index outside the color table")
+                px = pal[idx.reshape(ih, iw)].astype(np.float64) / 255.0
+                if ipacked >> 6 & 1:  # interlaced
+                    px = px[_deinterlace_rows(ih)]
+                first = px
+        else:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+    if first is None:
+        raise ValueError("GIF contains no image data")
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    feats[0] = sw / 4096.0
+    feats[1] = sh / 4096.0
+    feats[2] = float(first[..., 0].mean())
+    feats[3] = float(first[..., 1].mean())
+    feats[4] = float(first[..., 2].mean())
+    luma = (
+        0.299 * first[..., 0] + 0.587 * first[..., 1] + 0.114 * first[..., 2]
+    )
+    feats[5] = float(luma.std())
+    feats[6] = 1.0
+    feats[7] = frames / 256.0
+    return feats
+
+
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    """Canonical GIF LZW compressor (pairs with ``_gif_lzw_decode``):
+    width grows when ``next_code`` EXCEEDS ``2^width``; a full table
+    emits CLEAR and resets."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    dic = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    seq: tuple = ()
+    for p in indices:
+        p = int(p)
+        cand = seq + (p,)
+        if cand in dic:
+            seq = cand
+            continue
+        emit(dic[seq])
+        if next_code < 4096:
+            dic[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            dic = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        seq = (p,)
+    if seq:
+        emit(dic[seq])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(
+    seed: int, i: int, w: int = 10, h: int = 7, n_colors: int = 8,
+    interlace: bool = False, frames: int = 1,
+) -> bytes:
+    """Deterministic real GIF89a payload: seeded palette, a gradient+
+    hash index raster, canonical LZW compression, optional interlace
+    and extra (identical) frames for the animation counter."""
+    digest = hashlib.sha256(f"gif-{seed}-{i}".encode()).digest()
+    pal = bytearray()
+    for c in range(n_colors):
+        pal += bytes(
+            (digest[(3 * c) % 32], digest[(3 * c + 1) % 32],
+             digest[(3 * c + 2) % 32])
+        )
+    # pad the color table to the next power of two
+    bits = max(1, (n_colors - 1).bit_length())
+    pal += b"\x00" * (3 * ((1 << bits) - n_colors))
+    idx = [
+        (x + y * w + digest[(x + 7 * y) % 32]) % n_colors
+        for y in range(h) for x in range(w)
+    ]
+    min_code = max(2, bits)
+    body = _gif_lzw_encode(idx, min_code)
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes((0x80 | (bits - 1), 0, 0))  # GCT flag + size
+    out += pal
+    # a comment extension exercises the block-skip path
+    out += b"\x21\xfe\x03gif\x00"
+    for _f in range(frames):
+        out += b"\x2c" + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes((0x40 if interlace else 0x00,))
+        out += bytes((min_code,))
+        data = body
+        if interlace:
+            rows = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, h, step):
+                    rows.extend(idx[y * w : (y + 1) * w])
+            data = _gif_lzw_encode(rows, min_code)
+        for off in range(0, len(data), 255):
+            blockdata = data[off : off + 255]
+            out += bytes((len(blockdata),)) + blockdata
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -190,3 +190,66 @@ def test_use_codecs_includes_png_rows(spark, media):
         expect = mm.decode_media(payload, mime)
         got = out[mid]["features"]
         assert np.allclose(got, expect, atol=1e-6), (mid, mime)
+
+
+# ------------------------------------------------------- GIF (r4 late)
+
+
+def test_real_gif_decode_roundtrip():
+    """make_gif -> _decode_gif round-trip: channel means equal the
+    generator raster's palette-mapped means; interlaced and plain
+    encodings of the same raster decode identically."""
+    import hashlib
+
+    import numpy as np
+
+    from opensearch_spark.ops.multimodal import (
+        _decode_gif,
+        decode_media,
+        make_gif,
+    )
+
+    f = _decode_gif(make_gif(5, 1))
+    digest = hashlib.sha256(b"gif-5-1").digest()
+    w, h, nc = 10, 7, 8
+    pal = np.array(
+        [[digest[(3 * c) % 32], digest[(3 * c + 1) % 32],
+          digest[(3 * c + 2) % 32]] for c in range(nc)]
+    )
+    idx = np.array(
+        [(x + y * w + digest[(x + 7 * y) % 32]) % nc
+         for y in range(h) for x in range(w)]
+    )
+    px = pal[idx.reshape(h, w)] / 255.0
+    assert abs(f[0] - w / 4096.0) < 1e-7 and abs(f[1] - h / 4096.0) < 1e-7
+    for k, ch in enumerate(range(3)):
+        assert abs(f[2 + k] - px[..., ch].mean()) < 1e-6
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    assert abs(f[5] - luma.std()) < 1e-6
+    assert f[6] == 1.0 and abs(f[7] * 256 - 1) < 1e-5
+    # interlaced encoding of the same raster: identical features
+    fi = _decode_gif(make_gif(5, 1, interlace=True))
+    assert np.allclose(f, fi)
+    # animated: frame count lands in slot 7; stats still frame 1
+    fa = _decode_gif(make_gif(5, 1, frames=3))
+    assert abs(fa[7] * 256 - 3) < 1e-5
+    assert np.allclose(f[:7], fa[:7])
+    # dispatch through the mime router
+    assert np.allclose(decode_media(make_gif(5, 1), "image/gif"), f)
+
+
+def test_gif_lzw_width_growth_and_errors():
+    """A 64-color 64x48 raster forces LZW code-width growth past the
+    initial width; truncated data and bad signatures raise."""
+    import pytest
+
+    from opensearch_spark.ops.multimodal import _decode_gif, make_gif
+
+    big = make_gif(9, 2, w=64, h=48, n_colors=64)
+    f = _decode_gif(big)
+    assert abs(f[0] * 4096 - 64) < 1e-3 and abs(f[1] * 4096 - 48) < 1e-3
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"NOPE" + big[4:])
+    # chop the raster data: the LZW stream must refuse to underfill
+    with pytest.raises(ValueError):
+        _decode_gif(big[: len(big) // 2])
