@@ -53,6 +53,24 @@ Token filters (``(tokens, positions) -> (tokens, positions)``):
 - ``reverse``          ReverseTokenFilterFactory.java
 - ``trim``             TrimTokenFilterFactory.java
 - ``apostrophe``       ApostropheFilterFactory.java (drop ' and suffix)
+- ``word_delimiter`` / ``word_delimiter_graph``
+                       WordDelimiter(Graph)TokenFilterFactory.java
+                       (case/numeric/delimiter splits, catenations,
+                       possessives, protected words)
+- ``keyword_marker``   KeywordMarkerTokenFilterFactory.java (protects
+                       tokens from LATER stemmers via the chain ctx)
+- ``stemmer_override`` StemmerOverrideTokenFilterFactory.java
+- ``common_grams``     CommonGramsTokenFilterFactory.java (+query_mode)
+- ``keep`` / ``keep_types`` / ``limit``  Keep/KeepTypes/LimitTokenCount
+- ``decimal_digit``    DecimalDigitFilterFactory.java
+- ``fingerprint``      FingerprintTokenFilterFactory.java
+- ``remove_duplicates`` RemoveDuplicatesTokenFilterFactory.java
+- ``pattern_capture``  PatternCaptureGroupTokenFilterFactory.java
+- ``classic``          ClassicFilterFactory.java (acronym dots, 's)
+- ``scandinavian_normalization`` / ``scandinavian_folding``
+- ``delimited_payload`` (token kept, payload dropped — no payload attr)
+- ``concatenate_graph`` / ``flatten_graph`` / ``synonym_graph``
+- ``dictionary_decompounder`` DictionaryCompoundWordTokenFilterFactory
 
 Named analyzers (AnalysisRegistry defaults + analysis-common providers):
 ``standard``, ``simple``, ``whitespace``, ``keyword``, ``stop``.
@@ -490,7 +508,111 @@ def _cjk_script(ch: str) -> Optional[str]:
     return None
 
 
-def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
+def _wd_split(token: str, split_case: bool, split_num: bool,
+              possessive: bool) -> List[Tuple[str, str]]:
+    """WordDelimiterFilter subword split: parts are (text, kind) with
+    kind 'w' (letters) or 'n' (digits).  Boundaries: non-alphanumeric
+    delimiters, letter<->digit transitions (split_on_numerics),
+    lower->Upper transitions and acronym tails
+    ("XMLFile" -> XML + File) (split_on_case_change); trailing 's
+    possessives stripped first (stem_english_possessive)."""
+    if (
+        possessive
+        and len(token) >= 2
+        and token[-1] in "sS"
+        and token[-2] in "'’"
+    ):
+        token = token[:-2]
+    parts: List[Tuple[str, str]] = []
+    cur = ""
+    kind = ""
+    prev_c = ""
+    for c in token:
+        k = "w" if c.isalpha() else ("n" if c.isdigit() else "")
+        if not k:
+            if cur:
+                parts.append((cur, kind))
+                cur, kind = "", ""
+            prev_c = c
+            continue
+        if cur and (
+            (split_num and k != kind)
+            or (
+                split_case and k == kind == "w"
+                and c.isupper() and prev_c.islower()
+            )
+        ):
+            parts.append((cur, kind))
+            cur = ""
+        elif (
+            cur and split_case and k == kind == "w"
+            and c.islower() and prev_c.isupper() and len(cur) >= 2
+        ):
+            # acronym boundary: the last upper belongs to the new part
+            parts.append((cur[:-1], kind))
+            cur = cur[-1]
+        cur += c
+        kind = k
+        prev_c = c
+    if cur:
+        parts.append((cur, kind))
+    return parts
+
+
+def _wd_runs(parts: List[Tuple[str, str]], kind: str) -> List[str]:
+    """Maximal runs of >= 2 adjacent same-kind subwords, concatenated
+    (catenate_words/catenate_numbers)."""
+    runs: List[str] = []
+    cur: List[str] = []
+    for txt, k in parts:
+        if k == kind:
+            cur.append(txt)
+        else:
+            if len(cur) >= 2:
+                runs.append("".join(cur))
+            cur = []
+    if len(cur) >= 2:
+        runs.append("".join(cur))
+    return runs
+
+
+def _scandinavian_normalize(t: str) -> str:
+    """ScandinavianNormalizationFilter: interchangeable spellings
+    normalize toward åÅæÆøØ (ä->æ, ö->ø, aa->å, ae->æ, ao->å, oe->ø,
+    oo->ø)."""
+    for a, b in (("aa", "å"), ("Aa", "Å"), ("AA", "Å"),
+                 ("ao", "å"), ("Ao", "Å"), ("AO", "Å"),
+                 ("ae", "æ"), ("Ae", "Æ"), ("AE", "Æ"),
+                 ("oe", "ø"), ("Oe", "Ø"), ("OE", "Ø"),
+                 ("oo", "ø"), ("Oo", "Ø"), ("OO", "Ø")):
+        t = t.replace(a, b)
+    return t.translate(_SCAND_NORM_MAP)
+
+
+_SCAND_NORM_MAP = str.maketrans("äÄöÖ", "æÆøØ")
+_SCAND_FOLD_MAP = str.maketrans("åÅäÄæÆöÖøØ", "aAaAaAoOoO")
+
+
+def _scandinavian_fold(t: str) -> str:
+    """ScandinavianFoldingFilter: å/ä/æ -> a, ö/ø -> o, and the double
+    vowels aa/ao/ae/oe/oo collapse to their first letter."""
+    for d in ("aa", "ao", "ae", "oe", "oo"):
+        t = t.replace(d, d[0]).replace(d.capitalize(), d[0].upper()).replace(
+            d.upper(), d[0].upper()
+        )
+    return t.translate(_SCAND_FOLD_MAP)
+
+
+def make_token_filter(spec, ctx: Optional[dict] = None) -> Callable[[TokenStream], TokenStream]:
+    """Resolve one token-filter spec.
+
+    ``ctx`` is the per-chain build context the :class:`Analyzer`
+    threads through its filter list IN ORDER: ``keyword_marker`` /
+    ``stemmer_override`` add protected vocabulary to it at build time,
+    and every stemmer factory built LATER snapshots the set — the
+    keyword-attribute contract of Lucene's KeywordMarkerFilter without
+    per-token flags (a marker placed after the stemmer correctly has
+    no effect)."""
     if isinstance(spec, str):
         spec = {"type": spec}
     typ = spec["type"]
@@ -502,6 +624,29 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
 
         return _apply
 
+    def _stem(fn):
+        """A stemmer body honoring the protected vocabulary
+        accumulated so far (keyword_marker / stemmer_override)."""
+        if ctx is None or not (
+            ctx.get("protected") or ctx.get("protected_ci")
+            or ctx.get("patterns")
+        ):
+            return _map1(fn)
+        words = frozenset(ctx.get("protected", ()))
+        words_ci = frozenset(ctx.get("protected_ci", ()))
+        pats = tuple(ctx.get("patterns", ()))
+
+        def guarded(t: str) -> str:
+            if (
+                t in words
+                or t.lower() in words_ci
+                or any(p.fullmatch(t) for p in pats)
+            ):
+                return t
+            return fn(t)
+
+        return _map1(guarded)
+
     if typ == "lowercase":
         return _map1(std.java_lower)
     if typ == "uppercase":
@@ -509,7 +654,7 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
     if typ == "asciifolding":
         return _map1(_fold_ascii)
     if typ in ("porter_stem", "kstem"):
-        return _map1(porter_stem)
+        return _stem(porter_stem)
     if typ in ("stemmer", "snowball"):
         # StemmerTokenFilterFactory.java language table; the `snowball`
         # filter (SnowballTokenFilterFactory.java) takes capitalized
@@ -521,27 +666,27 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
         if lang in ("porter", "english"):
             # deviation note: `snowball` English in the reference is
             # Porter2 (EnglishStemmer); we serve Porter 1980 for both
-            return _map1(porter_stem)
+            return _stem(porter_stem)
         if lang == "french":
-            return _map1(_sb.french_stem)
+            return _stem(_sb.french_stem)
         if lang in ("german", "german2"):
-            return _map1(_sb.german_stem)
+            return _stem(_sb.german_stem)
         if lang == "spanish":
-            return _map1(_sb.spanish_stem)
+            return _stem(_sb.spanish_stem)
         if lang == "russian":
-            return _map1(_sb.russian_stem)
+            return _stem(_sb.russian_stem)
         if lang == "italian":
-            return _map1(_sb.italian_stem)
+            return _stem(_sb.italian_stem)
         if lang == "dutch":
-            return _map1(_sb.dutch_stem)
+            return _stem(_sb.dutch_stem)
         if lang == "danish":
-            return _map1(_sb.danish_stem)
+            return _stem(_sb.danish_stem)
         if lang == "norwegian":
-            return _map1(_sb.norwegian_stem)
+            return _stem(_sb.norwegian_stem)
         if lang == "swedish":
-            return _map1(_sb.swedish_stem)
+            return _stem(_sb.swedish_stem)
         if lang == "portuguese":
-            return _map1(_sb.portuguese_stem)
+            return _stem(_sb.portuguese_stem)
         raise ValueError(f"stemmer language not implemented: {lang}")
     if typ == "elision":
         # ElisionTokenFilterFactory.java — strip l'/d'/qu'... article
@@ -749,6 +894,331 @@ def make_token_filter(spec) -> Callable[[TokenStream], TokenStream]:
             return out_t, out_p
 
         return _synonym
+    if typ == "synonym_graph":
+        # SynonymGraphFilterFactory.java — our streams are positional
+        # (already flat), so the graph filter resolves to the same
+        # expansion the `synonym` filter produces (the flatten_graph
+        # step is implicit)
+        return make_token_filter({**spec, "type": "synonym"}, ctx)
+    if typ == "flatten_graph":
+        # FlattenGraphTokenFilterFactory.java — our token streams carry
+        # plain positions (no posLength graphs), so flattening is the
+        # identity
+        return lambda ts: ts
+    if typ == "keyword_marker":
+        # KeywordMarkerTokenFilterFactory.java: protect tokens from the
+        # stemmers that FOLLOW this filter in the chain (see the ctx
+        # note on make_token_filter)
+        if ctx is not None:
+            kws = spec.get("keywords", [])
+            if bool(spec.get("ignore_case", False)):
+                ctx["protected_ci"].update(str(w).lower() for w in kws)
+            else:
+                ctx["protected"].update(str(w) for w in kws)
+            if spec.get("keywords_pattern"):
+                ctx["patterns"].append(re.compile(spec["keywords_pattern"]))
+        return lambda ts: ts
+    if typ == "stemmer_override":
+        # StemmerOverrideTokenFilterFactory.java: "token => stem" rules
+        # applied here; rule OUTPUTS are protected from later stemmers.
+        # Deviation: protection is by VALUE, so a surface token equal
+        # to a rule output is also protected (Lucene flags the
+        # instance).
+        rules: Dict[str, str] = {}
+        for rule in spec.get("rules", []):
+            if "=>" not in rule:
+                raise ValueError(
+                    f"stemmer_override rule needs 'a => b': {rule!r}"
+                )
+            lhs, rhs = rule.split("=>", 1)
+            for src in lhs.split(","):
+                rules[src.strip()] = rhs.strip()
+        if ctx is not None:
+            ctx["protected"].update(rules.values())
+        return _map1(lambda t: rules.get(t, t))
+    if typ in ("word_delimiter", "word_delimiter_graph"):
+        # WordDelimiterTokenFilterFactory.java /
+        # WordDelimiterGraphTokenFilterFactory.java (identical output
+        # here: flat positional streams).  Output positions are
+        # renumbered sequentially — each emitted subword advances one
+        # position; preserved originals and catenations share the
+        # FIRST subword's position (the same one-increment-per-token
+        # stream shape cjk_bigram uses).
+        gen_w = bool(spec.get("generate_word_parts", True))
+        gen_n = bool(spec.get("generate_number_parts", True))
+        cat_w = bool(spec.get("catenate_words", False))
+        cat_n = bool(spec.get("catenate_numbers", False))
+        cat_all = bool(spec.get("catenate_all", False))
+        split_case = bool(spec.get("split_on_case_change", True))
+        split_num = bool(spec.get("split_on_numerics", True))
+        preserve = bool(spec.get("preserve_original", False))
+        possessive = bool(spec.get("stem_english_possessive", True))
+        protected_words = frozenset(spec.get("protected_words", ()))
+
+        def _word_delimiter(ts: TokenStream) -> TokenStream:
+            toks, _pos = ts
+            out_t: List[str] = []
+            out_p: List[int] = []
+            nxt = 0
+            for t in toks:
+                if t in protected_words:
+                    out_t.append(t)
+                    out_p.append(nxt)
+                    nxt += 1
+                    continue
+                parts = _wd_split(t, split_case, split_num, possessive)
+                emit = [
+                    (txt, k) for txt, k in parts
+                    if (k == "w" and gen_w) or (k == "n" and gen_n)
+                ]
+                base = nxt
+                overlays: List[str] = []
+                if preserve:
+                    overlays.append(t)
+                if cat_all and len(parts) >= 2:
+                    overlays.append("".join(x for x, _ in parts))
+                if cat_w:
+                    overlays.extend(_wd_runs(parts, "w"))
+                if cat_n:
+                    overlays.extend(_wd_runs(parts, "n"))
+                for o in overlays:
+                    out_t.append(o)
+                    out_p.append(base)
+                for txt, _k in emit:
+                    out_t.append(txt)
+                    out_p.append(nxt)
+                    nxt += 1
+                if not emit and overlays:
+                    nxt = base + 1
+            return out_t, out_p
+
+        return _word_delimiter
+    if typ == "common_grams":
+        # CommonGramsTokenFilterFactory.java: bigrams joining a common
+        # word with its neighbor ("the_quick"), sharing the first
+        # word's position.  query_mode (CommonGramsQueryFilter): the
+        # unigrams a gram covers are dropped.
+        ci = bool(spec.get("ignore_case", False))
+        common = frozenset(
+            (w.lower() if ci else w) for w in spec.get("common_words", ())
+        )
+
+        def _is_common(t: str) -> bool:
+            return (t.lower() if ci else t) in common
+
+        qmode = bool(spec.get("query_mode", False))
+
+        def _common_grams(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t: List[str] = []
+            out_p: List[int] = []
+            covered = [False] * len(toks)
+            grams: List[Optional[str]] = [None] * len(toks)
+            for i in range(len(toks) - 1):
+                # grams join POSITIONALLY adjacent tokens only (a stop
+                # gap breaks the pair, like the reference's posInc check)
+                if pos[i + 1] == pos[i] + 1 and (
+                    _is_common(toks[i]) or _is_common(toks[i + 1])
+                ):
+                    grams[i] = f"{toks[i]}_{toks[i + 1]}"
+                    covered[i] = covered[i + 1] = True
+            for i, (t, p) in enumerate(zip(toks, pos)):
+                if not qmode or not covered[i]:
+                    out_t.append(t)
+                    out_p.append(p)
+                if grams[i] is not None:
+                    out_t.append(grams[i])
+                    out_p.append(p)
+            return out_t, out_p
+
+        return _common_grams
+    if typ == "keep":
+        # KeepWordFilterFactory.java (keep_words_case lowercases)
+        ci = bool(spec.get("keep_words_case", False))
+        kept = frozenset(
+            (str(w).lower() if ci else str(w))
+            for w in spec.get("keep_words", ())
+        )
+
+        def _keep(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            z = [
+                (t, p) for t, p in zip(toks, pos)
+                if (t.lower() if ci else t) in kept
+            ]
+            return [t for t, _ in z], [p for _, p in z]
+
+        return _keep
+    if typ == "keep_types":
+        # KeepTypesFilterFactory.java.  Deviation: our streams carry no
+        # tokenizer type attribute, so types are re-derived lexically —
+        # all-digits -> <NUM>, else <ALPHANUM> (the two types the
+        # standard tokenizer emits for this corpus alphabet).
+        types = frozenset(spec.get("types", ()))
+        include = spec.get("mode", "include") == "include"
+
+        def _ttype(t: str) -> str:
+            return "<NUM>" if t and all(c.isdigit() for c in t) else "<ALPHANUM>"
+
+        def _keep_types(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            z = [
+                (t, p) for t, p in zip(toks, pos)
+                if (_ttype(t) in types) == include
+            ]
+            return [t for t, _ in z], [p for _, p in z]
+
+        return _keep_types
+    if typ == "limit":
+        # LimitTokenCountFilterFactory.java (max_token_count default 1)
+        mx = int(spec.get("max_token_count", 1))
+
+        def _limit(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            return list(toks[:mx]), list(pos[:mx])
+
+        return _limit
+    if typ == "decimal_digit":
+        # DecimalDigitFilterFactory.java: any Unicode decimal digit
+        # folds to 0-9
+        def _dec(t: str) -> str:
+            return "".join(
+                str(unicodedata.digit(c))
+                if unicodedata.category(c) == "Nd" else c
+                for c in t
+            )
+
+        return _map1(_dec)
+    if typ == "fingerprint":
+        # FingerprintTokenFilterFactory.java: sort unique tokens, join
+        # with the separator, ONE output token (capped)
+        sep = spec.get("separator", " ")
+        mx = int(spec.get("max_output_size", 255))
+
+        def _fingerprint(ts: TokenStream) -> TokenStream:
+            toks, _pos = ts
+            if not toks:
+                return [], []
+            joined = sep.join(sorted(set(toks)))
+            if len(joined) > mx:
+                return [], []
+            return [joined], [0]
+
+        return _fingerprint
+    if typ == "remove_duplicates":
+        # RemoveDuplicatesTokenFilterFactory.java: drop repeats of the
+        # same term at the same position
+        def _rmdup(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            seen = set()
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                if (t, p) not in seen:
+                    seen.add((t, p))
+                    out_t.append(t)
+                    out_p.append(p)
+            return out_t, out_p
+
+        return _rmdup
+    if typ == "pattern_capture":
+        # PatternCaptureGroupTokenFilterFactory.java: emit every capture
+        # group of every pattern (whole match when a pattern has no
+        # groups); preserve_original defaults true; emissions share the
+        # source token's position
+        pats = [re.compile(p) for p in spec.get("patterns", [])]
+        preserve = bool(spec.get("preserve_original", True))
+
+        def _pcapture(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                emitted = []
+                for pat in pats:
+                    for m in pat.finditer(t):
+                        gs = m.groups() or (m.group(0),)
+                        emitted.extend(g for g in gs if g)
+                if preserve or not emitted:
+                    out_t.append(t)
+                    out_p.append(p)
+                for g in emitted:
+                    if g != t or not preserve:
+                        out_t.append(g)
+                        out_p.append(p)
+            return out_t, out_p
+
+        return _pcapture
+    if typ == "classic":
+        # ClassicFilterFactory.java: strip trailing 's and the dots of
+        # acronym tokens (U.S.A. -> USA).  Deviation: acronyms are
+        # detected lexically (letter-dot alternation) — our streams
+        # carry no ClassicTokenizer <ACRONYM> type attribute.
+        _acro = re.compile(r"^(?:\w\.)+\w?\.?$")
+
+        def _classic(t: str) -> str:
+            if len(t) >= 2 and t[-1] in "sS" and t[-2] in "'’":
+                t = t[:-2]
+            if _acro.match(t):
+                t = t.replace(".", "")
+            return t
+
+        return _map1(_classic)
+    if typ == "scandinavian_normalization":
+        return _map1(_scandinavian_normalize)
+    if typ == "scandinavian_folding":
+        return _map1(_scandinavian_fold)
+    if typ in ("delimited_payload", "delimited_payload_filter"):
+        # DelimitedPayloadTokenFilterFactory.java.  Our postings carry
+        # no payload attribute, so the token part is kept and the
+        # payload value is dropped (documented deviation — the
+        # reference stores it per-posting).
+        delim = spec.get("delimiter", "|")
+        return _map1(lambda t: t.split(delim, 1)[0])
+    if typ == "concatenate_graph":
+        # ConcatenateGraphTokenFilterFactory.java: the whole stream
+        # joins into ONE token (token_separator default " ")
+        sep = spec.get("token_separator", " ")
+
+        def _concat(ts: TokenStream) -> TokenStream:
+            toks, _pos = ts
+            return ([sep.join(toks)], [0]) if toks else ([], [])
+
+        return _concat
+    if typ == "dictionary_decompounder":
+        # DictionaryCompoundWordTokenFilterFactory.java: dictionary
+        # subwords found inside a compound emit at the compound's
+        # position (original kept); min_word_size/min_subword_size/
+        # max_subword_size/only_longest_match per the factory defaults
+        words = [str(w).lower() for w in spec.get("word_list", ())]
+        mn_word = int(spec.get("min_word_size", 5))
+        mn_sub = int(spec.get("min_subword_size", 2))
+        mx_sub = int(spec.get("max_subword_size", 15))
+        longest = bool(spec.get("only_longest_match", False))
+
+        def _decompound(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                out_t.append(t)
+                out_p.append(p)
+                if len(t) < mn_word:
+                    continue
+                low = t.lower()
+                for i in range(len(low)):
+                    matches = [
+                        w for w in words
+                        if mn_sub <= len(w) <= mx_sub
+                        and low.startswith(w, i)
+                    ]
+                    if not matches:
+                        continue
+                    if longest:
+                        matches = [max(matches, key=len)]
+                    for w in sorted(set(matches)):
+                        out_t.append(t[i : i + len(w)])
+                        out_p.append(p)
+            return out_t, out_p
+
+        return _decompound
     raise ValueError(f"unknown token filter: {typ}")
 
 
@@ -932,12 +1402,19 @@ class Analyzer:
                 f"unknown analyzer spec keys {sorted(unknown)}; expected "
                 "char_filter / tokenizer / filter (+ type, stopwords)"
             )
+        # per-chain build context: keyword_marker / stemmer_override
+        # accumulate protected vocabulary IN ORDER; stemmer factories
+        # built after them snapshot it (Lucene keyword-attribute
+        # semantics without per-token flags)
+        ctx = {"protected": set(), "protected_ci": set(), "patterns": []}
         return cls(
             char_filters=[
                 make_char_filter(c) for c in spec.get("char_filter", [])
             ],
             tokenizer=make_tokenizer(spec.get("tokenizer", "standard")),
-            filters=[make_token_filter(f) for f in spec.get("filter", [])],
+            filters=[
+                make_token_filter(f, ctx) for f in spec.get("filter", [])
+            ],
             spec=spec,
         )
 

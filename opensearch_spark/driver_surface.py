@@ -1632,6 +1632,24 @@ SELECT 'cjk', doc_id, pos, token FROM (
   UNION ALL
   SELECT doc_id, CAST(pos + 5 AS INT), token FROM __wsrows
 )
+UNION ALL
+SELECT 'wdelim', doc_id, pos, token FROM (
+  SELECT doc_id, CAST(0 AS INT) AS pos,
+         upper(regexp_replace(source, '\\d+$', '')) AS token FROM __b
+  UNION ALL SELECT doc_id, CAST(1 AS INT),
+         regexp_extract(source, '(\\d+)$', 1) FROM __b
+  UNION ALL SELECT doc_id, CAST(2 AS INT), lang FROM __b
+  UNION ALL SELECT doc_id, CAST(3 AS INT), CAST(doc_id AS VARCHAR) FROM __b
+)
+UNION ALL
+SELECT 'cgrams', doc_id, pos, token FROM (
+  SELECT doc_id, pos, token FROM __wsrows
+  UNION ALL
+  SELECT a.doc_id, a.pos, a.token || '_' || b.token
+  FROM __wsrows a JOIN __wsrows b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.token IN ('the', 'of', 'a') OR b.token IN ('the', 'of', 'a')
+)
 ORDER BY op, doc_id, pos, token""".replace(
         "__STOPLIST__",
         ",".join(
@@ -1774,6 +1792,32 @@ def analysis_suite(spark, sf_dir):
             {"tokenizer": "whitespace",
              "filter": [{"type": "cjk_bigram"}]},
             "cjk",
+        ),
+        # r4 late: word_delimiter (WordDelimiterTokenFilterFactory.java)
+        # — "SRC0-en3" splits into letter/digit parts with sequentially
+        # renumbered positions
+        rows(
+            base.withColumn(
+                "wd",
+                F.concat(
+                    F.upper("source"), F.lit("-"), F.col("lang"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ),
+            "wd",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "word_delimiter"}]},
+            "wdelim",
+        ),
+        # r4 late: common_grams (CommonGramsTokenFilterFactory.java) —
+        # the_X bigrams at the first word's position beside the
+        # unigrams
+        rows(
+            base, "ls",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "common_grams",
+                         "common_words": ["the", "of", "a"]}]},
+            "cgrams",
         ),
     ]
     return _union(*parts).orderBy("op", "doc_id", "pos", "token")

@@ -305,3 +305,181 @@ def test_annotated_text_filters_apply_downstream():
     toks, poss = an("[Paris](City) is big")
     assert ("paris" in toks) and ("city" in toks)
     assert poss[toks.index("city")] == poss[toks.index("paris")]
+
+
+# ------------------------ r4 late: chain-zoo completion batch
+
+
+def test_word_delimiter_splits():
+    from opensearch_spark.analysis.chain import make_token_filter
+
+    wd = make_token_filter({"type": "word_delimiter"})
+    assert wd((["Wi-Fi", "PowerShot", "SD500", "O'Neil's", "XMLFile"],
+               [0, 1, 2, 3, 4])) == (
+        ["Wi", "Fi", "Power", "Shot", "SD", "500", "O", "Neil",
+         "XML", "File"],
+        [0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
+    )
+    # catenations and originals share the first part's position
+    wd = make_token_filter({"type": "word_delimiter", "catenate_words": True})
+    assert wd((["Wi-Fi"], [0])) == (["WiFi", "Wi", "Fi"], [0, 0, 1])
+    wd = make_token_filter(
+        {"type": "word_delimiter", "catenate_all": True,
+         "preserve_original": True}
+    )
+    assert wd((["j2se"], [0])) == (
+        ["j2se", "j2se", "j", "2", "se"], [0, 0, 0, 1, 2]
+    )
+    # option gates
+    wd = make_token_filter(
+        {"type": "word_delimiter", "split_on_case_change": False}
+    )
+    assert wd((["PowerShot"], [0]))[0] == ["PowerShot"]
+    wd = make_token_filter(
+        {"type": "word_delimiter", "split_on_numerics": False}
+    )
+    assert wd((["SD500"], [0]))[0] == ["SD500"]
+    wd = make_token_filter(
+        {"type": "word_delimiter", "protected_words": ["Wi-Fi"]}
+    )
+    assert wd((["Wi-Fi"], [0]))[0] == ["Wi-Fi"]
+    wd = make_token_filter(
+        {"type": "word_delimiter", "stem_english_possessive": False}
+    )
+    assert wd((["O'Neil's"], [0]))[0] == ["O", "Neil", "s"]
+    # graph variant: identical flat output
+    wdg = make_token_filter({"type": "word_delimiter_graph"})
+    assert wdg((["Wi-Fi"], [0])) == (["Wi", "Fi"], [0, 1])
+
+
+def test_keyword_marker_and_stemmer_override_threading():
+    """Lucene keyword-attribute semantics: markers protect tokens from
+    stemmers built AFTER them; a marker after the stemmer has no
+    effect.  stemmer_override rewrites and protects its outputs."""
+    from opensearch_spark.analysis.chain import Analyzer
+
+    before = Analyzer.from_spec({
+        "tokenizer": "whitespace",
+        "filter": [
+            {"type": "keyword_marker", "keywords": ["running"]},
+            {"type": "stemmer", "language": "porter"},
+        ],
+    })
+    assert before("running jumping")[0] == ["running", "jump"]
+    after = Analyzer.from_spec({
+        "tokenizer": "whitespace",
+        "filter": [
+            {"type": "stemmer", "language": "porter"},
+            {"type": "keyword_marker", "keywords": ["running"]},
+        ],
+    })
+    assert after("running jumping")[0] == ["run", "jump"]
+    ci = Analyzer.from_spec({
+        "tokenizer": "whitespace",
+        "filter": [
+            {"type": "keyword_marker", "keywords": ["RUNNING"],
+             "ignore_case": True},
+            "porter_stem",
+        ],
+    })
+    assert ci("running")[0] == ["running"]
+    pat = Analyzer.from_spec({
+        "tokenizer": "whitespace",
+        "filter": [
+            {"type": "keyword_marker", "keywords_pattern": ".*ing"},
+            "porter_stem",
+        ],
+    })
+    assert pat("running jumped")[0] == ["running", "jump"]
+    ovr = Analyzer.from_spec({
+        "tokenizer": "whitespace",
+        "filter": [
+            {"type": "stemmer_override", "rules": ["running => run"]},
+            "porter_stem",
+        ],
+    })
+    assert ovr("running runner")[0] == ["run", "runner"]
+    # snowball stemmers honor the marker too
+    sb = Analyzer.from_spec({
+        "tokenizer": "whitespace",
+        "filter": [
+            {"type": "keyword_marker", "keywords": ["livros"]},
+            {"type": "stemmer", "language": "portuguese"},
+        ],
+    })
+    assert sb("livros meninas")[0] == ["livros", "menin"]
+
+
+def test_common_grams_modes():
+    from opensearch_spark.analysis.chain import make_token_filter
+
+    cg = make_token_filter({"type": "common_grams", "common_words": ["the"]})
+    assert cg((["the", "quick", "fox"], [0, 1, 2])) == (
+        ["the", "the_quick", "quick", "fox"], [0, 0, 1, 2]
+    )
+    q = make_token_filter(
+        {"type": "common_grams", "common_words": ["the"],
+         "query_mode": True}
+    )
+    assert q((["the", "quick", "fox"], [0, 1, 2])) == (
+        ["the_quick", "fox"], [0, 2]
+    )
+    # a position gap (stopped token) breaks the pair
+    assert cg((["the", "fox"], [0, 2])) == (["the", "fox"], [0, 2])
+
+
+def test_chain_zoo_small_filters():
+    from opensearch_spark.analysis.chain import make_token_filter as mtf
+
+    assert mtf({"type": "keep", "keep_words": ["fox"]})(
+        (["the", "fox"], [0, 1])
+    ) == (["fox"], [1])
+    assert mtf({"type": "keep_types", "types": ["<NUM>"]})(
+        (["abc", "123"], [0, 1])
+    ) == (["123"], [1])
+    assert mtf({"type": "keep_types", "types": ["<NUM>"],
+                "mode": "exclude"})((["abc", "123"], [0, 1])) == (
+        ["abc"], [0]
+    )
+    assert mtf({"type": "limit", "max_token_count": 2})(
+        (["a", "b", "c"], [0, 1, 2])
+    ) == (["a", "b"], [0, 1])
+    assert mtf("limit")((["a", "b"], [0, 1])) == (["a"], [0])
+    assert mtf("decimal_digit")((["٣٤٥", "x১y"], [0, 1]))[0] == [
+        "345", "x1y"
+    ]
+    assert mtf("fingerprint")((["b", "a", "b"], [0, 1, 2])) == (
+        ["a b"], [0]
+    )
+    assert mtf("remove_duplicates")((["a", "a", "a"], [0, 0, 1])) == (
+        ["a", "a"], [0, 1]
+    )
+    assert mtf({"type": "pattern_capture", "patterns": [r"(\d+)"]})(
+        (["abc123def45"], [0])
+    ) == (["abc123def45", "123", "45"], [0, 0, 0])
+    assert mtf("classic")((["U.S.A.", "John's"], [0, 1]))[0] == [
+        "USA", "John"
+    ]
+    assert mtf("scandinavian_normalization")(
+        (["aalborg", "fär", "oevre"], [0, 1, 2])
+    )[0] == ["ålborg", "fær", "øvre"]
+    assert mtf("scandinavian_folding")(
+        (["räksmörgås", "aalborg"], [0, 1])
+    )[0] == ["raksmorgas", "alborg"]
+    assert mtf("delimited_payload")((["token|3.5"], [0]))[0] == ["token"]
+    assert mtf("concatenate_graph")((["a", "b"], [0, 1])) == (["a b"], [0])
+    assert mtf("flatten_graph")((["x"], [0])) == (["x"], [0])
+    assert mtf({"type": "synonym_graph", "synonyms": ["a => b"]})(
+        (["a", "c"], [0, 1])
+    )[0] == ["b", "c"]
+    assert mtf({
+        "type": "dictionary_decompounder",
+        "word_list": ["dark", "beer", "keller"],
+    })((["darkbeer"], [0])) == (
+        ["darkbeer", "dark", "beer"], [0, 0, 0]
+    )
+    assert mtf({
+        "type": "dictionary_decompounder",
+        "word_list": ["dark", "darkb"],
+        "only_longest_match": True,
+    })((["darkbeer"], [0]))[0] == ["darkbeer", "darkb"]
