@@ -71,6 +71,18 @@ Token filters (``(tokens, positions) -> (tokens, positions)``):
 - ``delimited_payload`` (token kept, payload dropped — no payload attr)
 - ``concatenate_graph`` / ``flatten_graph`` / ``synonym_graph``
 - ``dictionary_decompounder`` DictionaryCompoundWordTokenFilterFactory
+- ``pattern_replace``  PatternReplaceTokenFilterFactory.java (token side)
+- ``multiplexer``      MultiplexerTokenFilterFactory.java
+- ``arabic_normalization`` / ``persian_normalization`` /
+  ``german_normalization``  the Lucene normalizer char maps / state machine
+- ``arabic_stem``      ArabicStemTokenFilterFactory.java (Light-10)
+
+Honest gaps (need external data files or attributes our streams do not
+carry): hyphenation_decompounder (pattern files), delimited_term_freq
+(term-frequency attribute), min_hash (the dedup ops implement MinHash
+properly at the DataFrame level), bengali/hindi/indic/serbian/sorani
+normalization and brazilian/czech stems (not reconstructible here with
+pinnable fidelity).
 
 Named analyzers (AnalysisRegistry defaults + analysis-common providers):
 ``standard``, ``simple``, ``whitespace``, ``keyword``, ``stop``.
@@ -601,6 +613,102 @@ def _scandinavian_fold(t: str) -> str:
             d.upper(), d[0].upper()
         )
     return t.translate(_SCAND_FOLD_MAP)
+
+
+_AR_NORM_MAP = str.maketrans(
+    {"آ": "ا", "أ": "ا", "إ": "ا",  # alefs
+     "ى": "ي",   # alef maksura -> yeh
+     "ة": "ه",   # teh marbuta -> heh
+     "ـ": None,       # tatweel
+     # harakat (tashkeel)
+     "ً": None, "ٌ": None, "ٍ": None, "َ": None,
+     "ُ": None, "ِ": None, "ّ": None, "ْ": None}
+)
+
+
+def _arabic_normalize(t: str) -> str:
+    return t.translate(_AR_NORM_MAP)
+
+
+_FA_NORM_MAP = str.maketrans(
+    {"ي": "ی", "ے": "ی",  # yeh / yeh barree -> farsi yeh
+     "ك": "ک",                       # kaf -> keheh
+     "ۀ": "ه", "ہ": "ه",   # heh-ye / heh goal -> heh
+     "ٔ": None}                           # hamza above
+)
+
+
+def _persian_normalize(t: str) -> str:
+    return t.translate(_FA_NORM_MAP)
+
+
+def _german_normalize(t: str) -> str:
+    """GermanNormalizationFilter's state machine: fold ä/ö/ü -> a/o/u
+    and ß -> ss; drop the 'e' of ae/oe/ue except after q or another
+    vowel ('quelle', 'baue' keep it)."""
+    N, V, U = 0, 1, 2
+    state = N
+    out: List[str] = []
+    for c in t:
+        if c in "ao":
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                state = V
+                continue  # fold ae/oe/ue
+            out.append(c)
+            state = V
+        elif c in "iqy":
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
+
+
+_AR_PREFIXES = ("ال", "وال",
+                "بال", "كال",
+                "فال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+
+
+def _arabic_light10_stem(t: str) -> str:
+    """Light-10 Arabic stemmer (Larkey, Ballesteros & Connell 2002 —
+    Lucene's ArabicStemmer): ONE prefix strip (waw needs >= 3 chars
+    left, articles >= 2), then every matching suffix in table order
+    (each leaves >= 2 chars)."""
+    for p in _AR_PREFIXES:
+        if t.startswith(p):
+            if len(p) == 1:
+                if len(t) < 4:
+                    continue
+            elif len(t) < len(p) + 2:
+                continue
+            t = t[len(p):]
+            break
+    for s in _AR_SUFFIXES:
+        if t.endswith(s) and len(t) >= len(s) + 2:
+            t = t[: -len(s)]
+    return t
 
 
 def make_token_filter(spec, ctx: Optional[dict] = None) -> Callable[[TokenStream], TokenStream]:
@@ -1166,6 +1274,68 @@ def make_token_filter(spec, ctx: Optional[dict] = None) -> Callable[[TokenStream
         return _map1(_scandinavian_normalize)
     if typ == "scandinavian_folding":
         return _map1(_scandinavian_fold)
+    if typ == "pattern_replace":
+        # PatternReplaceTokenFilterFactory.java (the TOKEN-filter
+        # variant; the char filter of the same name rewrites the raw
+        # text).  `all` (default true) replaces every occurrence.
+        pat = re.compile(spec["pattern"])
+        repl = spec.get("replacement", "")
+        count = 0 if bool(spec.get("all", True)) else 1
+        return _map1(lambda t: pat.sub(repl, t, count=count))
+    if typ == "multiplexer":
+        # MultiplexerTokenFilterFactory.java: each token runs through
+        # every listed sub-chain (comma-joined filter names) and all
+        # distinct outputs emit at the SAME position;
+        # preserve_original (default true) keeps the input token first.
+        chains = []
+        for entry in spec.get("filters", ()):
+            names = [n.strip() for n in str(entry).split(",") if n.strip()]
+            chains.append([make_token_filter(n, ctx) for n in names])
+        preserve = bool(spec.get("preserve_original", True))
+
+        def _multiplex(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                seen = set()
+                if preserve:
+                    seen.add(t)
+                    out_t.append(t)
+                    out_p.append(p)
+                for chain_fns in chains:
+                    sub: TokenStream = ([t], [p])
+                    for fn in chain_fns:
+                        sub = fn(sub)
+                    for st, sp in zip(*sub):
+                        if st not in seen:
+                            seen.add(st)
+                            out_t.append(st)
+                            out_p.append(sp)
+            return out_t, out_p
+
+        return _multiplex
+    if typ == "arabic_normalization":
+        # ArabicNormalizationFilterFactory.java (ArabicNormalizer):
+        # alef variants -> bare alef, alef maksura -> yeh, teh marbuta
+        # -> heh, tatweel and harakat (tashkeel) removed
+        return _map1(_arabic_normalize)
+    if typ == "persian_normalization":
+        # PersianNormalizationFilterFactory.java (PersianNormalizer):
+        # Arabic yeh/kaf -> Farsi forms, heh hamza/heh-ye -> heh,
+        # zero-width non-joiner -> space
+        return _map1(_persian_normalize)
+    if typ == "german_normalization":
+        # GermanNormalizationFilterFactory.java (GermanNormalizer
+        # state machine): ä/ö/ü fold to a/o/u, ß -> ss, and the 'e' of
+        # ae/oe/ue is dropped UNLESS the u follows q or another vowel
+        # ("quelle", "baue" keep their e)
+        return _map1(_german_normalize)
+    if typ == "arabic_stem":
+        # ArabicStemTokenFilterFactory.java (ArabicStemmer = the
+        # published Light-10 stemmer, Larkey/Ballesteros/Connell 2002):
+        # strip waw + definite-article prefixes, then the longest of
+        # the 10 suffixes, with the stemmer's minimum-length guards
+        return _map1(_arabic_light10_stem)
     if typ in ("delimited_payload", "delimited_payload_filter"):
         # DelimitedPayloadTokenFilterFactory.java.  Our postings carry
         # no payload attribute, so the token part is kept and the

@@ -483,3 +483,41 @@ def test_chain_zoo_small_filters():
         "word_list": ["dark", "darkb"],
         "only_longest_match": True,
     })((["darkbeer"], [0]))[0] == ["darkbeer", "darkb"]
+
+
+def test_pattern_replace_and_multiplexer():
+    from opensearch_spark.analysis.chain import make_token_filter as mtf
+
+    f = mtf({"type": "pattern_replace", "pattern": "o", "replacement": "0"})
+    assert f((["foo", "boot"], [0, 1]))[0] == ["f00", "b00t"]
+    f = mtf({"type": "pattern_replace", "pattern": "o",
+             "replacement": "0", "all": False})
+    assert f((["foo"], [0]))[0] == ["f0o"]
+    m = mtf({"type": "multiplexer", "filters": ["lowercase", "porter_stem"]})
+    assert m((["Running"], [0])) == (
+        ["Running", "running", "Run"], [0, 0, 0]
+    )
+    m = mtf({"type": "multiplexer", "filters": ["lowercase"],
+             "preserve_original": False})
+    assert m((["ABC"], [0])) == (["abc"], [0])
+
+
+def test_language_normalizers_and_arabic_stem():
+    from opensearch_spark.analysis.chain import make_token_filter as mtf
+
+    g = mtf("german_normalization")
+    assert g((["schön", "straße", "quelle", "baue", "uebermäßig"],
+              [0, 1, 2, 3, 4]))[0] == [
+        "schon", "strasse", "quelle", "baue", "ubermassig"
+    ]
+    a = mtf("arabic_normalization")
+    assert a((["أحمد", "مدرسةٌ", "إسلامى"], [0, 1, 2]))[0] == [
+        "احمد", "مدرسه", "اسلامي"
+    ]
+    p = mtf("persian_normalization")
+    assert p((["كتابي"], [0]))[0] == ["کتابی"]
+    s = mtf("arabic_stem")
+    # one prefix strip + all matching suffixes; length guards: the waw
+    # of a 3-char word survives, suffixes leave >= 2 chars
+    assert s((["والكتاب", "المكتبة", "كتابها", "وله"],
+              [0, 1, 2, 3]))[0] == ["كتاب", "مكتب", "كتاب", "ول"]
