@@ -33,6 +33,20 @@ Tokenizers (``str -> (tokens, positions)``):
 - ``ngram``            NGramTokenizerFactory.java (default min=1 max=2)
 - ``edge_ngram``       EdgeNGramTokenizerFactory.java (anchored prefix grams)
 - ``path_hierarchy``   PathHierarchyTokenizerFactory.java (delimiter "/")
+- ``simple_pattern`` / ``simple_pattern_split``
+                       SimplePattern(Split)TokenizerFactory.java (matches
+                       are tokens / separators; Python `re` superset of
+                       the Lucene automaton subset, documented)
+- ``uax_url_email``    UAX29URLEmailTokenizerFactory.java (URL/EMAIL
+                       carved out whole, remainder standard)
+- ``classic``          ClassicTokenizerFactory.java (acronym/apostrophe/
+                       NUM-with-digit/company/host token classes)
+- ``thai``             ThaiTokenizerFactory.java (no Thai dictionary in
+                       this environment: Thai runs kept whole, rest
+                       standard — documented deviation)
+
+Every tokenizer registered in CommonAnalysisModulePlugin.java now has
+an implementation (thai/classic carry documented deviations).
 
 Token filters (``(tokens, positions) -> (tokens, positions)``):
 
@@ -76,13 +90,32 @@ Token filters (``(tokens, positions) -> (tokens, positions)``):
 - ``arabic_normalization`` / ``persian_normalization`` /
   ``german_normalization``  the Lucene normalizer char maps / state machine
 - ``arabic_stem``      ArabicStemTokenFilterFactory.java (Light-10)
+- ``french_stem`` / ``russian_stem`` / ``dutch_stem``  exact aliases of
+  the snowball ports (the reference pre-configures SnowballFilter,
+  CommonAnalysisModulePlugin.java:522,533,563)
+- ``german_stem``      GermanStemFilter — Caumanns 1999 (see helper note)
+- ``czech_stem``       CzechStemFilter — Dolamic & Savoy light stemmer
+- ``brazilian_stem``   snowball Portuguese served with a documented
+                       deviation (Lucene's RSLP-family tables not ported)
+- ``serbian_normalization`` / ``sorani_normalization`` /
+  ``hindi_normalization`` / ``bengali_normalization`` /
+  ``indic_normalization``  normalizer char maps (sorani/hindi/bengali are
+  best-effort ports of the published rules; indic is served as stdlib
+  NFC composition — each deviation documented at the helper)
+- ``delimited_term_freq``  "tok|3" -> token repeated tf times at one
+                       position (tf-statistics analog, no tf attribute)
+- ``min_hash``         MinHashFilterFactory semantics (bucketed Broder
+                       signatures; hex tokens + sha1-derived 64-bit
+                       hashes instead of raw murmur3-128 bytes —
+                       documented; the dedup ops implement MinHash at
+                       the DataFrame level for actual 100 TB dedup)
+- ``hyphenation_decompounder``  dictionary-gated (offo grammar files do
+                       not exist here; every offset treated as a
+                       hyphenation point — documented deviation)
 
-Honest gaps (need external data files or attributes our streams do not
-carry): hyphenation_decompounder (pattern files), delimited_term_freq
-(term-frequency attribute), min_hash (the dedup ops implement MinHash
-properly at the DataFrame level), bengali/hindi/indic/serbian/sorani
-normalization and brazilian/czech stems (not reconstructible here with
-pinnable fidelity).
+With those, every token filter registered in
+CommonAnalysisModulePlugin.java ships an implementation; the
+environment-bound ones carry documented deviations instead of gaps.
 
 Named analyzers (AnalysisRegistry defaults + analysis-common providers):
 ``standard``, ``simple``, ``whitespace``, ``keyword``, ``stop``.
@@ -441,6 +474,90 @@ def make_tokenizer(spec) -> Callable[[str], TokenStream]:
             return _seq_positions(toks)
 
         return _edge_tok
+    if typ == "simple_pattern":
+        # SimplePatternTokenizerFactory.java: tokens are the MATCHES of
+        # the pattern (Lucene restricts to a deterministic-automaton
+        # regex subset for speed; Python `re` is a documented superset).
+        pat = re.compile(spec.get("pattern", ""))
+        return lambda s: _seq_positions([m for m in pat.findall(s or "") if m])
+    if typ == "simple_pattern_split":
+        # SimplePatternSplitTokenizerFactory.java: pattern matches are
+        # the SEPARATORS (same automaton-subset note as simple_pattern).
+        pat = re.compile(spec.get("pattern", ""))
+        return lambda s: _seq_positions([t for t in pat.split(s or "") if t])
+    if typ == "uax_url_email":
+        # UAX29URLEmailTokenizerFactory.java: the standard UAX#29
+        # tokenizer plus URL and EMAIL as single tokens.  Emails and
+        # URLs are carved out first, the remainder tokenizes standard.
+        max_len = int(spec.get("max_token_length", std.MAX_TOKEN_LENGTH))
+        carve = re.compile(
+            r"""(?:[A-Za-z][A-Za-z0-9+.-]*://[^\s<>"']+)"""     # scheme URL
+            r"""|(?:www\.[^\s<>"']+)"""                          # bare www.
+            r"""|(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})"""
+        )
+        inner = make_tokenizer({"type": "standard", "max_token_length": max_len})
+
+        def _uax(s: str) -> TokenStream:
+            s = s or ""
+            toks: List[str] = []
+            last = 0
+            for m in carve.finditer(s):
+                toks.extend(inner(s[last : m.start()])[0])
+                toks.append(m.group(0)[:max_len])
+                last = m.end()
+            toks.extend(inner(s[last:])[0])
+            return _seq_positions(toks)
+
+        return _uax
+    if typ == "classic":
+        # ClassicTokenizerFactory.java (the pre-UAX#29 English grammar):
+        # keeps dotted acronyms (I.B.M. minus the final dot), words with
+        # interior apostrophes (O'Neil), emails, and hostname/number
+        # tokens with interior ./- as single tokens.  Approximated with
+        # ordered regex alternatives over the JFlex grammar's token
+        # classes (documented deviation: no trailing-acronym ambiguity
+        # state).
+        max_len = int(spec.get("max_token_length", std.MAX_TOKEN_LENGTH))
+        tok = re.compile(
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"    # EMAIL
+            r"|(?:[^\W\d_]\.){2,}"                                # ACRONYM
+            r"|[^\W\d_]+(?:'[^\W\d_]+)+"                          # APOSTROPHE
+            r"|(?=[\w.,/_-]*\d)\w+(?:[-_/,.]\w+)+"               # NUM (digit required)
+            r"|[^\W\d_]+(?:[&@][^\W\d_]+)+"                      # COMPANY
+            r"|\w+(?:\.\w+)+"                                     # HOST
+            r"|\w+",
+            re.UNICODE,
+        )
+
+        def _classic(s: str) -> TokenStream:
+            toks = []
+            for raw in tok.findall(s or ""):
+                # ACRONYM drops its final dot, like the reference grammar
+                if re.fullmatch(r"(?:[^\W\d_]\.){2,}", raw):
+                    raw = raw[:-1]
+                toks.append(raw[:max_len])
+            return _seq_positions(toks)
+
+        return _classic
+    if typ == "thai":
+        # ThaiTokenizerFactory.java uses the JDK Thai BreakIterator
+        # (dictionary-driven word segmentation).  No Thai dictionary is
+        # available in this environment, so Thai character runs are kept
+        # whole and everything else tokenizes standard (documented
+        # deviation — a run may span several Thai words).
+        inner = make_tokenizer({"type": "standard"})
+        runs = re.compile(r"[฀-๿]+|[^฀-๿]+")
+
+        def _thai(s: str) -> TokenStream:
+            toks: List[str] = []
+            for seg in runs.findall(s or ""):
+                if "฀" <= seg[0] <= "๿":
+                    toks.append(seg)
+                else:
+                    toks.extend(inner(seg)[0])
+            return _seq_positions(toks)
+
+        return _thai
     if typ == "path_hierarchy":
         delim = spec.get("delimiter", "/")
 
@@ -708,6 +825,309 @@ def _arabic_light10_stem(t: str) -> str:
     for s in _AR_SUFFIXES:
         if t.endswith(s) and len(t) >= len(s) + 2:
             t = t[: -len(s)]
+    return t
+
+
+def _caumanns_german_stem(term: str) -> str:
+    """GermanStemFilter's stemmer (Joerg Caumanns, *A Fast and Simple
+    Stemming Algorithm for German Words*, 1999 — the algorithm
+    ``german_stem`` pre-configures in
+    ``CommonAnalysisModulePlugin.java:535``, distinct from the snowball
+    ``german`` stemmer): lowercase; mask multi-char sequences with
+    sentinels (sch/ch/ei/ie/ig/st, doubled chars, umlaut folds,
+    ss-for-eszett); recursively strip the declension suffixes nd/em/er
+    then e/s/n/t; the ``erin*`` and trailing-z optimizations; unmask;
+    and drop the first ``ge`` of a ``gege`` particle.  Deviation note:
+    where the historical Lucene source resets the substitution count on
+    an ``sch`` mask (the ``substCount =+ 2`` typo) we accumulate it, as
+    the paper intends — differs only when umlaut/ss masks precede an
+    ``sch`` in the same token."""
+    term = term.lower()
+    if not term.isalpha():
+        return term
+    buf = list(term)
+    subst = 0
+    # -- substitute --------------------------------------------------
+    c = 0
+    while c < len(buf):
+        if c > 0 and buf[c] == buf[c - 1]:
+            buf[c] = "*"
+        elif buf[c] == "ä":
+            buf[c] = "a"
+        elif buf[c] == "ö":
+            buf[c] = "o"
+        elif buf[c] == "ü":
+            buf[c] = "u"
+        elif buf[c] == "ß":
+            buf[c] = "s"
+            buf.insert(c + 1, "s")
+            subst += 1
+        if c < len(buf) - 1:
+            if (
+                c < len(buf) - 2
+                and buf[c] == "s"
+                and buf[c + 1] == "c"
+                and buf[c + 2] == "h"
+            ):
+                buf[c] = "$"
+                del buf[c + 1 : c + 3]
+                subst += 2
+            elif buf[c] == "c" and buf[c + 1] == "h":
+                buf[c] = "§"
+                del buf[c + 1]
+                subst += 1
+            elif buf[c] == "e" and buf[c + 1] == "i":
+                buf[c] = "%"
+                del buf[c + 1]
+                subst += 1
+            elif buf[c] == "i" and buf[c + 1] == "e":
+                buf[c] = "&"
+                del buf[c + 1]
+                subst += 1
+            elif buf[c] == "i" and buf[c + 1] == "g":
+                buf[c] = "#"
+                del buf[c + 1]
+                subst += 1
+            elif buf[c] == "s" and buf[c + 1] == "t":
+                buf[c] = "!"
+                del buf[c + 1]
+                subst += 1
+        c += 1
+
+    def _strip() -> None:
+        while len(buf) > 3:
+            tail2 = "".join(buf[-2:])
+            if len(buf) + subst > 5 and tail2 == "nd":
+                del buf[-2:]
+            elif len(buf) + subst > 4 and tail2 in ("em", "er"):
+                del buf[-2:]
+            elif buf[-1] in "esnt":
+                del buf[-1]
+            else:
+                break
+
+    _strip()
+    # -- optimize ----------------------------------------------------
+    if len(buf) > 5 and "".join(buf[-5:]) == "erin*":
+        del buf[-1]
+        _strip()
+    if buf and buf[-1] == "z":
+        buf[-1] = "x"
+    # -- resubstitute ------------------------------------------------
+    out: List[str] = []
+    for ch in buf:
+        if ch == "*":
+            out.append(out[-1] if out else "*")
+        elif ch == "$":
+            out.append("sch")
+        elif ch == "§":
+            out.append("ch")
+        elif ch == "%":
+            out.append("ei")
+        elif ch == "&":
+            out.append("ie")
+        elif ch == "#":
+            out.append("ig")
+        elif ch == "!":
+            out.append("st")
+        else:
+            out.append(ch)
+    res = "".join(out)
+    # -- remove particle denotion ("gege.." -> "ge..") ---------------
+    if len(res) > 4:
+        i = res.find("gege")
+        if i >= 0:
+            res = res[:i] + res[i + 2 :]
+    return res
+
+
+_CZ_CASE_5 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému",
+              "ěte", "ete", "ěti", "eti", "ího", "iho", "ími",
+              "ímu", "imu", "ách", "ata", "aty", "ých", "ama",
+              "ami", "ové", "ovi", "ými")
+_CZ_CASE_4 = ("em", "es", "ém", "ím", "ům", "at", "ám",
+              "os", "us", "ým", "mi", "ou")
+_CZ_VOWEL_TAIL = frozenset("aeiouůyáéíýě")
+
+
+def _czech_stem(t: str) -> str:
+    """Czech light stemmer (Ljiljana Dolamic & Jacques Savoy,
+    *Indexing and stemming approaches for the Czech language*, 2009 —
+    ``czech_stem`` / Lucene ``CzechStemFilter``): remove the longest
+    case ending (length-guarded), then possessive ov/in/ův, then
+    palatalization normalize (čt->ck, št->sk, c/č->k, z/ž->h, drop a
+    penultimate e, ů->o).  Expects lowercase input like the reference
+    (CzechAnalyzer lowercases first)."""
+    n = len(t)
+    if n > 7 and t.endswith("atech"):
+        t = t[:-5]
+    elif n > 6 and t.endswith(("ětem", "etem", "atům")):
+        t = t[:-4]
+    elif n > 5 and t.endswith(_CZ_CASE_5):
+        t = t[:-3]
+    elif n > 4 and t.endswith(_CZ_CASE_4):
+        t = t[:-2]
+    elif n > 3 and t[-1] in _CZ_VOWEL_TAIL:
+        t = t[:-1]
+    if len(t) > 5 and t.endswith(("ov", "in", "ův")):
+        t = t[:-2]
+    if not t:
+        return t
+    if t.endswith("čt"):
+        return t[:-2] + "ck"
+    if t.endswith("št"):
+        return t[:-2] + "sk"
+    if t[-1] in "cč":
+        return t[:-1] + "k"
+    if t[-1] in "zž":
+        return t[:-1] + "h"
+    if len(t) > 1 and t[-2] == "e":
+        return t[:-2] + t[-1]
+    if len(t) > 2 and t[-2] == "ů":
+        return t[:-2] + "o" + t[-1]
+    return t
+
+
+#: SerbianNormalizationFilter's "bald" latin map: Cyrillic letters to
+#: their Latin digraph/letter, and Latin diacritics folded to ASCII.
+_SR_MULTI = (("љ", "lj"), ("Љ", "lj"), ("њ", "nj"), ("Њ", "nj"),
+             ("џ", "dz"), ("Џ", "dz"), ("ђ", "dj"), ("Ђ", "dj"),
+             ("dž", "dz"), ("Dž", "dz"), ("DŽ", "dz"), ("đ", "dj"), ("Đ", "dj"))
+_SR_MAP = str.maketrans(
+    {"а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+     "ж": "z", "з": "z", "и": "i", "ј": "j", "к": "k", "л": "l",
+     "м": "m", "н": "n", "о": "o", "п": "p", "р": "r", "с": "s",
+     "т": "t", "ћ": "c", "у": "u", "ф": "f", "х": "h", "ц": "c",
+     "ч": "c", "ш": "s",
+     "А": "a", "Б": "b", "В": "v", "Г": "g", "Д": "d", "Е": "e",
+     "Ж": "z", "З": "z", "И": "i", "Ј": "j", "К": "k", "Л": "l",
+     "М": "m", "Н": "n", "О": "o", "П": "p", "Р": "r", "С": "s",
+     "Т": "t", "Ћ": "c", "У": "u", "Ф": "f", "Х": "h", "Ц": "c",
+     "Ч": "c", "Ш": "s",
+     "č": "c", "Č": "c", "ć": "c", "Ć": "c",
+     "ž": "z", "Ž": "z", "š": "s", "Š": "s"}
+)
+
+
+def _serbian_normalize(t: str) -> str:
+    """SerbianNormalizationFilter (``serbian_normalization``,
+    CommonAnalysisModulePlugin.java:330): Cyrillic -> bald Latin and
+    Latin diacritics folded (č/ć->c, ž->z, š->s, đ->dj, dž->dz)."""
+    for a, b in _SR_MULTI:
+        if a in t:
+            t = t.replace(a, b)
+    return t.translate(_SR_MAP)
+
+
+#: SoraniNormalizer (analysis-common ``sorani_normalization``; rules
+#: from Esmaili et al., *Building a Test Collection for Sorani Kurdish*):
+#: Arabic yeh/alef-maksura -> Farsi yeh, kaf -> keheh, heh-doachashmee
+#: -> heh, final heh (or heh+ZWNJ anywhere) -> ae, word-initial reh ->
+#: rreh, tatweel/harakat/ZWNJ removed.  Best-effort port — the exact
+#: Lucene table is not reproducible here; deviations documented.
+_CKB_MAP = str.maketrans(
+    {"ي": "ی", "ى": "ی",  # yeh, alef maksura -> farsi yeh
+     "ك": "ک",                      # kaf -> keheh
+     "ھ": "ه",                      # heh doachashmee -> heh
+     "ـ": None,                          # tatweel
+     "ً": None, "ٌ": None, "ٍ": None, "َ": None,
+     "ُ": None, "ِ": None, "ّ": None, "ْ": None}
+)
+
+
+def _sorani_normalize(t: str) -> str:
+    t = t.replace("ه‌", "ە")   # heh+ZWNJ -> ae
+    t = t.replace("‌", "")
+    t = t.translate(_CKB_MAP)
+    if t.endswith("ه"):                   # final heh -> ae
+        t = t[:-1] + "ە"
+    if t.startswith("ر"):                 # initial reh -> rreh
+        t = "ڕ" + t[1:]
+    return t
+
+
+#: HindiNormalizer (``hindi_normalization``; Dolamic & Savoy, *UniNE at
+#: FIRE 2010* normalizations): chandrabindu -> anusvara, nukta
+#: consonants decomposed to their base letter, long vowels/matras
+#: shortened, candra e/o folded, ZWJ/ZWNJ removed.  Best-effort port.
+_HI_MAP = str.maketrans(
+    {"ँ": "ं",                      # chandrabindu -> anusvara
+     # nukta consonants -> base
+     "ऩ": "न", "ऱ": "र", "ऴ": "ळ",
+     "क़": "क", "ख़": "ख", "ग़": "ग",
+     "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
+     "फ़": "फ", "य़": "य",
+     "़": None,                          # standalone nukta
+     # long independent vowels -> short
+     "आ": "अ", "ई": "इ", "ऊ": "उ",
+     "ऐ": "ए", "औ": "ओ",
+     # candra forms
+     "ऑ": "ओ", "ऒ": "ओ", "ॲ": "अ",
+     # long matras -> short
+     "ी": "ि", "ू": "ु",
+     "ै": "े", "ौ": "ो",
+     "ॅ": "े", "ॉ": "ो",
+     "‌": None, "‍": None}          # ZWNJ / ZWJ
+)
+
+
+def _hindi_normalize(t: str) -> str:
+    import unicodedata
+
+    # NFD exposes composed nukta forms, the map folds them, NFC recombines
+    t = unicodedata.normalize("NFD", t).translate(_HI_MAP)
+    return unicodedata.normalize("NFC", t)
+
+
+#: BengaliNormalizer (``bengali_normalization``; normalizations from
+#: *A Double Metaphone Encoding for Bangla*, UzZaman & Khan 2005):
+#: nukta consonants decomposed, khanda-ta -> ta+hasant, chandrabindu
+#: -> anusvara, assamese ra/va -> bengali ra/va.  Best-effort port.
+_BN_MAP = str.maketrans(
+    {"ঁ": "ং",                       # candrabindu -> anusvara
+     "ড়": "ড", "ঢ়": "ঢ", "য়": "য",
+     "়": None,                           # standalone nukta
+     "ৰ": "র", "ৱ": "ব"}   # assamese ra/va
+)
+
+
+def _bengali_normalize(t: str) -> str:
+    import unicodedata
+
+    t = t.replace("ৎ", "ত্")    # khanda ta -> ta + hasant
+    t = unicodedata.normalize("NFD", t).translate(_BN_MAP)
+    return unicodedata.normalize("NFC", t)
+
+
+#: base+nukta pairs excluded from Unicode NFC composition (Devanagari,
+#: Bengali, Gurmukhi, Oriya) — IndicNormalizer composes these to the
+#: precomposed codepoint, so the analog must map them explicitly.
+_INDIC_NUKTA = {
+    unicodedata.normalize("NFD", chr(cp)): chr(cp)
+    for cp in (
+        # Devanagari 0958-095F + 0929/0931/0934
+        *range(0x0958, 0x0960), 0x0929, 0x0931, 0x0934,
+        # Bengali 09DC/09DD/09DF
+        0x09DC, 0x09DD, 0x09DF,
+        # Gurmukhi 0A59-0A5B/0A5E, Oriya 0B5C/0B5D
+        0x0A59, 0x0A5A, 0x0A5B, 0x0A5E, 0x0B5C, 0x0B5D,
+    )
+}
+
+
+def _indic_normalize(t: str) -> str:
+    """IndicNormalizer (``indic_normalization``): compose split/legacy
+    Indic code sequences to canonical form.  The Lucene table is
+    script-data-driven; the analog is stdlib NFC composition plus the
+    base+nukta pairs NFC excludes (documented analog — the reference's
+    additional two-part-vowel matra tables for southern scripts are
+    covered by NFC where canonical)."""
+    import unicodedata
+
+    t = unicodedata.normalize("NFC", t)
+    for seq, comp in _INDIC_NUKTA.items():
+        if seq in t:
+            t = t.replace(seq, comp)
     return t
 
 
@@ -1336,6 +1756,141 @@ def make_token_filter(spec, ctx: Optional[dict] = None) -> Callable[[TokenStream
         # strip waw + definite-article prefixes, then the longest of
         # the 10 suffixes, with the stemmer's minimum-length guards
         return _map1(_arabic_light10_stem)
+    if typ in ("french_stem", "russian_stem", "dutch_stem"):
+        # Legacy per-language stem filters: the reference pre-configures
+        # each as SnowballFilter(French/Russian/Dutch)
+        # (CommonAnalysisModulePlugin.java:522,533,563) — exact aliases
+        # of our snowball ports.
+        from opensearch_spark.analysis import snowball as _sb
+
+        return _stem(
+            {"french_stem": _sb.french_stem,
+             "russian_stem": _sb.russian_stem,
+             "dutch_stem": _sb.dutch_stem}[typ]
+        )
+    if typ == "german_stem":
+        # GermanStemFilter (CommonAnalysisModulePlugin.java:535) — the
+        # Caumanns 1999 algorithm, NOT the snowball german stemmer.
+        return _stem(_caumanns_german_stem)
+    if typ == "brazilian_stem":
+        # BrazilianStemFilter (CommonAnalysisModulePlugin.java:495).
+        # Documented deviation: we serve the snowball Portuguese
+        # stemmer; the reference's BrazilianStemmer is a distinct
+        # RSLP-family ruleset whose full exception tables are not
+        # reproduced here (same precedent as kstem -> porter).
+        from opensearch_spark.analysis import snowball as _sb
+
+        return _stem(_sb.portuguese_stem)
+    if typ == "czech_stem":
+        # CzechStemFilter (CommonAnalysisModulePlugin.java:502) —
+        # Dolamic & Savoy light stemmer.
+        return _stem(_czech_stem)
+    if typ == "serbian_normalization":
+        return _map1(_serbian_normalize)
+    if typ == "sorani_normalization":
+        return _map1(_sorani_normalize)
+    if typ == "hindi_normalization":
+        return _map1(_hindi_normalize)
+    if typ == "bengali_normalization":
+        return _map1(_bengali_normalize)
+    if typ == "indic_normalization":
+        return _map1(_indic_normalize)
+    if typ == "min_hash":
+        # MinHashTokenFilterFactory.java (Lucene MinHashFilter): hash
+        # every token, bucket the hash space into bucket_count buckets,
+        # keep the hash_set_size smallest hashes per (hash, bucket), and
+        # emit them as the document's LSH signature at the end of the
+        # stream; with_rotation fills empty buckets from the next
+        # non-empty one.  Deviations (documented): tokens are emitted as
+        # hex strings "b<bucket>_h<hash>" rather than Lucene's raw
+        # 128-bit bytes, and the hash is Python's sha1-derived 64-bit
+        # value per hash function rather than murmur3-128 — the LSH
+        # bucketing semantics (Broder min-wise signatures) are
+        # preserved; exact token bytes are not.
+        import hashlib
+
+        n_hash = int(spec.get("hash_count", 1))
+        n_bucket = int(spec.get("bucket_count", 512))
+        set_size = int(spec.get("hash_set_size", 1))
+        rotate = bool(spec.get("with_rotation", n_bucket > 1))
+        span = (1 << 64) // n_bucket + (1 if (1 << 64) % n_bucket else 0)
+
+        def _minhash(ts: TokenStream) -> TokenStream:
+            toks, _pos = ts
+            if not toks:
+                return [], []
+            # buckets[h][b] = sorted smallest hashes
+            buckets: List[List[List[int]]] = [
+                [[] for _ in range(n_bucket)] for _ in range(n_hash)
+            ]
+            for t in toks:
+                for h in range(n_hash):
+                    d = hashlib.sha1(
+                        (f"{h}:" + t).encode("utf-8")
+                    ).digest()
+                    v = int.from_bytes(d[:8], "big")
+                    cell = buckets[h][min(v // span, n_bucket - 1)]
+                    if len(cell) < set_size:
+                        cell.append(v)
+                        cell.sort()
+                    elif v < cell[-1] and v not in cell:
+                        cell[-1] = v
+                        cell.sort()
+            out_t: List[str] = []
+            for h in range(n_hash):
+                row = buckets[h]
+                for b in range(n_bucket):
+                    cell = row[b]
+                    if not cell and rotate:
+                        # borrow the next non-empty bucket's minimum
+                        for k in range(1, n_bucket):
+                            nxt = row[(b + k) % n_bucket]
+                            if nxt:
+                                cell = [nxt[0]]
+                                break
+                    for v in cell:
+                        out_t.append(f"b{b}_h{h}_{v:016x}")
+            return out_t, list(range(len(out_t)))
+
+        return _minhash
+    if typ == "hyphenation_decompounder":
+        # HyphenationCompoundWordTokenFilterFactory.java: dictionary
+        # subwords aligned to hyphenation points of an offo XML grammar.
+        # Deviation (documented): no hyphenation grammar files exist in
+        # this environment, so every character offset is treated as a
+        # hyphenation point — with a dictionary configured (required
+        # here, as without one the grammar would be the only constraint)
+        # the output equals dictionary_decompounder semantics.
+        if not spec.get("word_list"):
+            raise ValueError(
+                "hyphenation_decompounder requires word_list (no "
+                "hyphenation grammar files available in this build)"
+            )
+        return make_token_filter(
+            {**spec, "type": "dictionary_decompounder"}, ctx
+        )
+    if typ == "delimited_term_freq":
+        # DelimitedTermFrequencyTokenFilterFactory.java: "token|3" sets
+        # the term-frequency attribute to 3.  Our postings derive tf by
+        # counting stream occurrences, so the analog repeats the token
+        # tf times at ONE position — identical tf statistics; phrase
+        # positions unaffected (documented analog).
+        delim = str(spec.get("delimiter", "|"))
+
+        def _delim_tf(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                tf = 1
+                if delim in t:
+                    body, _, freq = t.rpartition(delim)
+                    if freq.isdigit():
+                        t, tf = body, int(freq)
+                out_t.extend([t] * tf)
+                out_p.extend([p] * tf)
+            return out_t, out_p
+
+        return _delim_tf
     if typ in ("delimited_payload", "delimited_payload_filter"):
         # DelimitedPayloadTokenFilterFactory.java.  Our postings carry
         # no payload attribute, so the token part is kept and the

@@ -521,3 +521,112 @@ def test_language_normalizers_and_arabic_stem():
     # of a 3-char word survives, suffixes leave >= 2 chars
     assert s((["والكتاب", "المكتبة", "كتابها", "وله"],
               [0, 1, 2, 3]))[0] == ["كتاب", "مكتب", "كتاب", "ول"]
+
+
+def test_legacy_stem_aliases_and_german_czech_stems():
+    from opensearch_spark.analysis import snowball as sb
+    from opensearch_spark.analysis.chain import make_token_filter as mtf
+
+    # french/russian/dutch_stem are exact snowball aliases
+    fr = mtf("french_stem")
+    assert fr((["continuation"], [0]))[0] == [sb.french_stem("continuation")]
+    ru = mtf("russian_stem")
+    assert ru((["книгами"], [0]))[0] == [sb.russian_stem("книгами")]
+    nl = mtf("dutch_stem")
+    assert nl((["lichamelijk"], [0]))[0] == [sb.dutch_stem("lichamelijk")]
+    # brazilian_stem serves snowball portuguese (documented deviation)
+    br = mtf("brazilian_stem")
+    assert br((["meninas"], [0]))[0] == [sb.portuguese_stem("meninas")]
+    # german_stem = Caumanns, NOT snowball: declension classes collapse
+    de = mtf("german_stem")
+    toks = ["tisch", "tische", "tischen", "haus", "hauses",
+            "häuser", "häusern", "abschluß"]
+    assert de((toks, list(range(len(toks)))))[0] == [
+        "tisch", "tisch", "tisch", "hau", "hau", "hau", "hau", "abschluss"
+    ]
+    # czech_stem: masculine/feminine case classes collapse; fleeting-e
+    cz = mtf("czech_stem")
+    toks = ["pánové", "páni", "pánů", "žena", "ženou", "matek", "matka"]
+    assert cz((toks, list(range(len(toks)))))[0] == [
+        "pán", "pán", "pán", "žn", "žn", "matk", "matk"
+    ]
+    # stemmers honor keyword_marker protection via the chain ctx
+    ctx = {"protected": {"tische"}}
+    de_kw = mtf("german_stem", ctx)
+    assert de_kw((["tische"], [0]))[0] == ["tische"]
+
+
+def test_remaining_normalizers():
+    from opensearch_spark.analysis.chain import make_token_filter as mtf
+
+    sr = mtf("serbian_normalization")
+    assert sr((["љубав", "џак", "ђак", "čaša", "šišmiš"],
+               [0, 1, 2, 3, 4]))[0] == [
+        "ljubav", "dzak", "djak", "casa", "sismis"
+    ]
+    ckb = mtf("sorani_normalization")
+    # kaf->keheh, yeh->farsi yeh, final heh->ae, initial reh->rreh
+    assert ckb((["رووداوي", "ماله"], [0, 1]))[0] == ["ڕووداوی", "مالە"]
+    hi = mtf("hindi_normalization")
+    # nukta folds, long vowels/matras shorten
+    assert hi((["ज़िन्दगी", "ऊँचाई"], [0, 1]))[0] == ["जिन्दगि", "उंचाइ"]
+    bn = mtf("bengali_normalization")
+    assert bn((["ড়"], [0]))[0] == ["ড"]
+    ind = mtf("indic_normalization")
+    # decomposed ka+nukta composes to the canonical precomposed form
+    assert ind((["क़"], [0]))[0] == ["क़"]
+
+
+def test_delimited_term_freq_and_min_hash():
+    from opensearch_spark.analysis.chain import make_token_filter as mtf
+
+    dtf = mtf("delimited_term_freq")
+    assert dtf((["foo|3", "bar", "baz|x"], [0, 1, 2])) == (
+        ["foo", "foo", "foo", "bar", "baz|x"], [0, 0, 0, 1, 2]
+    )
+    dtf2 = mtf({"type": "delimited_term_freq", "delimiter": "/"})
+    assert dtf2((["a/2"], [0]))[0] == ["a", "a"]
+    mh = mtf({"type": "min_hash", "bucket_count": 8, "hash_count": 2})
+    sig1 = mh((["the", "quick", "brown", "fox"], [0, 1, 2, 3]))
+    sig2 = mh((["the", "quick", "brown", "fox"], [0, 1, 2, 3]))
+    assert sig1 == sig2  # deterministic
+    assert len(sig1[0]) == 16  # with_rotation fills all 8x2 slots
+    # near-identical streams share most signature tokens
+    a = set(mh((["w%d" % i for i in range(40)], list(range(40))))[0])
+    b = set(mh((["w%d" % i for i in range(39)] + ["zzz"],
+                list(range(40))))[0])
+    assert len(a & b) >= 12
+    assert mh(([], [])) == ([], [])
+
+
+def test_hyphenation_decompounder():
+    import pytest
+
+    from opensearch_spark.analysis.chain import make_token_filter as mtf
+
+    hy = mtf({"type": "hyphenation_decompounder",
+              "word_list": ["donau", "schiff"], "min_subword_size": 4})
+    assert hy((["donauschiff"], [0]))[0] == ["donauschiff", "donau", "schiff"]
+    with pytest.raises(ValueError):
+        mtf({"type": "hyphenation_decompounder"})
+
+
+def test_remaining_tokenizers():
+    from opensearch_spark.analysis.chain import make_tokenizer as mtok
+
+    sp = mtok({"type": "simple_pattern", "pattern": "[0-9]{3}"})
+    assert sp("fd-786-335-514-x")[0] == ["786", "335", "514"]
+    sps = mtok({"type": "simple_pattern_split", "pattern": "_"})
+    assert sps("an_underscored_phrase")[0] == ["an", "underscored", "phrase"]
+    u = mtok({"type": "uax_url_email"})
+    assert u("mail john.smith@example.com or https://ex.com/a?b=1 or www.foo.org")[0] == [
+        "mail", "john.smith@example.com", "or", "https://ex.com/a?b=1",
+        "or", "www.foo.org"
+    ]
+    c = mtok({"type": "classic"})
+    assert c("I.B.M. bought O'Neil's 2.4GHz wi-fi at AT&T for $2,000 on example.com")[0] == [
+        "I.B.M", "bought", "O'Neil's", "2.4GHz", "wi", "fi", "at",
+        "AT&T", "for", "2,000", "on", "example.com"
+    ]
+    th = mtok({"type": "thai"})
+    assert th("การที่ได้ mixed ข้อความ")[0] == ["การที่ได้", "mixed", "ข้อความ"]
