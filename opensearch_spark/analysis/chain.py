@@ -117,6 +117,27 @@ With those, every token filter registered in
 CommonAnalysisModulePlugin.java ships an implementation; the
 environment-bound ones carry documented deviations instead of gaps.
 
+analysis-icu plugin analogs (stdlib ``unicodedata``; no ICU data files):
+
+- ``icu_normalizer``  char filter + token filter, name=nfc/nfkc/nfkc_cf
+  (IcuNormalizer(CharFilter|TokenFilter)Factory.java; nfc/nfkc exact,
+  nfkc_cf = NFKC + default casefold)
+- ``icu_folding``     utr30 analog: NFKD -> strip marks -> casefold ->
+  NFKC (+ non-decomposable table); unicodeSetFilter bracket-list subset
+- ``icu_transform``   structural steps only (case, normalization forms,
+  nonspacing-mark removal); script transliteration raises (no ICU data)
+- ``icu_tokenizer``   UAX#29 = our standard tokenizer (no Thai/Khmer/Lao
+  dictionary segmentation — documented)
+- ``icu_collation``   primary/secondary-strength fold as sort key
+  (documented analog of ICUCollationKeyFilter binary keys)
+- ``icu_analyzer``    named analyzer wired per IcuAnalyzerProvider.java
+
+kuromoji (Japanese) and nori (Korean) remain out of scope: their
+morphological dictionaries (MeCab/IPADIC, mecab-ko-dic) are data files
+this environment does not ship, and a dictionary-less reimplementation
+would be fake parity.  The standard tokenizer's per-codepoint CJK
+handling keeps those scripts searchable via unigrams/cjk_bigram.
+
 Named analyzers (AnalysisRegistry defaults + analysis-common providers):
 ``standard``, ``simple``, ``whitespace``, ``keyword``, ``stop``.
 Everything else is assembled via ``{"tokenizer": ..., "char_filter": [...],
@@ -317,7 +338,28 @@ def make_char_filter(spec) -> Callable[[str], str]:
         pat = re.compile(spec["pattern"])
         rep = spec.get("replacement", "")
         return lambda s: pat.sub(rep, s)
+    if typ == "icu_normalizer":
+        # analysis-icu IcuNormalizerCharFilterFactory.java — same
+        # normalization forms as the token-filter variant (below).
+        return _icu_normalizer_fn(spec.get("name", "nfkc_cf"))
     raise ValueError(f"unknown char_filter: {typ}")
+
+
+def _icu_normalizer_fn(method: str) -> Callable[[str], str]:
+    """ICU Normalizer2 analog via stdlib unicodedata: ``nfc``/``nfkc``
+    are exact (same Unicode algorithm); ``nfkc_cf`` is NFKC + the
+    Unicode default case fold (str.casefold), which is ICU's
+    definition of the composed case-fold form."""
+    method = str(method).lower()
+    if method == "nfc":
+        return lambda s: unicodedata.normalize("NFC", s or "")
+    if method == "nfkc":
+        return lambda s: unicodedata.normalize("NFKC", s or "")
+    if method == "nfkc_cf":
+        return lambda s: unicodedata.normalize(
+            "NFKC", unicodedata.normalize("NFKC", s or "").casefold()
+        )
+    raise ValueError(f"icu_normalizer name not supported: {method}")
 
 
 # --------------------------------------------------------------------------
@@ -558,6 +600,13 @@ def make_tokenizer(spec) -> Callable[[str], TokenStream]:
             return _seq_positions(toks)
 
         return _thai
+    if typ == "icu_tokenizer":
+        # analysis-icu IcuTokenizerFactory.java: UAX#29 word-break with
+        # per-script dictionary segmentation.  Our standard tokenizer IS
+        # UAX#29 (with per-char Han splits); dictionary segmentation for
+        # Thai/Khmer/Lao is unavailable without ICU data (documented
+        # deviation — those runs fall out of the word-character classes).
+        return make_tokenizer({**spec, "type": "standard"})
     if typ == "path_hierarchy":
         delim = spec.get("delimiter", "/")
 
@@ -1785,6 +1834,97 @@ def make_token_filter(spec, ctx: Optional[dict] = None) -> Callable[[TokenStream
         # CzechStemFilter (CommonAnalysisModulePlugin.java:502) —
         # Dolamic & Savoy light stemmer.
         return _stem(_czech_stem)
+    if typ == "icu_normalizer":
+        # analysis-icu IcuNormalizerTokenFilterFactory.java (default
+        # form nfkc_cf) — stdlib-unicodedata analog, see helper.
+        return _map1(_icu_normalizer_fn(spec.get("name", "nfkc_cf")))
+    if typ == "icu_folding":
+        # IcuFoldingTokenFilterFactory.java: ICU's utr30 foldings =
+        # case fold + accent/compatibility fold across all scripts.
+        # Analog: NFKD -> strip combining marks -> casefold -> NFKC,
+        # with the non-decomposable Latin table applied first
+        # (documented analog; unicodeSetFilter restriction supported).
+        keep = spec.get("unicode_set_filter") or spec.get("unicodeSetFilter")
+        keep_set = None
+        if keep:
+            # only the bracket-list subset "[^åäöÅÄÖ]" / "[abc]"
+            inner = str(keep).strip()
+            neg = inner.startswith("[^")
+            chars = set(inner.lstrip("[^").rstrip("]"))
+            keep_set = (neg, chars)
+
+        def _icu_fold(t: str) -> str:
+            out = []
+            for ch in t:
+                if keep_set is not None:
+                    neg, chars = keep_set
+                    excluded = (ch in chars) if neg else (ch not in chars)
+                    if excluded:
+                        out.append(ch)
+                        continue
+                d = unicodedata.normalize("NFKD", ch.translate(_FOLD_EXTRA))
+                d = "".join(c for c in d if not unicodedata.combining(c))
+                out.append(d.casefold())
+            return unicodedata.normalize("NFKC", "".join(out))
+
+        return _map1(_icu_fold)
+    if typ == "icu_transform":
+        # IcuTransformTokenFilterFactory.java: transliteration by
+        # compound ICU id.  Without ICU data only the structural steps
+        # are servable: case, normalization forms, and
+        # "[:Nonspacing Mark:] Remove"; script transliterations like
+        # Any-Latin raise (honest scope guard).
+        steps = [s.strip() for s in str(spec.get("id", "Null")).split(";") if s.strip()]
+        fns: List[Callable[[str], str]] = []
+        for s in steps:
+            low = s.lower()
+            if low in ("null",):
+                continue
+            elif low in ("any-lower", "lower"):
+                fns.append(str.lower)
+            elif low in ("any-upper", "upper"):
+                fns.append(str.upper)
+            elif low in ("any-nfc", "nfc"):
+                fns.append(lambda t: unicodedata.normalize("NFC", t))
+            elif low in ("any-nfd", "nfd"):
+                fns.append(lambda t: unicodedata.normalize("NFD", t))
+            elif low in ("any-nfkc", "nfkc"):
+                fns.append(lambda t: unicodedata.normalize("NFKC", t))
+            elif low in ("any-nfkd", "nfkd"):
+                fns.append(lambda t: unicodedata.normalize("NFKD", t))
+            elif low == "[:nonspacing mark:] remove":
+                fns.append(
+                    lambda t: "".join(
+                        c for c in t if unicodedata.category(c) != "Mn"
+                    )
+                )
+            else:
+                raise ValueError(
+                    f"icu_transform step not available without ICU data: {s}"
+                )
+
+        def _transform(t: str) -> str:
+            for fn in fns:
+                t = fn(t)
+            return t
+
+        return _map1(_transform)
+    if typ == "icu_collation":
+        # ICUCollationKeyFilter analog: a deterministic
+        # accent-and-case-insensitive sort key (primary strength) —
+        # NFKD, marks stripped, casefold.  Deviation (documented): not
+        # ICU binary collation keys; locale tailorings beyond primary
+        # strength are not modeled.
+        strength = str(spec.get("strength", "tertiary")).lower()
+        if strength in ("primary", "secondary"):
+            def _key(t: str) -> str:
+                d = unicodedata.normalize("NFKD", t)
+                if strength == "primary":
+                    d = "".join(c for c in d if not unicodedata.combining(c))
+                return d.casefold()
+
+            return _map1(_key)
+        return _map1(lambda t: t)
     if typ == "serbian_normalization":
         return _map1(_serbian_normalize)
     if typ == "sorani_normalization":
@@ -2072,6 +2212,13 @@ NAMED_ANALYZERS: Dict[str, dict] = {
             {"type": "stop", "stopwords": "_portuguese_"},
             {"type": "stemmer", "language": "portuguese"},
         ],
+    },
+    # analysis-icu IcuAnalyzerProvider.java:74-80: ICUNormalizer2
+    # char filter (nfkc_cf) -> ICUTokenizer -> ICUFoldingFilter.
+    "icu_analyzer": {
+        "char_filter": [{"type": "icu_normalizer"}],
+        "tokenizer": "icu_tokenizer",
+        "filter": [{"type": "icu_folding"}],
     },
 }
 

@@ -630,3 +630,40 @@ def test_remaining_tokenizers():
     ]
     th = mtok({"type": "thai"})
     assert th("การที่ได้ mixed ข้อความ")[0] == ["การที่ได้", "mixed", "ข้อความ"]
+
+
+def test_icu_plugin_analogs():
+    from opensearch_spark.analysis.chain import (
+        Analyzer,
+        make_char_filter,
+        make_token_filter as mtf,
+        make_tokenizer as mtok,
+    )
+
+    n = mtf("icu_normalizer")  # default nfkc_cf
+    assert n((["Ｆｕｌｌ", "ﬁnally", "Straße", "Ⅸ"], [0, 1, 2, 3]))[0] == [
+        "full", "finally", "strasse", "ix"
+    ]
+    nfc = mtf({"type": "icu_normalizer", "name": "nfc"})
+    assert nfc((["Café"], [0]))[0] == ["Café"]
+    f = mtf("icu_folding")
+    assert f((["Ångström", "Μάθημα", "أَحْمَد"], [0, 1, 2]))[0] == [
+        "angstrom", "μαθημα", "احمد"
+    ]
+    # unicodeSetFilter keeps the Swedish letters unfolded
+    fs = mtf({"type": "icu_folding", "unicode_set_filter": "[^åäöÅÄÖ]"})
+    assert fs((["Rådgivaren"], [0]))[0] == ["rådgivaren"]
+    tr = mtf({"type": "icu_transform",
+              "id": "NFD; [:Nonspacing Mark:] Remove; NFC; Any-Lower"})
+    assert tr((["Café"], [0]))[0] == ["cafe"]
+    import pytest
+    with pytest.raises(ValueError):
+        mtf({"type": "icu_transform", "id": "Any-Latin"})
+    cf = make_char_filter({"type": "icu_normalizer", "name": "nfkc"})
+    assert cf("ﬁｌｅ") == "file"
+    coll = mtf({"type": "icu_collation", "strength": "primary"})
+    assert coll((["Café", "cafe"], [0, 1]))[0] == ["cafe", "cafe"]
+    assert mtok("icu_tokenizer")("Hello 世界")[0] == ["Hello", "世", "界"]
+    # the named analyzer wires char_filter -> tokenizer -> folding
+    an = Analyzer.from_spec("icu_analyzer")
+    assert an("Ｗｉ-Ｆｉ Ångström")[0] == ["wi", "fi", "angstrom"]
