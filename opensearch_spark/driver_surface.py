@@ -1555,6 +1555,17 @@ SELECT 'ws' AS op, doc_id, pos, token FROM __wsrows
 UNION ALL
 SELECT 'fold', doc_id, pos, token FROM __wsrows
 UNION ALL
+SELECT 'icu_fold', doc_id, pos, token FROM __wsrows
+UNION ALL
+SELECT 'icu_norm', doc_id, pos, token FROM __wsrows
+UNION ALL
+SELECT 'dtf', doc_id, pos, token FROM (
+  SELECT doc_id, CAST(0 AS INT) AS pos, source AS token FROM __b
+  UNION ALL SELECT doc_id, CAST(0 AS INT), source FROM __b
+  UNION ALL SELECT doc_id, CAST(0 AS INT), source FROM __b
+  UNION ALL SELECT doc_id, CAST(1 AS INT), lang FROM __b
+)
+UNION ALL
 SELECT 'stop', doc_id, pos, token FROM __wsrows
 WHERE token NOT IN (__STOPLIST__)
 UNION ALL
@@ -1818,6 +1829,31 @@ def analysis_suite(spark, sf_dir):
              "filter": [{"type": "common_grams",
                          "common_words": ["the", "of", "a"]}]},
             "cgrams",
+        ),
+        # r4 late: analysis-icu analogs — icu_folding strips the
+        # accent-translated vowels back to ASCII (strip+casefold path
+        # over real data), icu_normalizer nfkc_cf casefolds the
+        # original-case slice; both oracle to the plain lowercase rows
+        rows(
+            base.withColumn("acc", F.translate("ls", "aeiou", "àéîöü")),
+            "acc",
+            {"tokenizer": "whitespace", "filter": [{"type": "icu_folding"}]},
+            "icu_fold",
+        ),
+        rows(
+            base, "s",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "icu_normalizer"}]},
+            "icu_norm",
+        ),
+        # r4 late: delimited_term_freq — "src3|3 en" emits the source
+        # token tf=3 times at position 0 and lang untouched at 1
+        rows(
+            base.withColumn("dt", F.concat("source", F.lit("|3 "), "lang")),
+            "dt",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "delimited_term_freq"}]},
+            "dtf",
         ),
     ]
     return _union(*parts).orderBy("op", "doc_id", "pos", "token")
