@@ -102,7 +102,7 @@ SURFACE_COMPOSITION = {
     "agg_terms": "r4 repack: 2 ops (terms + tree, former standalone agg_terms_tree folded in to keep the registry at 50) — one extra events groupBy vs r3's 1-op entry",
     "_r4_phrase_scorer": "ft_match_phrase slop-0 and q10_phrase now run the JVM higher-order-function scorer (no pandas UDF); sloppy slop=2 unchanged",
     "ft_highlight": "r4: 4 ops (whole + fragment windows + score-ordered frags + no_match_size fallback); earlier had 1",
-    "suggest_suite": "r4: 7 ops (+comp_field prefix/fuzzy/ctx/regex over a per-doc completion table built on the fly); earlier had 3",
+    "suggest_suite": "r4: 10 ops (+comp_field prefix/fuzzy/ctx/regex; late r4 +noisy-channel phrase suggester: stupid_backoff, laplace+highlight, collate); earlier had 3",
     "_r4_lifecycle_suite": "r4: +upd_doc_match phase (one extra throwaway build + 2 single-doc updates); r3 late had 8 phases",
     "sort_suite": "r4 repack: +engine_after op (former standalone sort_search_after_engine; 2 extra engine searches)",
 }

@@ -4043,6 +4043,82 @@ __comp AS (
          CAST(n_chars AS BIGINT) AS w, lang, source
   FROM __docs
   WHERE lower(trim(array_to_string(list_slice(toks, 1, 2), ' '))) <> ''
+),
+__vt AS (SELECT (SELECT sum(ttf) FROM __ctf) AS v,
+                (SELECT CAST(count(*) AS DOUBLE) FROM __df) AS t),
+__bg AS (
+  SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS DOUBLE) AS c
+  FROM __pos a JOIN __pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+__cstor AS (
+  SELECT d.term, d.df, c.ttf,
+         1.0 - levenshtein(d.term, 'stor') / CAST(least(length(d.term), 4) AS DOUBLE) AS dist,
+         FALSE AS orig
+  FROM __df d JOIN __ctf c USING (term)
+  WHERE substr(d.term, 1, 1) = 's' AND d.term <> 'stor'
+    AND levenshtein(d.term, 'stor') <= 2
+    AND 1.0 - levenshtein(d.term, 'stor') / CAST(least(length(d.term), 4) AS DOUBLE) >= 0.5
+  ORDER BY dist DESC, d.df DESC, d.term ASC LIMIT 5
+),
+__s1 AS (SELECT term, ttf, dist, orig FROM __cstor
+         UNION ALL SELECT 'stor', 0.0, 1.0, TRUE),
+__cjion AS (
+  SELECT d.term, c.ttf,
+         1.0 - levenshtein(d.term, 'jion') / CAST(least(length(d.term), 4) AS DOUBLE) AS dist,
+         FALSE AS orig
+  FROM __df d JOIN __ctf c USING (term)
+  WHERE substr(d.term, 1, 1) = 'j' AND d.term <> 'jion'
+    AND levenshtein(d.term, 'jion') <= 2
+    AND 1.0 - levenshtein(d.term, 'jion') / CAST(least(length(d.term), 4) AS DOUBLE) >= 0.5
+  ORDER BY dist DESC, d.df DESC, d.term ASC LIMIT 5
+),
+__s2 AS (SELECT term, ttf, dist, orig FROM __cjion
+         UNION ALL SELECT 'jion', 0.0, 1.0, TRUE),
+__sb_paths AS (
+  SELECT s.term AS w1, s.orig,
+         CASE WHEN s.orig THEN 0 ELSE 1 END AS n_subs,
+         exp(  log10(0.95 * (1.0 + (SELECT ttf FROM __ctf WHERE term = 'spark')) / (vt.v + vt.t))
+             + log10((CASE WHEN s.orig THEN 0.95 ELSE s.dist END)
+                     * (CASE WHEN COALESCE(b1.c, 0) >= 1
+                             THEN b1.c / ((SELECT ttf FROM __ctf WHERE term = 'spark') + 0.00000000001)
+                             ELSE 0.4 * (1.0 + s.ttf) / (vt.v + vt.t) END))
+             + log10(0.95 * (CASE WHEN COALESCE(b2.c, 0) >= 1
+                                  THEN b2.c / (s.ttf + 0.00000000001)
+                                  ELSE 0.4 * (1.0 + (SELECT ttf FROM __ctf WHERE term = 'merge')) / (vt.v + vt.t) END))
+         ) AS score
+  FROM __s1 s CROSS JOIN __vt vt
+  LEFT JOIN __bg b1 ON b1.t1 = 'spark' AND b1.t2 = s.term
+  LEFT JOIN __bg b2 ON b2.t1 = s.term AND b2.t2 = 'merge'
+),
+__lap_paths AS (
+  SELECT a.term AS w1, a.orig AS o1, b.term AS w2, b.orig AS o2,
+         (CASE WHEN a.orig THEN 0 ELSE 1 END + CASE WHEN b.orig THEN 0 ELSE 1 END) AS n_subs,
+         exp(  log10((CASE WHEN a.orig THEN 0.95 ELSE a.dist END)
+                     * (0.5 + a.ttf) / (vt.v + 0.5 * vt.t))
+             + log10((CASE WHEN b.orig THEN 0.95 ELSE b.dist END)
+                     * (0.5 + COALESCE(bg.c, 0)) / (a.ttf + 0.5 * vt.t))
+         ) AS score
+  FROM __s1 a CROSS JOIN __s2 b CROSS JOIN __vt vt
+  LEFT JOIN __bg bg ON bg.t1 = a.term AND bg.t2 = b.term
+  WHERE (CASE WHEN a.orig THEN 0 ELSE 1 END + CASE WHEN b.orig THEN 0 ELSE 1 END) <= 1
+),
+__col_paths AS (
+  SELECT s.term AS w1, s.orig,
+         exp(  log10((CASE WHEN s.orig THEN 0.95 ELSE s.dist END)
+                     * (1.0 + s.ttf) / (vt.v + vt.t))
+             + log10(0.95 * (CASE WHEN COALESCE(b2.c, 0) >= 1
+                                  THEN b2.c / (s.ttf + 0.00000000001)
+                                  ELSE 0.4 * (1.0 + (SELECT ttf FROM __ctf WHERE term = 'merge')) / (vt.v + vt.t) END))
+         ) AS score
+  FROM __s1 s CROSS JOIN __vt vt
+  LEFT JOIN __bg b2 ON b2.t1 = s.term AND b2.t2 = 'merge'
+),
+__tg AS (
+  SELECT a.term AS t1 FROM __pos a
+  JOIN __pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.term = 'merge'
+  JOIN __pos c ON b.doc_id = c.doc_id AND c.pos = b.pos + 1 AND c.term = 'scan'
+  GROUP BY 1
 )
 SELECT 'term' AS op, term AS suggestion, CAST(df AS BIGINT) AS freq,
        CAST(levenshtein(term, 'spak') AS DOUBLE) AS metric
@@ -4105,6 +4181,34 @@ FROM (
   WHERE regexp_matches(s, '^(sp[ae]rk)')
   GROUP BY s ORDER BY mw DESC, s ASC LIMIT 5
 )
+UNION ALL
+SELECT 'phrase_sb' AS op, 'spark ' || w1 || ' merge' AS suggestion,
+       CAST(n_subs AS BIGINT) AS freq,
+       CAST(CAST(score AS REAL) AS DOUBLE) AS metric
+FROM (
+  SELECT w1, n_subs, score FROM __sb_paths
+  WHERE score > (SELECT score FROM __sb_paths WHERE orig)
+  ORDER BY score DESC, w1 ASC LIMIT 5
+)
+UNION ALL
+SELECT 'phrase_hl' AS op,
+       (CASE WHEN o1 THEN w1 ELSE '<em>' || w1 || '</em>' END) || ' ' ||
+       (CASE WHEN o2 THEN w2 ELSE '<em>' || w2 || '</em>' END) AS suggestion,
+       CAST(n_subs AS BIGINT) AS freq,
+       CAST(CAST(score AS REAL) AS DOUBLE) AS metric
+FROM (
+  SELECT w1, o1, w2, o2, n_subs, score FROM __lap_paths
+  ORDER BY score DESC, (w1 || ' ' || w2) ASC LIMIT 6
+)
+UNION ALL
+SELECT 'phrase_collate' AS op, w1 || ' merge' AS suggestion,
+       CAST((EXISTS (SELECT 1 FROM __tg WHERE t1 = p.w1)) AS BIGINT) AS freq,
+       CAST(CAST(score AS REAL) AS DOUBLE) AS metric
+FROM (
+  SELECT w1, score FROM __col_paths
+  WHERE score > (SELECT score FROM __col_paths WHERE orig)
+  ORDER BY score DESC, w1 ASC LIMIT 5
+) p
 ORDER BY op, suggestion""",
 )
 def suggest_suite(spark, sf_dir):
@@ -4188,6 +4292,49 @@ def suggest_suite(spark, sf_dir):
         [(s, None, float(i + 1)) for i, s in enumerate(phrases)],
         "suggestion string, freq long, metric double",
     )
+
+    # Noisy-channel phrase suggester (PhraseSuggester.java;
+    # NoisyChannelSpellChecker; CandidateScorer; WordScorer family).
+    # phrase_sb: stupid_backoff bigram LM, default confidence 1.0 —
+    # the cutoff excludes the input phrase itself.  phrase_hl: laplace
+    # alpha 0.5 over TWO candidate sets with the default max_errors
+    # 0.5 budget (round(0.5*2)=1 substitution), confidence 0 keeps the
+    # input path, <em> highlight on substituted tokens.
+    # phrase_collate: collate query = match_phrase("<suggestion> scan")
+    # with collate_prune=True, so non-matching options are KEPT and
+    # tagged collate_match=false (the reference's prune contract).
+    def _ph(df, sug_col="suggestion", freq_col="n_subs"):
+        return df.select(
+            F.col(sug_col).alias("suggestion"),
+            F.col(freq_col).cast("long").alias("freq"),
+            F.col("score").cast("float").cast("double").alias("metric"),
+        )
+
+    psb = _ph(suggest.phrase_suggest_noisy(eng.index, "spark stor merge", size=5))
+    phl = _ph(
+        suggest.phrase_suggest_noisy(
+            eng.index,
+            "stor jion",
+            size=6,
+            confidence=0.0,
+            smoothing={"model": "laplace", "alpha": 0.5},
+            pre_tag="<em>",
+            post_tag="</em>",
+        ),
+        sug_col="highlighted",
+    )
+    pco = _ph(
+        suggest.phrase_suggest_noisy(
+            eng.index,
+            "stor merge",
+            size=5,
+            collate=lambda ph: docset(
+                eng, {"match_phrase": {"text": ph + " scan"}}
+            ).limit(1).count() > 0,
+            collate_prune=True,
+        ),
+        freq_col="collate_match",
+    )
     return _union(
         _tag(t, "term", "suggestion", "freq", "metric"),
         _tag(c, "completion", "suggestion", "freq", "metric"),
@@ -4196,6 +4343,9 @@ def suggest_suite(spark, sf_dir):
         _tag(cf, "comp_field_fuzzy", "suggestion", "freq", "metric"),
         _tag(cc, "comp_field_ctx", "suggestion", "freq", "metric"),
         _tag(cr, "comp_field_regex", "suggestion", "freq", "metric"),
+        _tag(psb, "phrase_sb", "suggestion", "freq", "metric"),
+        _tag(phl, "phrase_hl", "suggestion", "freq", "metric"),
+        _tag(pco, "phrase_collate", "suggestion", "freq", "metric"),
     ).orderBy("op", "suggestion")
 
 
