@@ -76,19 +76,44 @@ def terms_tree(
     field: str,
     metrics: Dict[str, Column],
     size: int = 10,
+    order: Optional[Sequence[Tuple[str, bool]]] = None,
 ) -> DataFrame:
     """Aggregation TREE: a ``terms`` bucket agg with nested metric
     sub-aggregations computed in the same grouped pass (the reference's
     agg-tree = sub-aggs collected per bucket, SURVEY.md §2.4; Spark's
     one groupBy with many aggregate expressions is the partial+final
-    reduce of the whole tree at once)."""
+    reduce of the whole tree at once).
+
+    ``order`` is the reference's ``BucketOrder`` (TermsAggregationBuilder
+    ``order`` param / BucketOrder.java:63-116): a compound list of
+    ``(path, asc)`` where path is ``"_count"``, ``"_key"`` or a
+    sub-aggregation name from ``metrics`` (dotted ``agg.metric`` paths
+    arrive here already flattened to the output alias).  A ``key asc``
+    tie-breaker is appended automatically, exactly as
+    TermsAggregationBuilder.java:138 does.  Default: count desc.
+
+    Scale note: ordering by a sub-aggregation forces the full bucket
+    set to be aggregated before top-``size`` selection — the same
+    cost the reference pays (order-by-agg disables its shard_size
+    short-circuit and makes doc_count_error unbounded); Spark compiles
+    the orderBy+limit into TakeOrderedAndProject after the hash
+    aggregate, so no global sort materializes."""
     aggs_ = [F.count(F.lit(1)).alias("doc_count")] + [
         expr.alias(name) for name, expr in metrics.items()
     ]
+    if order is None:
+        order = [("_count", False)]
+    sort_cols = []
+    for path, asc in order:
+        name = {"_count": "doc_count", "_key": "key"}.get(path, path)
+        if name != "key" and name != "doc_count" and name not in metrics:
+            raise ValueError(f"order path {path!r} is not a sub-aggregation")
+        sort_cols.append(F.asc(name) if asc else F.desc(name))
+    sort_cols.append(F.asc("key"))
     return (
         df.groupBy(F.col(field).alias("key"))
         .agg(*aggs_)
-        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .orderBy(*sort_cols)
         .limit(size)
     )
 

@@ -2622,6 +2622,15 @@ SELECT 'tree' AS op, key, doc_count, avg_value, max_value, users FROM (
   FROM events GROUP BY 1
   ORDER BY doc_count DESC, key ASC LIMIT 10
 )
+UNION ALL
+SELECT 'tree_order' AS op, key, doc_count, avg_value, max_value, users FROM (
+  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count,
+         ROUND(avg(value), 6) AS avg_value,
+         ROUND(CAST(max(value) AS DOUBLE), 6) AS max_value,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS users
+  FROM events GROUP BY 1
+  ORDER BY avg_value ASC, key ASC LIMIT 5
+)
 ORDER BY op, doc_count DESC, key ASC""",
 )
 def agg_terms(spark, sf_dir):
@@ -2639,18 +2648,22 @@ def agg_terms(spark, sf_dir):
         F.lit(None).cast("double").alias("max_value"),
         F.lit(None).cast("long").alias("users"),
     )
-    tree = aggs.terms_tree(
-        ev,
-        "event_type",
-        {
-            "avg_value": F.round(F.avg("value"), 6),
-            "max_value": F.round(F.max("value").cast("double"), 6),
-            "users": F.count_distinct(F.col("user_id")),
-        },
+    metrics = {
+        "avg_value": F.round(F.avg("value"), 6),
+        "max_value": F.round(F.max("value").cast("double"), 6),
+        "users": F.count_distinct(F.col("user_id")),
+    }
+    tree = aggs.terms_tree(ev, "event_type", metrics)
+    # BucketOrder.aggregation("avg_value", asc) — order buckets by a
+    # sub-aggregation metric (TermsAggregationBuilder order param)
+    tree_o = aggs.terms_tree(
+        ev, "event_type", metrics, size=5, order=[("avg_value", True)]
     )
     cols = ("key", "doc_count", "avg_value", "max_value", "users")
     return _union(
-        _tag(t, "terms", *cols), _tag(tree, "tree", *cols)
+        _tag(t, "terms", *cols),
+        _tag(tree, "tree", *cols),
+        _tag(tree_o, "tree_order", *cols),
     ).orderBy("op", F.desc("doc_count"), F.asc("key"))
 
 
@@ -3962,6 +3975,17 @@ SELECT 'reverse_nested' AS op, CAST(user_id % 5 AS VARCHAR) AS k,
        CAST(NULL AS DOUBLE) AS v1, CAST(count(DISTINCT user_id) AS BIGINT) AS v2
 FROM events WHERE event_type = 'error'
 GROUP BY user_id % 5
+UNION ALL
+SELECT 'nested_sort' AS op, CAST(user_id AS VARCHAR) AS k,
+       ROUND(med, 4) AS v1, CAST(rn AS BIGINT) AS v2
+FROM (
+  SELECT user_id, med,
+         row_number() OVER (ORDER BY med ASC, user_id ASC) AS rn
+  FROM (
+    SELECT user_id, median(value) AS med
+    FROM events WHERE event_type = 'error' GROUP BY user_id
+  )
+) WHERE rn <= 10
 ORDER BY op, k""",
 )
 def nested_suite(spark, sf_dir):
@@ -4024,11 +4048,39 @@ def nested_suite(spark, sf_dir):
         F.lit(None).cast("double").alias("v1"),
         F.col("doc_count").alias("v2"),
     )
+    # nested SORT (FieldSortBuilder nested context, sort_mode=median):
+    # parents ordered by the median of their filtered children's
+    # values — pure higher-order functions, no explode/shuffle
+    sk = nested.nested_sort_key(
+        "children",
+        lambda c: c["value"],
+        child_filter=lambda c: c["event_type"] == "error",
+        mode="median",
+    )
+    from pyspark.sql import Window as _W
+
+    ns = (
+        nd.withColumn("sk", sk)
+        .filter(F.col("sk").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.orderBy(F.asc("sk"), F.asc("user_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("user_id").cast("string").alias("k"),
+            F.round(F.col("sk"), 4).alias("v1"),
+            F.col("rn").cast("long").alias("v2"),
+        )
+    )
     return _union(
         _tag(nq, "nested_query", "k", "v1", "v2"),
         _tag(hc, "has_child", "k", "v1", "v2"),
         _tag(hp, "has_parent", "k", "v1", "v2"),
         _tag(rn, "reverse_nested", "k", "v1", "v2"),
+        _tag(ns, "nested_sort", "k", "v1", "v2"),
     ).orderBy("op", "k")
 
 

@@ -128,3 +128,49 @@ def reverse_nested_agg(
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .orderBy(F.desc("doc_count"), F.asc("key"))
     )
+
+
+def nested_sort_key(
+    nested_col,
+    value,
+    child_filter=None,
+    mode: str = "min",
+) -> Column:
+    """Sort key for a nested-field sort (FieldSortBuilder.java ``nested``
+    context + ``sort_mode``; value selection semantics are
+    MultiValueMode.java MIN/MAX/SUM/AVG/MEDIAN:236-261 — MEDIAN over
+    the SORTED child values, averaging the two middles on even counts).
+
+    ``nested_col`` is the ``array<struct>`` column (or name);
+    ``child_filter`` is the optional nested filter as a lambda
+    ``struct -> Column``; ``value`` is a lambda ``struct -> Column``
+    extracting the sort value.  Parents with no matching children get
+    NULL — compose with ``F.asc_nulls_last`` / ``F.desc_nulls_first``
+    etc. to express the reference's ``missing: _last/_first`` policy
+    (its defaults: _last for asc, _first effectively for desc).
+
+    Scale: pure per-row JVM higher-order functions (filter/transform/
+    array_min/aggregate) — no explode, no shuffle, stays inside
+    whole-stage codegen; the block-join the reference performs is a
+    per-document lambda here."""
+    arr = F.col(nested_col) if isinstance(nested_col, str) else nested_col
+    if child_filter is not None:
+        arr = F.filter(arr, child_filter)
+    vals = F.transform(arr, lambda x: value(x).cast("double"))
+    n = F.size(vals)
+    if mode == "min":
+        key = F.array_min(vals)
+    elif mode == "max":
+        key = F.array_max(vals)
+    elif mode == "sum":
+        key = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    elif mode == "avg":
+        key = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / n
+    elif mode == "median":
+        s = F.array_sort(vals)
+        mid_hi = F.element_at(s, (n / 2 + 1).cast("int"))
+        mid_lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+        key = (mid_lo + mid_hi) / F.lit(2.0)
+    else:
+        raise ValueError(f"unsupported sort_mode {mode!r}")
+    return F.when(n > 0, key)

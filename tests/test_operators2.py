@@ -925,3 +925,37 @@ def test_decontaminate_planted(spark):
         ).collect()
     }
     assert out2[1000] is True
+
+
+def test_nested_sort_key_modes(spark):
+    from opensearch_spark.query import nested
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, [(1.0, "a"), (5.0, "a"), (3.0, "b")]),
+            (2, [(2.0, "a"), (4.0, "a"), (6.0, "a"), (8.0, "a")]),
+            (3, [(9.0, "b")]),  # no 'a' children -> NULL key
+        ],
+        "id int, children array<struct<v double, t string>>",
+    )
+    flt = lambda c: c["t"] == "a"
+    val = lambda c: c["v"]
+    out = df.select(
+        "id",
+        nested.nested_sort_key("children", val, flt, "min").alias("mn"),
+        nested.nested_sort_key("children", val, flt, "max").alias("mx"),
+        nested.nested_sort_key("children", val, flt, "sum").alias("sm"),
+        nested.nested_sort_key("children", val, flt, "avg").alias("av"),
+        nested.nested_sort_key("children", val, flt, "median").alias("md"),
+    ).collect()
+    r = {row["id"]: row for row in out}
+    assert (r[1]["mn"], r[1]["mx"], r[1]["sm"], r[1]["av"]) == (1.0, 5.0, 6.0, 3.0)
+    assert r[1]["md"] == 3.0  # even count (1,5): MultiValueMode.MEDIAN avg -> 3.0
+    assert r[2]["md"] == 5.0  # (2,4,6,8) -> (4+6)/2
+    assert all(r[3][c] is None for c in ("mn", "mx", "sm", "av", "md"))
+    # missing policy: nulls last under asc (the reference's _last default)
+    ordered = [x["id"] for x in df.select(
+        "id", nested.nested_sort_key("children", val, flt, "min").alias("k")
+    ).orderBy(F.asc_nulls_last("k")).collect()]
+    assert ordered == [1, 2, 3]
