@@ -1261,6 +1261,25 @@ __rfg AS (
                / (pow(CAST(n_chars AS DOUBLE), 2.0) + 62500.0), 4) AS score
   FROM __docs WHERE n_chars > 0
   ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+__fsd AS (
+  SELECT c.doc_id, ROUND(c.sc * (
+      exp(ln(0.5) * pow(greatest(abs(CAST(dd.n_chars AS DOUBLE) - 200.0), 0.0) / 150.0, 2.0))
+    + exp(ln(0.5) * greatest(abs(CAST(dd.n_chars AS DOUBLE) - 250.0) - 50.0, 0.0) / 100.0)
+    + greatest((400.0 - greatest(abs(CAST(dd.n_chars AS DOUBLE) - 300.0), 0.0)) / 400.0, 0.0)
+  ), 4) AS score
+  FROM __c1 c JOIN __docs dd ON dd.doc_id = c.doc_id
+  ORDER BY score DESC, c.doc_id ASC LIMIT 10
+),
+__fsr AS (
+  SELECT doc_id,
+         ROUND(xor(h2, h2 >> 13) / 4294967296.0, 4) AS score
+  FROM (
+    SELECT doc_id, (xor(h0, h0 >> 16) * 1540483477) % 4294967296 AS h2
+    FROM (SELECT doc_id, (doc_id * 2654435761 + 12345 + 42) % 4294967296 AS h0
+          FROM __c1)
+  )
+  ORDER BY score DESC, doc_id ASC LIMIT 10
 )
 SELECT 'function_score' AS op, doc_id, score FROM __fs
 UNION ALL
@@ -1273,6 +1292,10 @@ UNION ALL
 SELECT 'rank_feature_sat' AS op, doc_id, score FROM __rfs
 UNION ALL
 SELECT 'rank_feature_sig' AS op, doc_id, score FROM __rfg
+UNION ALL
+SELECT 'fs_decay' AS op, doc_id, score FROM __fsd
+UNION ALL
+SELECT 'fs_random' AS op, doc_id, score FROM __fsr
 UNION ALL
 {_sql_match_sim({"spark": 1, "join": 1}, _SIM_LMD, "sim_lmdirichlet")}
 UNION ALL
@@ -1357,6 +1380,35 @@ def ft_scoring(spark, sf_dir):
         ),
         {"match": {"text": "table hash"}},
     )
+    # decay functions (DecayFunctionBuilder.java): gauss + exp (with
+    # offset) + linear summed, multiplied into the match score; and
+    # random_score (deterministic keyed hash to [0,1), boost_mode
+    # replace)
+    dec = topk(
+        eng,
+        {
+            "function_score": {
+                "query": {"match": {"text": "spark"}},
+                "functions": [
+                    {"gauss": {"field": "n_chars", "origin": 200, "scale": 150, "decay": 0.5}},
+                    {"exp": {"field": "n_chars", "origin": 250, "scale": 100, "offset": 50, "decay": 0.5}},
+                    {"linear": {"field": "n_chars", "origin": 300, "scale": 200, "decay": 0.5}},
+                ],
+                "score_mode": "sum",
+                "boost_mode": "multiply",
+            }
+        },
+    )
+    rnd = topk(
+        eng,
+        {
+            "function_score": {
+                "query": {"match": {"text": "spark"}},
+                "functions": [{"random_score": {"seed": 42, "field": "doc_id"}}],
+                "boost_mode": "replace",
+            }
+        },
+    )
     # r4 (VERDICT #5): DFR / IB under the oracle, defaults + one
     # non-default config each
     h = topk(SearchEngine(eng.index, similarity={"type": "DFR"}), sim_q)
@@ -1384,6 +1436,8 @@ def ft_scoring(spark, sf_dir):
         _tag(rl, "rank_feature_log", "doc_id", "score"),
         _tag(rs, "rank_feature_sat", "doc_id", "score"),
         _tag(rg, "rank_feature_sig", "doc_id", "score"),
+        _tag(dec, "fs_decay", "doc_id", "score"),
+        _tag(rnd, "fs_random", "doc_id", "score"),
         _tag(d, "sim_lmdirichlet", "doc_id", "score"),
         _tag(e, "sim_lmjelinekmercer", "doc_id", "score"),
         _tag(f, "sim_boolean", "doc_id", "score"),
@@ -1898,6 +1952,15 @@ __hlfr AS (
            AS hl_fragment
   FROM __hltok
   GROUP BY doc_id, CAST(floor((eo - 1) / 60.0) AS INT)
+),
+__hlfq AS (
+  SELECT doc_id, CAST(floor((eo - 1) / 60.0) AS INT) AS frag,
+         SUM(CASE WHEN ntok IN ('merge', 'sort') THEN 1 ELSE 0 END) AS nm,
+         array_to_string(list(CASE WHEN ntok IN ('merge', 'sort')
+             THEN '<em>' || tok || '</em>' ELSE tok END ORDER BY pos), ' ')
+           AS em_fragment
+  FROM __hltok
+  GROUP BY doc_id, CAST(floor((eo - 1) / 60.0) AS INT)
 )
 SELECT 'whole' AS op, d.doc_id, CAST(0 AS INT) AS frag,
        regexp_replace(d.text, '\\b(spark|join)\\b', '<em>\\0</em>', 'g') AS fragment
@@ -1914,6 +1977,12 @@ SELECT 'frags_score', doc_id, frag, hl_fragment FROM (
          row_number() OVER (PARTITION BY doc_id ORDER BY nm DESC, frag ASC) AS rn
   FROM __hlfr WHERE nm >= 1
 ) WHERE rn <= 2
+UNION ALL
+SELECT 'hl_query', doc_id, frag, em_fragment FROM (
+  SELECT doc_id, frag, em_fragment,
+         row_number() OVER (PARTITION BY doc_id ORDER BY frag ASC) AS rn
+  FROM __hlfq WHERE nm >= 1
+) WHERE rn <= 3
 UNION ALL
 SELECT 'nomatch', doc_id, CAST(-1 AS INT), substr(text, 1, 40) FROM (
   SELECT doc_id, text FROM documents WHERE source = 'src3'
@@ -1958,12 +2027,22 @@ def ft_highlight(spark, sf_dir):
     nomatch = eng.search_highlight_fragments(
         {"term": {"source": "src3"}}, size=10, no_match_size=40
     )
+    # highlight_query (HighlightBuilder.highlightQuery): hits selected
+    # by the search query, highlight vocabulary from ANOTHER query
+    hlq = eng.search_highlight_fragments(
+        q,
+        size=5,
+        fragment_size=60,
+        number_of_fragments=3,
+        highlight_query={"match": {"text": "merge sort"}},
+    )
     cols = ("doc_id", "frag", "fragment")
     return _union(
         _tag(whole, "whole", *cols),
         _tag(frags, "frags", *cols),
         _tag(fscore, "frags_score", *cols),
         _tag(nomatch, "nomatch", *cols),
+        _tag(hlq, "hl_query", *cols),
     ).orderBy("op", "doc_id", "frag")
 
 

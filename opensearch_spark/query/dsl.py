@@ -149,7 +149,10 @@ class ScoreFunction:
     filter: Optional["Query"] = None
     weight: Optional[float] = None
     field_value_factor: Optional[FieldValueFactor] = None
-    gauss: Optional[Dict[str, float]] = None  # {field, origin, scale, decay?}
+    gauss: Optional[Dict[str, float]] = None  # {field, origin, scale, offset?, decay?}
+    exp: Optional[Dict[str, float]] = None  # exponential decay, same keys
+    linear: Optional[Dict[str, float]] = None  # linear decay, same keys
+    random_score: Optional[Dict[str, object]] = None  # {seed?, field?}
 
 
 @dataclasses.dataclass
@@ -777,6 +780,9 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                     weight=f.get("weight"),
                     field_value_factor=fvf,
                     gauss=f.get("gauss"),
+                    exp=f.get("exp"),
+                    linear=f.get("linear"),
+                    random_score=f.get("random_score"),
                 )
             )
         return FunctionScore(

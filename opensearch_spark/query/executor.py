@@ -889,6 +889,7 @@ class SearchEngine:
         no_match_size: int = 0,
         require_field_match: bool = True,
         matched_fields: Optional[Sequence[str]] = None,
+        highlight_query: Optional[object] = None,
     ) -> DataFrame:
         """Fragment highlighting with the HighlightBuilder option set
         (``HighlightBuilder.java``: fragment_size default 100,
@@ -918,9 +919,20 @@ class SearchEngine:
         from pyspark.sql import Window
 
         q = Q.from_dict(query) if isinstance(query, dict) else query
-        terms = sorted(set(self._collect_text_terms(q)))
+        # HighlightBuilder.highlightQuery: the highlight vocabulary
+        # comes from THIS query instead of the search query (hits are
+        # still selected by the search query) — e.g. highlight only
+        # the rescore clause's terms
+        hq = q
+        if highlight_query is not None:
+            hq = (
+                Q.from_dict(highlight_query)
+                if isinstance(highlight_query, dict)
+                else highlight_query
+            )
+        terms = sorted(set(self._collect_text_terms(hq)))
         if not require_field_match:
-            terms = sorted(set(terms) | set(self._collect_other_field_values(q)))
+            terms = sorted(set(terms) | set(self._collect_other_field_values(hq)))
         if matched_fields:
             # HighlightBuilder matched_fields: blend the match
             # vocabulary of the LISTED fields into this field's
@@ -929,7 +941,7 @@ class SearchEngine:
             # same tokens lit, no per-position blending)
             terms = sorted(
                 set(terms)
-                | set(self._collect_matched_field_terms(q, set(matched_fields)))
+                | set(self._collect_matched_field_terms(hq, set(matched_fields)))
             )
         topk = self.search(q, size=size, source_cols=[self.text_col])
         ids = list(self.id_cols)
@@ -1909,8 +1921,11 @@ class SearchEngine:
         for fn in q.functions:
             if fn.field_value_factor:
                 needed_cols.add(fn.field_value_factor.field)
-            if fn.gauss:
-                needed_cols.add(fn.gauss["field"])
+            for dk in (fn.gauss, fn.exp, fn.linear):
+                if dk:
+                    needed_cols.add(dk["field"])
+            if fn.random_score and fn.random_score.get("field"):
+                needed_cols.add(fn.random_score["field"])
             if fn.filter is not None:
                 pred = self._predicate(fn.filter)
                 if pred is None:
@@ -1934,13 +1949,58 @@ class SearchEngine:
                 elif f.modifier == "square":
                     x = x * x
                 v = v * x
-            if fn.gauss:
-                g = fn.gauss
+            for kind, g in (("gauss", fn.gauss), ("exp", fn.exp), ("linear", fn.linear)):
+                if not g:
+                    continue
+                # DecayFunctionBuilder.java: dist = max(0, |x-origin|-offset);
+                # gauss  exp(ln(decay)*(dist/scale)^2)
+                # exp    exp(ln(decay)*dist/scale)
+                # linear max(0, (s-dist)/s), s = scale/(1-decay)
                 decay = float(g.get("decay", 0.5))
-                dist = F.abs(F.col(g["field"]).cast("double") - F.lit(float(g["origin"])))
-                v = v * F.exp(
-                    F.lit(_math.log(decay)) * F.pow(dist / F.lit(float(g["scale"])), F.lit(2.0))
+                offset = float(g.get("offset", 0.0))
+                scale = float(g["scale"])
+                dist = F.greatest(
+                    F.abs(F.col(g["field"]).cast("double") - F.lit(float(g["origin"])))
+                    - F.lit(offset),
+                    F.lit(0.0),
                 )
+                if kind == "gauss":
+                    d = F.exp(
+                        F.lit(_math.log(decay)) * F.pow(dist / F.lit(scale), F.lit(2.0))
+                    )
+                elif kind == "exp":
+                    d = F.exp(F.lit(_math.log(decay)) * dist / F.lit(scale))
+                else:
+                    s_ = scale / (1.0 - decay)
+                    d = F.greatest(
+                        (F.lit(s_) - dist) / F.lit(s_), F.lit(0.0)
+                    )
+                v = v * d
+            if fn.random_score is not None:
+                # RandomScoreFunctionBuilder analog: deterministic keyed
+                # hash of a doc field to [0,1).  The reference's value is
+                # JVM-hash-specific, so we use a documented LCG-style
+                # integer mix expressible identically in Spark and ANSI
+                # SQL (the parity contract is determinism + uniformity,
+                # not bit-equality with Lucene's hash).
+                rs = fn.random_score
+                seed = int(rs.get("seed", 0))
+                fld = rs.get("field", "_docid")
+                # murmur-style multiply/xor-shift rounds so a seed
+                # change RESHUFFLES the order (a plain LCG is
+                # order-preserving across seeds); constants chosen so
+                # every intermediate fits in int64 (h < 2^32, 2^32 *
+                # 1540483477 < 2^63)
+                m = F.lit(4294967296)
+                h = F.pmod(
+                    F.col(fld).cast("long") * F.lit(2654435761)
+                    + F.lit(12345 + seed),
+                    m,
+                )
+                h = h.bitwiseXOR(F.shiftright(h, 16))
+                h = F.pmod(h * F.lit(1540483477), m)
+                h = h.bitwiseXOR(F.shiftright(h, 13))
+                v = v * (h.cast("double") / F.lit(4294967296.0))
             if fn.weight is not None:
                 v = v * F.lit(float(fn.weight))
             if fn.filter is not None:

@@ -959,3 +959,56 @@ def test_nested_sort_key_modes(spark):
         "id", nested.nested_sort_key("children", val, flt, "min").alias("k")
     ).orderBy(F.asc_nulls_last("k")).collect()]
     assert ordered == [1, 2, 3]
+
+
+def test_function_score_decay_family(engine):
+    """gauss/exp/linear decay (DecayFunctionBuilder.java formulas) with
+    offset; expected values recomputed from the hit rows themselves."""
+    base = {(r["conv_id"], r["turn_idx"]): r["score"]
+            for r in engine.search({"match": {"text": "error"}}, size=30).collect()}
+    fs = engine.search(
+        {
+            "function_score": {
+                "query": {"match": {"text": "error"}},
+                "functions": [
+                    {"gauss": {"field": "turn_idx", "origin": 4, "scale": 3, "decay": 0.5}},
+                    {"exp": {"field": "turn_idx", "origin": 4, "scale": 3, "offset": 1, "decay": 0.5}},
+                    {"linear": {"field": "turn_idx", "origin": 4, "scale": 3, "decay": 0.25}},
+                ],
+                "score_mode": "sum",
+                "boost_mode": "multiply",
+            }
+        },
+        size=30,
+    ).collect()
+    ln05 = math.log(0.5)
+    for r in fs:
+        k = (r["conv_id"], r["turn_idx"])
+        if k not in base:
+            continue
+        x = float(r["turn_idx"])
+        g = math.exp(ln05 * ((abs(x - 4.0)) / 3.0) ** 2)
+        e = math.exp(ln05 * max(abs(x - 4.0) - 1.0, 0.0) / 3.0)
+        s = 3.0 / 0.75
+        l = max((s - abs(x - 4.0)) / s, 0.0)
+        assert r["score"] == pytest.approx(base[k] * (g + e + l), rel=1e-9)
+
+
+def test_function_score_random_score(engine):
+    """random_score: deterministic keyed hash to [0,1) — same seed same
+    order, different seed different order, all values in range."""
+    q = lambda seed: {
+        "function_score": {
+            "query": {"match": {"text": "error"}},
+            "functions": [{"random_score": {"seed": seed, "field": "turn_idx"}}],
+            "boost_mode": "replace",
+        }
+    }
+    a1 = [(r["conv_id"], r["turn_idx"], r["score"])
+          for r in engine.search(q(7), size=20).collect()]
+    a2 = [(r["conv_id"], r["turn_idx"], r["score"])
+          for r in engine.search(q(7), size=20).collect()]
+    assert a1 == a2
+    assert all(0.0 <= s < 1.0 for _, _, s in a1)
+    b = [(r["conv_id"], r["turn_idx"]) for r in engine.search(q(12345), size=20).collect()]
+    assert [(c, t) for c, t, _ in a1] != b
