@@ -974,17 +974,83 @@ def significant_text(
     text_col: str = "text",
     size: int = 10,
     min_doc_count: int = 3,
+    filter_duplicate_text: bool = False,
+    id_col: Optional[str] = None,
+    dup_gram: int = 6,
 ) -> DataFrame:
     """``significant_text`` (``SignificantTextAggregationBuilder``): JLH
     over ANALYZED TERMS of the hit set vs the background corpus — the
     corpus-mining agg (which words characterize the matching docs).
     Counts are document frequencies (distinct tokens per doc), computed
-    with one explode + two conditional counts; JLH = (fg%-bg%)*(fg%/bg%)."""
+    with one explode + two conditional counts; JLH = (fg%-bg%)*(fg%/bg%).
+
+    ``filter_duplicate_text`` is the builder's boilerplate stripper
+    (Lucene DeDuplicatingTokenFilter / DuplicateByteSequenceSpotter,
+    sequence length 6): token occurrences inside a ``dup_gram``-token
+    run shared with ANOTHER document are excluded from counting, so
+    copy-pasted spans don't dominate the statistics.  The reference's
+    spotter is stateful per-shard-stream (trims sequences already seen
+    earlier in the stream); the distributed analog here is
+    order-independent — a span is dropped wherever its exact
+    ``dup_gram``-gram occurs in >= 2 documents — which drops BOTH
+    copies rather than all-but-the-first (documented deviation; the
+    statistics goal is identical).  Needs ``id_col`` to identify docs.
+
+    Scale shape: one n-gram explode -> groupBy to find cross-doc
+    grams, one join back to mark covered positions — the
+    MinHash-candidate shape from ops/dedup.py, shuffle bounded by
+    corpus token count."""
     from opensearch_spark.ops.dedup import tokens_col
 
-    toks = df.select(
-        fg_cond.alias("_fg"), F.explode(F.array_distinct(tokens_col(text_col))).alias("key")
-    )
+    if not filter_duplicate_text:
+        toks = df.select(
+            fg_cond.alias("_fg"),
+            F.explode(F.array_distinct(tokens_col(text_col))).alias("key"),
+        )
+    else:
+        if id_col is None:
+            raise ValueError("filter_duplicate_text requires id_col")
+        g = int(dup_gram)
+        t = df.select(
+            F.col(id_col).alias("_id"),
+            fg_cond.alias("_fg"),
+            tokens_col(text_col).alias("_tk"),
+        )
+        n = F.size("_tk")
+        grams = t.select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n - F.lit(g - 1), F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("_tk", i, g)),
+                )
+            ).alias("_s0", "gram"),
+        ).select("_id", (F.col("_s0") + F.lit(1)).alias("_start"), "gram")
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("_id").alias("_docs"))
+            .filter(F.col("_docs") >= 2)
+            .select("gram")
+        )
+        covered = (
+            grams.join(dup, "gram")
+            .select(
+                "_id",
+                F.explode(
+                    F.sequence(F.col("_start"), F.col("_start") + F.lit(g - 1))
+                ).alias("_pos"),
+            )
+            .distinct()
+        )
+        poss = t.select(
+            "_id", "_fg", F.posexplode("_tk").alias("_p0", "key")
+        ).select("_id", "_fg", (F.col("_p0") + F.lit(1)).alias("_pos"), "key")
+        toks = (
+            poss.join(covered, ["_id", "_pos"], "left_anti")
+            .select("_id", "_fg", "key")
+            .distinct()
+            .select("_fg", "key")
+        )
     totals = df.agg(
         F.sum(F.when(fg_cond, 1).otherwise(0)).cast("double").alias("fg_total"),
         F.count(F.lit(1)).cast("double").alias("bg_total"),

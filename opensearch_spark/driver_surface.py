@@ -2924,10 +2924,49 @@ stx AS (
   WHERE fg_count >= 3 AND fg_count / t.fg_total > bg_count / t.bg_total
   ORDER BY score DESC, key ASC
   LIMIT 10
+),
+tk6 AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tl,
+         len(list_filter(string_split(text, ' '), x -> x = 'dup')) > 0 AS is_fg
+  FROM documents
+),
+ng6 AS (
+  SELECT doc_id, i, array_to_string(tl[i:i+5], ' ') AS gram
+  FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl) - 5)) AS i FROM tk6)
+),
+dupg AS (SELECT gram FROM ng6 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov6 AS (
+  SELECT DISTINCT doc_id, i + k AS pos
+  FROM (SELECT n.doc_id, n.i, unnest(generate_series(0, 5)) AS k
+        FROM ng6 n JOIN dupg USING (gram))
+),
+sur6 AS (
+  SELECT DISTINCT p.doc_id, p.term FROM
+    (SELECT doc_id, unnest(tl) AS term, generate_subscripts(tl, 1) AS pos FROM tk6) p
+  LEFT JOIN cov6 c ON c.doc_id = p.doc_id AND c.pos = p.pos
+  WHERE c.doc_id IS NULL
+),
+tc6 AS (
+  SELECT s.term AS key,
+         CAST(sum(CASE WHEN k.is_fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_count,
+         CAST(count(*) AS BIGINT) AS bg_count
+  FROM sur6 s JOIN tk6 k USING (doc_id) GROUP BY 1
+),
+stf AS (
+  SELECT key, fg_count, bg_count,
+         ROUND((fg_count / t.fg_total - bg_count / t.bg_total)
+               * ((fg_count / t.fg_total) / (bg_count / t.bg_total)), 6) AS score
+  FROM tc6 CROSS JOIN ttot t
+  WHERE fg_count >= 3 AND fg_count / t.fg_total > bg_count / t.bg_total
+  ORDER BY score DESC, key ASC
+  LIMIT 10
 )
 SELECT 'significant_terms' AS op, * FROM st
 UNION ALL
 SELECT 'significant_text' AS op, * FROM stx
+UNION ALL
+SELECT 'sig_text_dedup' AS op, * FROM stf
 ORDER BY op, score DESC, key ASC""",
 )
 def agg_significant(spark, sf_dir):
@@ -2942,9 +2981,22 @@ def agg_significant(spark, sf_dir):
     fg_cond = F.array_contains(tokens_col("text"), "dup")
     st = aggs.significant_terms(docs, fg_cond, "source")
     stx = aggs.significant_text(docs, fg_cond, "text", size=10, min_doc_count=3)
+    # filter_duplicate_text: cross-document duplicate 6-gram spans are
+    # excluded from counting (the generator plants duplicated spans, so
+    # this measurably shifts the counts vs the plain op)
+    stf = aggs.significant_text(
+        docs,
+        fg_cond,
+        "text",
+        size=10,
+        min_doc_count=3,
+        filter_duplicate_text=True,
+        id_col="doc_id",
+    )
     return _union(
         _tag(st, "significant_terms", "key", "fg_count", "bg_count", "score"),
         _tag(stx, "significant_text", "key", "fg_count", "bg_count", "score"),
+        _tag(stf, "sig_text_dedup", "key", "fg_count", "bg_count", "score"),
     ).orderBy("op", F.desc("score"), F.asc("key"))
 
 
