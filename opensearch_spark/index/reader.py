@@ -72,8 +72,52 @@ class InvertedIndex:
     def postings(self) -> DataFrame:
         cached = self.__dict__.get("_postings_df")
         if cached is not None:
-            return cached
-        return self.spark.read.parquet(self.paths["postings"])
+            return self._routed_filter(cached)
+        return self._routed_filter(
+            self.spark.read.parquet(self.paths["postings"])
+        )
+
+    # ---- routed search (custom routing -> one-segment pruning) ----
+
+    def _routed_filter(self, df: DataFrame) -> DataFrame:
+        seg = self.__dict__.get("_route_seg")
+        if seg is None:
+            return df
+        return df.filter(F.col("_seg") == F.lit(int(seg)))
+
+    def segment_view(self, seg: int) -> "InvertedIndex":
+        """A view of this index restricted to one routing segment: the
+        postings, docmap and block-metadata scans all carry a pushed
+        ``_seg`` predicate, so parquet row-group stats prune everything
+        but that segment's files (the build writes per-segment, so the
+        column is file-clustered)."""
+        v = InvertedIndex(self.spark, self.index_dir)
+        v.__dict__["_route_seg"] = int(seg)
+        return v
+
+    def routed(self, routing_value) -> "InvertedIndex":
+        """Routed search (``_search?routing=`` /
+        ``OperationRouting.java:449-475``): hash the routing key with
+        the SAME function the builder routes docs by
+        (``builder._route_expr``: xxhash64 mod n_segments, literal cast
+        to the routing column's type) and restrict the query to that
+        one segment.  Term statistics stay GLOBAL (the
+        dfs_query_then_fetch contract), so a routed hit scores
+        identically to the same doc in an unrouted search — only the
+        scan is pruned.  At cluster scale this is the 1-of-N-shards
+        fan-out saving custom routing exists for."""
+        n = int(self.plan["n_segments"])
+        rc = self.plan.get("routing_col")
+        lit = F.lit(routing_value)
+        dm = self.docmap()
+        if rc and rc in dm.columns:
+            lit = lit.cast(dm.schema[rc].dataType)
+        seg = (
+            self.spark.range(1)
+            .select(F.pmod(F.xxhash64(lit), F.lit(n)).cast("int").alias("s"))
+            .collect()[0]["s"]
+        )
+        return self.segment_view(seg)
 
     def block_meta(self) -> DataFrame:
         """Block METADATA columns (no packed binaries), pinned in
@@ -115,7 +159,7 @@ class InvertedIndex:
         # a merged/compacted index references the source docmap instead
         # of copying it (opensearch_spark.index.merge.merge_index)
         d = self.plan.get("docmap_dir") or self.paths["docmap"]
-        return self.spark.read.parquet(d)
+        return self._routed_filter(self.spark.read.parquet(d))
 
     def dictionary(self) -> DataFrame:
         cached = self.__dict__.get("_dictionary_df")

@@ -333,3 +333,43 @@ def test_exact_phrase_scorer_has_no_python_eval(engine):
     df = engine.search({"match_phrase": {"text": "error handling"}}, size=5)
     plan = _formatted(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_routed_search_prunes_segment(engine):
+    """Routed search (_search?routing=): the _seg predicate must reach
+    the postings Parquet scan, and the routed result set must be
+    exactly the unrouted hits living in that segment with IDENTICAL
+    scores (global term stats — the dfs_query_then_fetch contract)."""
+    from opensearch_spark.query.executor import SearchEngine
+
+    # pick the routing value of a known hit
+    full = engine.search({"match": {"text": "error"}}, size=50).collect()
+    assert full
+    rkey = full[0]["conv_id"]
+    ridx = engine.index.routed(rkey)
+    # plan gate: pushed _seg equality on the postings scan
+    plan = _formatted(ridx.postings().filter(F.col("term") == "error"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(_seg" in plan.replace(" ", ""), plan
+    # correctness: routed == unrouted ∩ segment, scores identical
+    reng = SearchEngine(ridx)
+    routed = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in reng.search({"match": {"text": "error"}}, size=50).collect()
+    }
+    assert (full[0]["conv_id"], full[0]["turn_idx"]) in routed
+    seg_ids = {
+        (r["conv_id"], r["turn_idx"])
+        for r in ridx.docmap().select("conv_id", "turn_idx").collect()
+    }
+    expected = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in full
+        if (r["conv_id"], r["turn_idx"]) in seg_ids
+    }
+    # every routed hit present in the unrouted set scores identically
+    for k, v in routed.items():
+        if k in expected:
+            assert v == pytest.approx(expected[k], rel=1e-9)
+    # and the top routed hits are exactly the segment's unrouted hits
+    assert set(expected) <= set(routed) or len(routed) == 50
