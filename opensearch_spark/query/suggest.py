@@ -352,21 +352,53 @@ class _WordScorer:
             a = self.sm["alpha"]
             return (a + count) / (w_1.ttf + a * self.n_terms)
         if m == "linear_interpolation":
+            # LinearInterpolatingScorer.scoreBigram: denominator is
+            # 0.5 + ttf(w_1) (not the SB epsilon form)
             bl, ul = self.sm["bigram_lambda"], self.sm["unigram_lambda"]
             if count < 1:
                 return ul * self.unigram(w)
-            return bl * (count / (w_1.ttf + 1e-11)) + ul * self.unigram(w)
+            return bl * (count / (0.5 + w_1.ttf)) + ul * self.unigram(w)
         # stupid_backoff (default, discount 0.4)
         if count < 1:
             return self.sm["discount"] * self.unigram(w)
         return count / (w_1.ttf + 1e-11)
 
+    def trigram(self, w: _Cand, w_1: _Cand, w_2: _Cand) -> float:
+        tri = self.pairs.get((w_2.term, w_1.term, w.term), 0)
+        big = self.pairs.get((w_1.term, w.term), 0)
+        m = self.sm["model"]
+        if m == "laplace":
+            # LaplaceScorer.scoreTrigram: (a + tri) / (freq(w_1·w) + a*T)
+            a = self.sm["alpha"]
+            return (a + tri) / (big + a * self.n_terms)
+        if m == "linear_interpolation":
+            # LinearInterpolatingScorer.scoreTrigram reproduced exactly,
+            # INCLUDING its reversed join order: it looks up the shingle
+            # "w w_1 w_2" (and "w w_1") — the reverse of the stored
+            # sequence — so on real corpora the trigram lookup is
+            # usually 0 and the score backs off to scoreBigram
+            tl = self.sm.get("trigram_lambda", 0.0)
+            rev_tri = self.pairs.get((w.term, w_1.term, w_2.term), 0)
+            if rev_tri < 1:
+                return self.bigram(w, w_1)
+            rev_big = self.pairs.get((w.term, w_1.term), 0)
+            return tl * (rev_tri / (1.0 + rev_big)) + self.bigram(w, w_1)
+        # StupidBackoffScorer.scoreTrigram: bigram gate first, then
+        # trigram/bigram ratio, discounting each back-off level
+        if big < 1:
+            return self.sm["discount"] * self.unigram(w)
+        if tri < 1:
+            return self.sm["discount"] * (big / (w_1.ttf + 1e-11))
+        return tri / (big + 1e-11)
+
     def log_score(self, path, at: int, gram_size: int) -> float:
         cand = path[at]
         if at == 0 or gram_size == 1:
             lm = self.unigram(cand)
-        else:
+        elif at == 1 or gram_size == 2:
             lm = self.bigram(cand, path[at - 1])
+        else:
+            lm = self.trigram(cand, path[at - 1], path[at - 2])
         return math.log10(self.channel(cand) * max(lm, 1e-300))
 
 
@@ -477,41 +509,71 @@ def _draw_candidates(
     return sets
 
 
-def _pair_counts(index, pairs):
-    """Adjacent-occurrence counts for the needed (w1, w2) set via ONE
+def _pair_counts(index, pairs, triples=()):
+    """Adjacent-occurrence counts for the needed (w1, w2) bigram set —
+    and, for gram_size=3, the (w1, w2, w3) trigram set — via ONE
     positional-postings job: decode only the involved terms' postings,
-    self-join on (doc, pos+1).  This is the number a shingle field
-    would store as the bigram's totalTermFreq (WordScorer.frequency).
-    The needed set is bounded by (num_candidates+1)^2 per adjacent
-    token pair, so the join input stays tiny even on a huge index."""
-    if not pairs:
+    self-join on (doc, pos+1) (and pos+2 for triples).  These are the
+    numbers a shingle field would store as the gram's totalTermFreq
+    (WordScorer.frequency).  The needed set is bounded by
+    (num_candidates+1)^k per adjacent token window, so the join input
+    stays tiny even on a huge index."""
+    if not pairs and not triples:
         return {}
-    firsts = {a for a, _ in pairs}
-    seconds = {b for _, b in pairs}
-    terms = sorted(firsts | seconds)
+    terms = sorted(
+        {w for p in pairs for w in p} | {w for t in triples for w in t}
+    )
     posts = index.postings_for_terms(terms, with_positions=True)
     pos = posts.select(
         "term", F.col("_docid").alias("doc"), F.explode("positions").alias("p")
     )
-    left = pos.filter(F.col("term").isin(sorted(firsts))).alias("l")
-    right = pos.filter(F.col("term").isin(sorted(seconds))).alias("r")
-    keys = [a + "\x1f" + b for a, b in pairs]
-    counted = (
-        left.join(
-            right,
-            (F.col("l.doc") == F.col("r.doc"))
-            & (F.col("r.p") == F.col("l.p") + F.lit(1)),
-        )
-        .select(F.concat_ws("\x1f", "l.term", "r.term").alias("pair"))
-        .filter(F.col("pair").isin(keys))
-        .groupBy("pair")
-        .count()
-        .collect()
-    )
     out = {}
-    for r in counted:
-        a, b = r["pair"].split("\x1f")
-        out[(a, b)] = int(r["count"])
+    if pairs:
+        firsts = {a for a, _ in pairs}
+        seconds = {b for _, b in pairs}
+        left = pos.filter(F.col("term").isin(sorted(firsts))).alias("l")
+        right = pos.filter(F.col("term").isin(sorted(seconds))).alias("r")
+        keys = [a + "\x1f" + b for a, b in pairs]
+        counted = (
+            left.join(
+                right,
+                (F.col("l.doc") == F.col("r.doc"))
+                & (F.col("r.p") == F.col("l.p") + F.lit(1)),
+            )
+            .select(F.concat_ws("\x1f", "l.term", "r.term").alias("pair"))
+            .filter(F.col("pair").isin(keys))
+            .groupBy("pair")
+            .count()
+            .collect()
+        )
+        for r in counted:
+            a, b = r["pair"].split("\x1f")
+            out[(a, b)] = int(r["count"])
+    if triples:
+        t1 = pos.filter(F.col("term").isin(sorted({a for a, _, _ in triples}))).alias("a")
+        t2 = pos.filter(F.col("term").isin(sorted({b for _, b, _ in triples}))).alias("b")
+        t3 = pos.filter(F.col("term").isin(sorted({c for _, _, c in triples}))).alias("c")
+        keys3 = [a + "\x1f" + b + "\x1f" + c for a, b, c in triples]
+        counted3 = (
+            t1.join(
+                t2,
+                (F.col("a.doc") == F.col("b.doc"))
+                & (F.col("b.p") == F.col("a.p") + F.lit(1)),
+            )
+            .join(
+                t3,
+                (F.col("b.doc") == F.col("c.doc"))
+                & (F.col("c.p") == F.col("b.p") + F.lit(1)),
+            )
+            .select(F.concat_ws("\x1f", "a.term", "b.term", "c.term").alias("tri"))
+            .filter(F.col("tri").isin(keys3))
+            .groupBy("tri")
+            .count()
+            .collect()
+        )
+        for r in counted3:
+            a, b, c = r["tri"].split("\x1f")
+            out[(a, b, c)] = int(r["count"])
     return out
 
 
@@ -552,10 +614,13 @@ def phrase_suggest_noisy(
       exact log10/exp mix (CandidateScorer.updateTop);
     - smoothing models: ``{"model": "stupid_backoff", "discount":
       0.4}`` (default), ``{"model": "laplace", "alpha": 0.5}``,
-      ``{"model": "linear_interpolation", "bigram_lambda": ...,
-      "unigram_lambda": ...}`` (lambdas normalized by their sum as
-      LinearInterpolatingScorer does; gram_size<=2 so the trigram
-      lambda contributes only to normalization);
+      ``{"model": "linear_interpolation", "trigram_lambda": ...,
+      "bigram_lambda": ..., "unigram_lambda": ...}`` (lambdas
+      normalized by their sum as LinearInterpolatingScorer does);
+      gram_size up to 3 — trigram frequencies come from the same
+      positional-postings job (pos+1, pos+2 joins), and the three
+      scorers reproduce their Lucene trigram forms exactly, including
+      LinearInterpolatingScorer's reversed-shingle lookup quirk;
     - ``confidence`` > 0 sets the cutoff to input-phrase-score *
       confidence and keeps only STRICTLY greater scores, so at the
       default 1.0 the input itself is never suggested
@@ -577,8 +642,8 @@ def phrase_suggest_noisy(
     the same coordinator-side reduce the reference does per shard
     response.  Collate adds one engine query per surviving suggestion.
     """
-    if gram_size not in (1, 2):
-        raise ValueError("gram_size must be 1 or 2 (trigram shingles not modeled)")
+    if gram_size not in (1, 2, 3):
+        raise ValueError("gram_size must be 1, 2 or 3")
     sm = {"model": "stupid_backoff", "discount": 0.4}
     if smoothing:
         sm.update(smoothing)
@@ -589,6 +654,7 @@ def phrase_suggest_noisy(
         bl = float(sm["bigram_lambda"])
         ul = float(sm["unigram_lambda"])
         s = tl + bl + ul
+        sm["trigram_lambda"] = tl / s
         sm["bigram_lambda"], sm["unigram_lambda"] = bl / s, ul / s
 
     out_schema = (
@@ -606,12 +672,27 @@ def phrase_suggest_noisy(
     num_terms = int(index.dictionary().count())
 
     needed = set()
+    needed3 = set()
     if gram_size >= 2:
         for i in range(1, len(sets)):
             for a in sets[i - 1]:
                 for b in sets[i]:
                     needed.add((a.term, b.term))
-    pair_counts = _pair_counts(index, needed)
+    if gram_size >= 3:
+        linear = sm["model"] == "linear_interpolation"
+        for i in range(2, len(sets)):
+            for a in sets[i - 2]:
+                for b in sets[i - 1]:
+                    for c in sets[i]:
+                        needed3.add((a.term, b.term, c.term))
+                        if linear:
+                            # LinearInterpolatingScorer's reversed joins
+                            needed3.add((c.term, b.term, a.term))
+            if linear:
+                for b in sets[i - 1]:
+                    for c in sets[i]:
+                        needed.add((c.term, b.term))
+    pair_counts = _pair_counts(index, needed, needed3)
 
     scorer = _WordScorer(
         vocab_size, num_terms, real_word_error_likelihood, pair_counts, sm

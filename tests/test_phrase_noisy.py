@@ -158,10 +158,11 @@ def test_linear_interpolation_lambdas_normalized(tiny_index):
         return _uni_sb(w)
 
     def big(w, prev):
+        # LinearInterpolatingScorer.scoreBigram: 0.5 + ttf denominator
         c = BG.get((prev, w), 0)
         if c < 1:
             return 0.2 * uni(w)
-        return 0.8 * (c / (TTF[prev] + 1e-11)) + 0.2 * uni(w)
+        return 0.8 * (c / (0.5 + TTF[prev])) + 0.2 * uni(w)
 
     exp = math.exp(
         math.log10(0.75 * uni("rose"))
@@ -207,4 +208,81 @@ def test_generator_gates(tiny_index):
     assert out2.count() == 0  # nothing beats the input under confidence 1.0
     # gram_size bounds
     with pytest.raises(ValueError):
-        suggest.phrase_suggest_noisy(tiny_index, "rase apple", gram_size=3)
+        suggest.phrase_suggest_noisy(tiny_index, "rase apple", gram_size=4)
+
+
+TRI = {
+    ("rose", "apple", "pie"): 1,
+    ("rose", "apple", "tart"): 1,
+    ("ruse", "apple", "pie"): 2,
+    ("rose", "berry", "pie"): 1,
+}
+
+
+def test_trigram_stupid_backoff(tiny_index):
+    """gram_size=3: StupidBackoffScorer.scoreTrigram — bigram gate,
+    then trigram/bigram ratio; position 0 unigram, position 1 bigram."""
+    out = suggest.phrase_suggest_noisy(
+        tiny_index, "rase apple pie", size=5, gram_size=3
+    )
+    rows = {r["suggestion"]: r for r in out.collect()}
+
+    def tri_sb(w, w1, w2):
+        big = BG.get((w1, w), 0)
+        if big < 1:
+            return 0.4 * _uni_sb(w)
+        t = TRI.get((w2, w1, w), 0)
+        if t < 1:
+            return 0.4 * (big / (TTF[w1] + 1e-11))
+        return t / (big + 1e-11)
+
+    for first in ("rose", "ruse"):
+        exp = math.exp(
+            math.log10(0.75 * _uni_sb(first))
+            + math.log10(0.95 * _big_sb("apple", first))
+            + math.log10(0.95 * tri_sb("pie", "apple", first))
+        )
+        assert rows[f"{first} apple pie"]["score"] == pytest.approx(exp, rel=1e-12)
+    # ruse: trigram (ruse apple pie) = 2 of bigram (apple pie) = 3
+    assert rows["ruse apple pie"]["score"] > rows["rose apple pie"]["score"]
+
+
+def test_trigram_laplace_and_linear(tiny_index):
+    lap = suggest.phrase_suggest_noisy(
+        tiny_index, "rase apple pie", size=5, gram_size=3,
+        smoothing={"model": "laplace", "alpha": 0.5},
+    )
+    rows = {r["suggestion"]: r for r in lap.collect()}
+
+    def uni(w):
+        return (0.5 + TTF.get(w, 0)) / (V + 0.5 * T)
+
+    # LaplaceScorer.scoreTrigram: (a+tri)/(freq(w_1·w) + a*T)
+    exp = math.exp(
+        math.log10(0.75 * uni("rose"))
+        + math.log10(0.95 * (0.5 + BG[("rose", "apple")]) / (TTF["rose"] + 0.5 * T))
+        + math.log10(0.95 * (0.5 + TRI[("rose", "apple", "pie")]) / (BG[("apple", "pie")] + 0.5 * T))
+    )
+    assert rows["rose apple pie"]["score"] == pytest.approx(exp, rel=1e-12)
+
+    # linear interpolation: the REVERSED trigram lookup ("pie apple
+    # rose") never occurs, so position 2 backs off to scoreBigram
+    lin = suggest.phrase_suggest_noisy(
+        tiny_index, "rase apple pie", size=5, gram_size=3,
+        smoothing={"model": "linear_interpolation", "trigram_lambda": 1.0,
+                   "bigram_lambda": 1.0, "unigram_lambda": 1.0},
+    )
+    rows_l = {r["suggestion"]: r for r in lin.collect()}
+
+    def big_lin(w, w1):
+        c = BG.get((w1, w), 0)
+        if c < 1:
+            return (1 / 3) * _uni_sb(w)
+        return (1 / 3) * (c / (0.5 + TTF[w1])) + (1 / 3) * _uni_sb(w)
+
+    exp_l = math.exp(
+        math.log10(0.75 * _uni_sb("rose"))
+        + math.log10(0.95 * big_lin("apple", "rose"))
+        + math.log10(0.95 * big_lin("pie", "apple"))
+    )
+    assert rows_l["rose apple pie"]["score"] == pytest.approx(exp_l, rel=1e-12)
