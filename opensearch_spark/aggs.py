@@ -1106,6 +1106,66 @@ def geo_bounds(
 # base32 alphabet of the geohash spec (Geohash.java BASE_32)
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+
+def geohash_key(
+    precision: int, lat_col: str = "lat", lon_col: str = "lon"
+) -> Column:
+    """Base32 geohash of (lat, lon) at ``precision`` chars as ONE
+    whole-stage-codegen Column (closed-form bit interleave — see
+    :func:`geohash_grid`).  Shared by geohash_grid and the completion
+    suggester's GeoContextMapping analog."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = F.floor((F.col(lon_col) + 180.0) / 360.0 * (1 << lon_bits))
+    y = F.floor((F.col(lat_col) + 90.0) / 180.0 * (1 << lat_bits))
+    x = F.greatest(F.lit(0), F.least(F.lit((1 << lon_bits) - 1), x)).cast(
+        "long"
+    )
+    y = F.greatest(F.lit(0), F.least(F.lit((1 << lat_bits) - 1), y)).cast(
+        "long"
+    )
+    code = F.lit(0).cast("long")
+    for i in range(bits):  # msb-first: even stream positions are lon bits
+        src, src_bits = (x, lon_bits) if i % 2 == 0 else (y, lat_bits)
+        code = code + F.shiftleft(
+            F.shiftright(src, src_bits - 1 - i // 2).bitwiseAND(F.lit(1)),
+            bits - 1 - i,
+        )
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alpha,
+            (
+                F.shiftright(code, 5 * (precision - 1 - c)).bitwiseAND(
+                    F.lit(31)
+                )
+            ).cast("int")
+            + 1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_encode(lat: float, lon: float, precision: int = 6) -> str:
+    """Driver-side geohash encode — the same closed form as
+    :func:`geohash_key`, for query-time points (GeoQueryContext).
+    Pinned against published geohashes in tests/test_operators2.py."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = min(max(int((lon + 180.0) / 360.0 * (1 << lon_bits)), 0), (1 << lon_bits) - 1)
+    y = min(max(int((lat + 90.0) / 180.0 * (1 << lat_bits)), 0), (1 << lat_bits) - 1)
+    code = 0
+    for i in range(bits):
+        src, src_bits = (x, lon_bits) if i % 2 == 0 else (y, lat_bits)
+        code += ((src >> (src_bits - 1 - i // 2)) & 1) << (bits - 1 - i)
+    return "".join(
+        GEOHASH_ALPHABET[(code >> (5 * (precision - 1 - c))) & 31]
+        for c in range(precision)
+    )
+
 # Web-Mercator latitude bound (GeoTileUtils.java LATITUDE_MASK)
 GEOTILE_LAT_MAX = 85.0511287798066
 
@@ -1164,38 +1224,7 @@ def geohash_grid(
     Y = floor((lat+90)/180 * 2^floor(bits/2)) — both plain integer
     arithmetic, unrolled here into one whole-stage-codegen expression
     (no UDF, no Python in the hot path)."""
-    bits = 5 * precision
-    lon_bits = (bits + 1) // 2
-    lat_bits = bits // 2
-    x = F.floor((F.col(lon_col) + 180.0) / 360.0 * (1 << lon_bits))
-    y = F.floor((F.col(lat_col) + 90.0) / 180.0 * (1 << lat_bits))
-    x = F.greatest(F.lit(0), F.least(F.lit((1 << lon_bits) - 1), x)).cast(
-        "long"
-    )
-    y = F.greatest(F.lit(0), F.least(F.lit((1 << lat_bits) - 1), y)).cast(
-        "long"
-    )
-    code = F.lit(0).cast("long")
-    for i in range(bits):  # msb-first: even stream positions are lon bits
-        src, src_bits = (x, lon_bits) if i % 2 == 0 else (y, lat_bits)
-        code = code + F.shiftleft(
-            F.shiftright(src, src_bits - 1 - i // 2).bitwiseAND(F.lit(1)),
-            bits - 1 - i,
-        )
-    alpha = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
-    chars = [
-        F.element_at(
-            alpha,
-            (
-                F.shiftright(code, 5 * (precision - 1 - c)).bitwiseAND(
-                    F.lit(31)
-                )
-            ).cast("int")
-            + 1,
-        )
-        for c in range(precision)
-    ]
-    key = F.concat(*chars)
+    key = geohash_key(precision, lat_col, lon_col)
     return (
         df.groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))

@@ -4227,6 +4227,28 @@ __comp AS (
   FROM __docs
   WHERE lower(trim(array_to_string(list_slice(toks, 1, 2), ' '))) <> ''
 ),
+__cgeo AS (
+  SELECT s, w,
+         substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((code >> 10) & 31) AS INT) + 1, 1)
+         || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((code >> 5) & 31) AS INT) + 1, 1)
+         || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((code >> 0) & 31) AS INT) + 1, 1) AS gh
+  FROM (
+    SELECT s, w,
+           (((x >> 7) & 1) << 14) + (((y >> 6) & 1) << 13) + (((x >> 6) & 1) << 12)
+         + (((y >> 5) & 1) << 11) + (((x >> 5) & 1) << 10) + (((y >> 4) & 1) << 9)
+         + (((x >> 4) & 1) << 8) + (((y >> 3) & 1) << 7) + (((x >> 3) & 1) << 6)
+         + (((y >> 2) & 1) << 5) + (((x >> 2) & 1) << 4) + (((y >> 1) & 1) << 3)
+         + (((x >> 1) & 1) << 2) + (((y >> 0) & 1) << 1) + (((x >> 0) & 1) << 0) AS code
+    FROM (
+      SELECT lower(trim(array_to_string(list_slice(toks, 1, 2), ' '))) AS s,
+             CAST(n_chars AS BIGINT) AS w,
+             CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256), 0), 255) AS BIGINT) AS x,
+             CAST(least(greatest(floor((lat + 90.0) / 180.0 * 128), 0), 127) AS BIGINT) AS y
+      FROM __docs
+      WHERE lower(trim(array_to_string(list_slice(toks, 1, 2), ' '))) <> ''
+    )
+  )
+),
 __vt AS (SELECT (SELECT sum(ttf) FROM __ctf) AS v,
                 (SELECT CAST(count(*) AS DOUBLE) FROM __df) AS t),
 __bg AS (
@@ -4365,6 +4387,14 @@ FROM (
   GROUP BY s ORDER BY mw DESC, s ASC LIMIT 5
 )
 UNION ALL
+SELECT 'comp_field_geo' AS op, s AS suggestion,
+       CAST(0 AS BIGINT) AS freq, CAST(msc AS DOUBLE) AS metric
+FROM (
+  SELECT s, max(w * CASE WHEN gh LIKE 'r%' THEN 2.0 ELSE 1.0 END) AS msc
+  FROM __cgeo WHERE (gh LIKE 'r%' OR gh LIKE 'u%') AND s LIKE 's%'
+  GROUP BY s ORDER BY msc DESC, s ASC LIMIT 6
+)
+UNION ALL
 SELECT 'phrase_sb' AS op, 'spark ' || w1 || ' merge' AS suggestion,
        CAST(n_subs AS BIGINT) AS freq,
        CAST(CAST(score AS REAL) AS DOUBLE) AS metric
@@ -4460,6 +4490,33 @@ def suggest_suite(spark, sf_dir):
             comp, regex="sp[ae]rk", size=5, skip_duplicates=True
         )
     )
+    # GeoContextMapping: store geohash(precision 3) of each doc's point
+    # as a context; query with two GeoQueryContext points at query
+    # precision 1 (one boosted) — prefix automaton over the stored hash
+    geo_src = documents_df(spark, sf_dir).select(
+        F.array_join(
+            F.slice(F.filter(F.split("text", " "), lambda x: x != ""), 1, 2), " "
+        ).alias("inp"),
+        F.col("n_chars").alias("wgt"),
+        aggs.geohash_key(3).alias("gh"),
+    )
+    comp_geo = suggest.build_completion_index(
+        geo_src, "inp", weight_col="wgt", context_cols={"loc": "gh"}
+    )
+    cg = _comp(
+        suggest.completion_suggest_field(
+            comp_geo,
+            prefix="s",
+            size=6,
+            skip_duplicates=True,
+            contexts={
+                "loc": [
+                    suggest.geo_context(-10.81, 147.29, precision=1, boost=2),
+                    suggest.geo_context(48.8566, 2.3522, precision=1),
+                ]
+            },
+        )
+    )
     t = suggest.term_suggest(eng.index, "spak", max_edits=2, size=5).select(
         F.col("suggestion"),
         F.col("freq").cast("long").alias("freq"),
@@ -4526,6 +4583,7 @@ def suggest_suite(spark, sf_dir):
         _tag(cf, "comp_field_fuzzy", "suggestion", "freq", "metric"),
         _tag(cc, "comp_field_ctx", "suggestion", "freq", "metric"),
         _tag(cr, "comp_field_regex", "suggestion", "freq", "metric"),
+        _tag(cg, "comp_field_geo", "suggestion", "freq", "metric"),
         _tag(psb, "phrase_sb", "suggestion", "freq", "metric"),
         _tag(phl, "phrase_hl", "suggestion", "freq", "metric"),
         _tag(pco, "phrase_collate", "suggestion", "freq", "metric"),

@@ -253,6 +253,32 @@ def completion_suggest_field(
     ).limit(size)
 
 
+def geo_context(
+    lat: float,
+    lon: float,
+    precision: int = 6,
+    boost: float = 1.0,
+) -> dict:
+    """GeoQueryContext (``GeoContextMapping`` / ``GeoQueryContext``):
+    a completion-suggester context value matching documents whose
+    stored geohash context starts with the query point's
+    ``precision``-char geohash.  Store side: build the completion
+    index with ``context_cols={"<name>": <geohash column>}`` where the
+    column is ``aggs.geohash_key(store_precision, lat, lon)`` — the
+    mapper's indexed geohash (default precision 6 in the reference's
+    GeoContextMapping).  Query side: this helper encodes the point at
+    the (usually coarser) query precision and returns a
+    prefix-matching category value — exactly how the reference
+    resolves geo contexts to geohash prefix automata."""
+    from opensearch_spark.aggs import geohash_encode
+
+    return {
+        "context": geohash_encode(float(lat), float(lon), int(precision)),
+        "prefix": True,
+        "boost": float(boost),
+    }
+
+
 def phrase_suggest(
     index, text: str, max_edits: int = 1, size: int = 3
 ) -> List[str]:

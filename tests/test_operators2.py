@@ -1012,3 +1012,32 @@ def test_function_score_random_score(engine):
     assert all(0.0 <= s < 1.0 for _, _, s in a1)
     b = [(r["conv_id"], r["turn_idx"]) for r in engine.search(q(12345), size=20).collect()]
     assert [(c, t) for c, t, _ in a1] != b
+
+
+def test_geohash_encode_published_values():
+    """Pin the closed-form geohash encode against well-known published
+    geohashes (geohash.org values for famous city coordinates)."""
+    from opensearch_spark.aggs import geohash_encode
+
+    assert geohash_encode(48.8566, 2.3522, 6) == "u09tvw"   # Paris
+    assert geohash_encode(40.7128, -74.0060, 6) == "dr5reg"  # New York
+    assert geohash_encode(51.5074, -0.1278, 5) == "gcpvj"    # London
+    assert geohash_encode(0.0, 0.0, 1) == "s"
+    # prefix consistency across precisions
+    for p in range(1, 6):
+        assert geohash_encode(48.8566, 2.3522, 6).startswith(
+            geohash_encode(48.8566, 2.3522, p)
+        )
+
+
+def test_geohash_key_matches_python_encode(spark):
+    """The Column form and the driver-side encode must agree (the geo
+    completion context depends on it: stored vs query hashing)."""
+    from opensearch_spark.aggs import geohash_encode, geohash_key
+
+    pts = [(48.8566, 2.3522), (-10.81, 147.29), (40.7128, -74.0060),
+           (-89.9, -179.9), (89.9, 179.9), (0.0, 0.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = df.select("lat", "lon", geohash_key(5).alias("gh")).collect()
+    for r in rows:
+        assert r["gh"] == geohash_encode(r["lat"], r["lon"], 5)
