@@ -5005,14 +5005,19 @@ _LC_SRC_UPD = (
 _LC_Q = {"spark": 1, "join": 1}
 
 
-def _sql_match_branch(terms: Dict[str, int], required: int, p: str = "") -> str:
+def _sql_match_branch(
+    terms: Dict[str, int], required: int, p: str = "", boost: float = 1.0
+) -> str:
     """Un-limited scored (doc_id, score) set over the ``__{p}`` corpus —
-    the per-generation half of a data-stream fan-out union."""
+    the per-generation half of a data-stream fan-out union.  ``boost``
+    is the indices_boost factor for this generation (applied to the raw
+    sum BEFORE the display rounding, like the engine does; the oracle
+    ops use exact binary factors so the multiply is lossless)."""
     vals = ", ".join(f"('{t}', {w})" for t, w in terms.items())
     p = f"{p}_" if p else ""
     return f"""SELECT doc_id, score FROM (
       SELECT t.doc_id,
-             ROUND(SUM(CAST({_SCORE} AS DOUBLE) * v.w), 4) AS score,
+             ROUND(SUM(CAST({_SCORE} AS DOUBLE) * v.w) * {boost!r}, 4) AS score,
              SUM(v.w) AS matched
       FROM __{p}tf t
       JOIN __{p}df d USING (term)
@@ -5067,6 +5072,14 @@ SELECT 'ds_search' AS op, doc_id, score FROM (
     {_sql_match_branch(_LC_Q, 1)}
     UNION ALL
     {_sql_match_branch(_LC_Q, 1, p="g")}
+  ) ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+UNION ALL
+SELECT 'ds_boost' AS op, doc_id, score FROM (
+  SELECT doc_id, score FROM (
+    {_sql_match_branch(_LC_Q, 1, boost=2.0)}
+    UNION ALL
+    {_sql_match_branch(_LC_Q, 1, p="g", boost=0.5)}
   ) ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
     + "\nUNION ALL\n"
@@ -5230,6 +5243,11 @@ def lifecycle_suite(spark, sf_dir):
     ds.rollover(max_docs=1, schema=docs.schema)
     ds.append(clones, batch_id=0)
     g = ds.search(q, size=10, round_scores=4).select("doc_id", "score")
+    # indices_boost over the stream's backing generations (exact binary
+    # factors, so the multiply is float-lossless on both sides)
+    gb = ds.search(
+        q, size=10, round_scores=4, indices_boost={1: 2.0, 2: 0.5}
+    ).select("doc_id", "score")
 
     # r4 `_update` API (UpdateHelper.java; lifecycle.update_doc):
     # partial-doc update of doc 0 (tombstone old + 1-row append; old
@@ -5266,6 +5284,7 @@ def lifecycle_suite(spark, sf_dir):
         _tag(d, "upd_match", "doc_id", "score"),
         _tag(e, "post_append", "doc_id", "score"),
         _tag(g, "ds_search", "doc_id", "score"),
+        _tag(gb, "ds_boost", "doc_id", "score"),
         _tag(h, "upd_doc_match", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 

@@ -136,23 +136,49 @@ class DataStream:
         """One engine per non-empty generation (an empty write index has
         no stats to score with and matches nothing)."""
         out = []
+        for g in self._live_generations():
+            idx = InvertedIndex(self.spark, self._gen_dir(g))
+            out.append(SearchEngine(idx))
+        return out
+
+    def _live_generations(self) -> List[int]:
+        """Generation numbers with >= 1 doc, aligned with engines()."""
+        out = []
         for g in self.generations():
             idx = InvertedIndex(self.spark, self._gen_dir(g))
             if int(idx.stats["n_docs"]) > 0:
-                out.append(SearchEngine(idx))
+                out.append(g)
         return out
 
     def search(
-        self, query, size: int = 10, round_scores: Optional[int] = None
+        self,
+        query,
+        size: int = 10,
+        round_scores: Optional[int] = None,
+        indices_boost: Optional[Dict[int, float]] = None,
     ) -> DataFrame:
         """Fan-out search: per-generation scoring with that generation's
         own corpus statistics (per-shard QUERY_THEN_FETCH semantics),
         global top-k with (score desc, id asc) tie-break.
         ``round_scores`` rounds BEFORE the global ordering (the
-        docs_index.topk float-stability contract)."""
+        docs_index.topk float-stability contract).
+
+        ``indices_boost`` = the reference's per-index boost map
+        (SearchSourceBuilder ``indices_boost`` /
+        SearchService.buildIndexBoost), keyed here by generation number
+        (the backing ``.ds-<stream>-<gen>`` index): each generation's
+        raw scores are multiplied by its factor before the global
+        merge — the standard recency-weighting trick over a data
+        stream's generations."""
+        boosts = {int(k): float(v) for k, v in (indices_boost or {}).items()}
         parts = []
-        for eng in self.engines():
+        for gen, eng in zip(self._live_generations(), self.engines()):
             scored = eng._score_with_deletes_applied(query)
+            b = boosts.get(gen, 1.0)
+            if b != 1.0:
+                scored = scored.withColumn(
+                    "score", F.col("score") * F.lit(b)
+                )
             dm = eng.index.docmap().select("_docid", *eng.id_cols)
             parts.append(scored.join(dm, "_docid").select(*eng.id_cols, "score"))
         if not parts:
