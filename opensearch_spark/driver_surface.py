@@ -2495,6 +2495,19 @@ __ridcg AS (
     SELECT rating, row_number() OVER (ORDER BY rating DESC, doc_id ASC) AS rn FROM __rr
   ) WHERE rn <= 10
 ),
+__rerr AS (
+  -- ExpectedReciprocalRank (max_relevance 3 -> 2^3): p carries the
+  -- product of (1-probR) over RATED earlier hits (unrated skipped,
+  -- rank preserved) as a log-space prefix window
+  SELECT query_id, COALESCE(SUM(pr / rank * pprev), 0.0) AS err FROM (
+    SELECT query_id, rank,
+           (pow(2.0, rating) - 1) / 8.0 AS pr,
+           COALESCE(exp(SUM(ln(1.0 - (pow(2.0, rating) - 1) / 8.0)) OVER (
+             PARTITION BY query_id ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0) AS pprev
+    FROM __rj WHERE rating IS NOT NULL
+  ) GROUP BY query_id
+),
 __exp AS (
   SELECT t.term,
          CAST({{score}} AS DOUBLE) AS v
@@ -2532,11 +2545,13 @@ SELECT 'rank_eval' AS op, CAST(p.query_id AS VARCHAR) || ':' || m.name AS k,
          WHEN 'recall' THEN p.rel_ret / n.n_rel
          WHEN 'mean_reciprocal_rank' THEN COALESCE(1.0 / p.first_rel, 0.0)
          WHEN 'dcg' THEN COALESCE(p.dcg, 0.0)
+         WHEN 'err' THEN COALESCE(e.err, 0.0)
          ELSE COALESCE(p.dcg, 0.0) / i.idcg
        END, 6) AS v
 FROM __rper p CROSS JOIN __rnrel n CROSS JOIN __ridcg i
+LEFT JOIN __rerr e ON e.query_id = p.query_id
 CROSS JOIN (VALUES ('precision'), ('recall'), ('mean_reciprocal_rank'),
-            ('dcg'), ('ndcg')) AS m(name)
+            ('dcg'), ('ndcg'), ('err')) AS m(name)
 UNION ALL
 SELECT 'scan' AS op,
        CAST(CAST((rn - 1) // 100 AS INT) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS k,
@@ -2545,6 +2560,11 @@ FROM (
   SELECT doc_id, sc, row_number() OVER (ORDER BY doc_id ASC) AS rn
   FROM ({{scan_clause}})
 )
+UNION ALL
+SELECT 'scan_slice' AS op,
+       CAST(xor(doc_id, doc_id >> 32) % 3 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS k,
+       ROUND(sc, 6) AS v
+FROM ({{scan_clause}})
 UNION ALL
 SELECT 'validate' AS op, k, v FROM (VALUES
   ('good', 1.0), ('bad_op', 0.0), ('bad_field', 0.0)) AS vq(k, v)
@@ -2631,7 +2651,7 @@ def ft_diagnostics(spark, sf_dir):
         rated.withColumn("query_id", F.lit(0)),
         rated.withColumn("query_id", F.lit(1)),
     )
-    for r in rank_eval(hits, ratings, k=10).collect():
+    for r in rank_eval(hits, ratings, k=10, max_relevance=3).collect():
         rows.append(
             ("rank_eval", f"{int(r['query_id'])}:{r['metric']}", float(r["value"]))
         )
@@ -2645,6 +2665,19 @@ def ft_diagnostics(spark, sf_dir):
         for r in batch:
             rows.append(("scan", f"{bi}:{r['doc_id']}", float(r["score"])))
             i += 1
+    # sliced scroll (SliceBuilder / DocValuesSliceQuery): 3 disjoint
+    # slices of the same scored set, keyed by slice id — together they
+    # must reproduce the full export exactly once each
+    for sid in range(3):
+        for batch in eng.scan(
+            {"match": {"text": "dup"}},
+            batch_size=100,
+            slice={"id": sid, "max": 3},
+        ):
+            for r in batch:
+                rows.append(
+                    ("scan_slice", f"{sid}:{r['doc_id']}", float(r["score"]))
+                )
     # r4 — the last pytest-only diagnostics under the oracle:
     # _validate/query (TransportValidateQueryAction: parse + lazy plan
     # build, no hits; malformed -> valid=false instead of raising),

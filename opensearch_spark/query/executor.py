@@ -759,7 +759,8 @@ class SearchEngine:
         out_cols = [_out(c) for c in list(fetch_cols) + list(script_fields)]
         return topk.orderBy(*order).select(*out_cols, "score")
 
-    def scan(self, query, batch_size: int = 500, source_cols=None):
+    def scan(self, query, batch_size: int = 500, source_cols=None,
+             slice: Optional[Dict] = None):
         """Scroll the full result set in stable batches (the `scroll` /
         PIT cursor analog, SURVEY.md §2.6) — generator of row lists.
 
@@ -770,7 +771,18 @@ class SearchEngine:
         float scores, whose distributed summation order is not stable
         across executions — guarantees no skipped/duplicated boundary
         docs (scroll is an export cursor; hit order is not a contract,
-        matching the reference's ``scroll`` + ``_doc`` sort fast path)."""
+        matching the reference's ``scroll`` + ``_doc`` sort fast path).
+
+        ``slice`` = the reference's SLICED SCROLL
+        (``slice/SliceBuilder.java`` on a numeric doc-values field —
+        ``DocValuesSliceQuery``: ``floorMod(Long.hashCode(value),
+        max) == id``): ``{"id": i, "max": m, "field": col}`` (field
+        defaults to the first id column) keeps slice ``i`` of ``m``
+        disjoint-and-complete shards of the result set, so M export
+        workers each pull their own slice of one scored frame —
+        exactly the parallel-reindex pattern sliced scroll exists
+        for.  ``Long.hashCode`` is ``(int)(v ^ (v >>> 32))``,
+        reproduced here so the partition matches the reference's."""
         from pyspark import StorageLevel
 
         q = Q.from_dict(query) if isinstance(query, dict) else query
@@ -779,8 +791,17 @@ class SearchEngine:
             dict.fromkeys(self.id_cols + list(source_cols or []))
         )
         dm = self.docmap().select("_docid", *fetch_cols)
+        joined = scored.join(dm, "_docid")
+        if slice is not None:
+            m = int(slice["max"])
+            sid = int(slice["id"])
+            if not (0 <= sid < m):
+                raise ValueError("slice id must be in [0, max)")
+            fld = F.col(slice.get("field", self.id_cols[0])).cast("long")
+            h = fld.bitwiseXOR(F.shiftright(fld, 32))
+            joined = joined.filter(F.pmod(h, F.lit(m)) == F.lit(sid))
         full = (
-            scored.join(dm, "_docid")
+            joined
             .select(*fetch_cols, "score")
             .orderBy(*[F.asc(c) for c in self.id_cols])
             .persist(StorageLevel.MEMORY_AND_DISK)

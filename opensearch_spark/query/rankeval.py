@@ -22,6 +22,8 @@ queries):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,13 +33,20 @@ def rank_eval(
     ratings: DataFrame,
     k: int = 10,
     relevant_threshold: int = 1,
+    max_relevance: Optional[int] = None,
 ) -> DataFrame:
     """Per-query metrics as a long ``(query_id, metric, value)`` frame
-    (metrics: precision, recall, mean_reciprocal_rank, dcg, ndcg)."""
+    (metrics: precision, recall, mean_reciprocal_rank, dcg, ndcg; plus
+    ``err`` when ``max_relevance`` is set — ExpectedReciprocalRank.java
+    / Chapelle et al. 2009: probR(g) = (2^g - 1) / 2^max_relevance,
+    err = sum_r p_r * probR(g_r) / r with p updating only on RATED
+    hits (unrated docs advance the rank but are skipped, the
+    unknown_doc_rating=null behavior); computed as a rank-ordered JVM
+    array fold — no Python, no extra shuffle)."""
     h = hits.filter(F.col("rank") <= F.lit(int(k)))
     j = h.join(ratings, ["query_id", "doc_id"], "left")
     rel = F.col("rating") >= F.lit(int(relevant_threshold))
-    per = j.groupBy("query_id").agg(
+    aggs = [
         F.count(F.lit(1)).cast("double").alias("retrieved"),
         F.sum(F.when(rel, 1).otherwise(0)).cast("double").alias("rel_ret"),
         F.min(F.when(rel, F.col("rank"))).cast("double").alias("first_rel"),
@@ -45,7 +54,39 @@ def rank_eval(
             (F.pow(F.lit(2.0), F.col("rating")) - 1)
             / F.log2(F.col("rank").cast("double") + 1)
         ).alias("dcg"),  # null ratings drop out of the sum (unrated skipped)
-    )
+    ]
+    if max_relevance is not None:
+        two_pow = float(2 ** int(max_relevance))
+        pairs = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("rank").cast("double").alias("r"),
+                    F.col("rating").cast("double").alias("g"),
+                )
+            )
+        )
+
+        def _step(acc, x):
+            prob = (F.pow(F.lit(2.0), x["g"]) - F.lit(1.0)) / F.lit(two_pow)
+            rated = x["g"].isNotNull()
+            return F.struct(
+                F.when(rated, acc["p"] * (F.lit(1.0) - prob))
+                .otherwise(acc["p"])
+                .alias("p"),
+                F.when(rated, acc["e"] + acc["p"] * prob / x["r"])
+                .otherwise(acc["e"])
+                .alias("e"),
+            )
+
+        aggs.append(
+            F.aggregate(
+                pairs,
+                F.struct(F.lit(1.0).alias("p"), F.lit(0.0).alias("e")),
+                _step,
+                lambda a: a["e"],
+            ).alias("err")
+        )
+    per = j.groupBy("query_id").agg(*aggs)
     n_rel = (
         ratings.filter(rel)
         .groupBy("query_id")
@@ -101,12 +142,17 @@ def rank_eval(
             )
             .otherwise(F.lit(0.0))
             .alias("ndcg"),
+            *(
+                [F.coalesce(F.col("err"), F.lit(0.0)).alias("err")]
+                if max_relevance is not None
+                else []
+            ),
         )
     )
-    stack = ", ".join(
-        f"'{m}', `{m}`"
-        for m in ("precision", "recall", "mean_reciprocal_rank", "dcg", "ndcg")
-    )
+    metrics = ["precision", "recall", "mean_reciprocal_rank", "dcg", "ndcg"]
+    if max_relevance is not None:
+        metrics.append("err")
+    stack = ", ".join(f"'{m}', `{m}`" for m in metrics)
     return out.selectExpr(
-        "query_id", f"stack(5, {stack}) as (metric, value)"
+        "query_id", f"stack({len(metrics)}, {stack}) as (metric, value)"
     )
