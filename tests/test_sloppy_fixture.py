@@ -127,3 +127,49 @@ def test_engine_matches_lucene_semantics_exactly(sloppy_engine):
     assert set(out) == set(expected)
     for k in expected:
         assert out[k] == pytest.approx(expected[k], rel=1e-6), k
+
+
+# ---------------------------------------------------------------- batched walk
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opensearch_spark.query.executor import _sloppy_freq_2term_batch
+
+_poslist = st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                    max_size=8, unique=True).map(sorted)
+
+
+@given(
+    docs=st.lists(st.tuples(_poslist, _poslist), min_size=1, max_size=12),
+    slop=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=400, deadline=None)
+def test_2term_batch_equals_scalar(docs, slop):
+    """The vectorized two-term walk is value-identical to the scalar
+    SloppyPhraseMatcher simulation on arbitrary position sets —
+    including shared positions (same token can't be two terms in a
+    real index, but the algebra must still agree)."""
+    pa = [np.asarray(a, dtype=np.int64) for a, _ in docs]
+    pb_raw = [np.asarray(b, dtype=np.int64) for _, b in docs]
+    got = _sloppy_freq_2term_batch(pa, [b - 1 for b in pb_raw], slop)
+    for k, (a, b) in enumerate(zip(pa, pb_raw)):
+        want = _sloppy_freq({"t0": a, "t1": b}, ["t0", "t1"], slop)
+        assert got[k] == pytest.approx(want, abs=1e-12), (
+            f"doc {k}: batch {got[k]} != scalar {want} "
+            f"(A={a.tolist()}, B={b.tolist()}, slop={slop})"
+        )
+
+
+def test_2term_batch_trace_parity():
+    """The batch path reproduces every two-term hand-traced Lucene row."""
+    two = [(t, terms, slop, want) for t, terms, slop, want in LUCENE_TRACES
+           if len(terms) == 2 and terms[0] != terms[1]]
+    assert two
+    for text, terms, slop, want in two:
+        a = _positions(text, terms[0])
+        b = _positions(text, terms[1])
+        if a.size == 0 or b.size == 0:
+            continue
+        got = _sloppy_freq_2term_batch([a], [b - 1], slop)[0]
+        assert got == pytest.approx(want, abs=1e-12)
