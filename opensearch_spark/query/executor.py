@@ -436,6 +436,88 @@ def _sloppy_freq_2term_batch(
     return out
 
 
+def _sloppy_freq_krow_batch(cols: List[List[np.ndarray]], slop: int) -> np.ndarray:
+    """``_sloppy_freq_2term_batch`` generalized to ANY no-repeat phrase
+    (k distinct terms): the same lockstep step-simulation, but the
+    PhraseQueue pop/push becomes a masked argmin over an (nd, k) key
+    matrix.  For a no-repeat phrase pp ``i`` has offset == ord == i, so
+    Lucene's ``(position, offset, ord)`` queue order collapses to the
+    single int64 key ``pos * k + i`` (i < k, so the packing is exact) —
+    per step each alive doc advances its active pp (per-column masked
+    gather), takes the monotone ``end`` max, tests the strict
+    ``pos > next`` crossing, and on a crossing records the match and
+    re-pops the queue minimum (argmin, then second-min for ``next``).
+    Value-identity with the scalar ``_sloppy_freq`` is pinned by the
+    k=3/k=4 hypothesis sweep in tests/test_sloppy_fixture.py.
+
+    ``cols[i]``: per-doc sorted int64 position arrays for phrase term
+    ``i``, ALREADY offset-adjusted (raw positions minus ``i``), every
+    array non-empty.  Returns per-doc sloppy frequencies."""
+    k = len(cols)
+    nd = len(cols[0])
+    out = np.zeros(nd, np.float64)
+    if nd == 0:
+        return out
+    lens = np.empty((nd, k), np.int64)
+    offs = np.empty((nd, k), np.int64)
+    flats: List[np.ndarray] = []
+    for c in range(k):
+        lc = np.fromiter((a.size for a in cols[c]), dtype=np.int64, count=nd)
+        lens[:, c] = lc
+        offs[:, c] = np.concatenate(([0], np.cumsum(lc)[:-1]))
+        flats.append(np.concatenate(cols[c]))
+    ords = np.arange(k, dtype=np.int64)
+    posm = np.empty((nd, k), np.int64)
+    for c in range(k):
+        posm[:, c] = flats[c][offs[:, c]]
+    keys = posm * k + ords  # (pos, offset, ord) order, packed exactly
+    act = np.argmin(keys, axis=1).astype(np.int64)
+    end = posm.max(axis=1)
+    rows = np.arange(nd)
+    ml = end - posm[rows, act]
+    k2 = keys.copy()
+    k2[rows, act] = np.iinfo(np.int64).max
+    nxt = posm[rows, np.argmin(k2, axis=1)]  # queue-min POSITION
+    ptr = np.zeros((nd, k), np.int64)
+    idx = rows.copy()  # alive docs, compacted each step
+    while idx.size:
+        a = act[idx]
+        ptr[idx, a] += 1
+        done = ptr[idx, a] >= lens[idx, a]
+        fin = idx[done]
+        mlf = ml[fin]
+        hit = mlf <= slop
+        out[fin[hit]] += 1.0 / (1.0 + mlf[hit])
+        idx = idx[~done]
+        if idx.size == 0:
+            break
+        a = a[~done]
+        newpos = np.empty(idx.size, np.int64)
+        for c in range(k):  # per-column masked gather of the advanced pp
+            m = a == c
+            if m.any():
+                d = idx[m]
+                newpos[m] = flats[c][offs[d, c] + ptr[d, c]]
+        posm[idx, a] = newpos
+        end[idx] = np.maximum(end[idx], newpos)
+        crossed = newpos > nxt[idx]
+        cr = idx[crossed]
+        if cr.size:
+            mlc = ml[cr]
+            hit = mlc <= slop
+            out[cr[hit]] += 1.0 / (1.0 + mlc[hit])
+            kc = posm[cr] * k + ords  # re-pop: min and second-min keys
+            na = np.argmin(kc, axis=1).astype(np.int64)
+            act[cr] = na
+            rr = np.arange(cr.size)
+            ml[cr] = end[cr] - posm[cr, na]
+            kc[rr, na] = np.iinfo(np.int64).max
+            nxt[cr] = posm[cr, np.argmin(kc, axis=1)]
+        nc = idx[~crossed]
+        ml[nc] = np.minimum(ml[nc], end[nc] - newpos[~crossed])
+    return out
+
+
 def resolve_msm(msm, n_clauses: int) -> int:
     """``minimum_should_match`` value formats
     (``common/lucene/search/Queries.java`` ``calculateMinShouldMatch``):
@@ -2227,10 +2309,12 @@ class SearchEngine:
         order_terms = list(tokens)
         gap_budget = int(slop)
 
-        # two distinct terms -> the batched numpy walk (no repeat
-        # groups possible); longer / repeated phrases keep the faithful
-        # scalar PhraseQueue simulation
-        two_fast = len(order_terms) == 2 and order_terms[0] != order_terms[1]
+        # no repeated terms -> the batched numpy walk (2-term gets the
+        # pair-specialized kernel, k>=3 the argmin-queue one); phrases
+        # with repeat groups keep the faithful scalar PhraseQueue
+        # simulation (collision resolution is genuinely sequential)
+        no_repeats = len(set(order_terms)) == len(order_terms)
+        two_fast = no_repeats and len(order_terms) == 2
 
         @F.pandas_udf(T.DoubleType())
         def sloppy_tf(tp: pd.Series) -> pd.Series:
@@ -2253,6 +2337,15 @@ class SearchEngine:
                     pb.append(pos[t1] - 1)  # offset-adjust term 1
                 return pd.Series(
                     _sloppy_freq_2term_batch(pa, pb, gap_budget), index=tp.index
+                )
+            if no_repeats:
+                cols: List[List[np.ndarray]] = [[] for _ in order_terms]
+                for entries in tp:
+                    pos = unpack(entries)
+                    for i, t in enumerate(order_terms):
+                        cols[i].append(pos[t] - i)  # offset-adjust
+                return pd.Series(
+                    _sloppy_freq_krow_batch(cols, gap_budget), index=tp.index
                 )
             return tp.map(
                 lambda entries: _sloppy_freq(unpack(entries), order_terms, gap_budget)

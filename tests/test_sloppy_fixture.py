@@ -173,3 +173,70 @@ def test_2term_batch_trace_parity():
             continue
         got = _sloppy_freq_2term_batch([a], [b - 1], slop)[0]
         assert got == pytest.approx(want, abs=1e-12)
+
+
+from opensearch_spark.query.executor import _sloppy_freq_krow_batch
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_poslist, _poslist, _poslist), min_size=1, max_size=10
+    ),
+    slop=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_3term_batch_equals_scalar(docs, slop):
+    """The argmin-queue k-row walk is value-identical to the scalar
+    matcher for three distinct terms on arbitrary position sets."""
+    cols = [
+        [np.asarray(d[i], dtype=np.int64) - i for d in docs] for i in range(3)
+    ]
+    got = _sloppy_freq_krow_batch(cols, slop)
+    for k, d in enumerate(docs):
+        pos = {f"t{i}": np.asarray(d[i], dtype=np.int64) for i in range(3)}
+        want = _sloppy_freq(pos, ["t0", "t1", "t2"], slop)
+        assert got[k] == pytest.approx(want, abs=1e-12), (
+            f"doc {k}: batch {got[k]} != scalar {want} "
+            f"(docs={[list(x) for x in d]}, slop={slop})"
+        )
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_poslist, _poslist, _poslist, _poslist),
+        min_size=1, max_size=8,
+    ),
+    slop=st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_4term_batch_equals_scalar(docs, slop):
+    """Same identity at k=4 (exercises deeper queue re-pops)."""
+    cols = [
+        [np.asarray(d[i], dtype=np.int64) - i for d in docs] for i in range(4)
+    ]
+    got = _sloppy_freq_krow_batch(cols, slop)
+    for k, d in enumerate(docs):
+        pos = {f"t{i}": np.asarray(d[i], dtype=np.int64) for i in range(4)}
+        want = _sloppy_freq(pos, ["t0", "t1", "t2", "t3"], slop)
+        assert got[k] == pytest.approx(want, abs=1e-12)
+
+
+def test_krow_batch_trace_parity():
+    """The k-row path reproduces every no-repeat hand-traced Lucene row
+    (including the two-term ones — k=2 through the general kernel)."""
+    cases = [
+        (t, terms, slop, want)
+        for t, terms, slop, want in LUCENE_TRACES
+        if len(set(terms)) == len(terms) and len(terms) >= 2
+    ]
+    assert cases
+    ran = 0
+    for text, terms, slop, want in cases:
+        arrs = [_positions(text, t) for t in terms]
+        if any(a.size == 0 for a in arrs):
+            continue
+        cols = [[a - i] for i, a in enumerate(arrs)]
+        got = _sloppy_freq_krow_batch(cols, slop)[0]
+        assert got == pytest.approx(want, abs=1e-12), (terms, slop)
+        ran += 1
+    assert ran
