@@ -3,8 +3,10 @@
 The decode path is the analog of Lucene's postings enumeration: block rows
 for the query's terms are scanned (Parquet predicate pushdown prunes by the
 ``term`` column — blocks are written term-sorted so row-group min/max stats
-make this effective), then unpacked in an Arrow-batched ``mapInPandas``
-into (term, doc_id, tf, norm_byte[, positions]) rows for scoring.
+make this effective), then unpacked Arrow-native in a ``mapInArrow``
+into (term, doc_id, tf, norm_byte[, positions]) rows for scoring; the
+positions column is built as one ListArray from flat values + offsets,
+so the decode does per-BLOCK Python and per-POSTING numpy only.
 """
 
 from __future__ import annotations
@@ -268,35 +270,70 @@ class InvertedIndex:
         schema = T.StructType(fields)
 
         bc = codec.get_codec(self.plan.get("codec", "varint"))
+        out_names = [f.name for f in fields]
 
         def decode(batches):
-            for pdf in batches:
-                outs = []
-                for row in pdf.itertuples(index=False):
-                    n = int(row.n_docs)
-                    gaps = bc.decode(row.docs_bin, n).astype(np.int64)
-                    docs = np.cumsum(gaps) + np.int64(row.base_doc)
-                    tfs = bc.decode(row.tfs_bin, n).astype(np.int64)
-                    norms = np.frombuffer(row.norms_bin, dtype=np.uint8)
-                    d = {
-                        "term": np.repeat(row.term, docs.size),
-                        "_docid": docs,
-                        "tf": tfs.astype(np.int32),
-                        "norm_byte": norms.astype(np.int32),
-                    }
-                    out = pd.DataFrame(d)
-                    if with_positions:
-                        deltas = bc.decode(row.pos_bin, int(tfs.sum()))
-                        pos = codec.positions_from_deltas(deltas, tfs)
-                        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-                        out["positions"] = [
-                            pos[s : s + c] for s, c in zip(starts, tfs)
-                        ]
-                    outs.append(out)
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
+            # Arrow-native decode: per-BLOCK Python (thousands of rows),
+            # per-POSTING numpy only.  The positions column is assembled
+            # as ONE ListArray from flat values + offsets — no per-doc
+            # Python list slicing and no pandas object-column round-trip
+            # (that slicing was ~55% of a position query's wall time on
+            # a 4M-turn corpus).
+            import pyarrow as pa
 
-        return blocks.mapInPandas(decode, schema=schema)
+            for rb in batches:
+                nb = rb.num_rows
+                if nb == 0:
+                    continue
+                names = rb.schema.names
+                col = lambda nm: rb.column(names.index(nm))
+                terms_b = col("term").to_pylist()
+                bases = col("base_doc").to_pylist()
+                nds = col("n_docs").to_pylist()
+                docs_bins = col("docs_bin").to_pylist()
+                tfs_bins = col("tfs_bin").to_pylist()
+                norms_bins = col("norms_bin").to_pylist()
+                pos_bins = col("pos_bin").to_pylist() if with_positions else None
+                doc_p, tf_p, norm_p, term_p = [], [], [], []
+                pv_p, pl_p = [], []
+                for j in range(nb):
+                    n = int(nds[j])
+                    gaps = bc.decode(docs_bins[j], n).astype(np.int64)
+                    docs = np.cumsum(gaps) + np.int64(bases[j])
+                    tfs = bc.decode(tfs_bins[j], n).astype(np.int64)
+                    norms = np.frombuffer(norms_bins[j], dtype=np.uint8)
+                    doc_p.append(docs)
+                    tf_p.append(tfs.astype(np.int32))
+                    norm_p.append(norms.astype(np.int32))
+                    term_p.append(np.repeat(terms_b[j], n))
+                    if with_positions:
+                        deltas = bc.decode(pos_bins[j], int(tfs.sum()))
+                        pv_p.append(
+                            codec.positions_from_deltas(deltas, tfs).astype(
+                                np.int64
+                            )
+                        )
+                        pl_p.append(tfs)
+                arrays = [
+                    pa.array(np.concatenate(term_p), type=pa.string()),
+                    pa.array(np.concatenate(doc_p), type=pa.int64()),
+                    pa.array(np.concatenate(tf_p), type=pa.int32()),
+                    pa.array(np.concatenate(norm_p), type=pa.int32()),
+                ]
+                if with_positions:
+                    lens = np.concatenate(pl_p)
+                    offsets = np.concatenate(([0], np.cumsum(lens))).astype(
+                        np.int32
+                    )
+                    arrays.append(
+                        pa.ListArray.from_arrays(
+                            pa.array(offsets, type=pa.int32()),
+                            pa.array(np.concatenate(pv_p), type=pa.int64()),
+                        )
+                    )
+                yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+        return blocks.mapInArrow(decode, schema=schema)
 
     def _empty_postings(self, with_positions: bool) -> DataFrame:
         fields = "term string, _docid long, tf int, norm_byte int"

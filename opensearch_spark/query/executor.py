@@ -387,15 +387,29 @@ def _sloppy_freq_2term_batch(
     ALREADY offset-adjusted (term0 raw, term1 positions - 1), both
     non-empty for every doc.  Returns per-doc sloppy frequencies."""
     nd = len(pa_list)
-    out = np.zeros(nd, np.float64)
     if nd == 0:
-        return out
+        return np.zeros(0, np.float64)
     lenA = np.fromiter((a.size for a in pa_list), dtype=np.int64, count=nd)
     lenB = np.fromiter((b.size for b in pb_list), dtype=np.int64, count=nd)
     offA = np.concatenate(([0], np.cumsum(lenA)[:-1]))
     offB = np.concatenate(([0], np.cumsum(lenB)[:-1]))
     flatA = np.concatenate(pa_list)
     flatB = np.concatenate(pb_list)
+    return _sloppy_freq_2term_flat(flatA, offA, lenA, flatB, offB, lenB, slop)
+
+
+def _sloppy_freq_2term_flat(
+    flatA: np.ndarray, offA: np.ndarray, lenA: np.ndarray,
+    flatB: np.ndarray, offB: np.ndarray, lenB: np.ndarray, slop: int,
+) -> np.ndarray:
+    """Flat-layout core of ``_sloppy_freq_2term_batch``: per-doc
+    position runs live at ``flat[off[d] : off[d] + len[d]]`` — exactly
+    the Arrow ListArray values/offsets layout, so the ``mapInArrow``
+    scorer feeds the decoded column in zero-copy."""
+    nd = lenA.size
+    out = np.zeros(nd, np.float64)
+    if nd == 0:
+        return out
     a0, b0 = flatA[offA], flatB[offB]
     act = (b0 < a0).astype(np.int8)  # active pp; pos ties -> offset 0
     end = np.maximum(a0, b0)
@@ -455,9 +469,8 @@ def _sloppy_freq_krow_batch(cols: List[List[np.ndarray]], slop: int) -> np.ndarr
     array non-empty.  Returns per-doc sloppy frequencies."""
     k = len(cols)
     nd = len(cols[0])
-    out = np.zeros(nd, np.float64)
     if nd == 0:
-        return out
+        return np.zeros(0, np.float64)
     lens = np.empty((nd, k), np.int64)
     offs = np.empty((nd, k), np.int64)
     flats: List[np.ndarray] = []
@@ -466,6 +479,20 @@ def _sloppy_freq_krow_batch(cols: List[List[np.ndarray]], slop: int) -> np.ndarr
         lens[:, c] = lc
         offs[:, c] = np.concatenate(([0], np.cumsum(lc)[:-1]))
         flats.append(np.concatenate(cols[c]))
+    return _sloppy_freq_krow_flat(flats, offs, lens, slop)
+
+
+def _sloppy_freq_krow_flat(
+    flats: List[np.ndarray], offs: np.ndarray, lens: np.ndarray, slop: int
+) -> np.ndarray:
+    """Flat-layout core of ``_sloppy_freq_krow_batch`` (see
+    ``_sloppy_freq_2term_flat`` for the layout contract): ``flats[c]``
+    holds term c's positions for all docs, ``offs``/``lens`` are
+    (nd, k) run starts/lengths."""
+    nd, k = lens.shape
+    out = np.zeros(nd, np.float64)
+    if nd == 0:
+        return out
     ords = np.arange(k, dtype=np.int64)
     posm = np.empty((nd, k), np.int64)
     for c in range(k):
@@ -516,6 +543,12 @@ def _sloppy_freq_krow_batch(cols: List[List[np.ndarray]], slop: int) -> np.ndarr
         nc = idx[~crossed]
         ml[nc] = np.minimum(ml[nc], end[nc] - newpos[~crossed])
     return out
+
+
+# A/B switch for the batched sloppy walk (bench evidence: set False to
+# force the scalar PhraseQueue simulation on the same query; results
+# must be identical — only throughput changes).  Read at PLAN time.
+SLOPPY_BATCH_ENABLED = True
 
 
 def resolve_msm(msm, n_clauses: int) -> int:
@@ -2309,51 +2342,96 @@ class SearchEngine:
         order_terms = list(tokens)
         gap_budget = int(slop)
 
-        # no repeated terms -> the batched numpy walk (2-term gets the
-        # pair-specialized kernel, k>=3 the argmin-queue one); phrases
-        # with repeat groups keep the faithful scalar PhraseQueue
-        # simulation (collision resolution is genuinely sequential)
-        no_repeats = len(set(order_terms)) == len(order_terms)
-        two_fast = no_repeats and len(order_terms) == 2
+        # no repeated terms -> the ARROW-NATIVE batched numpy walk: the
+        # per-term position lists are pivoted to array columns JVM-side
+        # (map_from_entries + element_at), and a mapInArrow scorer feeds
+        # the ListArray flat values + offsets straight into the lockstep
+        # kernels (_sloppy_freq_*_flat) — zero per-doc Python anywhere
+        # in the scoring stage.  Phrases with repeat groups keep the
+        # faithful scalar PhraseQueue simulation (collision resolution
+        # is genuinely sequential).
+        no_repeats = SLOPPY_BATCH_ENABLED and len(set(order_terms)) == len(
+            order_terms
+        )
+        if no_repeats:
+            k = len(order_terms)
+            piv = agg.select(
+                "_docid", "norm_byte", F.map_from_entries("tp").alias("pm")
+            ).select(
+                "_docid",
+                "norm_byte",
+                *[
+                    F.element_at(F.col("pm"), F.lit(t)).alias(f"_p{i}")
+                    for i, t in enumerate(order_terms)
+                ],
+            )
 
-        @F.pandas_udf(T.DoubleType())
-        def sloppy_tf(tp: pd.Series) -> pd.Series:
-            def unpack(entries) -> dict:
-                pos = {}
-                for e in entries:
-                    if isinstance(e, dict):
-                        pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
+            def arrow_stf(batches):
+                import pyarrow as pa_
+
+                for rb in batches:
+                    if rb.num_rows == 0:
+                        continue
+                    names = rb.schema.names
+                    flats, offs_l, lens_l = [], [], []
+                    for i in range(k):
+                        la = rb.column(names.index(f"_p{i}"))
+                        off = np.asarray(la.offsets, dtype=np.int64)
+                        # offset-adjust term i over the flat buffer
+                        flats.append(np.asarray(la.values, dtype=np.int64) - i)
+                        offs_l.append(off[:-1])
+                        lens_l.append(off[1:] - off[:-1])
+                    if k == 2:
+                        stf = _sloppy_freq_2term_flat(
+                            flats[0], offs_l[0], lens_l[0],
+                            flats[1], offs_l[1], lens_l[1], gap_budget,
+                        )
                     else:
-                        pos[e[0]] = np.asarray(e[1], dtype=np.int64)
-                return pos
+                        stf = _sloppy_freq_krow_flat(
+                            flats,
+                            np.stack(offs_l, axis=1),
+                            np.stack(lens_l, axis=1),
+                            gap_budget,
+                        )
+                    yield pa_.RecordBatch.from_arrays(
+                        [
+                            rb.column(names.index("_docid")),
+                            rb.column(names.index("norm_byte")),
+                            pa_.array(stf, type=pa_.float64()),
+                        ],
+                        names=["_docid", "norm_byte", "stf"],
+                    )
 
-            if two_fast:
-                t0, t1 = order_terms
-                pa: List[np.ndarray] = []
-                pb: List[np.ndarray] = []
-                for entries in tp:
-                    pos = unpack(entries)
-                    pa.append(pos[t0])
-                    pb.append(pos[t1] - 1)  # offset-adjust term 1
-                return pd.Series(
-                    _sloppy_freq_2term_batch(pa, pb, gap_budget), index=tp.index
-                )
-            if no_repeats:
-                cols: List[List[np.ndarray]] = [[] for _ in order_terms]
-                for entries in tp:
-                    pos = unpack(entries)
-                    for i, t in enumerate(order_terms):
-                        cols[i].append(pos[t] - i)  # offset-adjust
-                return pd.Series(
-                    _sloppy_freq_krow_batch(cols, gap_budget), index=tp.index
-                )
-            return tp.map(
-                lambda entries: _sloppy_freq(unpack(entries), order_terms, gap_budget)
-            ).astype("float64")
+            base = piv.mapInArrow(
+                arrow_stf, "_docid long, norm_byte int, stf double"
+            )
+        else:
+
+            @F.pandas_udf(T.DoubleType())
+            def sloppy_tf(tp: pd.Series) -> pd.Series:
+                def unpack(entries) -> dict:
+                    pos = {}
+                    for e in entries:
+                        if isinstance(e, dict):
+                            pos[e["term"]] = np.asarray(
+                                e["positions"], dtype=np.int64
+                            )
+                        else:
+                            pos[e[0]] = np.asarray(e[1], dtype=np.int64)
+                    return pos
+
+                return tp.map(
+                    lambda entries: _sloppy_freq(
+                        unpack(entries), order_terms, gap_budget
+                    )
+                ).astype("float64")
+
+            base = agg.select(
+                "_docid", "norm_byte", sloppy_tf(F.col("tp")).alias("stf")
+            )
 
         scored = (
-            agg.withColumn("stf", sloppy_tf(F.col("tp")))
-            .filter(F.col("stf") > 0)
+            base.filter(F.col("stf") > 0)
             .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
             .withColumn(
                 "s",
