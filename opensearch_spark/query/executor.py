@@ -550,6 +550,93 @@ def _sloppy_freq_krow_flat(
 # must be identical — only throughput changes).  Read at PLAN time.
 SLOPPY_BATCH_ENABLED = True
 
+# Doc-partitioned batched searchsorted: per-doc position runs are made
+# globally monotone by adding doc_index * _DOC_SHIFT, so ONE
+# np.searchsorted over the concatenated buffer answers every doc's
+# probe at once.  Positions are token ordinals (< doc length); the
+# margin also covers the backward probes' small negative targets.
+_DOC_SHIFT = np.int64(1) << np.int64(22)
+
+
+def _ordered_intervals_count_flat(
+    vals: List[np.ndarray],
+    lens: List[np.ndarray],
+    steps: List[int],
+    total_len: int,
+    max_gaps: int,
+) -> np.ndarray:
+    """Cross-doc VECTORIZED ordered-interval counter — the lockstep
+    form of ``_find_intervals``' ordered branch (same forward
+    searchsorted chain, same backward tighten, same width/budget test,
+    same restart cursor), run for every candidate doc at once via
+    doc-shifted searchsorted.  ``vals[t]``/``lens[t]``: slot t's
+    positions concatenated in doc order / per-doc run lengths (slots
+    may share arrays when the phrase repeats a term — the walks keep
+    independent pointers exactly like the scalar's per-term probes).
+    ``steps[i]`` = 1 + reserved gap between slots i and i+1;
+    ``total_len`` = #slots + sum(gaps).  Returns per-doc interval
+    counts; value-identity with the scalar enumerator is pinned by
+    tests/test_sloppy_fixture.py's ordered-interval sweeps.
+
+    Soundness of the shift trick: forward probes target
+    ``prev + step`` (>= 0, < _DOC_SHIFT), so a probe that exhausts doc
+    d lands exactly at the doc's run end (the next doc's shifted values
+    are >= (d+1)*_DOC_SHIFT) — run-end comparison detects exhaustion
+    with no cross-doc bleed.  Backward probes target
+    ``chain[t+1] - step + 1`` which may be slightly negative, but the
+    forward pass guarantees an in-doc element < target exists, so the
+    ``searchsorted - 1`` index stays inside doc d's run."""
+    k = len(vals)
+    nd = int(lens[0].size)
+    cnt = np.zeros(nd, np.int64)
+    if nd == 0:
+        return cnt
+    doc_ids = np.arange(nd, dtype=np.int64)
+    docshift = doc_ids * _DOC_SHIFT
+    offs, ends, sh = [], [], []
+    for t in range(k):
+        o = np.concatenate(([0], np.cumsum(lens[t])[:-1]))
+        offs.append(o)
+        ends.append(o + lens[t])
+        sh.append(vals[t] + np.repeat(docshift, lens[t]))
+    chain = np.empty((nd, k), np.int64)
+    cur = np.full(nd, -1, np.int64)
+    idx = doc_ids.copy()  # alive docs, compacted as walks exhaust
+    while idx.size:
+        tgt = cur[idx] + 1 + docshift[idx]
+        j = np.searchsorted(sh[0], tgt)
+        live = j < ends[0][idx]
+        idx, j = idx[live], j[live]
+        if idx.size == 0:
+            break
+        prev = vals[0][j]
+        chain[idx, 0] = prev
+        for t in range(1, k):
+            tgt = prev + steps[t - 1] + docshift[idx]
+            j = np.searchsorted(sh[t], tgt)
+            live = j < ends[t][idx]
+            if not live.all():
+                idx, j = idx[live], j[live]
+                if idx.size == 0:
+                    break
+                prev = vals[t][j]
+            else:
+                prev = vals[t][j]
+            chain[idx, t] = prev
+        if idx.size == 0:
+            break
+        for t in range(k - 2, -1, -1):
+            tgt = chain[idx, t + 1] - steps[t] + 1 + docshift[idx]
+            j = np.searchsorted(sh[t], tgt) - 1
+            chain[idx, t] = vals[t][j]
+        if max_gaps < 0:
+            cnt[idx] += 1
+        else:
+            width = chain[idx, k - 1] - chain[idx, 0] + 1
+            cnt[idx] += width - total_len <= max_gaps
+        cur[idx] = chain[idx, 0]
+    return cnt
+
 
 def resolve_msm(msm, n_clauses: int) -> int:
     """``minimum_should_match`` value formats
@@ -2275,24 +2362,89 @@ class SearchEngine:
         want_ordered = ordered
         fixed_gaps = list(gaps) if gaps else None
 
-        @F.pandas_udf(T.IntegerType())
-        def interval_tf(tp: pd.Series) -> pd.Series:
-            def one(entries) -> int:
-                pos = {}
-                for e in entries:
-                    if isinstance(e, dict):
-                        pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
-                    else:
-                        pos[e[0]] = np.asarray(e[1], dtype=np.int64)
-                return _count_intervals(
-                    pos, order_terms, gap_budget, want_ordered, fixed_gaps
-                )
+        if want_ordered and SLOPPY_BATCH_ENABLED:
+            # ordered intervals / span_near in_order: Arrow-native
+            # lockstep enumeration (same pivot shape as the sloppy
+            # scorer) — per-doc Python only remains on the unordered
+            # sliding-window branch
+            slot_of = [uniq.index(t) for t in order_terms]
+            steps = [
+                1 + (fixed_gaps[i] if fixed_gaps else 0)
+                for i in range(len(order_terms) - 1)
+            ]
+            total_len = len(order_terms) + (sum(fixed_gaps) if fixed_gaps else 0)
+            piv = agg.select(
+                "_docid", "norm_byte", F.map_from_entries("tp").alias("pm")
+            ).select(
+                "_docid",
+                "norm_byte",
+                *[
+                    F.element_at(F.col("pm"), F.lit(t)).alias(f"_p{i}")
+                    for i, t in enumerate(uniq)
+                ],
+            )
 
-            return tp.map(one).astype("int32")
+            def arrow_itf(batches):
+                import pyarrow as pa_
+
+                for rb in batches:
+                    if rb.num_rows == 0:
+                        continue
+                    names = rb.schema.names
+                    uvals, ulens = [], []
+                    for i in range(len(uniq)):
+                        la = rb.column(names.index(f"_p{i}"))
+                        off = np.asarray(la.offsets, dtype=np.int64)
+                        uvals.append(
+                            np.asarray(la.values, dtype=np.int64)[
+                                off[0] : off[-1]
+                            ]
+                        )
+                        ulens.append(off[1:] - off[:-1])
+                    itf = _ordered_intervals_count_flat(
+                        [uvals[s] for s in slot_of],
+                        [ulens[s] for s in slot_of],
+                        steps,
+                        total_len,
+                        gap_budget,
+                    )
+                    yield pa_.RecordBatch.from_arrays(
+                        [
+                            rb.column(names.index("_docid")),
+                            rb.column(names.index("norm_byte")),
+                            pa_.array(itf.astype(np.int32), type=pa_.int32()),
+                        ],
+                        names=["_docid", "norm_byte", "itf"],
+                    )
+
+            base = piv.mapInArrow(
+                arrow_itf, "_docid long, norm_byte int, itf int"
+            )
+        else:
+
+            @F.pandas_udf(T.IntegerType())
+            def interval_tf(tp: pd.Series) -> pd.Series:
+                def one(entries) -> int:
+                    pos = {}
+                    for e in entries:
+                        if isinstance(e, dict):
+                            pos[e["term"]] = np.asarray(
+                                e["positions"], dtype=np.int64
+                            )
+                        else:
+                            pos[e[0]] = np.asarray(e[1], dtype=np.int64)
+                    return _count_intervals(
+                        pos, order_terms, gap_budget, want_ordered, fixed_gaps
+                    )
+
+                return tp.map(one).astype("int32")
+
+            base = agg.select(
+                "_docid", "norm_byte", interval_tf(F.col("tp")).alias("itf")
+            )
 
         scored = (
-            agg.withColumn("itf", interval_tf(F.col("tp")))
-            .filter(F.col("itf") > 0)
+            base.filter(F.col("itf") > 0)
             .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
             .withColumn(
                 "s",

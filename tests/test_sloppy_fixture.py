@@ -240,3 +240,83 @@ def test_krow_batch_trace_parity():
         assert got == pytest.approx(want, abs=1e-12), (terms, slop)
         ran += 1
     assert ran
+
+
+# ------------------------------------------------------- ordered intervals
+
+from opensearch_spark.query.executor import (
+    _find_intervals,
+    _ordered_intervals_count_flat,
+)
+
+
+def _ordered_scalar_count(docs, terms, max_gaps, gaps=None):
+    out = []
+    for d in docs:
+        pos = {t: np.asarray(p, dtype=np.int64) for t, p in zip(terms, d)}
+        out.append(len(_find_intervals(pos, list(terms), max_gaps, True, gaps)))
+    return np.asarray(out, dtype=np.int64)
+
+
+def _flatten(docs, slot):
+    vals = np.concatenate([np.asarray(d[slot], dtype=np.int64) for d in docs])
+    lens = np.asarray([len(d[slot]) for d in docs], dtype=np.int64)
+    return vals, lens
+
+
+@given(
+    docs=st.lists(st.tuples(_poslist, _poslist), min_size=1, max_size=12),
+    max_gaps=st.integers(min_value=-1, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_ordered_intervals_batch_k2(docs, max_gaps):
+    """Lockstep ordered-interval counts == the scalar enumerator (k=2)."""
+    v0, l0 = _flatten(docs, 0)
+    v1, l1 = _flatten(docs, 1)
+    got = _ordered_intervals_count_flat([v0, v1], [l0, l1], [1], 2, max_gaps)
+    want = _ordered_scalar_count(docs, ["t0", "t1"], max_gaps)
+    assert (got == want).all(), (docs, max_gaps, got.tolist(), want.tolist())
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_poslist, _poslist, _poslist), min_size=1, max_size=10
+    ),
+    max_gaps=st.integers(min_value=-1, max_value=10),
+    gap=st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=300, deadline=None)
+def test_ordered_intervals_batch_k3_gaps(docs, max_gaps, gap):
+    """k=3 with a span_gap run reserved between slots 0 and 1."""
+    gaps = [gap, 0]
+    steps = [1 + gap, 1]
+    total = 3 + gap
+    cols = [_flatten(docs, s) for s in range(3)]
+    got = _ordered_intervals_count_flat(
+        [c[0] for c in cols], [c[1] for c in cols], steps, total, max_gaps
+    )
+    want = _ordered_scalar_count(docs, ["t0", "t1", "t2"], max_gaps, gaps)
+    assert (got == want).all(), (docs, max_gaps, gap)
+
+
+@given(
+    docs=st.lists(st.tuples(_poslist, _poslist), min_size=1, max_size=10),
+    max_gaps=st.integers(min_value=-1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_ordered_intervals_batch_repeated_term(docs, max_gaps):
+    """Sequence [a, b, a]: slots 0 and 2 share one positions array,
+    matching the scalar's per-term dict lookup."""
+    v0, l0 = _flatten(docs, 0)
+    v1, l1 = _flatten(docs, 1)
+    got = _ordered_intervals_count_flat(
+        [v0, v1, v0], [l0, l1, l0], [1, 1], 3, max_gaps
+    )
+    want = []
+    for d in docs:
+        pos = {
+            "a": np.asarray(d[0], dtype=np.int64),
+            "b": np.asarray(d[1], dtype=np.int64),
+        }
+        want.append(len(_find_intervals(pos, ["a", "b", "a"], max_gaps, True)))
+    assert (got == np.asarray(want)).all(), (docs, max_gaps)
