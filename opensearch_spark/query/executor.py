@@ -2793,30 +2793,106 @@ class SearchEngine:
         gap_budget, want_ordered = max_gaps, ordered
         fixed_gaps = list(gaps) if gaps else None
 
-        @F.pandas_udf(T.IntegerType())
-        def interval_tf(tp: pd.Series) -> pd.Series:
-            def one(entries) -> int:
-                by_term = {}
-                for e in entries:
-                    if isinstance(e, dict):
-                        by_term[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
-                    else:
-                        by_term[e[0]] = np.asarray(e[1], dtype=np.int64)
-                pos = {}
-                for name, members in zip(slot_names, slot_groups):
-                    arrs = [by_term[t] for t in members if t in by_term]
-                    if not arrs:
-                        return 0  # slot unmatched in this doc
-                    pos[name] = np.unique(np.concatenate(arrs))
-                return _count_intervals(
-                    pos, slot_names, gap_budget, want_ordered, fixed_gaps
-                )
+        if want_ordered and SLOPPY_BATCH_ENABLED:
+            # ordered composition: merge each slot's member position
+            # lists JVM-side (concat -> distinct -> sort over the
+            # per-term map, missing members coalesced away) and run the
+            # same lockstep kernel as ``_score_intervals``; docs with an
+            # unmatched slot are filtered before the Arrow stage
+            k = len(slot_groups)
+            steps = [
+                1 + (fixed_gaps[i] if fixed_gaps else 0) for i in range(k - 1)
+            ]
+            total_len = k + (sum(fixed_gaps) if fixed_gaps else 0)
+            empty_arr = F.array().cast("array<bigint>")
+            piv = agg.select(
+                "_docid", "norm_byte", F.map_from_entries("tp").alias("pm")
+            ).select(
+                "_docid",
+                "norm_byte",
+                *[
+                    F.array_sort(
+                        F.array_distinct(
+                            F.concat(
+                                *[
+                                    F.coalesce(
+                                        F.element_at(F.col("pm"), F.lit(t)),
+                                        empty_arr,
+                                    )
+                                    for t in members
+                                ]
+                            )
+                        )
+                    ).alias(f"_g{i}")
+                    for i, members in enumerate(slot_groups)
+                ],
+            )
+            for i in range(k):
+                piv = piv.filter(F.size(F.col(f"_g{i}")) > 0)
 
-            return tp.map(one).astype("int32")
+            def arrow_gtf(batches):
+                import pyarrow as pa_
+
+                for rb in batches:
+                    if rb.num_rows == 0:
+                        continue
+                    names = rb.schema.names
+                    gvals, glens = [], []
+                    for i in range(k):
+                        la = rb.column(names.index(f"_g{i}"))
+                        off = np.asarray(la.offsets, dtype=np.int64)
+                        gvals.append(
+                            np.asarray(la.values, dtype=np.int64)[
+                                off[0] : off[-1]
+                            ]
+                        )
+                        glens.append(off[1:] - off[:-1])
+                    itf = _ordered_intervals_count_flat(
+                        gvals, glens, steps, total_len, gap_budget
+                    )
+                    yield pa_.RecordBatch.from_arrays(
+                        [
+                            rb.column(names.index("_docid")),
+                            rb.column(names.index("norm_byte")),
+                            pa_.array(itf.astype(np.int32), type=pa_.int32()),
+                        ],
+                        names=["_docid", "norm_byte", "itf"],
+                    )
+
+            base = piv.mapInArrow(
+                arrow_gtf, "_docid long, norm_byte int, itf int"
+            )
+        else:
+
+            @F.pandas_udf(T.IntegerType())
+            def interval_tf(tp: pd.Series) -> pd.Series:
+                def one(entries) -> int:
+                    by_term = {}
+                    for e in entries:
+                        if isinstance(e, dict):
+                            by_term[e["term"]] = np.asarray(
+                                e["positions"], dtype=np.int64
+                            )
+                        else:
+                            by_term[e[0]] = np.asarray(e[1], dtype=np.int64)
+                    pos = {}
+                    for name, members in zip(slot_names, slot_groups):
+                        arrs = [by_term[t] for t in members if t in by_term]
+                        if not arrs:
+                            return 0  # slot unmatched in this doc
+                        pos[name] = np.unique(np.concatenate(arrs))
+                    return _count_intervals(
+                        pos, slot_names, gap_budget, want_ordered, fixed_gaps
+                    )
+
+                return tp.map(one).astype("int32")
+
+            base = agg.select(
+                "_docid", "norm_byte", interval_tf(F.col("tp")).alias("itf")
+            )
 
         scored = (
-            agg.withColumn("itf", interval_tf(F.col("tp")))
-            .filter(F.col("itf") > 0)
+            base.filter(F.col("itf") > 0)
             .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
             .withColumn(
                 "s",
