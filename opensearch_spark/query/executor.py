@@ -591,6 +591,25 @@ def _ordered_intervals_count_flat(
     cnt = np.zeros(nd, np.int64)
     if nd == 0:
         return cnt
+    if any(v.size and int(v.max()) >= int(_DOC_SHIFT) for v in vals):
+        # pathological doc longer than _DOC_SHIFT tokens: the shift
+        # packing would bleed across docs — fall back to the scalar
+        # enumerator for this batch (correctness over speed; a >4M-token
+        # document is a corpus bug more than a workload)
+        gaps = [s - 1 for s in steps]
+        names = [f"\x00s{t}" for t in range(k)]
+        offs0 = [
+            np.concatenate(([0], np.cumsum(lens[t])[:-1])) for t in range(k)
+        ]
+        for d in range(nd):
+            pos = {
+                names[t]: vals[t][offs0[t][d] : offs0[t][d] + lens[t][d]]
+                for t in range(k)
+            }
+            cnt[d] = len(
+                _find_intervals(pos, names, max_gaps, True, gaps if any(gaps) else None)
+            )
+        return cnt
     doc_ids = np.arange(nd, dtype=np.int64)
     docshift = doc_ids * _DOC_SHIFT
     offs, ends, sh = [], [], []
