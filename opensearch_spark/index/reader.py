@@ -296,6 +296,28 @@ class InvertedIndex:
                 pos_bins = col("pos_bin").to_pylist() if with_positions else None
                 doc_p, tf_p, norm_p, term_p = [], [], [], []
                 pv_p, pl_p = [], []
+                pv_total = 0
+
+                def flush():
+                    arrays = [
+                        pa.array(np.concatenate(term_p), type=pa.string()),
+                        pa.array(np.concatenate(doc_p), type=pa.int64()),
+                        pa.array(np.concatenate(tf_p), type=pa.int32()),
+                        pa.array(np.concatenate(norm_p), type=pa.int32()),
+                    ]
+                    if with_positions:
+                        lens = np.concatenate(pl_p)
+                        offsets = np.concatenate(([0], np.cumsum(lens))).astype(
+                            np.int32
+                        )
+                        arrays.append(
+                            pa.ListArray.from_arrays(
+                                pa.array(offsets, type=pa.int32()),
+                                pa.array(np.concatenate(pv_p), type=pa.int64()),
+                            )
+                        )
+                    return pa.RecordBatch.from_arrays(arrays, names=out_names)
+
                 for j in range(nb):
                     n = int(nds[j])
                     gaps = bc.decode(docs_bins[j], n).astype(np.int64)
@@ -307,31 +329,24 @@ class InvertedIndex:
                     norm_p.append(norms.astype(np.int32))
                     term_p.append(np.repeat(terms_b[j], n))
                     if with_positions:
-                        deltas = bc.decode(pos_bins[j], int(tfs.sum()))
+                        npos = int(tfs.sum())
+                        deltas = bc.decode(pos_bins[j], npos)
                         pv_p.append(
                             codec.positions_from_deltas(deltas, tfs).astype(
                                 np.int64
                             )
                         )
                         pl_p.append(tfs)
-                arrays = [
-                    pa.array(np.concatenate(term_p), type=pa.string()),
-                    pa.array(np.concatenate(doc_p), type=pa.int64()),
-                    pa.array(np.concatenate(tf_p), type=pa.int32()),
-                    pa.array(np.concatenate(norm_p), type=pa.int32()),
-                ]
-                if with_positions:
-                    lens = np.concatenate(pl_p)
-                    offsets = np.concatenate(([0], np.cumsum(lens))).astype(
-                        np.int32
-                    )
-                    arrays.append(
-                        pa.ListArray.from_arrays(
-                            pa.array(offsets, type=pa.int32()),
-                            pa.array(np.concatenate(pv_p), type=pa.int64()),
-                        )
-                    )
-                yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+                        pv_total += npos
+                        # ListArray offsets are int32: flush well before
+                        # 2^31 total positions (also bounds memory)
+                        if pv_total >= (1 << 28):
+                            yield flush()
+                            doc_p, tf_p, norm_p, term_p = [], [], [], []
+                            pv_p, pl_p = [], []
+                            pv_total = 0
+                if doc_p:
+                    yield flush()
 
         return blocks.mapInArrow(decode, schema=schema)
 

@@ -550,6 +550,37 @@ def _sloppy_freq_krow_flat(
 # must be identical — only throughput changes).  Read at PLAN time.
 SLOPPY_BATCH_ENABLED = True
 
+def _list_col_runs(rb, name: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(values, lens) of an Arrow ListArray column as int64 numpy — the
+    values compacted to the batch rows' contiguous region, so per-doc
+    run d lives at ``values[cumsum(lens)[d-1] : cumsum(lens)[d]]``.
+    Shared by every mapInArrow position scorer."""
+    la = rb.column(rb.schema.names.index(name))
+    off = np.asarray(la.offsets, dtype=np.int64)
+    vals = np.asarray(la.values, dtype=np.int64)[off[0] : off[-1]]
+    return vals, off[1:] - off[:-1]
+
+
+def _emit_metric_batch(rb, metric_name: str, arr, pa_type):
+    """RecordBatch (_docid, norm_byte, <metric>) passing the id and
+    norm columns through untouched."""
+    import pyarrow as pa_
+
+    names = rb.schema.names
+    return pa_.RecordBatch.from_arrays(
+        [
+            rb.column(names.index("_docid")),
+            rb.column(names.index("norm_byte")),
+            pa_.array(arr, type=pa_type),
+        ],
+        names=["_docid", "norm_byte", metric_name],
+    )
+
+
+def _runs_offsets(lens: np.ndarray) -> np.ndarray:
+    return np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+
 # Doc-partitioned batched searchsorted: per-doc position runs are made
 # globally monotone by adding doc_index * _DOC_SHIFT, so ONE
 # np.searchsorted over the concatenated buffer answers every doc's
@@ -592,22 +623,37 @@ def _ordered_intervals_count_flat(
     if nd == 0:
         return cnt
     if any(v.size and int(v.max()) >= int(_DOC_SHIFT) for v in vals):
-        # pathological doc longer than _DOC_SHIFT tokens: the shift
-        # packing would bleed across docs — fall back to the scalar
-        # enumerator for this batch (correctness over speed; a >4M-token
-        # document is a corpus bug more than a workload)
+        # pathological docs longer than _DOC_SHIFT tokens would bleed
+        # across the shift packing: route ONLY those docs through the
+        # scalar enumerator and keep the lockstep path for the rest
+        # (a >4M-token document is a corpus bug more than a workload)
         gaps = [s - 1 for s in steps]
         names = [f"\x00s{t}" for t in range(k)]
         offs0 = [
             np.concatenate(([0], np.cumsum(lens[t])[:-1])) for t in range(k)
         ]
-        for d in range(nd):
+        bad = np.zeros(nd, bool)
+        for t in range(k):
+            if vals[t].size:
+                bad |= np.maximum.reduceat(vals[t], offs0[t]) >= _DOC_SHIFT
+        for d in np.nonzero(bad)[0]:
             pos = {
                 names[t]: vals[t][offs0[t][d] : offs0[t][d] + lens[t][d]]
                 for t in range(k)
             }
             cnt[d] = len(
-                _find_intervals(pos, names, max_gaps, True, gaps if any(gaps) else None)
+                _find_intervals(
+                    pos, names, max_gaps, True, gaps if any(gaps) else None
+                )
+            )
+        good = ~bad
+        if good.any():
+            keep_v = [
+                vals[t][np.repeat(good, lens[t])] for t in range(k)
+            ]
+            keep_l = [lens[t][good] for t in range(k)]
+            cnt[good] = _ordered_intervals_count_flat(
+                keep_v, keep_l, steps, total_len, max_gaps
             )
         return cnt
     doc_ids = np.arange(nd, dtype=np.int64)
@@ -2409,31 +2455,16 @@ class SearchEngine:
                 for rb in batches:
                     if rb.num_rows == 0:
                         continue
-                    names = rb.schema.names
-                    uvals, ulens = [], []
-                    for i in range(len(uniq)):
-                        la = rb.column(names.index(f"_p{i}"))
-                        off = np.asarray(la.offsets, dtype=np.int64)
-                        uvals.append(
-                            np.asarray(la.values, dtype=np.int64)[
-                                off[0] : off[-1]
-                            ]
-                        )
-                        ulens.append(off[1:] - off[:-1])
+                    runs = [_list_col_runs(rb, f"_p{i}") for i in range(len(uniq))]
                     itf = _ordered_intervals_count_flat(
-                        [uvals[s] for s in slot_of],
-                        [ulens[s] for s in slot_of],
+                        [runs[s][0] for s in slot_of],
+                        [runs[s][1] for s in slot_of],
                         steps,
                         total_len,
                         gap_budget,
                     )
-                    yield pa_.RecordBatch.from_arrays(
-                        [
-                            rb.column(names.index("_docid")),
-                            rb.column(names.index("norm_byte")),
-                            pa_.array(itf.astype(np.int32), type=pa_.int32()),
-                        ],
-                        names=["_docid", "norm_byte", "itf"],
+                    yield _emit_metric_batch(
+                        rb, "itf", itf.astype(np.int32), pa_.int32()
                     )
 
             base = piv.mapInArrow(
@@ -2543,15 +2574,12 @@ class SearchEngine:
                 for rb in batches:
                     if rb.num_rows == 0:
                         continue
-                    names = rb.schema.names
                     flats, offs_l, lens_l = [], [], []
                     for i in range(k):
-                        la = rb.column(names.index(f"_p{i}"))
-                        off = np.asarray(la.offsets, dtype=np.int64)
-                        # offset-adjust term i over the flat buffer
-                        flats.append(np.asarray(la.values, dtype=np.int64) - i)
-                        offs_l.append(off[:-1])
-                        lens_l.append(off[1:] - off[:-1])
+                        v, l = _list_col_runs(rb, f"_p{i}")
+                        flats.append(v - i)  # offset-adjust term i
+                        offs_l.append(_runs_offsets(l))
+                        lens_l.append(l)
                     if k == 2:
                         stf = _sloppy_freq_2term_flat(
                             flats[0], offs_l[0], lens_l[0],
@@ -2564,14 +2592,7 @@ class SearchEngine:
                             np.stack(lens_l, axis=1),
                             gap_budget,
                         )
-                    yield pa_.RecordBatch.from_arrays(
-                        [
-                            rb.column(names.index("_docid")),
-                            rb.column(names.index("norm_byte")),
-                            pa_.array(stf, type=pa_.float64()),
-                        ],
-                        names=["_docid", "norm_byte", "stf"],
-                    )
+                    yield _emit_metric_batch(rb, "stf", stf, pa_.float64())
 
             base = piv.mapInArrow(
                 arrow_stf, "_docid long, norm_byte int, stf double"
@@ -2855,27 +2876,13 @@ class SearchEngine:
                 for rb in batches:
                     if rb.num_rows == 0:
                         continue
-                    names = rb.schema.names
-                    gvals, glens = [], []
-                    for i in range(k):
-                        la = rb.column(names.index(f"_g{i}"))
-                        off = np.asarray(la.offsets, dtype=np.int64)
-                        gvals.append(
-                            np.asarray(la.values, dtype=np.int64)[
-                                off[0] : off[-1]
-                            ]
-                        )
-                        glens.append(off[1:] - off[:-1])
+                    runs = [_list_col_runs(rb, f"_g{i}") for i in range(k)]
                     itf = _ordered_intervals_count_flat(
-                        gvals, glens, steps, total_len, gap_budget
+                        [r[0] for r in runs], [r[1] for r in runs],
+                        steps, total_len, gap_budget,
                     )
-                    yield pa_.RecordBatch.from_arrays(
-                        [
-                            rb.column(names.index("_docid")),
-                            rb.column(names.index("norm_byte")),
-                            pa_.array(itf.astype(np.int32), type=pa_.int32()),
-                        ],
-                        names=["_docid", "norm_byte", "itf"],
+                    yield _emit_metric_batch(
+                        rb, "itf", itf.astype(np.int32), pa_.int32()
                     )
 
             base = piv.mapInArrow(

@@ -282,3 +282,66 @@ def test_explain_tombstoned_doc_reports_deleted(spark, tmp_path, corpus_pdf):
     # generic path too
     out2 = eng.explain({"term": {"role": top["conv_id"] and "user"}}, key)
     assert out2["matched"] is False
+
+
+def test_ordered_interval_groups_arrow_matches_scalar(engine):
+    """Ordered any_of composition and span_multi-in-order span_near run
+    the Arrow lockstep path; forcing the scalar enumerator
+    (SLOPPY_BATCH_ENABLED=False) must give identical scored rows.
+    Guards the JVM slot-union pivot + arrow_gtf wiring end-to-end."""
+    from opensearch_spark.query import executor as ex
+
+    queries = [
+        Q.from_dict(
+            {
+                "intervals": {
+                    "text": {
+                        "all_of": {
+                            "ordered": True,
+                            "max_gaps": 3,
+                            "intervals": [
+                                {
+                                    "any_of": {
+                                        "intervals": [
+                                            {"match": {"query": "error"}},
+                                            {"match": {"query": "the"}},
+                                        ]
+                                    }
+                                },
+                                {"match": {"query": "handling"}},
+                            ],
+                        }
+                    }
+                }
+            }
+        ),
+        Q.from_dict(
+            {
+                "span_near": {
+                    "clauses": [
+                        {"span_multi": {"match": {"prefix": {"text": "err"}}}},
+                        {"span_term": {"text": "handling"}},
+                    ],
+                    "slop": 2,
+                    "in_order": True,
+                }
+            }
+        ),
+    ]
+    total = 0
+    for q in queries:
+        assert ex.SLOPPY_BATCH_ENABLED
+        arrow = {
+            r["_docid"]: round(r["score"], 9) for r in engine._score(q).collect()
+        }
+        ex.SLOPPY_BATCH_ENABLED = False
+        try:
+            scalar = {
+                r["_docid"]: round(r["score"], 9)
+                for r in engine._score(q).collect()
+            }
+        finally:
+            ex.SLOPPY_BATCH_ENABLED = True
+        assert arrow == scalar
+        total += len(arrow)
+    assert total > 0  # non-vacuous: the fixture corpus matches both

@@ -323,16 +323,19 @@ def test_ordered_intervals_batch_repeated_term(docs, max_gaps):
 
 
 def test_ordered_intervals_huge_position_fallback():
-    """Positions beyond the doc-shift packing range route to the scalar
-    enumerator and still count correctly."""
+    """Docs with positions beyond the doc-shift packing range route to
+    the scalar enumerator; the rest of the batch stays lockstep — both
+    count correctly."""
     big = int(1) << 23  # > _DOC_SHIFT
     docs = [
-        ([big + 1, big + 7], [big + 2, big + 9]),
-        ([0, 5], [1, 6]),
+        ([big + 1, big + 7], [big + 2, big + 9]),  # scalar route
+        ([0, 5], [1, 6]),                          # lockstep route
+        ([2], [30]),                               # lockstep, no match
+        ([0, big + 7], [big + 9, big + 20]),       # scalar route (mixed run)
     ]
     v0, l0 = _flatten(docs, 0)
     v1, l1 = _flatten(docs, 1)
     got = _ordered_intervals_count_flat([v0, v1], [l0, l1], [1], 2, 1)
     want = _ordered_scalar_count(docs, ["t0", "t1"], 1)
     assert (got == want).all(), (got.tolist(), want.tolist())
-    assert got[0] == 2 and got[1] == 2
+    assert got[0] == 2 and got[1] == 2 and got[2] == 0
