@@ -703,6 +703,123 @@ def _ordered_intervals_count_flat(
     return cnt
 
 
+def _ordered_intervals_emit_flat(
+    vals: List[np.ndarray],
+    lens: List[np.ndarray],
+    steps: List[int],
+    total_len: int,
+    max_gaps: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``_ordered_intervals_count_flat`` that EMITS the budget-passing
+    minimal intervals instead of counting them: returns parallel
+    (doc_index, start_pos, end_pos) arrays (cross-doc order is
+    interleaved enumeration order — callers aggregate per doc).  Used
+    by span_containing / span_within, whose containment tests need the
+    interval endpoints."""
+    k = len(vals)
+    nd = int(lens[0].size)
+    empty = (
+        np.zeros(0, np.int64),
+        np.zeros(0, np.int64),
+        np.zeros(0, np.int64),
+    )
+    if nd == 0:
+        return empty
+    offs0 = [np.concatenate(([0], np.cumsum(lens[t])[:-1])) for t in range(k)]
+    if any(v.size and int(v.max()) >= int(_DOC_SHIFT) for v in vals):
+        # same guard as the count kernel: oversized docs take the
+        # scalar enumerator, the rest re-enter the lockstep path
+        gaps = [s - 1 for s in steps]
+        names = [f"\x00s{t}" for t in range(k)]
+        bad = np.zeros(nd, bool)
+        for t in range(k):
+            if vals[t].size:
+                bad |= np.maximum.reduceat(vals[t], offs0[t]) >= _DOC_SHIFT
+        od, os_, oe = [], [], []
+        for d in np.nonzero(bad)[0]:
+            pos = {
+                names[t]: vals[t][offs0[t][d] : offs0[t][d] + lens[t][d]]
+                for t in range(k)
+            }
+            for s, e in _find_intervals(
+                pos, names, max_gaps, True, gaps if any(gaps) else None
+            ):
+                od.append(d)
+                os_.append(s)
+                oe.append(e)
+        good = ~bad
+        if good.any():
+            gmap = np.nonzero(good)[0]
+            gd, gs, ge = _ordered_intervals_emit_flat(
+                [vals[t][np.repeat(good, lens[t])] for t in range(k)],
+                [lens[t][good] for t in range(k)],
+                steps,
+                total_len,
+                max_gaps,
+            )
+            od.extend(gmap[gd].tolist())
+            os_.extend(gs.tolist())
+            oe.extend(ge.tolist())
+        return (
+            np.asarray(od, np.int64),
+            np.asarray(os_, np.int64),
+            np.asarray(oe, np.int64),
+        )
+    doc_ids = np.arange(nd, dtype=np.int64)
+    docshift = doc_ids * _DOC_SHIFT
+    ends, sh = [], []
+    for t in range(k):
+        ends.append(offs0[t] + lens[t])
+        sh.append(vals[t] + np.repeat(docshift, lens[t]))
+    chain = np.empty((nd, k), np.int64)
+    cur = np.full(nd, -1, np.int64)
+    out_d, out_s, out_e = [], [], []
+    idx = doc_ids.copy()
+    while idx.size:
+        tgt = cur[idx] + 1 + docshift[idx]
+        j = np.searchsorted(sh[0], tgt)
+        live = j < ends[0][idx]
+        idx, j = idx[live], j[live]
+        if idx.size == 0:
+            break
+        prev = vals[0][j]
+        chain[idx, 0] = prev
+        for t in range(1, k):
+            tgt = prev + steps[t - 1] + docshift[idx]
+            j = np.searchsorted(sh[t], tgt)
+            live = j < ends[t][idx]
+            if not live.all():
+                idx, j = idx[live], j[live]
+                if idx.size == 0:
+                    break
+            prev = vals[t][j]
+            chain[idx, t] = prev
+        if idx.size == 0:
+            break
+        for t in range(k - 2, -1, -1):
+            tgt = chain[idx, t + 1] - steps[t] + 1 + docshift[idx]
+            j = np.searchsorted(sh[t], tgt) - 1
+            chain[idx, t] = vals[t][j]
+        s0, e0 = chain[idx, 0], chain[idx, k - 1]
+        if max_gaps < 0:
+            out_d.append(idx.copy())
+            out_s.append(s0.copy())
+            out_e.append(e0.copy())
+        else:
+            ok = e0 - s0 + 1 - total_len <= max_gaps
+            out_d.append(idx[ok])
+            out_s.append(s0[ok])
+            out_e.append(e0[ok])
+        cur[idx] = s0
+    if not out_d:
+        return empty
+    return (
+        np.concatenate(out_d),
+        np.concatenate(out_s),
+        np.concatenate(out_e),
+    )
+
+
 def resolve_msm(msm, n_clauses: int) -> int:
     """``minimum_should_match`` value formats
     (``common/lucene/search/Queries.java`` ``calculateMinShouldMatch``):
@@ -2740,37 +2857,138 @@ class SearchEngine:
         slop, in_order = int(q.big_slop), bool(q.big_in_order)
         within = isinstance(q, Q.SpanWithin)
 
-        @F.pandas_udf(T.IntegerType())
-        def contain_tf(tp: pd.Series) -> pd.Series:
-            def one(entries) -> int:
-                pos = {}
-                for e in entries:
-                    if isinstance(e, dict):
-                        pos[e["term"]] = np.asarray(e["positions"], dtype=np.int64)
+        if in_order and SLOPPY_BATCH_ENABLED:
+            # ordered big spec: emit the big intervals with the lockstep
+            # kernel, then containment is pure vectorized searchsorted
+            # over the little positions (containing: intervals holding a
+            # little; within: distinct littles covered — a diff-array
+            # union, no per-interval Python)
+            slot_of = [terms.index(t) for t in big_seq]
+            li = terms.index(little)
+            steps = [1] * (len(big_seq) - 1)
+            total_len = len(big_seq)
+            piv = agg.select(
+                "_docid", "norm_byte", F.map_from_entries("tp").alias("pm")
+            ).select(
+                "_docid",
+                "norm_byte",
+                *[
+                    F.element_at(F.col("pm"), F.lit(t)).alias(f"_p{i}")
+                    for i, t in enumerate(terms)
+                ],
+            )
+
+            def arrow_ctf(batches):
+                import pyarrow as pa_
+
+                for rb in batches:
+                    if rb.num_rows == 0:
+                        continue
+                    runs = [
+                        _list_col_runs(rb, f"_p{i}") for i in range(len(terms))
+                    ]
+                    nd = rb.num_rows
+                    if runs[li][0].size and int(runs[li][0].max()) >= int(
+                        _DOC_SHIFT
+                    ):
+                        # >4M-token doc: little-position packing would
+                        # bleed — scalar containment for this batch
+                        offs_all = [_runs_offsets(r[1]) for r in runs]
+                        ctf = np.zeros(nd, np.int64)
+                        for dd in range(nd):
+                            pos = {
+                                t: runs[ti][0][
+                                    offs_all[ti][dd] : offs_all[ti][dd]
+                                    + runs[ti][1][dd]
+                                ]
+                                for ti, t in enumerate(terms)
+                            }
+                            big = _find_intervals(pos, big_seq, slop, True)
+                            lp = pos[little]
+                            hits = [
+                                (
+                                    int(np.searchsorted(lp, s_, side="left")),
+                                    int(np.searchsorted(lp, e_, side="right")),
+                                )
+                                for s_, e_ in big
+                            ]
+                            if within:
+                                ctf[dd] = len(
+                                    {int(x) for a0, b0 in hits for x in lp[a0:b0]}
+                                )
+                            else:
+                                ctf[dd] = sum(1 for a0, b0 in hits if b0 > a0)
+                        yield _emit_metric_batch(
+                            rb, "ctf", ctf.astype(np.int32), pa_.int32()
+                        )
+                        continue
+                    d, s, e = _ordered_intervals_emit_flat(
+                        [runs[t][0] for t in slot_of],
+                        [runs[t][1] for t in slot_of],
+                        steps,
+                        total_len,
+                        slop,
+                    )
+                    lvals, llens = runs[li]
+                    ldoc = np.repeat(
+                        np.arange(nd, dtype=np.int64), llens
+                    )
+                    lsh = lvals + ldoc * _DOC_SHIFT
+                    lo = np.searchsorted(lsh, s + d * _DOC_SHIFT, side="left")
+                    hi = np.searchsorted(lsh, e + d * _DOC_SHIFT, side="right")
+                    if within:
+                        cover = np.zeros(lvals.size + 1, np.int64)
+                        np.add.at(cover, lo, 1)
+                        np.add.at(cover, hi, -1)
+                        covered = np.cumsum(cover[:-1]) > 0
+                        ctf = np.bincount(ldoc[covered], minlength=nd)
                     else:
-                        pos[e[0]] = np.asarray(e[1], dtype=np.int64)
-                big = _find_intervals(pos, big_seq, slop, in_order)
-                lp = pos[little]
-                if within:
-                    hit = set()
+                        ctf = np.bincount(d[hi > lo], minlength=nd)
+                    yield _emit_metric_batch(
+                        rb, "ctf", ctf.astype(np.int32), pa_.int32()
+                    )
+
+            base = piv.mapInArrow(
+                arrow_ctf, "_docid long, norm_byte int, ctf int"
+            )
+        else:
+
+            @F.pandas_udf(T.IntegerType())
+            def contain_tf(tp: pd.Series) -> pd.Series:
+                def one(entries) -> int:
+                    pos = {}
+                    for e in entries:
+                        if isinstance(e, dict):
+                            pos[e["term"]] = np.asarray(
+                                e["positions"], dtype=np.int64
+                            )
+                        else:
+                            pos[e[0]] = np.asarray(e[1], dtype=np.int64)
+                    big = _find_intervals(pos, big_seq, slop, in_order)
+                    lp = pos[little]
+                    if within:
+                        hit = set()
+                        for s, e in big:
+                            lo = int(np.searchsorted(lp, s, side="left"))
+                            hi = int(np.searchsorted(lp, e, side="right"))
+                            hit.update(int(x) for x in lp[lo:hi])
+                        return len(hit)
+                    n = 0
                     for s, e in big:
                         lo = int(np.searchsorted(lp, s, side="left"))
                         hi = int(np.searchsorted(lp, e, side="right"))
-                        hit.update(int(x) for x in lp[lo:hi])
-                    return len(hit)
-                n = 0
-                for s, e in big:
-                    lo = int(np.searchsorted(lp, s, side="left"))
-                    hi = int(np.searchsorted(lp, e, side="right"))
-                    if hi > lo:
-                        n += 1
-                return n
+                        if hi > lo:
+                            n += 1
+                    return n
 
-            return tp.map(one).astype("int32")
+                return tp.map(one).astype("int32")
+
+            base = agg.select(
+                "_docid", "norm_byte", contain_tf(F.col("tp")).alias("ctf")
+            )
 
         scored = (
-            agg.withColumn("ctf", contain_tf(F.col("tp")))
-            .filter(F.col("ctf") > 0)
+            base.filter(F.col("ctf") > 0)
             .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
             .withColumn(
                 "s",

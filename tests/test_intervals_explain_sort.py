@@ -345,3 +345,40 @@ def test_ordered_interval_groups_arrow_matches_scalar(engine):
         assert arrow == scalar
         total += len(arrow)
     assert total > 0  # non-vacuous: the fixture corpus matches both
+
+
+def test_span_contain_within_arrow_matches_scalar(engine):
+    """span_containing / span_within with an in_order big spec run the
+    emit-kernel Arrow path; the scalar enumerator must agree exactly."""
+    from opensearch_spark.query import executor as ex
+
+    big = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "the"}},
+                {"span_term": {"text": "of"}},
+            ],
+            "slop": 4,
+            "in_order": True,
+        }
+    }
+    total = 0
+    for kind in ("span_containing", "span_within"):
+        q = Q.from_dict(
+            {kind: {"big": big, "little": {"span_term": {"text": "a"}}}}
+        )
+        assert ex.SLOPPY_BATCH_ENABLED
+        arrow = {
+            r["_docid"]: round(r["score"], 9) for r in engine._score(q).collect()
+        }
+        ex.SLOPPY_BATCH_ENABLED = False
+        try:
+            scalar = {
+                r["_docid"]: round(r["score"], 9)
+                for r in engine._score(q).collect()
+            }
+        finally:
+            ex.SLOPPY_BATCH_ENABLED = True
+        assert arrow == scalar, kind
+        total += len(arrow)
+    assert total > 0

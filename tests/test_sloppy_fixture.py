@@ -339,3 +339,48 @@ def test_ordered_intervals_huge_position_fallback():
     want = _ordered_scalar_count(docs, ["t0", "t1"], 1)
     assert (got == want).all(), (got.tolist(), want.tolist())
     assert got[0] == 2 and got[1] == 2 and got[2] == 0
+
+
+from opensearch_spark.query.executor import _ordered_intervals_emit_flat
+
+
+@given(
+    docs=st.lists(st.tuples(_poslist, _poslist), min_size=1, max_size=10),
+    max_gaps=st.integers(min_value=-1, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_ordered_intervals_emit_k2(docs, max_gaps):
+    """The emit kernel returns exactly the scalar enumerator's
+    (start, end) interval sets per doc (k=2)."""
+    v0, l0 = _flatten(docs, 0)
+    v1, l1 = _flatten(docs, 1)
+    d, s, e = _ordered_intervals_emit_flat([v0, v1], [l0, l1], [1], 2, max_gaps)
+    got = {}
+    for dd, ss, ee in zip(d.tolist(), s.tolist(), e.tolist()):
+        got.setdefault(dd, []).append((ss, ee))
+    for kk, (a, b) in enumerate(docs):
+        pos = {
+            "t0": np.asarray(a, dtype=np.int64),
+            "t1": np.asarray(b, dtype=np.int64),
+        }
+        want = _find_intervals(pos, ["t0", "t1"], max_gaps, True)
+        assert sorted(got.get(kk, [])) == sorted(want), (kk, docs, max_gaps)
+
+
+def test_ordered_intervals_emit_huge_fallback():
+    """Mixed scalar/lockstep batch through the emit guard."""
+    big = int(1) << 23
+    docs = [([big + 1, big + 5], [big + 2, big + 8]), ([0, 4], [1, 5])]
+    v0, l0 = _flatten(docs, 0)
+    v1, l1 = _flatten(docs, 1)
+    d, s, e = _ordered_intervals_emit_flat([v0, v1], [l0, l1], [1], 2, 2)
+    got = sorted(zip(d.tolist(), s.tolist(), e.tolist()))
+    want = []
+    for kk, (a, b) in enumerate(docs):
+        pos = {
+            "t0": np.asarray(a, dtype=np.int64),
+            "t1": np.asarray(b, dtype=np.int64),
+        }
+        for ss, ee in _find_intervals(pos, ["t0", "t1"], 2, True):
+            want.append((kk, ss, ee))
+    assert got == sorted(want)
