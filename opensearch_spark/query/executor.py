@@ -703,6 +703,101 @@ def _ordered_intervals_count_flat(
     return cnt
 
 
+def _unordered_intervals_count_flat(
+    vals: List[np.ndarray], lens: List[np.ndarray], max_gaps: int
+) -> np.ndarray:
+    """Lockstep form of ``_find_intervals``' UNORDERED branch — the
+    classic minimal-window sweep over the merged, term-tagged position
+    stream, run for every candidate doc at once.  Per-doc event streams
+    are materialized with one doc-shifted lexsort (positions made
+    globally monotone by ``doc_index * _DOC_SHIFT``, ties broken by
+    term ordinal exactly like the scalar's ``(pos, term)`` tuple sort);
+    the right pointer advances one event per outer step for every
+    alive doc, the left pointer advances in globally-amortized inner
+    steps, and full windows count when ``width - k <= max_gaps``.
+    ``vals[t]``/``lens[t]``: DISTINCT term t's positions concatenated
+    in doc order / per-doc run lengths, every run non-empty, term order
+    = the scalar's sorted-unique order.  Value-identity is pinned by
+    tests/test_sloppy_fixture.py's unordered sweeps."""
+    k = len(vals)
+    nd = int(lens[0].size)
+    cnt = np.zeros(nd, np.int64)
+    if nd == 0:
+        return cnt
+    offs0 = [np.concatenate(([0], np.cumsum(lens[t])[:-1])) for t in range(k)]
+    if any(v.size and int(v.max()) >= int(_DOC_SHIFT) for v in vals):
+        # oversized docs -> scalar enumerator, rest stays lockstep
+        names = [f"\x00s{t}" for t in range(k)]
+        bad = np.zeros(nd, bool)
+        for t in range(k):
+            if vals[t].size:
+                bad |= np.maximum.reduceat(vals[t], offs0[t]) >= _DOC_SHIFT
+        for d in np.nonzero(bad)[0]:
+            pos = {
+                names[t]: vals[t][offs0[t][d] : offs0[t][d] + lens[t][d]]
+                for t in range(k)
+            }
+            cnt[d] = len(_find_intervals(pos, names, max_gaps, False))
+        good = ~bad
+        if good.any():
+            cnt[good] = _unordered_intervals_count_flat(
+                [vals[t][np.repeat(good, lens[t])] for t in range(k)],
+                [lens[t][good] for t in range(k)],
+                max_gaps,
+            )
+        return cnt
+    doc_ids = np.arange(nd, dtype=np.int64)
+    docshift = doc_ids * _DOC_SHIFT
+    raw = np.concatenate(vals)
+    sh = np.concatenate(
+        [v + np.repeat(docshift, lens[t]) for t, v in enumerate(vals)]
+    )
+    tid = np.concatenate(
+        [np.full(v.size, t, np.int64) for t, v in enumerate(vals)]
+    )
+    order = np.lexsort((tid, sh))  # (shifted pos, term ordinal)
+    ev_raw, ev_t = raw[order], tid[order]
+    n_ev = np.zeros(nd, np.int64)
+    for t in range(k):
+        n_ev += lens[t]
+    ev_off = np.concatenate(([0], np.cumsum(n_ev)[:-1]))
+    need = np.zeros((nd, k), np.int64)
+    have = np.zeros(nd, np.int64)
+    lptr = np.zeros(nd, np.int64)
+    rptr = np.zeros(nd, np.int64)
+    idx = doc_ids.copy()
+    while idx.size:
+        e = ev_off[idx] + rptr[idx]
+        t = ev_t[e]
+        need[idx, t] += 1
+        have[idx] += need[idx, t] == 1
+        while True:  # amortized left-pointer advance
+            el = ev_off[idx] + lptr[idx]
+            tl = ev_t[el]
+            m = need[idx, tl] > 1
+            if not m.any():
+                break
+            ii = idx[m]
+            need[ii, tl[m]] -= 1
+            lptr[ii] += 1
+        full = have[idx] == k
+        fi = idx[full]
+        if fi.size:
+            el = ev_off[fi] + lptr[fi]
+            if max_gaps < 0:
+                cnt[fi] += 1
+            else:
+                width = ev_raw[ev_off[fi] + rptr[fi]] - ev_raw[el] + 1
+                cnt[fi] += width - k <= max_gaps
+            tl = ev_t[el]
+            need[fi, tl] -= 1
+            have[fi] -= 1
+            lptr[fi] += 1
+        rptr[idx] += 1
+        idx = idx[rptr[idx] < n_ev[idx]]
+    return cnt
+
+
 def _ordered_intervals_emit_flat(
     vals: List[np.ndarray],
     lens: List[np.ndarray],
@@ -2543,12 +2638,17 @@ class SearchEngine:
         gap_budget = max_gaps
         want_ordered = ordered
         fixed_gaps = list(gaps) if gaps else None
+        if fixed_gaps is not None and any(fixed_gaps) and not want_ordered:
+            # surface the scalar enumerator's contract at plan time
+            raise ValueError(
+                "span gaps require in_order=true (SpanNearQuery.addGap)"
+            )
 
-        if want_ordered and SLOPPY_BATCH_ENABLED:
-            # ordered intervals / span_near in_order: Arrow-native
-            # lockstep enumeration (same pivot shape as the sloppy
-            # scorer) — per-doc Python only remains on the unordered
-            # sliding-window branch
+        if SLOPPY_BATCH_ENABLED:
+            # Arrow-native lockstep enumeration (same pivot shape as
+            # the sloppy scorer): ordered -> the searchsorted-chain
+            # kernel over per-slot runs; unordered -> the merged-stream
+            # minimal-window kernel over the distinct terms
             slot_of = [uniq.index(t) for t in order_terms]
             steps = [
                 1 + (fixed_gaps[i] if fixed_gaps else 0)
@@ -2573,13 +2673,20 @@ class SearchEngine:
                     if rb.num_rows == 0:
                         continue
                     runs = [_list_col_runs(rb, f"_p{i}") for i in range(len(uniq))]
-                    itf = _ordered_intervals_count_flat(
-                        [runs[s][0] for s in slot_of],
-                        [runs[s][1] for s in slot_of],
-                        steps,
-                        total_len,
-                        gap_budget,
-                    )
+                    if want_ordered:
+                        itf = _ordered_intervals_count_flat(
+                            [runs[s][0] for s in slot_of],
+                            [runs[s][1] for s in slot_of],
+                            steps,
+                            total_len,
+                            gap_budget,
+                        )
+                    else:
+                        itf = _unordered_intervals_count_flat(
+                            [r[0] for r in runs],
+                            [r[1] for r in runs],
+                            gap_budget,
+                        )
                     yield _emit_metric_batch(
                         rb, "itf", itf.astype(np.int32), pa_.int32()
                     )
@@ -3051,12 +3158,13 @@ class SearchEngine:
         gap_budget, want_ordered = max_gaps, ordered
         fixed_gaps = list(gaps) if gaps else None
 
-        if want_ordered and SLOPPY_BATCH_ENABLED:
-            # ordered composition: merge each slot's member position
-            # lists JVM-side (concat -> distinct -> sort over the
-            # per-term map, missing members coalesced away) and run the
-            # same lockstep kernel as ``_score_intervals``; docs with an
-            # unmatched slot are filtered before the Arrow stage
+        if SLOPPY_BATCH_ENABLED:
+            # composition: merge each slot's member position lists
+            # JVM-side (concat -> distinct -> sort over the per-term
+            # map, missing members coalesced away) and run the same
+            # lockstep kernels as ``_score_intervals`` (ordered chain /
+            # unordered minimal window); docs with an unmatched slot
+            # are filtered before the Arrow stage
             k = len(slot_groups)
             steps = [
                 1 + (fixed_gaps[i] if fixed_gaps else 0) for i in range(k - 1)
@@ -3095,10 +3203,16 @@ class SearchEngine:
                     if rb.num_rows == 0:
                         continue
                     runs = [_list_col_runs(rb, f"_g{i}") for i in range(k)]
-                    itf = _ordered_intervals_count_flat(
-                        [r[0] for r in runs], [r[1] for r in runs],
-                        steps, total_len, gap_budget,
-                    )
+                    if want_ordered:
+                        itf = _ordered_intervals_count_flat(
+                            [r[0] for r in runs], [r[1] for r in runs],
+                            steps, total_len, gap_budget,
+                        )
+                    else:
+                        itf = _unordered_intervals_count_flat(
+                            [r[0] for r in runs], [r[1] for r in runs],
+                            gap_budget,
+                        )
                     yield _emit_metric_batch(
                         rb, "itf", itf.astype(np.int32), pa_.int32()
                     )

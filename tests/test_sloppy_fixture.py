@@ -384,3 +384,56 @@ def test_ordered_intervals_emit_huge_fallback():
         for ss, ee in _find_intervals(pos, ["t0", "t1"], 2, True):
             want.append((kk, ss, ee))
     assert got == sorted(want)
+
+
+from opensearch_spark.query.executor import _unordered_intervals_count_flat
+
+
+def _unordered_scalar_count(docs, k, max_gaps):
+    out = []
+    names = [f"t{t}" for t in range(k)]
+    for d in docs:
+        pos = {names[t]: np.asarray(d[t], dtype=np.int64) for t in range(k)}
+        out.append(len(_find_intervals(pos, names, max_gaps, False)))
+    return np.asarray(out, dtype=np.int64)
+
+
+@given(
+    docs=st.lists(st.tuples(_poslist, _poslist), min_size=1, max_size=12),
+    max_gaps=st.integers(min_value=-1, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_unordered_intervals_batch_k2(docs, max_gaps):
+    """Lockstep unordered window counts == the scalar sweep (k=2) —
+    including tied positions across terms (term-ordinal tie-break)."""
+    v0, l0 = _flatten(docs, 0)
+    v1, l1 = _flatten(docs, 1)
+    got = _unordered_intervals_count_flat([v0, v1], [l0, l1], max_gaps)
+    want = _unordered_scalar_count(docs, 2, max_gaps)
+    assert (got == want).all(), (docs, max_gaps, got.tolist(), want.tolist())
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_poslist, _poslist, _poslist), min_size=1, max_size=10
+    ),
+    max_gaps=st.integers(min_value=-1, max_value=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_unordered_intervals_batch_k3(docs, max_gaps):
+    cols = [_flatten(docs, s) for s in range(3)]
+    got = _unordered_intervals_count_flat(
+        [c[0] for c in cols], [c[1] for c in cols], max_gaps
+    )
+    want = _unordered_scalar_count(docs, 3, max_gaps)
+    assert (got == want).all(), (docs, max_gaps)
+
+
+def test_unordered_intervals_huge_fallback():
+    big = int(1) << 23
+    docs = [([big + 3, big + 9], [big + 1, big + 4]), ([2, 9], [0, 3])]
+    v0, l0 = _flatten(docs, 0)
+    v1, l1 = _flatten(docs, 1)
+    got = _unordered_intervals_count_flat([v0, v1], [l0, l1], 2)
+    want = _unordered_scalar_count(docs, 2, 2)
+    assert (got == want).all(), (got.tolist(), want.tolist())
