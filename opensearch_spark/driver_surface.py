@@ -4696,6 +4696,27 @@ FROM (
   FROM __mm WHERE kind = 'wav'
 )
 UNION ALL
+-- REAL baseline JPEG decode (pure-numpy codec): deterministic
+-- encoder + exact decoder arithmetic, so the expected feature slots
+-- are PINNED literals (lossy DCT is not SQL-recomputable — the same
+-- pinned-fixture pattern as the snowball vocabularies).  Row 104 is
+-- the grayscale payload (equal channel means).
+SELECT 'jpeg' AS op, CAST(mi AS BIGINT) AS media_id, k, CAST(v AS DOUBLE) AS v
+FROM (VALUES
+    (100,'00',0.003),(100,'01',0.002),(100,'02',0.242),(100,'03',0.124),
+    (100,'04',0.852),(100,'05',0.033),(100,'06',1.0),
+    (101,'00',0.004),(101,'01',0.003),(101,'02',0.143),(101,'03',0.244),
+    (101,'04',0.223),(101,'05',0.076),(101,'06',1.0),
+    (102,'00',0.005),(102,'01',0.002),(102,'02',0.759),(102,'03',0.39),
+    (102,'04',0.731),(102,'05',0.098),(102,'06',1.0),
+    (103,'00',0.003),(103,'01',0.003),(103,'02',0.912),(103,'03',0.549),
+    (103,'04',0.421),(103,'05',0.045),(103,'06',1.0),
+    (104,'00',0.004),(104,'01',0.002),(104,'02',0.649),(104,'03',0.649),
+    (104,'04',0.649),(104,'05',0.072),(104,'06',1.0),
+    (105,'00',0.005),(105,'01',0.003),(105,'02',0.123),(105,'03',0.173),
+    (105,'04',0.151),(105,'05',0.044),(105,'06',1.0)
+) j(mi, k, v)
+UNION ALL
 SELECT 'frames' AS op, CAST(m.i AS BIGINT) AS media_id,
        lpad(CAST(t.ms // 1000 AS VARCHAR), 2, '0') AS k,
        CAST(t.ms AS DOUBLE) AS v
@@ -4717,6 +4738,12 @@ def multimodal_suite(spark, sf_dir):
     - ``audio``: real WAV header+PCM decode; the two closed-form slots
       (duration, sample-rate ratio) under oracle (RMS/peak/ZCR are
       pytest-pinned — a sha256-chain PCM is not SQL-expressible).
+    - ``jpeg`` (late r4): REAL baseline JPEG decode through the
+      pure-numpy codec (``ops/jpegcodec.py`` — huffman + dequant +
+      IDCT + JFIF YCbCr; Annex K tables; 4:4:4 and grayscale;
+      progressive/subsampled raise honestly; cross-validated against
+      a libjpeg-encoded third-party file) vs pinned literal feature
+      slots (deterministic encoder, exact decoder arithmetic).
     - ``frames``: ``frame_sample_plan`` video frame fan-out (pure JVM
       sequence/explode) vs generate_series.
 
@@ -4741,6 +4768,27 @@ def multimodal_suite(spark, sf_dir):
 
     img = _slots(feats.filter(F.col("modality") == "image"), 7)
     aud = _slots(feats.filter(F.col("modality") == "audio"), 2)
+    # REAL baseline JPEG rows (pure-numpy codec, ops/jpegcodec.py):
+    # encode is deterministic and decode is exact arithmetic, so the
+    # oracle pins the literal expected feature slots (lossy DCT math
+    # is not SQL-recomputable — same pinned-fixture pattern as the
+    # snowball vocabularies).  One grayscale payload rides along.
+    jrows = [
+        (
+            100 + j,
+            bytearray(
+                mm.make_jpeg(
+                    7, j, w=12 + 4 * (j % 3), h=8 + 4 * (j % 2), gray=(j == 4)
+                )
+            ),
+            ("image", "image/jpeg", 12 + 4 * (j % 3), 8 + 4 * (j % 2), None, None),
+        )
+        for j in range(6)
+    ]
+    jmedia = spark.createDataFrame(jrows, media.schema)
+    jpeg = _slots(
+        mm.extract_features(jmedia, use_codecs=True), 7
+    )
     frames = mm.frame_sample_plan(media).select(
         "media_id",
         F.lpad(
@@ -4751,6 +4799,7 @@ def multimodal_suite(spark, sf_dir):
     return _union(
         _tag(img, "img", "media_id", "k", "v"),
         _tag(aud, "audio", "media_id", "k", "v"),
+        _tag(jpeg, "jpeg", "media_id", "k", "v"),
         _tag(frames, "frames", "media_id", "k", "v"),
     ).orderBy("op", "media_id", "k")
 

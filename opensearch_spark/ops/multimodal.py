@@ -388,10 +388,53 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return feats
 
 
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real baseline JPEG decode (pure-numpy codec in
+    ``ops/jpegcodec.py``: huffman + dequant + IDCT + JFIF YCbCr->RGB;
+    4:4:4 and grayscale — progressive/subsampled raise honestly).
+    Feature layout matches ``_decode_bmp``."""
+    from opensearch_spark.ops.jpegcodec import decode_baseline_jpeg
+
+    px = decode_baseline_jpeg(payload).astype(np.float64) / 255.0
+    h, w = px.shape[:2]
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    feats[0] = w / 4096.0
+    feats[1] = h / 4096.0
+    feats[2] = float(px[..., 0].mean())
+    feats[3] = float(px[..., 1].mean())
+    feats[4] = float(px[..., 2].mean())
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    feats[5] = float(luma.std())
+    feats[6] = 1.0
+    return feats
+
+
+def make_jpeg(seed: int, i: int, w: int = 16, h: int = 16, gray: bool = False) -> bytes:
+    """Deterministic REAL baseline JPEG payload: a seeded smooth RGB
+    gradient through the pure-numpy encoder (Annex K tables, 4:4:4).
+    Byte-stable across machines (no RNG, integer DCT inputs)."""
+    from opensearch_spark.ops.jpegcodec import encode_baseline_jpeg
+
+    sr, sg, sb = hashlib.sha256(f"jpg-{seed}-{i}".encode()).digest()[:3]
+    yy, xx = np.mgrid[0:h, 0:w]
+    if gray:
+        img = ((xx * 3 + yy * 5 + sr) % 256).astype(np.uint8)
+    else:
+        img = np.stack(
+            [
+                (xx * 3 + sr) % 256,
+                (yy * 5 + sg) % 256,
+                ((xx + yy) * 2 + sb) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+    return encode_baseline_jpeg(img)
+
+
 def decode_media(payload: bytes, mime: str) -> np.ndarray:
-    """Dispatch to a REAL decoder when the stdlib can parse the format;
-    raise the honest stub error otherwise (JPEG/MP4 need external
-    codecs that are not in this environment)."""
+    """Dispatch to a REAL decoder when stdlib/numpy can parse the
+    format; raise the honest stub error otherwise (MP4/video needs
+    external codecs that are not in this environment)."""
     if mime == "audio/wav":
         return _decode_wav(payload)
     if mime == "image/bmp":
@@ -400,6 +443,8 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
         return _decode_png(payload)
     if mime == "image/gif":
         return _decode_gif(payload)
+    if mime in ("image/jpeg", "image/jpg"):
+        return _decode_jpeg(payload)
     raise NotImplementedError(
         f"no stdlib codec for {mime!r}; real decode requires external "
         "libraries (PIL/ffmpeg) — use deterministic_fake for tests"
