@@ -4700,7 +4700,8 @@ UNION ALL
 -- encoder + exact decoder arithmetic, so the expected feature slots
 -- are PINNED literals (lossy DCT is not SQL-recomputable — the same
 -- pinned-fixture pattern as the snowball vocabularies).  Row 104 is
--- the grayscale payload (equal channel means).
+-- the grayscale payload (equal channel means); row 106 is a 4:2:0
+-- chroma-subsampled stream (2x2 luma MCUs, box-replicated chroma).
 SELECT 'jpeg' AS op, CAST(mi AS BIGINT) AS media_id, k, CAST(v AS DOUBLE) AS v
 FROM (VALUES
     (100,'00',0.003),(100,'01',0.002),(100,'02',0.242),(100,'03',0.124),
@@ -4714,7 +4715,9 @@ FROM (VALUES
     (104,'00',0.004),(104,'01',0.002),(104,'02',0.649),(104,'03',0.649),
     (104,'04',0.649),(104,'05',0.072),(104,'06',1.0),
     (105,'00',0.005),(105,'01',0.003),(105,'02',0.123),(105,'03',0.173),
-    (105,'04',0.151),(105,'05',0.044),(105,'06',1.0)
+    (105,'04',0.151),(105,'05',0.044),(105,'06',1.0),
+    (106,'00',0.003),(106,'01',0.002),(106,'02',0.895),(106,'03',0.321),
+    (106,'04',0.673),(106,'05',0.033),(106,'06',1.0)
 ) j(mi, k, v)
 UNION ALL
 SELECT 'frames' AS op, CAST(m.i AS BIGINT) AS media_id,
@@ -4740,10 +4743,11 @@ def multimodal_suite(spark, sf_dir):
       pytest-pinned — a sha256-chain PCM is not SQL-expressible).
     - ``jpeg`` (late r4): REAL baseline JPEG decode through the
       pure-numpy codec (``ops/jpegcodec.py`` — huffman + dequant +
-      IDCT + JFIF YCbCr; Annex K tables; 4:4:4 and grayscale;
-      progressive/subsampled raise honestly; cross-validated against
-      a libjpeg-encoded third-party file) vs pinned literal feature
-      slots (deterministic encoder, exact decoder arithmetic).
+      IDCT + JFIF YCbCr; Annex K tables; grayscale / 4:4:4 / 4:2:0
+      chroma-subsampled with box-replication upsampling; progressive
+      raises honestly; cross-validated against a libjpeg-encoded
+      third-party file) vs pinned literal feature slots
+      (deterministic encoder, exact decoder arithmetic).
     - ``frames``: ``frame_sample_plan`` video frame fan-out (pure JVM
       sequence/explode) vs generate_series.
 
@@ -4778,12 +4782,17 @@ def multimodal_suite(spark, sf_dir):
             100 + j,
             bytearray(
                 mm.make_jpeg(
-                    7, j, w=12 + 4 * (j % 3), h=8 + 4 * (j % 2), gray=(j == 4)
+                    7,
+                    j,
+                    w=12 + 4 * (j % 3),
+                    h=8 + 4 * (j % 2),
+                    gray=(j == 4),
+                    subsampling="4:2:0" if j == 6 else "4:4:4",
                 )
             ),
             ("image", "image/jpeg", 12 + 4 * (j % 3), 8 + 4 * (j % 2), None, None),
         )
-        for j in range(6)
+        for j in range(7)
     ]
     jmedia = spark.createDataFrame(jrows, media.schema)
     jpeg = _slots(

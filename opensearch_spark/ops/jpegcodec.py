@@ -1,15 +1,18 @@
 """Pure-numpy baseline JPEG codec (stdlib-only, no PIL/libjpeg).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or 4:4:4
-YCbCr (every component sampled 1x1), standard huffman entropy coding,
-optional restart intervals.  Progressive (SOF2), arithmetic coding,
-12-bit precision and subsampled (4:2:0 / 4:2:2) streams raise
+Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr at
+any power-of-two sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 — the
+full web-camera spread), standard huffman entropy coding, optional
+restart intervals.  Chroma upsampling is spec-legal box replication
+(documented deviation: libjpeg's default "fancy" upsampler
+interpolates; pixel stats differ by <1 level on smooth data).
+Progressive (SOF2), arithmetic coding and 12-bit precision raise
 ``NotImplementedError`` honestly — the goal is the real wire format
 for the common web-image case, not a full libjpeg.
 
-Encoder: the fixture-side twin (4:4:4 / grayscale, ITU T.81 Annex K
-quantization + huffman tables), so tests and the synthetic media
-generator can produce REAL JPEG bytes deterministically.
+Encoder: the fixture-side twin (grayscale / 4:4:4 / 4:2:0, ITU T.81
+Annex K quantization + huffman tables), so tests and the synthetic
+media generator can produce REAL JPEG bytes deterministically.
 
 Reference for parity targets: the reference ingests attachments via
 Tika (``ingest-attachment`` plugin) and treats media as opaque binary
@@ -187,69 +190,109 @@ def _cat_bits(v: int) -> Tuple[int, int]:
 
 def _encode_blocks(
     w: _BitWriter,
-    comp_blocks: List[np.ndarray],
+    comp_blocks: List[List[List[np.ndarray]]],
     quants: List[np.ndarray],
     dc_tabs: List[Dict[int, Tuple[int, int]]],
     ac_tabs: List[Dict[int, Tuple[int, int]]],
     n_mcu: int,
 ) -> None:
+    """``comp_blocks[ci][m]`` = the list of component ci's DCT blocks
+    for MCU m in raster order (one block for 1x1 sampling, four for
+    the 2x2 luma of a 4:2:0 stream)."""
     preds = [0] * len(comp_blocks)
     zz = ZIGZAG
     for m in range(n_mcu):
         for ci, blocks in enumerate(comp_blocks):
-            q = (blocks[m] / quants[ci]).round().astype(np.int64)
-            seq = q.reshape(64)[zz]
-            dc = int(seq[0])
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            s, bits = _cat_bits(diff)
-            code, ln = dc_tabs[ci][s]
+            for blk in blocks[m]:
+                _encode_one_block(
+                    w, blk, quants[ci], dc_tabs[ci], ac_tabs[ci], preds, ci, zz
+                )
+
+
+def _encode_one_block(
+    w: _BitWriter,
+    blk: np.ndarray,
+    quant: np.ndarray,
+    dc_tab: Dict[int, Tuple[int, int]],
+    ac_tab: Dict[int, Tuple[int, int]],
+    preds: List[int],
+    ci: int,
+    zz: np.ndarray,
+) -> None:
+    q = (blk / quant).round().astype(np.int64)
+    seq = q.reshape(64)[zz]
+    dc = int(seq[0])
+    diff = dc - preds[ci]
+    preds[ci] = dc
+    s, bits = _cat_bits(diff)
+    code, ln = dc_tab[s]
+    w.put(code, ln)
+    if s:
+        w.put(bits, s)
+    run = 0
+    last_nz = int(np.nonzero(seq[1:])[0][-1]) + 1 if seq[1:].any() else 0
+    for i in range(1, last_nz + 1):
+        v = int(seq[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
             w.put(code, ln)
-            if s:
-                w.put(bits, s)
-            run = 0
-            last_nz = int(np.nonzero(seq[1:])[0][-1]) + 1 if seq[1:].any() else 0
-            for i in range(1, last_nz + 1):
-                v = int(seq[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tabs[ci][0xF0]  # ZRL
-                    w.put(code, ln)
-                    run -= 16
-                s, bits = _cat_bits(v)
-                code, ln = ac_tabs[ci][(run << 4) | s]
-                w.put(code, ln)
-                w.put(bits, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_tabs[ci][0x00]  # EOB
-                w.put(code, ln)
+            run -= 16
+        s, bits = _cat_bits(v)
+        code, ln = ac_tab[(run << 4) | s]
+        w.put(code, ln)
+        w.put(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        w.put(code, ln)
 
 
-def _blocks_of(plane: np.ndarray) -> List[np.ndarray]:
-    """Pad (edge-replicate) to multiples of 8 and split row-major into
-    8x8 DCT coefficient blocks (level-shifted)."""
-    h, wd = plane.shape
-    ph, pw = (-h) % 8, (-wd) % 8
-    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
-    hh, ww = p.shape
+def _mcu_blocks(
+    plane: np.ndarray, mcuy: int, mcux: int, hi: int, vi: int
+) -> List[List[np.ndarray]]:
+    """Pad (edge-replicate) to the MCU grid and split into per-MCU
+    lists of level-shifted 8x8 DCT blocks, T.81 interleave order:
+    MCU (my, mx) carries the component's hi*vi blocks raster-major."""
+    th, tw = mcuy * vi * 8, mcux * hi * 8
+    h0, w0 = plane.shape
+    p = np.pad(
+        plane, ((0, th - h0), (0, tw - w0)), mode="edge"
+    ).astype(np.float64) - 128.0
     out = []
-    for by in range(hh // 8):
-        for bx in range(ww // 8):
-            blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            out.append(_C @ blk @ _C.T)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blks = []
+            for byy in range(vi):
+                for bxx in range(hi):
+                    y0 = (my * vi + byy) * 8
+                    x0 = (mx * hi + bxx) * 8
+                    blks.append(_C @ p[y0 : y0 + 8, x0 : x0 + 8] @ _C.T)
+            out.append(blks)
     return out
+
+
+def _box_downsample2(p: np.ndarray) -> np.ndarray:
+    """2x2 box-mean chroma downsample (pad odd dims edge-replicate)."""
+    h0, w0 = p.shape
+    p = np.pad(p, ((0, h0 % 2), (0, w0 % 2)), mode="edge")
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_baseline_jpeg(rgb: np.ndarray) -> bytes:
+def encode_baseline_jpeg(rgb: np.ndarray, subsampling: str = "4:4:4") -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
-    baseline 4:4:4 JFIF JPEG with the Annex K tables."""
+    baseline JFIF JPEG with the Annex K tables.  ``subsampling`` is
+    ``"4:4:4"`` (every component 1x1) or ``"4:2:0"`` (2x2 luma MCUs
+    with 2x2 box-mean-downsampled chroma — the dominant web format);
+    grayscale ignores it (single component)."""
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     gray = rgb.ndim == 2
     h, wd = rgb.shape[:2]
     if gray:
@@ -265,8 +308,19 @@ def encode_baseline_jpeg(rgb: np.ndarray) -> bytes:
         ]
     planes = [np.clip(p, 0, 255) for p in planes]
     nc = len(planes)
+    if subsampling == "4:2:0" and nc == 3:
+        samps = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _box_downsample2(planes[1]), _box_downsample2(planes[2])]
+    else:
+        samps = [(1, 1)] * nc
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (wd + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     quants = [QUANT_LUMA] + [QUANT_CHROMA] * (nc - 1)
-    comp_blocks = [_blocks_of(p) for p in planes]
+    comp_blocks = [
+        _mcu_blocks(p, mcuy, mcux, hi, vi) for p, (hi, vi) in zip(planes, samps)
+    ]
     dc_enc = [_huff_codes(*_DC_LUMA)] + [_huff_codes(*_DC_CHROMA)] * (nc - 1)
     ac_enc = [_huff_codes(*_AC_LUMA)] + [_huff_codes(*_AC_CHROMA)] * (nc - 1)
 
@@ -276,7 +330,8 @@ def encode_baseline_jpeg(rgb: np.ndarray) -> bytes:
         out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in q.reshape(64)[ZIGZAG]))
     sof = bytearray([8]) + h.to_bytes(2, "big") + wd.to_bytes(2, "big") + bytes([nc])
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += _seg(0xC0, bytes(sof))
     for tc_th, spec in (
         ((0, 0), _DC_LUMA),
@@ -290,7 +345,7 @@ def encode_baseline_jpeg(rgb: np.ndarray) -> bytes:
     sos += b"\x00\x3f\x00"
     out += _seg(0xDA, bytes(sos))
     w = _BitWriter()
-    _encode_blocks(w, comp_blocks, quants, dc_enc, ac_enc, len(comp_blocks[0]))
+    _encode_blocks(w, comp_blocks, quants, dc_enc, ac_enc, mcux * mcuy)
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -363,9 +418,10 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline 4:4:4 / grayscale JPEG bytes to an (h, w, 3)
-    uint8 RGB array.  Raises ``NotImplementedError`` for progressive,
-    arithmetic-coded, 12-bit, or subsampled streams."""
+    """Decode baseline JPEG bytes (grayscale or YCbCr at 1/2/4
+    sampling factors, interleaved scan) to an (h, w, 3) uint8 RGB
+    array.  Raises ``NotImplementedError`` for progressive,
+    arithmetic-coded, or 12-bit streams."""
     d = bytes(data)
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -373,7 +429,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     quants: Dict[int, np.ndarray] = {}
     dc_tabs: Dict[int, Dict[Tuple[int, int], int]] = {}
     ac_tabs: Dict[int, Dict[Tuple[int, int], int]] = {}
-    comps: List[Tuple[int, int, int]] = []  # (id, sampling, tq)
+    comps: List[Tuple[int, int, int, int]] = []  # (id, h_i, v_i, tq)
     h = wd = 0
     restart = 0
     scan: List[Tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
@@ -412,11 +468,12 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             nc = body[5]
             for ci in range(nc):
                 cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        "subsampled JPEG (4:2:0/4:2:2) unsupported — 4:4:4 only"
+                        f"sampling factors {hi}x{vi} unsupported"
                     )
-                comps.append((cid, samp, tq))
+                comps.append((cid, hi, vi, tq))
         elif m == 0xC4:  # DHT
             bp = 0
             while bp < len(body):
@@ -441,47 +498,69 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("JPEG stream missing SOF/SOS")
 
     nc = len(comps)
-    bw, bh = (wd + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in range(nc)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (wd + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), np.float64) for c in comps
+    ]
     preds = [0] * nc
     r = _BitReader(d, pos)
     mcus_done = 0
-    n_mcu = bw * bh
+    n_mcu = mcux * mcuy
     zz = ZIGZAG
     while mcus_done < n_mcu:
-        by, bx = divmod(mcus_done, bw)
+        my, mx = divmod(mcus_done, mcux)
         try:
             for ci, dcid, acid in scan:
-                seq = np.zeros(64, np.int64)
-                s = _decode_symbol(r, dc_tabs[dcid])
-                diff = _extend(r.bits(s), s) if s else 0
-                preds[ci] += diff
-                seq[0] = preds[ci]
-                i = 1
-                while i < 64:
-                    sym = _decode_symbol(r, ac_tabs[acid])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run overflows block")
-                    seq[i] = _extend(r.bits(size), size)
-                    i += 1
-                coeff = np.zeros(64, np.float64)
-                coeff[zz] = seq * quants[comps[ci][2]].reshape(64)[zz]
-                blk = _C.T @ coeff.reshape(8, 8) @ _C + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                _, chi, cvi, ctq = comps[ci]
+                for byy in range(cvi):
+                    for bxx in range(chi):
+                        seq = np.zeros(64, np.int64)
+                        s = _decode_symbol(r, dc_tabs[dcid])
+                        diff = _extend(r.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        seq[0] = preds[ci]
+                        i = 1
+                        while i < 64:
+                            sym = _decode_symbol(r, ac_tabs[acid])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC run overflows block")
+                            seq[i] = _extend(r.bits(size), size)
+                            i += 1
+                        coeff = np.zeros(64, np.float64)
+                        coeff[zz] = seq * quants[ctq].reshape(64)[zz]
+                        blk = _C.T @ coeff.reshape(8, 8) @ _C + 128.0
+                        y0 = (my * cvi + byy) * 8
+                        x0 = (mx * chi + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
         except _RestartMarker:
             raise ValueError("restart marker misaligned with interval")
         mcus_done += 1
         if restart and mcus_done % restart == 0 and mcus_done < n_mcu:
             r.align_and_skip_restart()
             preds = [0] * nc
-    planes = [p[:h, :wd] for p in planes]
+    # crop each plane to its nominal dims, then box-replicate upsample
+    # to full resolution (documented deviation: libjpeg's default
+    # "fancy" upsampler interpolates; replication is the spec-legal
+    # simple upsampler, pixel stats differ by <1 level on smooth data)
+    full = []
+    for ci, (_, chi, cvi, _tq) in enumerate(comps):
+        cw = (wd * chi + hmax - 1) // hmax
+        ch = (h * cvi + vmax - 1) // vmax
+        p = planes[ci][:ch, :cw]
+        if chi != hmax or cvi != vmax:
+            p = np.repeat(np.repeat(p, vmax // cvi, axis=0), hmax // chi, axis=1)
+        full.append(p[:h, :wd])
+    planes = full
     if nc == 1:
         y = np.clip(planes[0], 0, 255)
         return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)

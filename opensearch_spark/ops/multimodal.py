@@ -391,8 +391,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
 def _decode_jpeg(payload: bytes) -> np.ndarray:
     """Real baseline JPEG decode (pure-numpy codec in
     ``ops/jpegcodec.py``: huffman + dequant + IDCT + JFIF YCbCr->RGB;
-    4:4:4 and grayscale — progressive/subsampled raise honestly).
-    Feature layout matches ``_decode_bmp``."""
+    grayscale / 4:4:4 / subsampled 4:2:2 + 4:2:0 — progressive raises
+    honestly).  Feature layout matches ``_decode_bmp``."""
     from opensearch_spark.ops.jpegcodec import decode_baseline_jpeg
 
     px = decode_baseline_jpeg(payload).astype(np.float64) / 255.0
@@ -409,10 +409,17 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     return feats
 
 
-def make_jpeg(seed: int, i: int, w: int = 16, h: int = 16, gray: bool = False) -> bytes:
+def make_jpeg(
+    seed: int,
+    i: int,
+    w: int = 16,
+    h: int = 16,
+    gray: bool = False,
+    subsampling: str = "4:4:4",
+) -> bytes:
     """Deterministic REAL baseline JPEG payload: a seeded smooth RGB
-    gradient through the pure-numpy encoder (Annex K tables, 4:4:4).
-    Byte-stable across machines (no RNG, integer DCT inputs)."""
+    gradient through the pure-numpy encoder (Annex K tables; 4:4:4 or
+    4:2:0).  Byte-stable across machines (no RNG, integer DCT inputs)."""
     from opensearch_spark.ops.jpegcodec import encode_baseline_jpeg
 
     sr, sg, sb = hashlib.sha256(f"jpg-{seed}-{i}".encode()).digest()[:3]
@@ -428,7 +435,7 @@ def make_jpeg(seed: int, i: int, w: int = 16, h: int = 16, gray: bool = False) -
             ],
             axis=2,
         ).astype(np.uint8)
-    return encode_baseline_jpeg(img)
+    return encode_baseline_jpeg(img, subsampling=subsampling)
 
 
 def decode_media(payload: bytes, mime: str) -> np.ndarray:

@@ -320,11 +320,52 @@ def test_jpeg_honest_gaps_and_errors():
     prog[sof_at + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="SOF0"):
         decode_baseline_jpeg(bytes(prog))
-    # forge 4:2:0 sampling on the first component
+    # forge a 3x3 sampling factor (legal in T.81 but not a power of
+    # two, so the replication upsampler can't honor it): honest error
     sub = bytearray(good)
-    sub[sof_at + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="4:4:4"):
+    sub[sof_at + 11] = 0x33
+    with pytest.raises(NotImplementedError, match="unsupported"):
         decode_baseline_jpeg(bytes(sub))
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 encode -> decode: 6 blocks per MCU (4 luma + 2 chroma),
+    chroma box-downsampled then replicated back up.  Solid colors
+    survive within quant error; smooth gradients within a few levels;
+    the stream advertises 2x2 luma sampling on the wire."""
+    import numpy as np
+
+    from opensearch_spark.ops.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    solid = np.full((16, 32, 3), [180, 90, 40], np.uint8)
+    b = encode_baseline_jpeg(solid, subsampling="4:2:0")
+    sof_at = b.find(b"\xff\xc0")
+    assert b[sof_at + 11] == 0x22  # luma 2x2 on the wire
+    assert b[sof_at + 14] == 0x11  # chroma 1x1
+    dec = decode_baseline_jpeg(b)
+    assert dec.shape == (16, 32, 3)
+    assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 3
+    # 4:2:0 is smaller than 4:4:4 on chroma-heavy content
+    assert len(b) < len(encode_baseline_jpeg(solid))
+
+    y, x = np.mgrid[0:21, 0:19]  # non-multiple-of-16 dims: MCU padding
+    grad = np.stack(
+        [(x * 5) % 256, (y * 6) % 256, ((x + y) * 4) % 256], axis=2
+    ).astype(np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(grad, subsampling="4:2:0"))
+    assert dec.shape == grad.shape
+    # luma stays tight; chroma averaged over 2x2 so allow more slack
+    ygold = 0.299 * grad[..., 0] + 0.587 * grad[..., 1] + 0.114 * grad[..., 2]
+    ydec = 0.299 * dec[..., 0] + 0.587 * dec[..., 1] + 0.114 * dec[..., 2]
+    assert np.abs(ydec - ygold).mean() < 4.0
+    assert np.abs(dec.astype(int) - grad.astype(int)).mean() < 10.0
+
+    # grayscale ignores the flag (single component stream)
+    g = ((x + y) * 4 % 256).astype(np.uint8)
+    assert encode_baseline_jpeg(g, subsampling="4:2:0") == encode_baseline_jpeg(g)
 
 
 def test_jpeg_feature_extraction_matches_pixels():
