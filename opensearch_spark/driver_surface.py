@@ -5965,6 +5965,150 @@ def text_suite(spark, sf_dir):
     return prof.join(dec, "doc_id").orderBy("doc_id")
 
 
+_PII_SQL = """WITH __docs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+__base AS (
+  SELECT doc_id, toks,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) AS chars,
+         len(toks) AS nt
+  FROM __docs
+),
+__grams AS (
+  SELECT doc_id, n, array_to_string(toks[p : p + n - 1], ' ') AS g
+  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS p FROM __docs)
+  CROSS JOIN (SELECT unnest([2, 3, 4]) AS n)
+  WHERE p + n - 1 <= len(toks)
+),
+__gc AS (SELECT doc_id, n, g, count(*) AS c FROM __grams GROUP BY 1, 2, 3),
+__sig AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c * (length(g) - 1) END) AS top2,
+         max(CASE WHEN n = 3 THEN c * (length(g) - 2) END) AS top3,
+         max(CASE WHEN n = 4 THEN c * (length(g) - 3) END) AS top4,
+         sum(CASE WHEN n = 2 AND c > 1 THEN (c - 1) * (length(g) - 1) END) AS dup2,
+         sum(CASE WHEN n = 3 AND c > 1 THEN (c - 1) * (length(g) - 2) END) AS dup3
+  FROM __gc GROUP BY doc_id
+),
+__aug AS (
+  SELECT doc_id, text ||
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      WHEN 1 THEN ' call +1 555 010 12' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' soon'
+      WHEN 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 id 123-45-6789'
+      ELSE ''
+    END AS t
+  FROM documents
+),
+__p1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{EMAIL}')) AS n_email,
+         regexp_replace(t, '{EMAIL}', '<EMAIL>', 'g') AS t
+  FROM __aug
+),
+__p2 AS (
+  SELECT doc_id, n_email, len(regexp_extract_all(t, '{SSN}')) AS n_ssn,
+         regexp_replace(t, '{SSN}', '<SSN>', 'g') AS t
+  FROM __p1
+),
+__p3 AS (
+  SELECT doc_id, n_email, n_ssn, len(regexp_extract_all(t, '{IPV4}')) AS n_ipv4,
+         regexp_replace(t, '{IPV4}', '<IPV4>', 'g') AS t
+  FROM __p2
+),
+__p4 AS (
+  SELECT doc_id, n_email, n_ssn, n_ipv4,
+         len(regexp_extract_all(t, '{PHONE}')) AS n_phone,
+         regexp_replace(t, '{PHONE}', '<PHONE>', 'g') AS t
+  FROM __p3
+)
+SELECT b.doc_id,
+       ROUND(COALESCE(s.top2, 0) / (CASE WHEN b.chars > 0 THEN b.chars ELSE 1.0 END), 6) AS top2_frac,
+       ROUND(COALESCE(s.top3, 0) / (CASE WHEN b.chars > 0 THEN b.chars ELSE 1.0 END), 6) AS top3_frac,
+       ROUND(COALESCE(s.top4, 0) / (CASE WHEN b.chars > 0 THEN b.chars ELSE 1.0 END), 6) AS top4_frac,
+       ROUND(COALESCE(s.dup2, 0) / (CASE WHEN b.chars > 0 THEN b.chars ELSE 1.0 END), 6) AS dup2_frac,
+       ROUND(COALESCE(s.dup3, 0) / (CASE WHEN b.chars > 0 THEN b.chars ELSE 1.0 END), 6) AS dup3_frac,
+       ROUND(CASE WHEN b.nt > 1
+             THEN CAST(len(list_filter(range(2, CAST(b.nt AS INT) + 1), p -> b.toks[p] = b.toks[p - 1])) AS DOUBLE) / (b.nt - 1)
+             ELSE 0.0 END, 6) AS adj_rep_frac,
+       CAST(p.n_email AS INT) AS n_email,
+       CAST(p.n_ssn AS INT) AS n_ssn,
+       CAST(p.n_ipv4 AS INT) AS n_ipv4,
+       CAST(p.n_phone AS INT) AS n_phone,
+       md5(p.t) AS scrub_fp
+FROM __base b
+LEFT JOIN __sig s ON s.doc_id = b.doc_id
+JOIN __p4 p ON p.doc_id = b.doc_id
+ORDER BY b.doc_id"""
+for _k, _pat in textstats.PII_PATTERNS:
+    _PII_SQL = _PII_SQL.replace("{" + _k.upper() + "}", _pat)
+
+
+@_q("quality_suite", _PII_SQL)
+def quality_suite(spark, sf_dir):
+    """Suite: the published training-data QUALITY-FILTER signals —
+
+    - Gopher repetition filters (Rae et al. 2021, Table A1;
+      ``textstats.repetition_signals``): heaviest-2/3/4-gram character
+      fraction, duplicated-2/3-gram excess-character fraction
+      (5-grams stay in the unit tests: this corpus has zero duplicate
+      5-grams, and a forever-zero oracle column would be vacuous),
+      adjacent-token repeat rate.  Pure JVM: one explode +
+      groupBy(doc, n, gram) with map-side combine, one per-doc
+      conditional rollup, one join — no Python, whole-stage codegen,
+      shuffle volume linear in token count (the 100 TB shape).
+    - PII scrub (``textstats.pii_scrub``): email/SSN/IPv4/phone
+      redaction over DETERMINISTICALLY AUGMENTED text (doc_id mod 4
+      plants one PII item of each kind — the fixture corpus has none,
+      and an all-zero scrub oracle would be vacuous).  The oracle
+      replays the ordered regexp_replace chain byte-identically
+      (Java-regex/RE2 common-subset patterns) and pins md5 of the
+      scrubbed string, so tag placement — not just counts — is
+      verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = textstats.repetition_signals(docs, top_ns=(2, 3, 4), dup_ns=(2, 3))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit(" call +1 555 010 12"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                    F.lit(" soon"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 id 123-45-6789"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pii = textstats.pii_scrub(aug).select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrub_fp"),
+    )
+    return rep.join(pii, "doc_id").orderBy("doc_id")
+
+
 # ============================== probabilistic / approximate (rows-only)
 
 _MH_A, _MH_B = dedup._perm_params(64)

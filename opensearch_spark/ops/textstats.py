@@ -175,6 +175,147 @@ def text_profile(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, "Scaling Language Models", Table A1 — the published
+    training-data repetition filters):
+
+    - ``topN_frac`` for each n in ``top_ns``: characters claimed by
+      the single heaviest word n-gram — ``max over grams of
+      count(gram) * char_len(gram) / total_token_chars`` (the max is
+      taken over the product, which makes ties deterministic without
+      an arbitrary gram pick).
+    - ``dupN_frac`` for each n in ``dup_ns``: characters in REPEATED
+      occurrences of duplicated n-grams — ``sum over grams with
+      count > 1 of (count - 1) * char_len(gram) / total_token_chars``
+      (documented deviation: Gopher counts characters *covered* by
+      duplicate n-grams once; the excess-occurrence form is
+      overlap-free, deterministic, and exactly SQL-replicable).
+    - ``adj_rep_frac``: fraction of tokens equal to their predecessor
+      (catches "batch batch batch" runs below any n-gram horizon).
+
+    Whitespace tokens (the oracle-pinned split), pure JVM: one
+    explode + groupBy(doc, n, gram) shuffle with map-side partial
+    aggregation, then one per-doc rollup — no Python in the path, so
+    the plan whole-stage-codegens and scales with token volume.
+    ``char_len(gram)`` = ``length(gram) - (n - 1)`` (single-space
+    joins over space-free tokens)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    d = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double").alias("_chars"),
+    )
+    grams = None
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        g = d.select(
+            id_col,
+            F.lit(n).alias("_n"),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_t) >= {n} THEN"
+                    f" transform(sequence(1, size(_t) - {n - 1}),"
+                    f" i -> array_join(slice(_t, i, {n}), ' '))"
+                    " ELSE array() END"
+                )
+            ).alias("_g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy(id_col, "_n", "_g").agg(F.count("*").alias("_c"))
+    glen = F.length("_g") - F.col("_n") + 1
+    sig = counts.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_c") * glen)).alias(f"_top{n}")
+            for n in sorted(top_ns)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("_n") == n) & (F.col("_c") > 1),
+                    (F.col("_c") - 1) * glen,
+                )
+            ).alias(f"_dup{n}")
+            for n in sorted(dup_ns)
+        ],
+    )
+    adj = d.select(
+        id_col,
+        F.col("_chars"),
+        F.size("_t").alias("_nt"),
+        F.when(
+            F.size("_t") >= 2,
+            F.expr(
+                "size(filter(sequence(2, size(_t)),"
+                " i -> element_at(_t, i) = element_at(_t, i - 1)))"
+            ),
+        ).otherwise(F.lit(0)).cast("double").alias("_adj"),
+    )
+    out = adj.join(sig, id_col, "left")
+    safe = F.when(F.col("_chars") > 0, F.col("_chars")).otherwise(F.lit(1.0))
+    cols = [F.col(id_col)]
+    for n in sorted(top_ns):
+        cols.append(
+            F.round(
+                F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double") / safe, 6
+            ).alias(f"top{n}_frac")
+        )
+    for n in sorted(dup_ns):
+        cols.append(
+            F.round(
+                F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double") / safe, 6
+            ).alias(f"dup{n}_frac")
+        )
+    cols.append(
+        F.round(
+            F.when(F.col("_nt") > 1, F.col("_adj") / (F.col("_nt") - 1))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("adj_rep_frac")
+    )
+    return out.select(*cols)
+
+
+# PII patterns shared with the SQL oracle: Java-regex / RE2 common
+# subset (no lookaround, no backrefs).  Order matters — SSN before
+# phone (an SSN body also parses as a phone), and replacements emit
+# digit-free tags so later patterns cannot re-match them.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\+?\d[\d\- ]{8,14}\d\b"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction over raw text — the standard pre-training scrub
+    pass: emails, SSN-shaped ids, IPv4 addresses and phone-shaped
+    number runs are replaced by ``<KIND>`` tags, with a per-kind match
+    count.  Sequential ``regexp_replace`` chain (JVM regex, one
+    projection, no shuffle); the pattern list is the Java/RE2 common
+    subset so a SQL oracle replays it byte-identically.
+
+    Returns ``(id, scrubbed, n_email, n_ssn, n_ipv4, n_phone)``."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pat)).cast("int").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
+
+
 def pack_shards(
     df: DataFrame,
     token_budget: int,

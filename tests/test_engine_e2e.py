@@ -230,3 +230,81 @@ def test_pack_shards_tape_replay(spark):
     assert sum(v[2] for v in want.values()) > 0  # fixture exercises spills
     with _pytest.raises(ValueError, match="positive"):
         pack_shards(df, 0)
+
+
+def test_repetition_signals_replay(spark):
+    """Gopher repetition signals == a driver-side replay of the
+    documented formulas (top-n-gram char fraction as max of
+    count*char_len, duplicate-n-gram excess chars, adjacent repeats);
+    edge docs (empty, one token) return zeros instead of crashing."""
+    from collections import Counter
+
+    from opensearch_spark.ops.textstats import repetition_signals
+
+    texts = {
+        0: "a b a b a b c",            # heavy 2-gram repetition
+        1: "x y z x y z x y z q q",     # repeated 3-grams + adjacent q q
+        2: "one two three four five six seven",  # no repetition
+        3: "w w w w w w",               # degenerate all-same (dup 5-grams)
+        4: "solo",                       # 1 token: adj undefined -> 0
+        5: "",                           # empty: all zeros
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["top2_frac"], r["top3_frac"], r["dup5_frac"], r["adj_rep_frac"]
+        )
+        for r in repetition_signals(df, top_ns=(2, 3), dup_ns=(5,)).collect()
+    }
+    for i, t in texts.items():
+        toks = [x for x in t.split(" ") if x]
+        chars = sum(len(x) for x in toks) or 1
+        def grams(n):
+            return Counter(
+                " ".join(toks[p : p + n]) for p in range(len(toks) - n + 1)
+            )
+        def top(n):
+            g = grams(n)
+            return round(
+                max((c * (len(s) - (n - 1)) for s, c in g.items()), default=0)
+                / chars, 6,
+            )
+        def dup(n):
+            g = grams(n)
+            return round(
+                sum((c - 1) * (len(s) - (n - 1)) for s, c in g.items() if c > 1)
+                / chars, 6,
+            )
+        adj = round(
+            sum(1 for p in range(1, len(toks)) if toks[p] == toks[p - 1])
+            / (len(toks) - 1), 6,
+        ) if len(toks) > 1 else 0.0
+        assert got[i] == (top(2), top(3), dup(5), adj), (i, t)
+    assert got[3][2] > 0        # dup-5-gram path is exercised non-vacuously
+    # doc 2 hand-check: 27 token chars; heaviest 2-gram "three four"
+    # (9 chars), heaviest 3-gram "three four five" (13); no repeats
+    assert got[2] == (round(9 / 27, 6), round(13 / 27, 6), 0.0, 0.0)
+
+
+def test_pii_scrub_order_and_counts(spark):
+    """PII scrub: SSN claimed before the phone pattern (an SSN body
+    also parses as a phone), digit-free tags are not re-matched, and
+    counts reflect non-overlapping leftmost matches."""
+    from opensearch_spark.ops.textstats import pii_scrub
+
+    rows = [
+        (0, "mail a.b+c@ex-y.co and 10.0.0.1 then call +1 555 010 1234 ok"),
+        (1, "ssn 123-45-6789 twice 123-45-6789"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io z@w.dev and ip 255.255.255.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert got[0]["scrubbed"] == "mail <EMAIL> and <IPV4> then call +<PHONE> ok"
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == (1, 1, 1)
+    # SSNs must NOT fall through to the phone pattern
+    assert got[1]["scrubbed"] == "ssn <SSN> twice <SSN>"
+    assert (got[1]["n_ssn"], got[1]["n_phone"]) == (2, 0)
+    assert got[2]["scrubbed"] == rows[2][1]
+    assert sum(v for k, v in got[2].items() if k.startswith("n_")) == 0
+    assert got[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> and ip <IPV4>"
