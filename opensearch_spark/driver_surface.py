@@ -44,7 +44,7 @@ from opensearch_spark.docs_index import (
     load_table,
     topk,
 )
-from opensearch_spark.ops import dedup, similarity, textstats
+from opensearch_spark.ops import c4, dedup, similarity, textstats
 
 # ---------------------------------------------------------------- SQL scaffolding
 
@@ -6107,6 +6107,191 @@ def quality_suite(spark, sf_dir):
         F.md5(F.col("scrubbed").cast("binary")).alias("scrub_fp"),
     )
     return rep.join(pii, "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------- C4 cleaning
+
+# Deterministic corpus augmentation shared by the Spark entry and the
+# oracle: the fixture corpus is punctuation-free word soup, so the C4
+# line rules and the span dedup would be vacuous on it raw (the same
+# argument as quality_suite's PII planting).  Lines are token chunks of
+# doc-dependent width with deterministic terminal punctuation; poison
+# markers plant the javascript / lorem-ipsum / brace rules; 3 fixed
+# plant sentences on every 10th doc make the span dedup non-vacuous.
+_C4_PLANT_SENTS = (
+    "zz alpha zz beta zz gamma zz one",
+    "zz delta zz epsilon zz zeta zz two",
+    "zz eta zz theta zz iota zz three",
+)
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet consectetur."
+_C4_BRACE_LINE = "var f = function() { return 1; }."
+
+_C4_SQL = f"""WITH __toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+__lc AS (
+  SELECT doc_id, toks, 5 + doc_id % 4 AS L, len(toks) AS nt FROM __toks
+),
+__lines AS (
+  SELECT doc_id,
+    (CASE WHEN nt > 0 THEN
+      list_transform(range(0, CAST((nt + L - 1) // L AS BIGINT)), i ->
+        array_to_string(toks[CAST(i * L + 1 AS BIGINT) : CAST(i * L + L AS BIGINT)], ' ')
+        || CASE WHEN doc_id % 7 = 0 AND i = 1 THEN ' javascript' ELSE '' END
+        || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)
+     ELSE []::VARCHAR[] END)
+    || CASE WHEN doc_id % 31 = 0 THEN ['{_C4_LOREM_LINE}'] ELSE []::VARCHAR[] END
+    || CASE WHEN doc_id % 37 = 0 THEN ['{_C4_BRACE_LINE}'] ELSE []::VARCHAR[] END AS lines
+  FROM __lc
+),
+__lf AS (
+  SELECT doc_id, lines,
+    list_filter(lines, ln ->
+      right(trim(ln), 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(string_split(trim(ln), ' '), x -> x <> '')) >= 5
+      AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM __lines
+),
+__page AS (
+  SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+    ROUND(CASE WHEN len(lines) > 0
+          THEN CAST(len(kept) AS DOUBLE) / len(lines) ELSE 0.0 END, 6) AS kept_frac,
+    CAST(len(kept) >= 3
+         AND NOT contains(lower(array_to_string(lines, chr(10))), '{{')
+         AND NOT contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+         AS INT) AS page_kept,
+    md5(coalesce(array_to_string(kept, chr(10)), '')) AS c4_fp
+  FROM __lf
+),
+__sents AS (
+  SELECT doc_id,
+    (CASE WHEN nt > 0 THEN
+      list_transform(range(0, CAST(pn // 8 AS BIGINT)), i ->
+        array_to_string(padded[CAST(i * 8 + 1 AS BIGINT) : CAST(i * 8 + 8 AS BIGINT)], ' '))
+     ELSE []::VARCHAR[] END)
+    || CASE WHEN doc_id % 10 = 0
+       THEN ['{_C4_PLANT_SENTS[0]}', '{_C4_PLANT_SENTS[1]}', '{_C4_PLANT_SENTS[2]}']
+       ELSE []::VARCHAR[] END AS sents
+  FROM (
+    SELECT doc_id, nt,
+      toks || list_transform(range(0, (8 - nt % 8) % 8), x -> 'pad') AS padded,
+      nt + (8 - nt % 8) % 8 AS pn
+    FROM __lc
+  )
+),
+__occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+    md5(array_to_string(sents[CAST(i + 1 AS BIGINT) : CAST(i + 3 AS BIGINT)], chr(1))) AS h
+  FROM (SELECT doc_id, sents, unnest(range(0, len(sents) - 2)) AS i
+        FROM __sents WHERE len(sents) >= 3)
+),
+__occ2 AS (
+  SELECT doc_id, i,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+    count(*) OVER (PARTITION BY h) AS cnt
+  FROM __occ
+),
+__cov AS (
+  SELECT DISTINCT doc_id, i + d AS si
+  FROM __occ2 CROSS JOIN (SELECT unnest([0, 1, 2]) AS d)
+  WHERE cnt > 1 AND rn > 1
+),
+__srows AS (
+  SELECT doc_id, CAST(p AS BIGINT) - 1 AS si, sents[p] AS sent
+  FROM (SELECT doc_id, sents, generate_subscripts(sents, 1) AS p FROM __sents)
+),
+__span AS (
+  SELECT r.doc_id,
+    sum(CASE WHEN c.si IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+    md5(coalesce(string_agg(CASE WHEN c.si IS NULL THEN r.sent END,
+                            chr(10) ORDER BY r.si), '')) AS span_fp
+  FROM __srows r LEFT JOIN __cov c ON c.doc_id = r.doc_id AND c.si = r.si
+  GROUP BY r.doc_id
+)
+SELECT p.doc_id,
+  CAST(p.n_lines AS INT) AS n_lines,
+  CAST(p.n_kept AS INT) AS n_kept,
+  p.kept_frac, p.page_kept, p.c4_fp,
+  CAST(len(s0.sents) AS INT) AS n_sents,
+  CAST(COALESCE(sp.n_removed, 0) AS INT) AS n_removed,
+  ROUND(CASE WHEN len(s0.sents) > 0
+        THEN (len(s0.sents) - COALESCE(sp.n_removed, 0)) * 1.0 / len(s0.sents)
+        ELSE 0.0 END, 6) AS span_kept_frac,
+  COALESCE(sp.span_fp, md5('')) AS span_fp
+FROM __page p
+JOIN __sents s0 USING (doc_id)
+LEFT JOIN __span sp USING (doc_id)
+ORDER BY p.doc_id"""
+
+
+@_q("c4_suite", _C4_SQL)
+def c4_suite(spark, sf_dir):
+    """Suite: C4 corpus cleaning (Raffel et al. 2020 §2.2; ``ops/c4.py``) —
+
+    - ``line_filters``: the line-level keep rules (terminal punctuation,
+      >=5 words, no 'javascript') and page-level drops (<3 kept lines,
+      curly brace, 'lorem ipsum') over deterministically constructed
+      lines (token chunks of width 5 + doc_id%4, punctuation on 2/3 of
+      lines, poison lines planted by doc_id mod 7/31/37).  Zero-shuffle
+      whole-stage-codegen project (plan-gated in tests/test_c4.py).
+    - ``span_dedup``: C4's corpus-global three-sentence-span dedup —
+      the one dedup granularity ops/dedup.py's family lacked.
+      Sentences are 8-token chunks (pad-aligned); every 10th doc gets 3
+      planted sentences so duplicated spans exist corpus-wide (the
+      dedup_embedding de-vacuation lesson applied from the start: 50
+      docs at sf0.001 share the planted span, and the first occurrence
+      keeps it).  Shuffles only on span-hash and (doc,sent) keys.
+
+    Output: one row per doc joining both ops' signals; every column
+    (counts, fractions, md5 fingerprints of the cleaned text) is
+    hash-compared against the DuckDB replay.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
+    )
+    L = (F.lit(5) + (F.col("doc_id") % 4)).cast("int")
+    nt = F.size("toks")
+    nlines = F.floor((nt + L - F.lit(1)) / L).cast("int")
+    chunk_lines = F.when(
+        nt > 0,
+        F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda i: F.concat(
+                F.concat_ws(" ", F.slice("toks", i * L + 1, L)),
+                F.when(
+                    (F.col("doc_id") % 7 == 0) & (i == F.lit(1)),
+                    F.lit(" javascript"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    ((F.col("doc_id") + i) % 3) != 0, F.lit(".")
+                ).otherwise(F.lit("")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        chunk_lines,
+        F.when(F.col("doc_id") % 31 == 0, F.array(F.lit(_C4_LOREM_LINE))).otherwise(
+            empty
+        ),
+        F.when(F.col("doc_id") % 37 == 0, F.array(F.lit(_C4_BRACE_LINE))).otherwise(
+            empty
+        ),
+    )
+    lf = c4.line_filters(base.select("doc_id", lines.alias("lines")))
+
+    sents = F.concat(
+        c4.sentences_from_tokens(F.col("toks"), sent_tokens=8),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.array(*[F.lit(s) for s in _C4_PLANT_SENTS]),
+        ).otherwise(empty),
+    )
+    sd = c4.span_dedup(base.select("doc_id", sents.alias("sents")))
+    return lf.join(sd, "doc_id").orderBy("doc_id")
 
 
 # ============================== probabilistic / approximate (rows-only)
