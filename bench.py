@@ -74,6 +74,7 @@ SURFACE_SAMPLE = [
     "dedup_ngram_jaccard",
     "retrieval_suite",
     "text_suite",
+    "c4_suite",
 ]
 
 # VERDICT r2 #10: suite entries are transport envelopes whose operator
@@ -88,6 +89,7 @@ SURFACE_COMPOSITION = {
     "dedup_ngram_jaccard": "r3: 2 ops (pair + connected-component cluster); r2 had pairs only",
     "agg_histograms": "r3 late: 6 ops (+geotile_grid z=5, +geohash_grid p=3); earlier r3/r2 had 4",
     "text_suite": "r3: 4 text ops via single-pass text_profile (one tokenizer eval, no joins); r3 late adds pack_shards training-shard packing (+1 stripe-offset collect) and benchmark decontamination (broadcast 5-gram overlap + count join); r2 joined 4 frames",
+    "c4_suite": "NEW r4 late: C4 line/page filters (zero-shuffle project) + corpus-global 3-sentence-span dedup (span-hash groupBy + coverage join) over documents; first timed round",
     "agg_samplers": "r3 late: 9 ops (+hash_split count/idsum, +stratified count/idsum, +mixture count/idsum, +reservoir idsum over documents); earlier had 2 (sampler + diversified)",
     "ft_scoring": "r3 late: 10 ops (+rank_feature log/saturation/sigmoid); earlier had 7; r4: +4 similarity ops (DFR gl/h2, DFR in/b/h1, IB ll, IB spl)",
     "ft_prefix_family": "r3 late: 3 ops (+search_as_you_type over root+2gram+3gram subfield indexes, builds 2 extra small indexes on first run); earlier had 2",
@@ -369,9 +371,25 @@ def msearch_phase(spark, index_dir: str, runs: int = 3) -> dict:
     }
 
 
+def box_probe_sec() -> float:
+    """Single-core speed probe: a fixed 20M-iteration add loop.
+
+    This sandbox's CPU frequency fluctuates run-to-run (documented in
+    BASELINE.md: the same loop has measured 1.0-2.8s across a day), so
+    every bench JSON carries its own probe — round-over-round latency
+    comparisons should be read relative to it, not as absolutes.
+    """
+    t = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.perf_counter() - t, 3)
+
+
 def run_bench(build_only: bool = False, waves: int = 1) -> dict:
     from opensearch_spark.session import get_spark
 
+    probe = box_probe_sec()
     sf = sf_from_dir(SF_DIR)
     spark = get_spark("bench", shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -385,6 +403,7 @@ def run_bench(build_only: bool = False, waves: int = 1) -> dict:
         "unit": "sec",
         "sf": sf,
         "cpus": CPUS,
+        "box_probe_sec": probe,
         "build": build,
     }
     if not build_only:
@@ -495,6 +514,7 @@ def run_scaling() -> dict:
         "wall_4N": out[four_n_cpus]["build"]["build_wall_sec"],
         "raw_cpu_efficiency_ceiling": raw,
         "normalized_efficiency": round(eff / raw, 3) if raw else None,
+        "box_probe_sec": box_probe_sec(),
         "value": eff,
         "queries": {},
     }
