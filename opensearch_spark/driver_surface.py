@@ -804,6 +804,9 @@ UNION ALL
 SELECT 'script' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs WHERE n_chars % 7 = 0 AND lang = 'en'
 UNION ALL
+SELECT 'painless' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs WHERE n_chars % 5 = 1 OR lang = 'fr'
+UNION ALL
 SELECT 'geo_polygon' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs WHERE {poly}
 UNION ALL
@@ -849,6 +852,18 @@ def ft_filters(spark, sf_dir):
     c = docset(eng, {"ids": {"values": [3, 5, 144]}})
     f = docset(
         eng, {"script": {"script": {"source": "n_chars % 7 = 0 AND lang = 'en'"}}}
+    )
+    # r4: the same filter context in the reference's OWN script syntax —
+    # lang=painless routes through query/painless.py (doc-values access,
+    # params binding, String.equals), compiled to one Catalyst predicate
+    pl = docset(
+        eng,
+        {"script": {"script": {
+            "lang": "painless",
+            "source": "doc['n_chars'].value % params.m == params.r"
+                      " || doc['lang'].value.equals('fr')",
+            "params": {"m": 5, "r": 1},
+        }}},
     )
     g = docset(
         eng,
@@ -908,6 +923,7 @@ def ft_filters(spark, sf_dir):
         _tag(d, "geo_distance", "doc_id", "score"),
         _tag(e, "geo_bbox", "doc_id", "score"),
         _tag(f, "script", "doc_id", "score"),
+        _tag(pl, "painless", "doc_id", "score"),
         _tag(g, "geo_polygon", "doc_id", "score"),
         _tag(h, "geo_shape", "doc_id", "score"),
         _tag(i, "derived_range", "doc_id", "score"),
@@ -1239,6 +1255,11 @@ __ss AS (
   FROM __c1 c JOIN __docs dd ON dd.doc_id = c.doc_id
   ORDER BY score DESC, c.doc_id ASC LIMIT 10
 ),
+__pls AS (
+  SELECT c.doc_id, ROUND(ln(2.0 + dd.n_chars) * c.sc, 4) AS score
+  FROM __c1 c JOIN __docs dd ON dd.doc_id = c.doc_id
+  ORDER BY score DESC, c.doc_id ASC LIMIT 10
+),
 __dfq AS (
   SELECT doc_id, ROUND(100.0 / (100.0 + abs(CAST(n_chars AS DOUBLE) - 250.0)), 4) AS score
   FROM __docs WHERE n_chars IS NOT NULL
@@ -1284,6 +1305,8 @@ __fsr AS (
 SELECT 'function_score' AS op, doc_id, score FROM __fs
 UNION ALL
 SELECT 'script_score' AS op, doc_id, score FROM __ss
+UNION ALL
+SELECT 'painless_score' AS op, doc_id, score FROM __pls
 UNION ALL
 SELECT 'distance_feature' AS op, doc_id, score FROM __dfq
 UNION ALL
@@ -1356,6 +1379,23 @@ def ft_scoring(spark, sf_dir):
             "script_score": {
                 "query": {"match": {"text": "spark"}},
                 "script": {"source": "_score * (1 + n_chars / 1000.0)"},
+            }
+        },
+    )
+    # r4: script_score in the reference's OWN syntax (lang=painless ->
+    # query/painless.py): Math.*, doc-values access, params binding —
+    # compiled to a Catalyst Column, still zero Python in scoring
+    pb = topk(
+        eng,
+        {
+            "script_score": {
+                "query": {"match": {"text": "spark"}},
+                "script": {
+                    "lang": "painless",
+                    "source": "Math.log(params.base + doc['n_chars'].value)"
+                              " * _score",
+                    "params": {"base": 2.0},
+                },
             }
         },
     )
@@ -1432,6 +1472,7 @@ def ft_scoring(spark, sf_dir):
     return _union(
         _tag(a, "function_score", "doc_id", "score"),
         _tag(b, "script_score", "doc_id", "score"),
+        _tag(pb, "painless_score", "doc_id", "score"),
         _tag(c, "distance_feature", "doc_id", "score"),
         _tag(rl, "rank_feature_log", "doc_id", "score"),
         _tag(rs, "rank_feature_sat", "doc_id", "score"),

@@ -210,11 +210,18 @@ def _proc_remove_by_pattern(df, p):  # RemoveByPatternProcessor.java
     return df.drop(*drop) if drop else df
 
 
-def _proc_script(df, p):     # ScriptProcessor.java (Spark SQL as Painless)
-    """``source`` is a Spark SQL expression over the document's columns
-    (the lang-painless analog per SURVEY §2.9); result lands in
-    ``target_field``."""
-    return df.withColumn(p["target_field"], F.expr(p["source"]))
+def _proc_script(df, p):     # ScriptProcessor.java
+    """``source`` is either a Spark SQL expression over the document's
+    columns (the lang-expression analog per SURVEY §2.9) or a Painless
+    expression using the reference's own ``ctx.field`` syntax
+    (``IngestDocument`` map access), routed through query/painless.py;
+    result lands in ``target_field``."""
+    from opensearch_spark.query import painless
+
+    return df.withColumn(
+        p["target_field"],
+        painless.script_expr(p["source"], p.get("lang"), params=p.get("params")),
+    )
 
 
 def _proc_date_index_name(df, p):  # DateIndexNameProcessor.java

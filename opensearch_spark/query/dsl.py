@@ -354,10 +354,14 @@ class ScriptScore:
     ``fn`` optionally supplies a vectorized pandas callable instead."""
 
     query: "Query"
-    expr: Optional[str] = None  # Spark SQL expression, may reference _score
+    expr: Optional[str] = None  # script source, may reference _score
     fn: Any = None  # callable(pd.DataFrame) -> pd.Series (pandas UDF path)
     input_cols: Sequence[str] = ()
     boost: float = 1.0
+    # "painless" routes expr through query/painless.py (the reference's
+    # own script syntax); None = Spark SQL with a syntactic sniff
+    lang: Optional[str] = None
+    params: Optional[dict] = None
 
 
 @dataclasses.dataclass
@@ -370,6 +374,8 @@ class ScriptQuery:
 
     expr: str
     boost: float = 1.0
+    lang: Optional[str] = None  # see ScriptScore.lang
+    params: Optional[dict] = None
 
 
 @dataclasses.dataclass
@@ -990,17 +996,22 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             boost=body.get("boost", 1.0),
         )
     if kind == "script_score":
-        return ScriptScore(
-            from_dict(body["query"]),
-            expr=body.get("script", {}).get("source") if isinstance(body.get("script"), dict) else body.get("script"),
-        )
+        s = body.get("script")
+        if isinstance(s, dict):
+            return ScriptScore(
+                from_dict(body["query"]), expr=s.get("source"),
+                lang=s.get("lang"), params=s.get("params"),
+            )
+        return ScriptScore(from_dict(body["query"]), expr=s)
     if kind == "script":
         # {"script": {"script": {"source": "..."}}} (ScriptQueryBuilder.java)
         s = body.get("script", body)
-        return ScriptQuery(
-            expr=s["source"] if isinstance(s, dict) else str(s),
-            boost=body.get("boost", 1.0),
-        )
+        if isinstance(s, dict):
+            return ScriptQuery(
+                expr=s["source"], boost=body.get("boost", 1.0),
+                lang=s.get("lang"), params=s.get("params"),
+            )
+        return ScriptQuery(expr=str(s), boost=body.get("boost", 1.0))
     if kind == "common":
         # {"common": {field: {"query": ..., "cutoff_frequency": ...}}}
         field = next(k for k in body if k not in ("boost", "_name"))

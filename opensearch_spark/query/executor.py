@@ -34,6 +34,7 @@ from opensearch_spark.analysis import smallfloat as sfl
 from opensearch_spark.index.reader import InvertedIndex
 from opensearch_spark.query import bm25
 from opensearch_spark.query import dsl as Q
+from opensearch_spark.query import painless
 
 
 def _find_intervals(
@@ -1022,7 +1023,7 @@ class SearchEngine:
         compute-at-query-time semantics)."""
         dm = self.index.docmap()
         for name, src in self._derived.items():
-            dm = dm.withColumn(name, F.expr(src))
+            dm = dm.withColumn(name, painless.script_expr(src, None))
         return dm
 
     @contextlib.contextmanager
@@ -1214,8 +1215,12 @@ class SearchEngine:
                     # reference's doc['field'] accesses made explicit)
                     spec = col["_script"]
                     name = f"_script_sort_{si}"
-                    geo_sort_exprs[name] = F.expr(spec["source"])
+                    geo_sort_exprs[name] = painless.script_expr(
+                        spec["source"], spec.get("lang"),
+                        params=spec.get("params"), score=F.col("score"),
+                    )
                     sort_cols.extend(spec.get("fields", []))
+                    sort_cols.extend(painless.extract_doc_fields(spec["source"]))
                     c = F.col(name)
                 elif col == "_score":
                     c = F.col("score")
@@ -1276,7 +1281,12 @@ class SearchEngine:
         # tiny top-k frame
         script_fields = script_fields or {}
         for spec in script_fields.values():
-            fetch_cols = list(dict.fromkeys(fetch_cols + list(spec.get("fields", []))))
+            # Painless sources declare their inputs implicitly via
+            # doc['f'] — resolve them like the reference's SearchLookup
+            fetch_cols = list(dict.fromkeys(
+                fetch_cols + list(spec.get("fields", []))
+                + painless.extract_doc_fields(spec["source"])
+            ))
         # docvalue_fields (SearchSourceBuilder docValueFields / the
         # fetch-phase FieldAndFormat): each entry rides the fetch join;
         # a format renders the value IN PLACE under the field name —
@@ -1292,7 +1302,10 @@ class SearchEngine:
             dm = self.docmap().select("_docid", *extra)
             topk = dm.join(F.broadcast(topk), "_docid")
         for name, spec in script_fields.items():
-            topk = topk.withColumn(name, F.expr(spec["source"]))
+            topk = topk.withColumn(name, painless.script_expr(
+                spec["source"], spec.get("lang"),
+                params=spec.get("params"), score=F.col("score"),
+            ))
         # docvalue formats render in the FINAL projection, after the
         # Sort: formatting in place before orderBy would sort (and feed
         # search_after) string renderings instead of the raw values
@@ -1948,6 +1961,7 @@ class SearchEngine:
                 import re as _re
 
                 cand = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", q.expr))
+                cand |= set(painless.extract_doc_fields(q.expr))
                 cols |= {c for c in cand if c in self.docmap().columns}
             cols.discard("_score")
             joined = base.withColumnRenamed("score", "_score")
@@ -1969,7 +1983,10 @@ class SearchEngine:
 
                 new_score = script(*[F.col(c) for c in in_cols])
             else:
-                new_score = F.expr(q.expr).cast("double")
+                new_score = painless.script_expr(
+                    q.expr, getattr(q, "lang", None),
+                    params=getattr(q, "params", None), score=F.col("_score"),
+                ).cast("double")
             return joined.select(
                 "_docid", (new_score * F.lit(float(q.boost))).alias("score")
             )
@@ -1981,7 +1998,13 @@ class SearchEngine:
             # filter context: constant score where the Catalyst
             # expression holds (ScriptQueryBuilder.java; Painless ->
             # Spark SQL is the documented script-language deviation)
-            return self._pred_docset(F.expr(q.expr).cast("boolean"), q.boost)
+            return self._pred_docset(
+                painless.script_expr(
+                    q.expr, getattr(q, "lang", None),
+                    params=getattr(q, "params", None),
+                ).cast("boolean"),
+                q.boost,
+            )
         if isinstance(q, Q.CommonTerms):
             return self._score_common_terms(q)
         if isinstance(q, Q.Term):
