@@ -91,7 +91,7 @@ SURFACE_COMPOSITION = {
     "text_suite": "r3: 4 text ops via single-pass text_profile (one tokenizer eval, no joins); r3 late adds pack_shards training-shard packing (+1 stripe-offset collect) and benchmark decontamination (broadcast 5-gram overlap + count join); r2 joined 4 frames",
     "c4_suite": "NEW r4 late: C4 line/page filters (zero-shuffle project) + corpus-global 3-sentence-span dedup (span-hash groupBy + coverage join) over documents; first timed round",
     "agg_samplers": "r3 late: 9 ops (+hash_split count/idsum, +stratified count/idsum, +mixture count/idsum, +reservoir idsum over documents); earlier had 2 (sampler + diversified)",
-    "ft_scoring": "r3 late: 10 ops (+rank_feature log/saturation/sigmoid); earlier had 7; r4: +4 similarity ops (DFR gl/h2, DFR in/b/h1, IB ll, IB spl)",
+    "ft_scoring": "r3 late: 10 ops (+rank_feature log/saturation/sigmoid); earlier had 7; r4: +4 similarity ops (DFR gl/h2, DFR in/b/h1, IB ll, IB spl); late r4: +2 painless ops (painless_score, fs_script function)",
     "ft_prefix_family": "r3 late: 3 ops (+search_as_you_type over root+2gram+3gram subfield indexes, builds 2 extra small indexes on first run); earlier had 2",
     "ft_multi_match": "r3 late: cross_fields now scores with BlendedTermQuery df-blending (same plan shape, +2 tiny term-stats lookups at plan time)",
     "lifecycle_suite": "r3 late: +post_restore phase (snapshot to blob repo + hardlink restore + re-query), then +post_resize phase (hardlink shrink 4->2 + re-query); earlier had 6 phases; see r4 note below",

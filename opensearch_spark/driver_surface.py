@@ -1260,6 +1260,12 @@ __pls AS (
   FROM __c1 c JOIN __docs dd ON dd.doc_id = c.doc_id
   ORDER BY score DESC, c.doc_id ASC LIMIT 10
 ),
+__fss AS (
+  SELECT c.doc_id,
+         ROUND(c.sc * (ln(10.0 + dd.n_chars) / ln(10.0)), 4) AS score
+  FROM __c1 c JOIN __docs dd ON dd.doc_id = c.doc_id
+  ORDER BY score DESC, c.doc_id ASC LIMIT 10
+),
 __dfq AS (
   SELECT doc_id, ROUND(100.0 / (100.0 + abs(CAST(n_chars AS DOUBLE) - 250.0)), 4) AS score
   FROM __docs WHERE n_chars IS NOT NULL
@@ -1307,6 +1313,8 @@ UNION ALL
 SELECT 'script_score' AS op, doc_id, score FROM __ss
 UNION ALL
 SELECT 'painless_score' AS op, doc_id, score FROM __pls
+UNION ALL
+SELECT 'fs_script' AS op, doc_id, score FROM __fss
 UNION ALL
 SELECT 'distance_feature' AS op, doc_id, score FROM __dfq
 UNION ALL
@@ -1399,6 +1407,23 @@ def ft_scoring(spark, sf_dir):
             }
         },
     )
+    # r4: script_score as a FUNCTION inside function_score
+    # (ScriptScoreFunctionBuilder.java), painless source
+    fss = topk(
+        eng,
+        {
+            "function_score": {
+                "query": {"match": {"text": "spark"}},
+                "functions": [
+                    {"script_score": {"script": {
+                        "lang": "painless",
+                        "source": "Math.log10(10.0 + doc['n_chars'].value)",
+                    }}}
+                ],
+                "boost_mode": "multiply",
+            }
+        },
+    )
     c = topk(eng, Q.DistanceFeature(field="n_chars", origin=250, pivot=100.0))
     rl = topk(eng, {"rank_feature": {"field": "n_chars", "log": {"scaling_factor": 1.0}}})
     rs = topk(eng, {"rank_feature": {"field": "n_chars", "saturation": {"pivot": 250.0}}})
@@ -1473,6 +1498,7 @@ def ft_scoring(spark, sf_dir):
         _tag(a, "function_score", "doc_id", "score"),
         _tag(b, "script_score", "doc_id", "score"),
         _tag(pb, "painless_score", "doc_id", "score"),
+        _tag(fss, "fs_script", "doc_id", "score"),
         _tag(c, "distance_feature", "doc_id", "score"),
         _tag(rl, "rank_feature_log", "doc_id", "score"),
         _tag(rs, "rank_feature_sat", "doc_id", "score"),

@@ -153,6 +153,10 @@ class ScoreFunction:
     exp: Optional[Dict[str, float]] = None  # exponential decay, same keys
     linear: Optional[Dict[str, float]] = None  # linear decay, same keys
     random_score: Optional[Dict[str, object]] = None  # {seed?, field?}
+    # ScriptScoreFunctionBuilder.java: {"script": {"source", "lang"?,
+    # "params"?}} — the function's value is the script result (may read
+    # _score); Painless or Spark SQL per ScriptScore.lang rules
+    script_score: Optional[Dict[str, object]] = None
 
 
 @dataclasses.dataclass
@@ -789,6 +793,7 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                     exp=f.get("exp"),
                     linear=f.get("linear"),
                     random_score=f.get("random_score"),
+                    script_score=f.get("script_score"),
                 )
             )
         return FunctionScore(

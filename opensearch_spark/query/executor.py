@@ -2522,6 +2522,15 @@ class SearchEngine:
                     needed_cols.add(dk["field"])
             if fn.random_score and fn.random_score.get("field"):
                 needed_cols.add(fn.random_score["field"])
+            if fn.script_score:
+                import re as _re
+
+                src = fn.script_score["script"]["source"]
+                cand = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", src))
+                cand |= set(painless.extract_doc_fields(src))
+                needed_cols |= {
+                    c for c in cand if c in self.docmap().columns
+                }
             if fn.filter is not None:
                 pred = self._predicate(fn.filter)
                 if pred is None:
@@ -2597,6 +2606,14 @@ class SearchEngine:
                 h = F.pmod(h * F.lit(1540483477), m)
                 h = h.bitwiseXOR(F.shiftright(h, 13))
                 v = v * (h.cast("double") / F.lit(4294967296.0))
+            if fn.script_score:
+                # ScriptScoreFunctionBuilder.java: the function value IS
+                # the script result (weight still multiplies after)
+                s = fn.script_score["script"]
+                v = v * painless.script_expr(
+                    s["source"], s.get("lang"), params=s.get("params"),
+                    score=F.col("score"),
+                ).cast("double")
             if fn.weight is not None:
                 v = v * F.lit(float(fn.weight))
             if fn.filter is not None:

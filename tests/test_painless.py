@@ -198,6 +198,38 @@ def test_engine_painless_script_query_params(engine):
     assert key(sql) == key(pls) and len(pls) > 0
 
 
+def test_engine_function_score_script_function(engine):
+    # ScriptScoreFunctionBuilder.java: script_score as a FUNCTION entry;
+    # parity vs the equivalent top-level script_score query
+    fs = engine.search(
+        {
+            "function_score": {
+                "query": {"match": {"text": "error handling"}},
+                "functions": [
+                    {"script_score": {"script": {
+                        "lang": "painless",
+                        "source": "Math.sqrt(doc['dl'].value)",
+                    }}, "weight": 2.0}
+                ],
+                "boost_mode": "multiply",
+            }
+        },
+        size=10,
+    ).collect()
+    tw = engine.search(
+        Q.ScriptScore(
+            Q.Match("text", "error handling"),
+            expr="_score * 2.0 * sqrt(dl)",
+        ),
+        size=10,
+    ).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in fs] == [
+        (r["conv_id"], r["turn_idx"]) for r in tw
+    ]
+    for a, b in zip(fs, tw):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+
+
 def test_engine_painless_script_sort_and_fields(engine):
     q = Q.Match("text", "error")
     pls = engine.search(
