@@ -1582,10 +1582,35 @@ __r4 AS (SELECT 'q4_wrapper' AS query_id, doc_id, ROUND(sc, 4) AS score FROM __c
 __r5 AS (SELECT op AS query_id, doc_id, score
          FROM ({_sql_match_sub({"dup": 1, "scan": 1}, required=1, k=3, op="q5_mt")})),
 __r6 AS (SELECT op AS query_id, doc_id, score
-         FROM ({_sql_match_sub({"spark": 1, "merge": 1}, required=2, k=3, op="q6_mt")}))
+         FROM ({_sql_match_sub({"spark": 1, "merge": 1}, required=2, k=3, op="q6_mt")})),
+__q7m AS (
+  SELECT t.doc_id FROM __tf t WHERE t.term IN ('spark', 'join')
+  GROUP BY t.doc_id HAVING COUNT(DISTINCT t.term) = 2
+),
+__r7 AS (SELECT 'q7_body' AS query_id, c.doc_id, ROUND(c.sc, 4) AS score
+         FROM __c1 c JOIN __q7m m ON m.doc_id = c.doc_id),
+__r7t AS (SELECT 'q7_total' AS query_id,
+                 (SELECT COUNT(*) FROM __q7m) AS doc_id,
+                 CAST(1.0 AS DOUBLE) AS score),
+__r7a AS (SELECT 'q7_avg' AS query_id, CAST(0 AS BIGINT) AS doc_id,
+                 ROUND(AVG(CAST(d.n_chars AS DOUBLE)), 4) AS score
+          FROM __docs d JOIN __q7m m ON m.doc_id = d.doc_id),
+__r7l AS (SELECT 'q7_terms_' || d.lang AS query_id,
+                 COUNT(*) AS doc_id,
+                 ROUND(AVG(CAST(d.n_chars AS DOUBLE)), 4) AS score
+          FROM __docs d JOIN __q7m m ON m.doc_id = d.doc_id
+          GROUP BY d.lang),
+__r7h AS (SELECT 'q7_hist' AS query_id,
+                 CAST(FLOOR(d.n_chars / 100.0) * 100 AS BIGINT) AS doc_id,
+                 CAST(COUNT(*) AS DOUBLE) AS score
+          FROM __docs d JOIN __q7m m ON m.doc_id = d.doc_id
+          GROUP BY 2)
 SELECT * FROM __r1 UNION ALL SELECT * FROM __r2
 UNION ALL SELECT * FROM __r3 UNION ALL SELECT * FROM __r4
-UNION ALL SELECT * FROM __r5 UNION ALL SELECT * FROM __r6""",
+UNION ALL SELECT * FROM __r5 UNION ALL SELECT * FROM __r6
+UNION ALL SELECT * FROM __r7 UNION ALL SELECT * FROM __r7t
+UNION ALL SELECT * FROM __r7a UNION ALL SELECT * FROM __r7l
+UNION ALL SELECT * FROM __r7h""",
 )
 def ft_msearch(spark, sf_dir):
     """``_msearch`` batching: independent queries unioned with a
@@ -1643,11 +1668,59 @@ def ft_msearch(spark, sf_dir):
         # same contract q1-q4 get via topk)
         round_dp=4,
     ).select("query_id", "doc_id", "score")
+    # late r4: the FULL `_search` request-body envelope
+    # (SearchSourceBuilder.java via restapi.search_request) under the
+    # oracle — one body carrying query + exact track_total_hits + a
+    # terms-with-sub-metric agg + a metric agg + a histogram agg, each
+    # flattened to (query_id, doc_id, score) rows.  size=10000 keeps
+    # every conjunctive hit (no top-k rounding boundary); aggregations
+    # run over the matched docset like AggregationPhase.java
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from opensearch_spark import restapi
+
+    def _r4(x) -> float:
+        # DuckDB ROUND is half-up; Python round() is banker's
+        return float(Decimal(str(float(x))).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    resp = restapi.search_request(
+        eng,
+        {
+            "query": {"match": {"text": {"query": "spark join",
+                                         "operator": "and"}}},
+            "size": 10000,
+            "_source": False,
+            "track_total_hits": True,
+            "aggs": {
+                "langs": {"terms": {"field": "lang", "size": 50},
+                          "aggs": {"nc": {"avg": {"field": "n_chars"}}}},
+                "nc_avg": {"avg": {"field": "n_chars"}},
+                "hist": {"histogram": {"field": "n_chars",
+                                       "interval": 100.0}},
+            },
+        },
+    )
+    ag = resp["aggregations"]
+    body_rows = (
+        [("q7_body", int(h["_id"]), _r4(h["_score"]))
+         for h in resp["hits"]["hits"]]
+        + [("q7_total", int(resp["hits"]["total"]["value"]), 1.0)]
+        + [("q7_avg", 0, _r4(ag["nc_avg"]["value"]))]
+        + [(f"q7_terms_{b['key']}", int(b["doc_count"]),
+            _r4(b["nc"]["value"])) for b in ag["langs"]["buckets"]]
+        + [("q7_hist", int(b["key"]), float(b["doc_count"]))
+           for b in ag["hist"]["buckets"]]
+    )
+    e = spark.createDataFrame(
+        body_rows, "query_id string, doc_id long, score double"
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
         .unionByName(d)
         .unionByName(mt)
+        .unionByName(e)
         .select("query_id", "doc_id", "score")
     )
 

@@ -1,0 +1,252 @@
+"""``_search`` body adapter (restapi.py): reference-shaped request in,
+reference-shaped response out, values pinned against direct engine calls
+and independent pandas recomputation of the aggregations."""
+
+import math
+
+import pytest
+
+from opensearch_spark import restapi
+from opensearch_spark.query import dsl as Q
+
+
+@pytest.fixture(scope="module")
+def dm_pdf(engine):
+    return engine.docmap().toPandas()
+
+
+def test_hits_envelope_matches_engine(engine):
+    body = {
+        "query": {"match": {"text": "error handling"}},
+        "size": 5,
+        "_source": ["role", "text"],
+    }
+    resp = restapi.search_request(engine, body)
+    direct = engine.search({"match": {"text": "error handling"}}, size=5).collect()
+    assert resp["timed_out"] is False
+    assert resp["hits"]["total"]["relation"] == "eq"
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 5
+    assert [h["_score"] for h in hits] == [r["score"] for r in direct]
+    assert [h["_id"] for h in hits] == [
+        f"{r['conv_id']}:{r['turn_idx']}" for r in direct
+    ]
+    assert resp["hits"]["max_score"] == hits[0]["_score"]
+    for h in hits:
+        assert set(h["_source"]) == {"role", "text", "conv_id", "turn_idx"}
+
+
+def test_track_total_hits(engine):
+    body = {"query": {"match": {"text": "the"}}, "size": 0,
+            "track_total_hits": True}
+    exact = restapi.search_request(engine, body)
+    n = exact["hits"]["total"]["value"]
+    assert n > 10 and exact["hits"]["hits"] == []
+    th = restapi.search_request(
+        engine, {"query": {"match": {"text": "the"}}, "size": 0,
+                 "track_total_hits": 10}
+    )
+    assert th["hits"]["total"] == {"value": 10, "relation": "gte"}
+
+
+def test_sort_script_fields_docvalues(engine):
+    body = {
+        "query": {"match": {"text": "error"}},
+        "size": 6,
+        "sort": [{"dl": {"order": "desc"}}, {"turn_idx": "asc"}],
+        "script_fields": {
+            "dl2": {"script": {"lang": "painless",
+                               "source": "doc['dl'].value * 2"}}
+        },
+        "docvalue_fields": ["role"],
+    }
+    resp = restapi.search_request(engine, body)
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 6
+    dls = [h["sort"][0] for h in hits]
+    assert dls == sorted(dls, reverse=True)
+    for h in hits:
+        assert h["fields"]["dl2"] == [h["sort"][0] * 2]
+        assert h["fields"]["role"][0] in ("user", "assistant", "tool")
+
+
+def test_aggs_metrics_single_pass(engine, dm_pdf):
+    body = {
+        "query": {"match_all": {}},
+        "size": 0,
+        "aggs": {
+            "dl_avg": {"avg": {"field": "dl"}},
+            "dl_stats": {"stats": {"field": "dl"}},
+            "roles": {"cardinality": {"field": "role"}},
+            "dl_p": {"percentiles": {"field": "dl", "percents": [50.0, 95.0]}},
+            "wavg": {"weighted_avg": {"value": {"field": "dl"},
+                                      "weight": {"field": "turn_idx"}}},
+            "dl_scripted": {"avg": {"script": {
+                "lang": "painless", "source": "doc['dl'].value * 10"}}},
+        },
+    }
+    a = restapi.search_request(engine, body)["aggregations"]
+    assert a["dl_avg"]["value"] == pytest.approx(dm_pdf["dl"].mean())
+    assert a["dl_stats"]["count"] == len(dm_pdf)
+    assert a["dl_stats"]["min"] == dm_pdf["dl"].min()
+    assert a["dl_stats"]["max"] == dm_pdf["dl"].max()
+    assert a["dl_stats"]["sum"] == pytest.approx(dm_pdf["dl"].sum())
+    assert a["roles"]["value"] == dm_pdf["role"].nunique()
+    assert a["dl_p"]["values"]["50.0"] == pytest.approx(
+        dm_pdf["dl"].quantile(0.5), rel=1e-9
+    )
+    w = dm_pdf["turn_idx"]
+    assert a["wavg"]["value"] == pytest.approx(
+        (dm_pdf["dl"] * w).sum() / w.sum()
+    )
+    assert a["dl_scripted"]["value"] == pytest.approx(dm_pdf["dl"].mean() * 10)
+
+
+def test_aggs_terms_with_sub_metric(engine, dm_pdf):
+    body = {
+        "query": {"match_all": {}},
+        "size": 0,
+        "aggs": {
+            "by_role": {
+                "terms": {"field": "role", "size": 2,
+                          "order": {"len.value": "desc"}},
+                "aggs": {"len": {"avg": {"field": "dl"}}},
+            }
+        },
+    }
+    a = restapi.search_request(engine, body)["aggregations"]["by_role"]
+    exp = (
+        dm_pdf.groupby("role")
+        .agg(doc_count=("dl", "size"), len=("dl", "mean"))
+        .sort_values(["len"], ascending=False)
+    )
+    assert a["doc_count_error_upper_bound"] == 0
+    assert a["sum_other_doc_count"] == len(dm_pdf) - int(
+        exp["doc_count"].iloc[:2].sum()
+    )
+    for b, (key, row) in zip(a["buckets"], exp.iloc[:2].iterrows()):
+        assert b["key"] == key
+        assert b["doc_count"] == row["doc_count"]
+        assert b["len"]["value"] == pytest.approx(row["len"])
+
+
+def test_aggs_histogram_range_filter_missing_pipeline(engine, dm_pdf):
+    body = {
+        "query": {"match_all": {}},
+        "size": 0,
+        "aggs": {
+            "dl_hist": {"histogram": {"field": "dl", "interval": 10.0}},
+            "dl_cum": {"cumulative_sum": {"buckets_path": "dl_hist>_count"}},
+            "dl_deriv": {"derivative": {"buckets_path": "dl_hist>_count"}},
+            "dl_rng": {
+                "range": {"field": "dl",
+                          "ranges": [{"to": 20}, {"from": 20, "to": 40},
+                                     {"from": 40, "key": "big"}]},
+                "aggs": {"mx": {"max": {"field": "turn_idx"}}},
+            },
+            "users": {"filter": {"term": {"role": "user"}}},
+            "by_band": {"filters": {"filters": {
+                "short": {"range": {"dl": {"lt": 30}}},
+                "long": {"range": {"dl": {"gte": 30}}},
+            }}},
+            "no_tool": {"missing": {"field": "tool"}},
+        },
+    }
+    a = restapi.search_request(engine, body)["aggregations"]
+
+    hist = {b["key"]: b["doc_count"] for b in a["dl_hist"]["buckets"]}
+    exp_hist = dm_pdf.groupby((dm_pdf["dl"] // 10 * 10).astype(float))[
+        "dl"
+    ].size()
+    assert hist == {float(k): int(v) for k, v in exp_hist.items()}
+    # pipeline: cumulative_sum / derivative over the histogram counts
+    keys = [b["key"] for b in a["dl_hist"]["buckets"]]
+    counts = [b["doc_count"] for b in a["dl_hist"]["buckets"]]
+    cum = [b["value"] for b in a["dl_cum"]["buckets"]]
+    assert cum == [sum(counts[: i + 1]) for i in range(len(counts))]
+    der = [b["value"] for b in a["dl_deriv"]["buckets"]]
+    assert der[0] is None
+    assert der[1:] == [counts[i] - counts[i - 1] for i in range(1, len(counts))]
+    assert [b["key"] for b in a["dl_cum"]["buckets"]] == keys
+
+    rng = a["dl_rng"]["buckets"]
+    assert rng[0]["doc_count"] == int((dm_pdf["dl"] < 20).sum())
+    assert rng[1]["doc_count"] == int(
+        ((dm_pdf["dl"] >= 20) & (dm_pdf["dl"] < 40)).sum()
+    )
+    assert rng[2]["key"] == "big"
+    big = dm_pdf[dm_pdf["dl"] >= 40]
+    assert rng[2]["doc_count"] == len(big)
+    assert rng[2]["mx"]["value"] == big["turn_idx"].max()
+
+    assert a["users"]["doc_count"] == int((dm_pdf["role"] == "user").sum())
+    assert a["by_band"]["buckets"]["short"]["doc_count"] == int(
+        (dm_pdf["dl"] < 30).sum()
+    )
+    assert a["no_tool"]["doc_count"] == int(dm_pdf["tool"].isna().sum())
+
+
+def test_aggs_over_matched_docset_not_page(engine, dm_pdf):
+    # aggregations see ALL matching docs even when size caps the page
+    body = {
+        "query": {"term": {"role": "user"}},
+        "size": 3,
+        "aggs": {"n": {"value_count": {"field": "dl"}}},
+    }
+    resp = restapi.search_request(engine, body)
+    n_user = int((dm_pdf["role"] == "user").sum())
+    assert len(resp["hits"]["hits"]) == 3
+    assert resp["aggregations"]["n"]["value"] == n_user
+    assert resp["hits"]["total"]["value"] == min(n_user, 10000)
+
+
+def test_highlight_and_rescore(engine):
+    resp = restapi.search_request(
+        engine,
+        {
+            "query": {"match": {"text": "error handling"}},
+            "size": 5,
+            "highlight": {"fields": {"text": {"fragment_size": 60,
+                                              "number_of_fragments": 2}}},
+        },
+    )
+    tagged = [h for h in resp["hits"]["hits"] if "highlight" in h]
+    assert tagged, "no hit carried highlight fragments"
+    assert any("<em>" in f for h in tagged for f in h["highlight"]["text"])
+
+    rs = restapi.search_request(
+        engine,
+        {
+            "query": {"match": {"text": "error"}},
+            "size": 5,
+            "rescore": {
+                "window_size": 20,
+                "query": {"rescore_query": {"match": {"text": "handling"}},
+                          "query_weight": 1.0,
+                          "rescore_query_weight": 2.0},
+            },
+        },
+    )
+    direct = engine.rescore(
+        {"match": {"text": "error"}}, {"match": {"text": "handling"}},
+        window_size=20, rescore_query_weight=2.0, size=5,
+    ).collect()
+    assert [h["_score"] for h in rs["hits"]["hits"]] == [
+        r["score"] for r in direct
+    ]
+
+
+def test_scope_guards(engine):
+    with pytest.raises(NotImplementedError):
+        restapi.search_request(
+            engine,
+            {"size": 0, "aggs": {"a": {"terms": {"field": "role"},
+                                       "aggs": {"b": {
+                                           "terms": {"field": "tool"}}}}}},
+        )
+    with pytest.raises(NotImplementedError):
+        restapi.search_request(
+            engine,
+            {"size": 0,
+             "aggs": {"a": {"filter": {"match": {"text": "error"}}}}},
+        )
