@@ -29,16 +29,21 @@ the reference's aggregation phase.
 
 Scale notes: the hits page, every bucket list, and the aggregation
 results are size-capped by construction (`size`, terms `size`,
-histogram bucket counts) — the only ``collect()``s are on those tiny
-frames.  The matched-docset frame feeding ``aggs`` stays distributed;
-sibling top-level metric aggs share ONE ``agg()`` pass (one job), and
-each bucket agg is one ``groupBy``.
+histogram bucket counts) — the only ``collect()``s are on those capped
+frames (terms caps per-parent via a distributed row_number window
+BEFORE collecting).  The matched-docset frame feeding ``aggs`` stays
+distributed; sibling top-level metric aggs share ONE ``agg()`` pass,
+keyed bucket NESTING costs one ``groupBy`` per level (grouping keys
+accumulate — the reference's per-level bucket collectors have the same
+shuffle profile), and selector sub-aggs (filter/filters/missing/range)
+fold into their parent's pass as conditional aggregates: zero extra
+jobs.
 
-Scope guards (documented, raise NotImplementedError): bucket-in-bucket
-sub-aggregations deeper than metrics-under-one-bucket (use ``aggs.py``
-combinators directly), aggregation ``filter``s that need postings
-(full-text ``match`` — term-level filters work), and suggest/collapse
-inside the body (both exist as engine/module APIs).
+Scope guards (documented, raise NotImplementedError): selector-kind
+aggs nested under selectors or carrying bucket children of their own
+(flatten via ``aggs.py`` combinators), aggregation ``filter``s that
+need postings (full-text ``match`` — term-level filters work), and
+suggest/collapse inside the body (both exist as engine/module APIs).
 """
 
 from __future__ import annotations
@@ -55,8 +60,9 @@ from opensearch_spark.query import painless
 
 __all__ = ["search_request", "run_aggs"]
 
-_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
-                 "filter", "filters", "missing")
+_KEYED_NESTABLE = ("terms", "histogram", "date_histogram")
+_SELECTOR_KINDS = ("filter", "filters", "missing", "range")
+_BUCKET_KINDS = _KEYED_NESTABLE + _SELECTOR_KINDS + ("global",)
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "weighted_avg")
 _PIPELINE_KINDS = ("derivative", "cumulative_sum")
@@ -160,15 +166,21 @@ def _agg_column(spec: dict):
     return F.col(spec["field"])
 
 
-def _metric_exprs(kind: str, spec: dict, prefix: str) -> List:
+def _metric_exprs(kind: str, spec: dict, prefix: str, mask=None) -> List:
     """One metric agg -> aliased Column expressions (prefixed so many
-    sibling metrics share one ``agg()`` pass)."""
+    sibling metrics share one ``agg()`` pass).  ``mask`` gates the
+    input to a selector bucket's docs (NULL outside — every aggregate
+    here ignores NULLs, so the masked metric equals the filtered one)."""
     p = prefix
     if kind == "weighted_avg":
         v = _agg_column(spec["value"]).cast("double")
         w = _agg_column(spec["weight"]).cast("double")
+        if mask is not None:
+            v, w = F.when(mask, v), F.when(mask, w)
         return [(F.sum(v * w) / F.sum(w)).alias(f"{p}:value")]
     c = _agg_column(spec)
+    if mask is not None:
+        c = F.when(mask, c)
     if kind not in ("value_count", "cardinality", "percentiles"):
         c = c.cast("double")
     if kind == "avg":
@@ -230,32 +242,147 @@ def _split_agg(spec: dict) -> Tuple[str, dict, dict]:
     return kinds[0], spec[kinds[0]], sub
 
 
-def _sub_metric_plan(sub_aggs: dict) -> List[Tuple[str, str, dict]]:
-    """Metric sub-aggs under one bucket agg -> [(name, kind, spec)].
-    Deeper bucket nesting is out of the adapter's scope (use aggs.py)."""
-    plan = []
+def _plan_children(sub_aggs: dict, engine):
+    """Split one node's children into (metrics, selectors, keyed).
+
+    metrics:   [(name, kind, spec)]
+    selectors: [(name, kind, spec, conds, child_metrics)] — filter /
+               filters / missing / range children become CONDITIONAL
+               aggregates inside the parent's own groupBy pass (zero
+               extra jobs; FiltersAggregator's sub-collector analog)
+    keyed:     [(name, kind, spec, sub)] — terms / histogram /
+               date_histogram children recurse with one groupBy per
+               nesting level, keys accumulating
+    """
+    metrics, selectors, keyed = [], [], []
     for name, body in sub_aggs.items():
-        kind, spec, deeper = _split_agg(body)
-        if deeper or kind not in _METRIC_KINDS:
+        kind, spec, sub = _split_agg(body)
+        if kind in _METRIC_KINDS:
+            if sub:
+                raise ValueError(f"metric agg {name!r} cannot have sub-aggs")
+            metrics.append((name, kind, spec))
+        elif kind in _KEYED_NESTABLE:
+            keyed.append((name, kind, spec, sub))
+        elif kind in _SELECTOR_KINDS:
+            sm, ss, sk = _plan_children(sub, engine)
+            if ss or sk:
+                raise NotImplementedError(
+                    "selector aggs nested under a bucket agg support "
+                    "metric children only (flatten via aggs.py)"
+                )
+            conds = _selector_conds(kind, spec, engine)
+            selectors.append((name, kind, spec, conds, sm))
+        else:
+            raise NotImplementedError(f"sub-agg {kind!r} under a bucket agg")
+    return metrics, selectors, keyed
+
+
+def _selector_conds(kind: str, spec: dict, engine):
+    """Selector-kind agg -> [(bucket_label, boolean Column, extras)]."""
+    def pred(qd):
+        p = engine._predicate(Q.from_dict(qd)) if engine is not None else None
+        if p is None:
             raise NotImplementedError(
-                "search_request supports metric sub-aggregations one level "
-                "under a bucket agg; deeper trees via aggs.py combinators"
+                "aggregation filters must be term-level (columnar) "
+                "queries; full-text scoring filters via aggs.py"
             )
-        plan.append((name, kind, spec))
-    return plan
+        return p
+
+    if kind == "filter":
+        return [("", pred(spec), {})]
+    if kind == "filters":
+        return [(n, pred(qd), {}) for n, qd in spec["filters"].items()]
+    if kind == "missing":
+        return [("", F.col(spec["field"]).isNull(), {})]
+    if kind == "range":
+        out = []
+        fld = F.col(spec["field"]).cast("double")
+        for rng in spec["ranges"]:
+            lo, hi = rng.get("from"), rng.get("to")
+            cond = fld.isNotNull()
+            extras = {}
+            if lo is not None:
+                cond = cond & (fld >= float(lo))
+                extras["from"] = float(lo)
+            if hi is not None:
+                cond = cond & (fld < float(hi))
+                extras["to"] = float(hi)
+            key = rng.get("key") or (
+                f"{lo if lo is not None else '*'}-"
+                f"{hi if hi is not None else '*'}"
+            )
+            out.append((key, cond, extras))
+        return out
+    raise NotImplementedError(kind)
 
 
-def _bucket_response(rows, key_name: str, subs) -> List[dict]:
-    out = []
-    for r in rows:
-        b = {"key": r[key_name], "doc_count": int(r["doc_count"])}
-        for name, kind, _spec in subs:
-            b[name] = _metric_result(kind, r, name)
-        out.append(b)
-    return out
+def _keyed_key_col(kind: str, spec: dict):
+    """Keyed-kind agg -> (key Column, not-null guard Column | None)."""
+    field = spec["field"]
+    if kind == "terms":
+        if "missing" in spec:
+            return F.coalesce(F.col(field), F.lit(spec["missing"])), None
+        return F.col(field), F.col(field).isNotNull()
+    if kind == "histogram":
+        interval = float(spec["interval"])
+        key = F.floor(F.col(field).cast("double") / interval) * F.lit(interval)
+        return key, F.col(field).isNotNull()
+    if kind == "date_histogram":
+        cal = spec.get("calendar_interval") or spec.get("interval")
+        if cal not in _CAL_TRUNC:
+            raise NotImplementedError(
+                f"date_histogram interval {cal!r} (calendar units "
+                f"{sorted(set(_CAL_TRUNC.values()))} supported)"
+            )
+        return (F.date_trunc(_CAL_TRUNC[cal], F.col(field)),
+                F.col(field).isNotNull())
+    raise NotImplementedError(kind)
 
 
-def _terms_order(spec, subs) -> List:
+def _child_exprs(metrics, selectors) -> List:
+    """Aggregate expressions for one node's metric + selector children
+    (selector metrics are mask-gated into the same pass)."""
+    exprs = [e for mn, mk, ms in metrics for e in _metric_exprs(mk, ms, mn)]
+    for sname, _skind, _sspec, conds, smetrics in selectors:
+        for label, cond, _extras in conds:
+            p = f"{sname}@{label}"
+            exprs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"{p}:doc_count")
+            )
+            exprs += [e for mn, mk, ms in smetrics
+                      for e in _metric_exprs(mk, ms, f"{p}:{mn}", mask=cond)]
+    return exprs
+
+
+def _attach_children(b: dict, row, metrics, selectors) -> None:
+    for mn, mk, _ms in metrics:
+        b[mn] = _metric_result(mk, row, mn)
+    for sname, skind, _sspec, conds, smetrics in selectors:
+        if skind == "filter" or skind == "missing":
+            label, _c, _e = conds[0]
+            b[sname] = _selector_bucket(row, f"{sname}@{label}", smetrics, {})
+        elif skind == "filters":
+            b[sname] = {"buckets": {
+                label: _selector_bucket(row, f"{sname}@{label}", smetrics, {})
+                for label, _c, _e in conds
+            }}
+        else:  # range
+            b[sname] = {"buckets": [
+                {"key": label,
+                 **_selector_bucket(row, f"{sname}@{label}", smetrics, extras)}
+                for label, _c, extras in conds
+            ]}
+
+
+def _selector_bucket(row, prefix, smetrics, extras) -> dict:
+    b = dict(extras)
+    b["doc_count"] = int(row[f"{prefix}:doc_count"] or 0)
+    for mn, mk, _ms in smetrics:
+        b[mn] = _metric_result(mk, row, f"{prefix}:{mn}")
+    return b
+
+
+def _terms_order(spec, subs, key_alias: str = "key") -> List:
     """BucketOrder (TermsAggregationBuilder.order): _count/_key/sub-agg
     path, compound list supported, key-asc tie-break appended."""
     raw = spec.get("order", {"_count": "desc"})
@@ -268,7 +395,7 @@ def _terms_order(spec, subs) -> List:
         if path == "_count":
             col = "doc_count"
         elif path == "_key":
-            col = "key"
+            col = key_alias
         else:
             base = path.split(".", 1)[0]
             if base not in sub_names:
@@ -276,134 +403,139 @@ def _terms_order(spec, subs) -> List:
             # dotted path agg.metric -> the prefixed alias
             col = path.replace(".", ":") if "." in path else f"{base}:value"
         cols.append(F.asc(col) if direction == "asc" else F.desc(col))
-    cols.append(F.asc("key"))
+    cols.append(F.asc(key_alias))
     return cols
 
 
-def _run_bucket(frame: DataFrame, kind: str, spec: dict, sub_aggs: dict,
-                engine=None) -> dict:
-    subs = _sub_metric_plan(sub_aggs)
-    sub_exprs = [e for name, k, s in subs for e in _metric_exprs(k, s, name)]
+def _exec_keyed(frame: DataFrame, kind: str, spec: dict, sub_aggs: dict,
+                engine, pkeys: List[Tuple[str, object]]) -> Dict[tuple, dict]:
+    """Run one keyed bucket agg (terms / histogram / date_histogram)
+    grouped by the accumulated parent keys — ONE groupBy per nesting
+    level (keys accumulate), exactly the shuffle profile the reference's
+    per-level bucket collectors have.
 
+    terms size-capping runs DISTRIBUTED: a row_number window per parent
+    (ordered by the BucketOrder translation) caps each parent's bucket
+    list before the collect, and a windowed sum provides each parent's
+    total for ``sum_other_doc_count`` without a second job.  Returns
+    ``{parent_key_tuple: node_result_dict}``.
+    """
+    from pyspark.sql.window import Window
+
+    key_col, nn = _keyed_key_col(kind, spec)
+    f = frame if nn is None else frame.filter(nn)
+    metrics, selectors, keyed_children = _plan_children(sub_aggs, engine)
+    galias = f"__k{len(pkeys)}"
+    group_cols = [c.alias(a) for a, c in pkeys] + [key_col.alias(galias)]
+    grouped = f.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        *_child_exprs(metrics, selectors),
+    )
+    parent_aliases = [a for a, _c in pkeys]
+    mdc = int(spec.get("min_doc_count", 1))
+    if mdc > 1 or (kind != "terms" and mdc > 0):
+        grouped = grouped.filter(F.col("doc_count") >= mdc)
     if kind == "terms":
-        field, size = spec["field"], int(spec.get("size", 10))
-        key = F.col(field)
-        f = frame
-        if "missing" in spec:
-            key = F.coalesce(key, F.lit(spec["missing"]))
-        else:
-            f = f.filter(F.col(field).isNotNull())
-        grouped = f.groupBy(key.alias("key")).agg(
-            F.count(F.lit(1)).alias("doc_count"), *sub_exprs
+        size = int(spec.get("size", 10))
+        pw = (Window.partitionBy(*parent_aliases) if parent_aliases
+              else Window.partitionBy(F.lit(1)))
+        order_cols = _terms_order(spec, metrics, key_alias=galias)
+        grouped = (
+            grouped
+            .withColumn("__tot", F.sum("doc_count").over(pw))
+            .withColumn("__rk", F.row_number().over(pw.orderBy(*order_cols)))
+            .filter(F.col("__rk") <= size)
         )
-        mdc = int(spec.get("min_doc_count", 1))
-        if mdc > 1:
-            grouped = grouped.filter(F.col("doc_count") >= mdc)
-        rows = grouped.orderBy(*_terms_order(spec, subs)).limit(size).collect()
-        total = f.count()
-        in_top = sum(int(r["doc_count"]) for r in rows)
-        return {
-            # single logical shard -> exact counts, like the reference
-            # on one shard (InternalTerms.doc_count_error = 0)
-            "doc_count_error_upper_bound": 0,
-            "sum_other_doc_count": int(total - in_top),
-            "buckets": _bucket_response(rows, "key", subs),
-        }
+        rows = grouped.collect()
+    else:
+        rows = grouped.orderBy(*[F.asc(a) for a in parent_aliases],
+                               F.asc(galias)).collect()
 
-    if kind == "histogram":
-        field, interval = spec["field"], float(spec["interval"])
-        key = (F.floor(F.col(field).cast("double") / interval)
-               * F.lit(interval)).alias("key")
-        grouped = (frame.filter(F.col(field).isNotNull())
-                   .groupBy(key)
-                   .agg(F.count(F.lit(1)).alias("doc_count"), *sub_exprs))
-        mdc = int(spec.get("min_doc_count", 1))
-        if mdc > 0:
-            grouped = grouped.filter(F.col("doc_count") >= mdc)
-        rows = grouped.orderBy(F.asc("key")).collect()
-        return {"buckets": _bucket_response(rows, "key", subs)}
-
-    if kind == "date_histogram":
-        field = spec["field"]
-        cal = spec.get("calendar_interval") or spec.get("interval")
-        if cal not in _CAL_TRUNC:
-            raise NotImplementedError(
-                f"date_histogram interval {cal!r} (calendar units "
-                f"{sorted(set(_CAL_TRUNC.values()))} supported)"
-            )
-        key = F.date_trunc(_CAL_TRUNC[cal], F.col(field)).alias("key")
-        grouped = (frame.filter(F.col(field).isNotNull())
-                   .groupBy(key)
-                   .agg(F.count(F.lit(1)).alias("doc_count"), *sub_exprs))
-        rows = grouped.orderBy(F.asc("key")).collect()
+    # assemble per parent tuple
+    per_parent: Dict[tuple, List] = {}
+    for r in rows:
+        per_parent.setdefault(
+            tuple(r[a] for a in parent_aliases), []
+        ).append(r)
+    # recurse keyed children ONCE for the whole level (their groupBy
+    # carries this level's key), then slot results under each bucket
+    child_maps = {
+        cname: _exec_keyed(f, ckind, cspec, csub, engine,
+                           pkeys + [(galias, key_col)])
+        for cname, ckind, cspec, csub in keyed_children
+    }
+    out: Dict[tuple, dict] = {}
+    for ptuple, prows in per_parent.items():
         buckets = []
-        for r in rows:
-            b = {"key_as_string": str(r["key"]),
-                 "key": int(r["key"].timestamp() * 1000),
-                 "doc_count": int(r["doc_count"])}
-            for name, k, _s in subs:
-                b[name] = _metric_result(k, r, name)
-            buckets.append(b)
-        return {"buckets": buckets}
-
-    if kind == "range":
-        field = F.col(spec["field"]).cast("double")
-        buckets = []
-        for rng in spec["ranges"]:
-            lo, hi = rng.get("from"), rng.get("to")
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (field >= float(lo))
-            if hi is not None:
-                cond = cond & (field < float(hi))
-            sel = frame.filter(field.isNotNull()).filter(cond)
-            row = sel.agg(F.count(F.lit(1)).alias("doc_count"),
-                          *sub_exprs).collect()[0]
-            key = rng.get("key") or (
-                f"{lo if lo is not None else '*'}-"
-                f"{hi if hi is not None else '*'}"
-            )
-            b = {"key": key, "doc_count": int(row["doc_count"])}
-            if lo is not None:
-                b["from"] = float(lo)
-            if hi is not None:
-                b["to"] = float(hi)
-            for name, k, _s in subs:
-                b[name] = _metric_result(k, row, name)
-            buckets.append(b)
-        return {"buckets": buckets}
-
-    if kind in ("filter", "filters"):
-        named = spec["filters"] if kind == "filters" else {"": spec}
-        out = {}
-        for name, qd in named.items():
-            pred = engine._predicate(Q.from_dict(qd)) if engine else None
-            if pred is None:
-                raise NotImplementedError(
-                    "aggregation filters must be term-level (columnar) "
-                    "queries; full-text scoring filters via aggs.py"
+        for r in sorted(prows, key=lambda x: x["__rk"]) if kind == "terms" else prows:
+            raw_key = r[galias]
+            if kind == "date_histogram":
+                b = {"key_as_string": str(raw_key),
+                     "key": int(raw_key.timestamp() * 1000),
+                     "doc_count": int(r["doc_count"])}
+            else:
+                b = {"key": raw_key, "doc_count": int(r["doc_count"])}
+            _attach_children(b, r, metrics, selectors)
+            for cname, cmap in child_maps.items():
+                ckind = next(k for n, k, _s, _u in keyed_children if n == cname)
+                b[cname] = cmap.get(
+                    ptuple + (raw_key,),
+                    {"buckets": []} if ckind != "terms" else
+                    {"doc_count_error_upper_bound": 0,
+                     "sum_other_doc_count": 0, "buckets": []},
                 )
-            row = frame.filter(pred).agg(
-                F.count(F.lit(1)).alias("doc_count"), *sub_exprs
-            ).collect()[0]
-            b = {"doc_count": int(row["doc_count"])}
-            for nm, k, _s in subs:
-                b[nm] = _metric_result(k, row, nm)
-            out[name] = b
-        if kind == "filter":
-            return out[""]
-        return {"buckets": out}
+            buckets.append(b)
+        if kind == "terms":
+            total = int(prows[0]["__tot"]) if prows else 0
+            out[ptuple] = {
+                # single logical shard -> exact counts, like the
+                # reference on one shard (InternalTerms doc_count_error)
+                "doc_count_error_upper_bound": 0,
+                "sum_other_doc_count":
+                    total - sum(b["doc_count"] for b in buckets),
+                "buckets": buckets,
+            }
+        else:
+            out[ptuple] = {"buckets": buckets}
+    return out
 
-    if kind == "missing":
-        row = (frame.filter(F.col(spec["field"]).isNull())
-               .agg(F.count(F.lit(1)).alias("doc_count"), *sub_exprs)
-               .collect()[0])
-        b = {"doc_count": int(row["doc_count"])}
-        for name, k, _s in subs:
-            b[name] = _metric_result(k, row, name)
+
+def _exec_selector_root(frame: DataFrame, kind: str, spec: dict,
+                        sub_aggs: dict, engine) -> dict:
+    """A top-level selector agg (filter / filters / missing / range):
+    every selector bucket's doc_count + metric children evaluate as
+    conditional aggregates in ONE pass; keyed children run per selector
+    bucket on the filtered frame (bucket count is small and fixed)."""
+    metrics, selectors, keyed_children = _plan_children(sub_aggs, engine)
+    if selectors:
+        raise NotImplementedError(
+            "selector-in-selector agg nesting (flatten via aggs.py)"
+        )
+    conds = _selector_conds(kind, spec, engine)
+    exprs = []
+    for label, cond, _extras in conds:
+        p = f"__self@{label}"
+        exprs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"{p}:doc_count"))
+        exprs += [e for mn, mk, ms in metrics
+                  for e in _metric_exprs(mk, ms, f"{p}:{mn}", mask=cond)]
+    row = frame.agg(*exprs).collect()[0]
+
+    def bucket(label, cond, extras) -> dict:
+        b = _selector_bucket(row, f"__self@{label}", metrics, extras)
+        for cname, ckind, cspec, csub in keyed_children:
+            b[cname] = _exec_keyed(
+                frame.filter(cond), ckind, cspec, csub, engine, []
+            ).get((), {"buckets": []})
         return b
 
-    raise NotImplementedError(f"bucket agg {kind!r}")
+    if kind in ("filter", "missing"):
+        label, cond, extras = conds[0]
+        return bucket(label, cond, extras)
+    if kind == "filters":
+        return {"buckets": {label: bucket(label, cond, extras)
+                            for label, cond, extras in conds}}
+    return {"buckets": [{"key": label, **bucket(label, cond, extras)}
+                        for label, cond, extras in conds]}
 
 
 def _run_pipeline(kind: str, spec: dict, results: dict) -> dict:
@@ -430,13 +562,17 @@ def _run_pipeline(kind: str, spec: dict, results: dict) -> dict:
     return {"buckets": buckets}
 
 
-def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None) -> dict:
+def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None,
+             full_frame: Optional[DataFrame] = None) -> dict:
     """Execute a reference ``aggs`` sub-tree over ``frame``.
 
-    Sibling TOP-LEVEL metric aggs share one ``agg()`` job; each bucket
-    agg is one ``groupBy``; pipeline aggs post-process sibling bucket
-    lists driver-side.  See module docstring for scope guards."""
-    metric_plan, bucket_plan, pipe_plan = [], [], []
+    Sibling TOP-LEVEL metric aggs share one ``agg()`` job; each keyed
+    bucket agg costs one ``groupBy`` per nesting level; selector
+    sub-aggs fold into their parent's pass as conditional aggregates;
+    pipeline aggs post-process sibling bucket lists driver-side.
+    ``global`` (GlobalAggregator.java) re-roots its sub-tree on
+    ``full_frame`` — the whole index, ignoring the query."""
+    metric_plan, bucket_plan, pipe_plan, global_plan = [], [], [], []
     for name, body in aggs_spec.items():
         kind, spec, sub = _split_agg(body)
         if kind in _METRIC_KINDS:
@@ -445,6 +581,8 @@ def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None) -> dict:
             metric_plan.append((name, kind, spec))
         elif kind in _PIPELINE_KINDS:
             pipe_plan.append((name, kind, spec))
+        elif kind == "global":
+            global_plan.append((name, sub))
         elif kind in _BUCKET_KINDS:
             bucket_plan.append((name, kind, spec, sub))
         else:
@@ -459,7 +597,19 @@ def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None) -> dict:
         for name, k, _s in metric_plan:
             results[name] = _metric_result(k, row, name)
     for name, kind, spec, sub in bucket_plan:
-        results[name] = _run_bucket(frame, kind, spec, sub, engine=engine)
+        if kind in _KEYED_NESTABLE:
+            results[name] = _exec_keyed(frame, kind, spec, sub, engine, []).get(
+                (),
+                {"doc_count_error_upper_bound": 0, "sum_other_doc_count": 0,
+                 "buckets": []} if kind == "terms" else {"buckets": []},
+            )
+        else:
+            results[name] = _exec_selector_root(frame, kind, spec, sub, engine)
+    for name, sub in global_plan:
+        if full_frame is None:
+            raise ValueError("global agg needs the full index frame")
+        gres = run_aggs(full_frame, sub, engine=engine)
+        results[name] = {"doc_count": int(full_frame.count()), **gres}
     for name, kind, spec in pipe_plan:
         results[name] = _run_pipeline(kind, spec, results)
     return results
@@ -584,5 +734,7 @@ def search_request(engine, body: dict) -> dict:
         # applied), not the hits page — AggregationPhase.java semantics
         matched = engine._apply_deletes(engine._score(q)).select("_docid")
         frame = matched.join(engine.docmap(), "_docid")
-        resp["aggregations"] = run_aggs(frame, spec, engine=engine)
+        resp["aggregations"] = run_aggs(
+            frame, spec, engine=engine, full_frame=engine.docmap()
+        )
     return resp

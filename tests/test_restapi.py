@@ -236,17 +236,100 @@ def test_highlight_and_rescore(engine):
     ]
 
 
-def test_scope_guards(engine):
-    with pytest.raises(NotImplementedError):
-        restapi.search_request(
-            engine,
-            {"size": 0, "aggs": {"a": {"terms": {"field": "role"},
-                                       "aggs": {"b": {
-                                           "terms": {"field": "tool"}}}}}},
+def test_aggs_nested_terms_in_terms(engine, dm_pdf):
+    # terms > terms > avg: one groupBy per level, assembled per parent
+    body = {
+        "size": 0,
+        "aggs": {"by_role": {
+            "terms": {"field": "role", "size": 3},
+            "aggs": {"by_tool": {
+                "terms": {"field": "tool", "size": 2},
+                "aggs": {"len": {"avg": {"field": "dl"}}},
+            }},
+        }},
+    }
+    a = restapi.search_request(engine, body)["aggregations"]["by_role"]
+    exp_roles = dm_pdf.groupby("role").size().sort_values(ascending=False)
+    for b in a["buckets"]:
+        sub = dm_pdf[(dm_pdf["role"] == b["key"]) & dm_pdf["tool"].notna()]
+        assert b["doc_count"] == exp_roles[b["key"]]
+        exp_tools = (
+            sub.groupby("tool")
+            .agg(n=("dl", "size"), m=("dl", "mean"))
+            .sort_values(["n", "tool"], ascending=[False, True])
         )
+        child = b["by_tool"]
+        assert child["sum_other_doc_count"] == len(sub) - int(
+            exp_tools["n"].iloc[:2].sum()
+        )
+        for cb, (key, row) in zip(child["buckets"], exp_tools.iloc[:2].iterrows()):
+            assert cb["key"] == key
+            assert cb["doc_count"] == row["n"]
+            assert cb["len"]["value"] == pytest.approx(row["m"])
+
+
+def test_aggs_terms_with_selector_child_and_global(engine, dm_pdf):
+    # selector (range) child computes as conditional aggregates inside
+    # the parent terms pass; global re-roots on the whole index
+    body = {
+        "query": {"term": {"role": "user"}},
+        "size": 0,
+        "aggs": {
+            "by_role": {
+                "terms": {"field": "role", "size": 3},
+                "aggs": {
+                    "bands": {"range": {"field": "dl",
+                                        "ranges": [{"to": 30},
+                                                   {"from": 30}]}},
+                    "has_tool": {"filter": {"exists": {"field": "tool"}}},
+                },
+            },
+            "everything": {"global": {},
+                           "aggs": {"n": {"value_count": {"field": "dl"}}}},
+        },
+    }
+    a = restapi.search_request(engine, body)["aggregations"]
+    users = dm_pdf[dm_pdf["role"] == "user"]
+    (b,) = a["by_role"]["buckets"]
+    assert b["key"] == "user" and b["doc_count"] == len(users)
+    assert b["bands"]["buckets"][0]["doc_count"] == int((users["dl"] < 30).sum())
+    assert b["bands"]["buckets"][1]["doc_count"] == int((users["dl"] >= 30).sum())
+    assert b["has_tool"]["doc_count"] == int(users["tool"].notna().sum())
+    assert a["everything"]["doc_count"] == len(dm_pdf)
+    assert a["everything"]["n"]["value"] == len(dm_pdf)
+
+
+def test_aggs_filter_root_with_keyed_child(engine, dm_pdf):
+    body = {
+        "size": 0,
+        "aggs": {"long_docs": {
+            "filter": {"range": {"dl": {"gte": 30}}},
+            "aggs": {"roles": {"terms": {"field": "role", "size": 5}}},
+        }},
+    }
+    a = restapi.search_request(engine, body)["aggregations"]["long_docs"]
+    sub = dm_pdf[dm_pdf["dl"] >= 30]
+    assert a["doc_count"] == len(sub)
+    exp = sub.groupby("role").size()
+    got = {b["key"]: b["doc_count"] for b in a["roles"]["buckets"]}
+    assert got == {k: int(v) for k, v in exp.items()}
+
+
+def test_scope_guards(engine):
     with pytest.raises(NotImplementedError):
         restapi.search_request(
             engine,
             {"size": 0,
              "aggs": {"a": {"filter": {"match": {"text": "error"}}}}},
+        )
+    with pytest.raises(NotImplementedError):
+        # selector child carrying its own bucket child under a bucket agg
+        restapi.search_request(
+            engine,
+            {"size": 0,
+             "aggs": {"a": {"terms": {"field": "role"},
+                            "aggs": {"f": {
+                                "filter": {"term": {"role": "user"}},
+                                "aggs": {"t": {"terms": {"field": "tool"}}},
+                            }}}}},
         )
