@@ -254,18 +254,20 @@ def _plan_children(sub_aggs: dict, engine):
                date_histogram children recurse with one groupBy per
                nesting level, keys accumulating
     """
-    metrics, selectors, keyed = [], [], []
+    metrics, selectors, keyed, hits = [], [], [], []
     for name, body in sub_aggs.items():
         kind, spec, sub = _split_agg(body)
         if kind in _METRIC_KINDS:
             if sub:
                 raise ValueError(f"metric agg {name!r} cannot have sub-aggs")
             metrics.append((name, kind, spec))
+        elif kind == "top_hits":
+            hits.append((name, spec))
         elif kind in _KEYED_NESTABLE:
             keyed.append((name, kind, spec, sub))
         elif kind in _SELECTOR_KINDS:
-            sm, ss, sk = _plan_children(sub, engine)
-            if ss or sk:
+            sm, ss, sk, sh = _plan_children(sub, engine)
+            if ss or sk or sh:
                 raise NotImplementedError(
                     "selector aggs nested under a bucket agg support "
                     "metric children only (flatten via aggs.py)"
@@ -274,7 +276,7 @@ def _plan_children(sub_aggs: dict, engine):
             selectors.append((name, kind, spec, conds, sm))
         else:
             raise NotImplementedError(f"sub-agg {kind!r} under a bucket agg")
-    return metrics, selectors, keyed
+    return metrics, selectors, keyed, hits
 
 
 def _selector_conds(kind: str, spec: dict, engine):
@@ -314,6 +316,68 @@ def _selector_conds(kind: str, spec: dict, engine):
             out.append((key, cond, extras))
         return out
     raise NotImplementedError(kind)
+
+
+def _exec_top_hits(frame: DataFrame, spec: dict, engine,
+                   part_cols: List) -> Dict[tuple, List[dict]]:
+    """``top_hits`` (TopHitsAggregator.java): per-bucket top-k docs via
+    ONE row_number window over the bucket keys — no per-bucket jobs.
+    Returns ``{bucket_key_tuple: [hit dicts]}`` (empty tuple = global).
+    """
+    from pyspark.sql.window import Window
+
+    if engine is None:
+        raise ValueError("top_hits needs the engine (for _id columns)")
+    k = int(spec.get("size", 3))
+    sort_raw = spec.get("sort", [{"_score": "desc"}])
+    if isinstance(sort_raw, (str, dict)):
+        sort_raw = [sort_raw]
+    order, sort_fields = [], []
+    for entry in sort_raw:
+        if isinstance(entry, str):
+            fld, d = entry, "desc" if entry == "_score" else "asc"
+        else:
+            fld = next(iter(entry))
+            spec_d = entry[fld]
+            d = spec_d if isinstance(spec_d, str) else spec_d.get("order", "asc")
+        if fld == "_score" and "score" not in frame.columns:
+            raise ValueError(
+                "top_hits _score sort needs the scored frame (run_aggs "
+                "frame lacks a score column) — sort by a doc field"
+            )
+        col = F.col("score") if fld == "_score" else F.col(fld)
+        if fld != "_score":
+            sort_fields.append(fld)
+        order.append(col.desc() if d == "desc" else col.asc())
+    order += [F.asc(c) for c in engine.id_cols]
+    src = spec.get("_source", True)
+    fields = engine.index.plan.get("input_fields") or []
+    src_cols = ([] if src is False else
+                fields if src is True else
+                [src] if isinstance(src, str) else list(src))
+    src_cols = [c for c in src_cols if c in frame.columns]
+    aliases = [f"__h{i}" for i in range(len(part_cols))]
+    w = (Window.partitionBy(*[F.col(a) for a in aliases])
+         if aliases else Window.partitionBy(F.lit(1)))
+    sel = frame.select(
+        *[c.alias(a) for c, a in zip(part_cols, aliases)],
+        *dict.fromkeys(list(engine.id_cols) + src_cols + sort_fields
+                       + (["score"] if "score" in frame.columns else [])),
+    )
+    rows = (
+        sel.withColumn("__rk", F.row_number().over(w.orderBy(*order)))
+        .filter(F.col("__rk") <= k)
+        .collect()
+    )
+    out: Dict[tuple, List[dict]] = {}
+    for r in rows:
+        key = tuple(r[a] for a in aliases)
+        out.setdefault(key, []).append({
+            "_id": _hit_id(r, engine.id_cols),
+            "_score": r["score"] if "score" in sel.columns else None,
+            "_source": {c: r[c] for c in src_cols},
+        })
+    return out
 
 
 def _keyed_key_col(kind: str, spec: dict):
@@ -424,7 +488,9 @@ def _exec_keyed(frame: DataFrame, kind: str, spec: dict, sub_aggs: dict,
 
     key_col, nn = _keyed_key_col(kind, spec)
     f = frame if nn is None else frame.filter(nn)
-    metrics, selectors, keyed_children = _plan_children(sub_aggs, engine)
+    metrics, selectors, keyed_children, hits_children = _plan_children(
+        sub_aggs, engine
+    )
     galias = f"__k{len(pkeys)}"
     group_cols = [c.alias(a) for a, c in pkeys] + [key_col.alias(galias)]
     grouped = f.groupBy(*group_cols).agg(
@@ -464,6 +530,11 @@ def _exec_keyed(frame: DataFrame, kind: str, spec: dict, sub_aggs: dict,
                            pkeys + [(galias, key_col)])
         for cname, ckind, cspec, csub in keyed_children
     }
+    hits_maps = {
+        hname: _exec_top_hits(f, hspec, engine,
+                              [c for _a, c in pkeys] + [key_col])
+        for hname, hspec in hits_children
+    }
     out: Dict[tuple, dict] = {}
     for ptuple, prows in per_parent.items():
         buckets = []
@@ -484,6 +555,12 @@ def _exec_keyed(frame: DataFrame, kind: str, spec: dict, sub_aggs: dict,
                     {"doc_count_error_upper_bound": 0,
                      "sum_other_doc_count": 0, "buckets": []},
                 )
+            for hname, hmap in hits_maps.items():
+                hh = hmap.get(ptuple + (raw_key,), [])
+                b[hname] = {"hits": {
+                    "total": {"value": b["doc_count"], "relation": "eq"},
+                    "hits": hh,
+                }}
             buckets.append(b)
         if kind == "terms":
             total = int(prows[0]["__tot"]) if prows else 0
@@ -506,7 +583,9 @@ def _exec_selector_root(frame: DataFrame, kind: str, spec: dict,
     every selector bucket's doc_count + metric children evaluate as
     conditional aggregates in ONE pass; keyed children run per selector
     bucket on the filtered frame (bucket count is small and fixed)."""
-    metrics, selectors, keyed_children = _plan_children(sub_aggs, engine)
+    metrics, selectors, keyed_children, hits_children = _plan_children(
+        sub_aggs, engine
+    )
     if selectors:
         raise NotImplementedError(
             "selector-in-selector agg nesting (flatten via aggs.py)"
@@ -526,6 +605,12 @@ def _exec_selector_root(frame: DataFrame, kind: str, spec: dict,
             b[cname] = _exec_keyed(
                 frame.filter(cond), ckind, cspec, csub, engine, []
             ).get((), {"buckets": []})
+        for hname, hspec in hits_children:
+            hh = _exec_top_hits(frame.filter(cond), hspec, engine, []).get((), [])
+            b[hname] = {"hits": {
+                "total": {"value": b["doc_count"], "relation": "eq"},
+                "hits": hh,
+            }}
         return b
 
     if kind in ("filter", "missing"):
@@ -573,6 +658,7 @@ def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None,
     ``global`` (GlobalAggregator.java) re-roots its sub-tree on
     ``full_frame`` — the whole index, ignoring the query."""
     metric_plan, bucket_plan, pipe_plan, global_plan = [], [], [], []
+    special_plan = []
     for name, body in aggs_spec.items():
         kind, spec, sub = _split_agg(body)
         if kind in _METRIC_KINDS:
@@ -583,6 +669,8 @@ def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None,
             pipe_plan.append((name, kind, spec))
         elif kind == "global":
             global_plan.append((name, sub))
+        elif kind in ("top_hits", "composite", "significant_terms"):
+            special_plan.append((name, kind, spec, sub))
         elif kind in _BUCKET_KINDS:
             bucket_plan.append((name, kind, spec, sub))
         else:
@@ -610,15 +698,152 @@ def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None,
             raise ValueError("global agg needs the full index frame")
         gres = run_aggs(full_frame, sub, engine=engine)
         results[name] = {"doc_count": int(full_frame.count()), **gres}
+    for name, kind, spec, sub in special_plan:
+        if kind == "top_hits":
+            hh = _exec_top_hits(frame, spec, engine, []).get((), [])
+            results[name] = {"hits": {"hits": hh}}
+        elif kind == "composite":
+            results[name] = _run_composite(frame, spec, sub, engine)
+        else:  # significant_terms: foreground = matched, bg = index
+            if full_frame is None:
+                raise ValueError("significant_terms needs the full index")
+            flagged = full_frame.join(
+                frame.select("_docid").withColumn("__fg", F.lit(1)),
+                "_docid", "left",
+            )
+            rows = A.significant_terms(
+                flagged, F.col("__fg").isNotNull(), spec["field"],
+                size=int(spec.get("size", 10)),
+                heuristic=spec.get("heuristic", "jlh"),
+            ).collect()
+            results[name] = {
+                "doc_count": int(frame.count()),
+                "bg_count": int(full_frame.count()),
+                "buckets": [
+                    {"key": r["key"], "doc_count": int(r["fg_count"]),
+                     "bg_count": int(r["bg_count"]), "score": r["score"]}
+                    for r in rows
+                ],
+            }
     for name, kind, spec in pipe_plan:
         results[name] = _run_pipeline(kind, spec, results)
     return results
+
+
+def _run_composite(frame: DataFrame, spec: dict, sub_aggs: dict,
+                   engine) -> dict:
+    """``composite`` (CompositeAggregator.java): key-ordered paginated
+    buckets over multiple named sources (terms / histogram /
+    date_histogram) — one groupBy, keyset ``after`` filter, metric
+    sub-aggs in the same pass."""
+    metrics, selectors, keyed, hits = _plan_children(sub_aggs, engine)
+    if selectors or keyed or hits:
+        raise NotImplementedError("composite supports metric sub-aggs")
+    names, key_cols = [], []
+    for src in spec["sources"]:
+        ((sname, sbody),) = src.items()
+        ((skind, sspec),) = sbody.items()
+        col, _nn = _keyed_key_col(skind, sspec)
+        names.append(sname)
+        key_cols.append(col)
+    grouped = frame.groupBy(
+        *[c.alias(f"__c_{n}") for n, c in zip(names, key_cols)]
+    ).agg(F.count(F.lit(1)).alias("doc_count"), *_child_exprs(metrics, []))
+    after = spec.get("after")
+    if after is not None:
+        # keyset pagination: strictly-after in the composite key order
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for n in names:
+            c = F.col(f"__c_{n}")
+            cond = cond | (eq & (c > F.lit(after[n])))
+            eq = eq & (c == F.lit(after[n]))
+        grouped = grouped.filter(cond)
+    size = int(spec.get("size", 10))
+    rows = grouped.orderBy(
+        *[F.asc(f"__c_{n}") for n in names]
+    ).limit(size).collect()
+    buckets = []
+    for r in rows:
+        b = {"key": {n: r[f"__c_{n}"] for n in names},
+             "doc_count": int(r["doc_count"])}
+        for mn, mk, _ms in metrics:
+            b[mn] = _metric_result(mk, r, mn)
+        buckets.append(b)
+    out = {"buckets": buckets}
+    if len(buckets) == size:
+        out["after_key"] = buckets[-1]["key"]
+    return out
 
 
 # -------------------------------------------------------------- response
 
 def _hit_id(row, id_cols: Sequence[str]) -> str:
     return ":".join(str(row[c]) for c in id_cols)
+
+
+def _run_suggest(engine, spec: dict) -> dict:
+    """Body ``suggest`` section (SuggestBuilder.java): ``term`` and
+    ``phrase`` (noisy-channel) suggesters over the engine's own index;
+    ``completion`` needs a completion index — build one with
+    suggest.build_completion_index and query it directly (guarded)."""
+    from opensearch_spark.query import suggest as S
+
+    out = {}
+    global_text = spec.get("text")
+    for name, s in spec.items():
+        if name == "text":
+            continue
+        text = s.get("text", global_text)
+        if "term" in s:
+            t = s["term"]
+            rows = S.term_suggest(
+                engine.index, text,
+                max_edits=int(t.get("max_edits", 2)),
+                size=int(t.get("size", 5)),
+                mode=t.get("suggest_mode", "missing"),
+            ).collect()
+            per_tok: Dict[str, List[dict]] = {}
+            for r in rows:
+                per_tok.setdefault(r["token"], []).append(
+                    {"text": r["suggestion"], "freq": int(r["freq"]),
+                     "score": round(1.0 - r["distance"]
+                                    / max(len(r["token"]), 1), 6)}
+                )
+            out[name] = [
+                {"text": tok, "options": per_tok.get(tok, [])}
+                for tok in engine.index.analyze(text)
+            ]
+        elif "phrase" in s:
+            p = dict(s["phrase"])
+            hl = p.pop("highlight", None) or {}
+            gens = p.pop("direct_generator", None)
+            kw = {k: p[k] for k in
+                  ("size", "gram_size", "real_word_error_likelihood",
+                   "confidence", "max_errors", "smoothing", "token_limit",
+                   "collate") if k in p}
+            if gens:
+                kw["generator"] = gens[0]
+            if hl:
+                kw["pre_tag"] = hl.get("pre_tag")
+                kw["post_tag"] = hl.get("post_tag")
+            rows = S.phrase_suggest_noisy(engine.index, text, **kw).collect()
+            out[name] = [{
+                "text": text,
+                "options": [
+                    {"text": r["suggestion"], "score": r["score"],
+                     **({"highlighted": r["highlighted"]} if hl else {})}
+                    for r in rows
+                ],
+            }]
+        elif "completion" in s:
+            raise NotImplementedError(
+                "completion suggester needs a completion index — "
+                "suggest.build_completion_index + completion_suggest_field"
+            )
+        else:
+            raise NotImplementedError(f"suggester in {name!r}")
+    return out
 
 
 def search_request(engine, body: dict) -> dict:
@@ -639,7 +864,34 @@ def search_request(engine, body: dict) -> dict:
 
     rows: List = []
     if size > 0:
-        if "rescore" in body:
+        if "collapse" in body:
+            # CollapseBuilder.java: keep each group's best hit (score
+            # desc, id asc), page the groups by best-hit score — ONE
+            # row_number window, no per-group work
+            from pyspark.sql.window import Window
+
+            if body["collapse"].get("inner_hits"):
+                raise NotImplementedError(
+                    "collapse inner_hits via the engine API (sort_suite)"
+                )
+            fld = body["collapse"]["field"]
+            need = list(dict.fromkeys(
+                [fld] + list(source_cols or []) + list(engine.id_cols)
+            ))
+            joined = (
+                engine._apply_deletes(engine._score(q))
+                .join(engine.docmap().select("_docid", *need), "_docid")
+            )
+            order = [F.desc("score")] + [F.asc(c) for c in engine.id_cols]
+            w = Window.partitionBy(fld).orderBy(*order)
+            rows = (
+                joined.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .orderBy(*order)
+                .limit(size)
+                .collect()
+            )
+        elif "rescore" in body:
             r = body["rescore"]
             rq = r["query"]
             rows = engine.rescore(
@@ -728,11 +980,16 @@ def search_request(engine, body: dict) -> dict:
             "hits": hits,
         },
     }
+    if body.get("suggest"):
+        resp["suggest"] = _run_suggest(engine, body["suggest"])
     if body.get("aggs") or body.get("aggregations"):
         spec = body.get("aggs") or body.get("aggregations")
         # the aggregation phase sees the FULL matched docset (deletes
         # applied), not the hits page — AggregationPhase.java semantics
-        matched = engine._apply_deletes(engine._score(q)).select("_docid")
+        # keep the query score: top_hits sub-aggs default to _score sort
+        matched = engine._apply_deletes(engine._score(q)).select(
+            "_docid", "score"
+        )
         frame = matched.join(engine.docmap(), "_docid")
         resp["aggregations"] = run_aggs(
             frame, spec, engine=engine, full_frame=engine.docmap()

@@ -315,6 +315,87 @@ def test_aggs_filter_root_with_keyed_child(engine, dm_pdf):
     assert got == {k: int(v) for k, v in exp.items()}
 
 
+def test_top_hits_composite_significant(engine, dm_pdf):
+    body = {
+        "query": {"term": {"role": "tool"}},
+        "size": 0,
+        "aggs": {
+            "by_tool": {
+                "terms": {"field": "tool", "size": 2},
+                "aggs": {"best": {"top_hits": {
+                    "size": 2, "sort": [{"dl": "desc"}],
+                    "_source": ["role"]}}},
+            },
+            "comp": {"composite": {
+                "size": 3,
+                "sources": [{"t": {"terms": {"field": "tool"}}},
+                            {"band": {"histogram": {"field": "dl",
+                                                    "interval": 20.0}}}],
+            }},
+            "sig": {"significant_terms": {"field": "tool", "size": 3}},
+        },
+    }
+    a = restapi.search_request(engine, body)["aggregations"]
+    tools = dm_pdf[dm_pdf["role"] == "tool"]
+    for b in a["by_tool"]["buckets"]:
+        sub = tools[tools["tool"] == b["key"]]
+        hits = b["best"]["hits"]["hits"]
+        assert b["best"]["hits"]["total"]["value"] == b["doc_count"] == len(sub)
+        exp = sub.sort_values(["dl", "conv_id", "turn_idx"],
+                              ascending=[False, True, True]).head(2)
+        assert [h["_id"] for h in hits] == [
+            f"{r.conv_id}:{r.turn_idx}" for r in exp.itertuples()
+        ]
+        assert all(h["_source"]["role"] == "tool" for h in hits)
+
+    comp = a["comp"]
+    exp_keys = sorted(
+        {(t, float(d // 20 * 20)) for t, d in zip(tools["tool"], tools["dl"])}
+    )[:3]
+    assert [(b["key"]["t"], b["key"]["band"]) for b in comp["buckets"]] == exp_keys
+    assert comp["after_key"] == comp["buckets"][-1]["key"]
+    # page 2 via after_key: strictly-after, no overlap
+    body["aggs"]["comp"]["composite"]["after"] = comp["after_key"]
+    comp2 = restapi.search_request(engine, body)["aggregations"]["comp"]
+    assert all((b["key"]["t"], b["key"]["band"]) > exp_keys[-1]
+               for b in comp2["buckets"])
+
+    # every doc with role=tool has a tool value -> fg share exceeds bg
+    sig = a["sig"]
+    assert sig["doc_count"] == len(tools)
+    assert sig["buckets"] and all(
+        b["doc_count"] <= b["bg_count"] for b in sig["buckets"]
+    )
+
+
+def test_collapse_and_suggest(engine, dm_pdf):
+    resp = restapi.search_request(
+        engine,
+        {"query": {"match": {"text": "error"}}, "size": 5,
+         "collapse": {"field": "role"}, "_source": ["role"]},
+    )
+    hits = resp["hits"]["hits"]
+    roles = [h["_source"]["role"] for h in hits]
+    assert len(roles) == len(set(roles)) and len(hits) <= 3
+    scores = [h["_score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+    sg = restapi.search_request(
+        engine,
+        {"size": 0,
+         "suggest": {
+             "fix": {"text": "erorr handlng",
+                     "term": {"max_edits": 2, "size": 3}},
+             "didyoumean": {"text": "error handlng",
+                            "phrase": {"size": 2, "max_errors": 2.0}},
+         }},
+    )["suggest"]
+    toks = {e["text"]: e["options"] for e in sg["fix"]}
+    assert "erorr" in toks and any(o["text"] == "error" for o in toks["erorr"])
+    assert sg["didyoumean"][0]["options"], "phrase suggester returned nothing"
+    assert any("error" in o["text"] for o in sg["didyoumean"][0]["options"])
+
+
 def test_scope_guards(engine):
     with pytest.raises(NotImplementedError):
         restapi.search_request(
