@@ -860,6 +860,14 @@ def search_request(engine, body: dict) -> dict:
     source_cols = _source_cols(engine, body)
     track = body.get("track_total_hits", 10000)
 
+    # post_filter (SearchSourceBuilder.postFilter): narrows the HITS
+    # page only — total and aggregations see the unfiltered match set
+    post_q = q
+    if "post_filter" in body:
+        post_q = Q.Bool(
+            must=[q], filter=[Q.from_dict(body["post_filter"])]
+        )
+
     total = engine.total_hits(q, track)
 
     rows: List = []
@@ -879,7 +887,7 @@ def search_request(engine, body: dict) -> dict:
                 [fld] + list(source_cols or []) + list(engine.id_cols)
             ))
             joined = (
-                engine._apply_deletes(engine._score(q))
+                engine._apply_deletes(engine._score(post_q))
                 .join(engine.docmap().select("_docid", *need), "_docid")
             )
             order = [F.desc("score")] + [F.asc(c) for c in engine.id_cols]
@@ -895,7 +903,7 @@ def search_request(engine, body: dict) -> dict:
             r = body["rescore"]
             rq = r["query"]
             rows = engine.rescore(
-                q, rq["rescore_query"],
+                post_q, rq["rescore_query"],
                 window_size=int(r.get("window_size", 10)),
                 query_weight=float(rq.get("query_weight", 1.0)),
                 rescore_query_weight=float(rq.get("rescore_query_weight", 1.0)),
@@ -904,7 +912,7 @@ def search_request(engine, body: dict) -> dict:
             ).collect()
         else:
             rows = engine.search(
-                q, size=size, from_=from_,
+                post_q, size=size, from_=from_,
                 source_cols=source_cols or None,
                 sort=sort,
                 search_after=body.get("search_after"),
@@ -928,7 +936,7 @@ def search_request(engine, body: dict) -> dict:
         # reference highlights during its fetch phase per returned hit)
         frag_k = size + from_ if sort is None else max(10 * (size + from_), 100)
         frags = engine.search_highlight_fragments(
-            q, size=frag_k,
+            post_q, size=frag_k,
             pre_tag=(merged.get("pre_tags") or ["<em>"])[0],
             post_tag=(merged.get("post_tags") or ["</em>"])[0],
             fragment_size=int(merged.get("fragment_size", 100)),
@@ -980,6 +988,8 @@ def search_request(engine, body: dict) -> dict:
             "hits": hits,
         },
     }
+    if body.get("profile"):
+        resp["profile"] = engine.profile(q, size=max(size, 1))
     if body.get("suggest"):
         resp["suggest"] = _run_suggest(engine, body["suggest"])
     if body.get("aggs") or body.get("aggregations"):

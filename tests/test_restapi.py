@@ -396,6 +396,24 @@ def test_collapse_and_suggest(engine, dm_pdf):
     assert any("error" in o["text"] for o in sg["didyoumean"][0]["options"])
 
 
+def test_post_filter_and_profile(engine, dm_pdf):
+    # post_filter narrows the hits page; total and aggs stay unfiltered
+    resp = restapi.search_request(
+        engine,
+        {"query": {"match": {"text": "error"}}, "size": 50,
+         "post_filter": {"term": {"role": "user"}},
+         "_source": ["role"],
+         "track_total_hits": True,
+         "aggs": {"n": {"value_count": {"field": "dl"}}},
+         "profile": True},
+    )
+    n_all = resp["hits"]["total"]["value"]
+    assert all(h["_source"]["role"] == "user" for h in resp["hits"]["hits"])
+    assert 0 < len(resp["hits"]["hits"]) < n_all
+    assert resp["aggregations"]["n"]["value"] == n_all
+    assert resp["profile"]["hits"] >= len(resp["hits"]["hits"])
+
+
 def test_scope_guards(engine):
     with pytest.raises(NotImplementedError):
         restapi.search_request(
