@@ -57,7 +57,12 @@ _JAVA_LOWER_FIXUPS = str.maketrans({0x0130: "i", 0x03A3: "σ"})
 
 def java_lower(s: str) -> str:
     """Lowercase with Java ``Character.toLowerCase`` per-code-point
-    semantics (Lucene LowerCaseFilter)."""
+    semantics (Lucene LowerCaseFilter).  ASCII never hits the two
+    divergent code points, so the translate pass is skipped for it
+    (str.isascii is a C scan — the check is far cheaper than the
+    translate it avoids on the build hot path)."""
+    if s.isascii():
+        return s.lower()
     return s.translate(_JAVA_LOWER_FIXUPS).lower()
 
 # Lucene EnglishAnalyzer default stop set (public constant list).
@@ -185,9 +190,28 @@ def tokenize(
         return []
     out: List[str] = []
     for raw in _TOKEN_RE.findall(text):
-        if not _HAS_ALNUM_RE.search(raw):
-            continue  # pure-underscore runs are not words
-        for tok in _split_cjk(raw):
+        # ASCII fast path (the overwhelming case): an ASCII \w+ run has
+        # an alnum unless it is pure underscores, contains no CJK, and
+        # str.lower() == java_lower() — three regex/translate calls
+        # avoided per token, semantics identical (pinned by the
+        # differential sweep in tests/test_analyzer.py)
+        if raw.isascii():
+            if len(raw) <= max_token_length:
+                if raw[0] == "_" and not raw.strip("_"):
+                    continue  # pure-underscore runs are not words
+                piece = raw.lower()
+                if stopwords is not None and piece in stopwords:
+                    continue
+                out.append(piece)
+                continue
+            if not raw.strip("_"):
+                continue
+            pieces = (raw,)
+        else:
+            if not _HAS_ALNUM_RE.search(raw):
+                continue  # pure-underscore runs are not words
+            pieces = _split_cjk(raw)
+        for tok in pieces:
             # max_token_length splits (not drops) over-long tokens
             for i in range(0, len(tok), max_token_length):
                 piece = java_lower(tok[i : i + max_token_length])
@@ -215,9 +239,26 @@ def tokenize_with_positions(
     poss: List[int] = []
     pos = 0
     for raw in _TOKEN_RE.findall(text):
-        if not _HAS_ALNUM_RE.search(raw):
-            continue
-        for tok in _split_cjk(raw):
+        # ASCII fast path — see tokenize(); position increments must
+        # stay identical, so the stop-filtered token still bumps pos
+        if raw.isascii():
+            if len(raw) <= max_token_length:
+                if raw[0] == "_" and not raw.strip("_"):
+                    continue
+                piece = raw.lower()
+                if stopwords is None or piece not in stopwords:
+                    toks.append(piece)
+                    poss.append(pos)
+                pos += 1
+                continue
+            if not raw.strip("_"):
+                continue
+            pieces = (raw,)
+        else:
+            if not _HAS_ALNUM_RE.search(raw):
+                continue
+            pieces = _split_cjk(raw)
+        for tok in pieces:
             for i in range(0, len(tok), max_token_length):
                 piece = java_lower(tok[i : i + max_token_length])
                 if stopwords is None or piece not in stopwords:

@@ -89,3 +89,64 @@ def test_java_lowercase_parity():
     # multiple characters in Python (the 1:many divergence class)
     multi = [cp for cp in range(0x110000) if len(chr(cp).lower()) != 1]
     assert multi == [0x0130]
+
+
+# ---- ASCII fast-path differential (the build-throughput optimization:
+# ASCII tokens skip _HAS_ALNUM/_split_cjk/translate — must be
+# semantics-identical to the unconditional slow path) ----
+
+def _slow_tokenize_with_positions(text, stopwords=None, mx=None):
+    """The pre-optimization reference implementation, kept verbatim."""
+    from opensearch_spark.analysis import analyzer as ana
+
+    mx = mx or ana.MAX_TOKEN_LENGTH
+    jl = str.maketrans({0x0130: "i", 0x03A3: "σ"})
+    if not text:
+        return [], []
+    toks, poss, pos = [], [], 0
+    for raw in ana._TOKEN_RE.findall(text):
+        if not ana._HAS_ALNUM_RE.search(raw):
+            continue
+        for tok in ana._split_cjk(raw):
+            for i in range(0, len(tok), mx):
+                piece = tok[i : i + mx].translate(jl).lower()
+                if stopwords is None or piece not in stopwords:
+                    toks.append(piece)
+                    poss.append(pos)
+                pos += 1
+    return toks, poss
+
+
+def test_ascii_fast_path_differential():
+    from opensearch_spark.analysis import analyzer as ana
+
+    stop = ana.resolve_stopwords(None)
+    cases = [
+        "", "___", "_a_ b_c", "İstanbul ΣΟΦΟΣ σοφος ΤΕΛΟΣ",
+        "日本語のテキスト and ascii", "カタカナ run ひらがな",
+        "can't don't 3.14 1,000 a·b x'y",
+        "x" * 300, "_" * 300, ("ab" * 200) + " ŷ" + "z" * 280,
+        "mixed 漢字 and _under_ scores__ 'quote'",
+        "İİİ word", "ΑΣ ΤΕΛΟΣ ΣΣ", "the quick brown fox",
+        "___x___ _ __ a_b_c 9_9",
+    ]
+    for t in cases:
+        for sw in (stop, None):
+            assert ana.tokenize_with_positions(t, sw) == \
+                _slow_tokenize_with_positions(t, sw), repr(t)
+            assert ana.tokenize(t, sw) == \
+                _slow_tokenize_with_positions(t, sw)[0], repr(t)
+
+
+def test_ascii_fast_path_differential_random():
+    import random
+
+    from opensearch_spark.analysis import analyzer as ana
+
+    rng = random.Random(42)
+    alphabet = list("abc XYZ 09_'’·.,\t\n") + ["漢", "の", "カ", "İ", "Σ", "σ", "ŷ", "é"]
+    stop = ana.resolve_stopwords(None)
+    for _ in range(400):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        assert ana.tokenize_with_positions(t, stop) == \
+            _slow_tokenize_with_positions(t, stop), repr(t)
