@@ -177,9 +177,11 @@ def pruned_match_topk(
     if not present:
         return engine._empty_scored()
 
-    bounds = block_bounds_df(engine.index, present, idf_by_term, avgdl, engine.k1, engine.b)
     n_blocks_total = int(stats["n_blocks"].sum()) if "n_blocks" in stats else 0
     if n_blocks_total > MAX_DRIVER_META_BLOCKS:
+        bounds = block_bounds_df(
+            engine.index, present, idf_by_term, avgdl, engine.k1, engine.b
+        )
         return _pruned_distributed(
             engine, present, weights, idf_by_term, avgdl, bounds, k, sample_blocks_per_term
         )
@@ -193,17 +195,44 @@ def pruned_match_topk(
     # large collect, JVM-side prune filter).
     import numpy as np
 
-    pdf = bounds.select("term", "block_id", "base_doc", "last_doc", "ub", "ach").toPandas()
-    per: Dict[str, dict] = {}
-    for t in present:
-        sub = pdf[pdf["term"] == t].sort_values("base_doc")
-        per[t] = {
-            "base": sub["base_doc"].to_numpy(np.int64),
-            "last": sub["last_doc"].to_numpy(np.int64),
-            "ub": sub["ub"].to_numpy(np.float64),
-            "bid": sub["block_id"].to_numpy(np.int64),
-            "ach": sub["ach"].to_numpy(np.float64),
-        }
+    # Per-term metadata cache on the index instance (same lifecycle as
+    # the pinned ``_block_meta_df`` it derives from): Lucene keeps block
+    # skip/impact data heap-resident per segment reader — here the
+    # collected per-term numpy arrays are kept driver-side, so a WARM
+    # engine pays ZERO extra Spark actions for terms already seen and
+    # the pruned plan's only marginal cost is the numpy threshold/RMQ
+    # math.  ub/ach bake in idf/avgdl/k1/b, all fixed per (index
+    # instance, similarity config) — the key carries (term, k1, b).
+    cache: Dict[tuple, dict] = engine.index.__dict__.setdefault(
+        "_wand_term_meta", {}
+    )
+    ck = (engine.k1, engine.b)
+    missing = [t for t in present if (t, *ck) not in cache]
+    if missing:
+        mdf = block_bounds_df(
+            engine.index, missing, idf_by_term, avgdl, engine.k1, engine.b
+        )
+        pdf_m = mdf.select(
+            "term", "block_id", "base_doc", "last_doc", "ub", "ach"
+        ).toPandas()
+        for t in missing:
+            sub = pdf_m[pdf_m["term"] == t].sort_values("base_doc")
+            cache[(t, *ck)] = {
+                "base": sub["base_doc"].to_numpy(np.int64),
+                "last": sub["last_doc"].to_numpy(np.int64),
+                "ub": sub["ub"].to_numpy(np.float64),
+                "bid": sub["block_id"].to_numpy(np.int64),
+                "ach": sub["ach"].to_numpy(np.float64),
+            }
+        # bound driver memory like the distributed-path cap: if the
+        # cache outgrows the cap, keep only this query's terms
+        total_cached = sum(v["base"].size for v in cache.values())
+        if total_cached > MAX_DRIVER_META_BLOCKS:
+            keep_keys = {(t, *ck) for t in present}
+            for kk in [kk for kk in cache if kk not in keep_keys]:
+                del cache[kk]
+    per: Dict[str, dict] = {t: cache[(t, *ck)] for t in present}
+    n_meta_rows = sum(per[t]["base"].size for t in present)
 
     # rank-safe threshold from the collected ACHIEVABLE scores (same
     # proof as metadata_threshold_df: kth largest achievable over one
@@ -254,12 +283,12 @@ def pruned_match_topk(
         total_ub = bt["ub"] * weights[t] + align
         kept = np.nonzero(total_ub >= t_thresh)[0]
         keep.extend((t, int(bt["bid"][i]), int(bt["base"][i])) for i in kept)
-    pruned_frac = 1.0 - (len(keep) / max(1, len(pdf)))
+    pruned_frac = 1.0 - (len(keep) / max(1, n_meta_rows))
     LAST_PRUNE_STATS.clear()
     LAST_PRUNE_STATS.update(
-        {"kept_blocks": len(keep), "total_blocks": len(pdf), "bailed": False}
+        {"kept_blocks": len(keep), "total_blocks": n_meta_rows, "bailed": False}
     )
-    if len(keep) / max(1, len(pdf)) > MAX_KEPT_FRACTION:
+    if len(keep) / max(1, n_meta_rows) > MAX_KEPT_FRACTION:
         # little to prune: the two-pass plan can't win — dense scorer
         LAST_PRUNE_STATS["bailed"] = True
         return engine._score_terms_or(weights, required=1)
