@@ -157,6 +157,14 @@ def cmd_query(args) -> None:
     spark = _spark("osps-query")
     eng = SearchEngine(InvertedIndex(spark, args.index))
     spec = json.loads(args.query)
+    if args.body:
+        # full _search request body -> reference-shaped response
+        # (restapi.search_request: query/sort/_source/script_fields/
+        # aggs/highlight/rescore/collapse/suggest/post_filter)
+        from opensearch_spark import restapi
+
+        print(json.dumps(restapi.search_request(eng, spec), default=str))
+        return
     rows = eng.search(spec, size=args.size, prune=args.prune).collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
@@ -269,6 +277,9 @@ def main(argv=None) -> int:
     q.add_argument("--query", required=True, help="JSON query DSL")
     q.add_argument("--size", type=int, default=10)
     q.add_argument("--prune", action="store_true")
+    q.add_argument("--body", action="store_true",
+                   help="treat --query as a full _search request body; "
+                        "print the reference-shaped JSON response")
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("smoke")
