@@ -61,7 +61,8 @@ from opensearch_spark.query import painless
 __all__ = ["search_request", "run_aggs"]
 
 _KEYED_NESTABLE = ("terms", "histogram", "date_histogram")
-_SELECTOR_KINDS = ("filter", "filters", "missing", "range")
+_SELECTOR_KINDS = ("filter", "filters", "missing", "range",
+                   "date_range", "ip_range")
 _BUCKET_KINDS = _KEYED_NESTABLE + _SELECTOR_KINDS + ("global",)
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "weighted_avg")
@@ -296,19 +297,43 @@ def _selector_conds(kind: str, spec: dict, engine):
         return [(n, pred(qd), {}) for n, qd in spec["filters"].items()]
     if kind == "missing":
         return [("", F.col(spec["field"]).isNull(), {})]
-    if kind == "range":
+    if kind in ("range", "date_range", "ip_range"):
+        # all three are [from, to) selector families over one column;
+        # date_range compares timestamps (DateRangeAggregationBuilder),
+        # ip_range compares the uint32 form of dotted quads
+        # (IpRangeAggregationBuilder / IpFieldMapper points)
         out = []
-        fld = F.col(spec["field"]).cast("double")
+        if kind == "range":
+            fld = F.col(spec["field"]).cast("double")
+            conv = float
+        elif kind == "date_range":
+            fld = F.to_timestamp(F.col(spec["field"]))
+            conv = lambda v: F.to_timestamp(F.lit(v))  # noqa: E731
+        else:
+            fld = A.ip_to_long(F.col(spec["field"]))
+            conv = lambda v: A.ip_to_long(F.lit(v))  # noqa: E731
         for rng in spec["ranges"]:
             lo, hi = rng.get("from"), rng.get("to")
+            if kind == "ip_range" and "mask" in rng:
+                # CIDR -> [network, network + span)
+                import ipaddress
+
+                base, bits = rng["mask"].split("/")
+                span = 1 << (32 - int(bits))
+
+                net = int(ipaddress.IPv4Address(base)) & ~(span - 1)
+                cond = fld.isNotNull() & (fld >= net) & (fld < net + span)
+                out.append((rng.get("key") or rng["mask"], cond,
+                            {"mask": rng["mask"]}))
+                continue
             cond = fld.isNotNull()
             extras = {}
             if lo is not None:
-                cond = cond & (fld >= float(lo))
-                extras["from"] = float(lo)
+                cond = cond & (fld >= (conv(lo) if kind != "range" else float(lo)))
+                extras["from"] = float(lo) if kind == "range" else lo
             if hi is not None:
-                cond = cond & (fld < float(hi))
-                extras["to"] = float(hi)
+                cond = cond & (fld < (conv(hi) if kind != "range" else float(hi)))
+                extras["to"] = float(hi) if kind == "range" else hi
             key = rng.get("key") or (
                 f"{lo if lo is not None else '*'}-"
                 f"{hi if hi is not None else '*'}"
@@ -669,7 +694,9 @@ def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None,
             pipe_plan.append((name, kind, spec))
         elif kind == "global":
             global_plan.append((name, sub))
-        elif kind in ("top_hits", "composite", "significant_terms"):
+        elif kind in ("top_hits", "composite", "significant_terms",
+                      "median_absolute_deviation", "rare_terms",
+                      "multi_terms"):
             special_plan.append((name, kind, spec, sub))
         elif kind in _BUCKET_KINDS:
             bucket_plan.append((name, kind, spec, sub))
@@ -704,6 +731,34 @@ def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None,
             results[name] = {"hits": {"hits": hh}}
         elif kind == "composite":
             results[name] = _run_composite(frame, spec, sub, engine)
+        elif kind == "median_absolute_deviation":
+            row = A.median_absolute_deviation(frame, spec["field"]).collect()[0]
+            results[name] = {"value": row["mad"]}
+        elif kind == "rare_terms":
+            rows = A.rare_terms(
+                frame, spec["field"],
+                max_doc_count=int(spec.get("max_doc_count", 1)),
+            ).collect()
+            results[name] = {"buckets": [
+                {"key": r["key"], "doc_count": int(r["doc_count"])}
+                for r in rows
+            ]}
+        elif kind == "multi_terms":
+            fields = [t["field"] for t in spec["terms"]]
+            # MultiTermsAggregator: a doc missing ANY key field is not
+            # bucketed (each terms source needs a value)
+            f2 = frame
+            for fld in fields:
+                f2 = f2.filter(F.col(fld).isNotNull())
+            rows = A.multi_terms(
+                f2, fields, size=int(spec.get("size", 10))
+            ).collect()
+            results[name] = {"buckets": [
+                {"key": [r[f"key_{f}"] for f in fields],
+                 "key_as_string": "|".join(str(r[f"key_{f}"]) for f in fields),
+                 "doc_count": int(r["doc_count"])}
+                for r in rows
+            ]}
         else:  # significant_terms: foreground = matched, bg = index
             if full_frame is None:
                 raise ValueError("significant_terms needs the full index")

@@ -4,6 +4,7 @@ and independent pandas recomputation of the aggregations."""
 
 import math
 
+import pandas as pd
 import pytest
 
 from opensearch_spark import restapi
@@ -394,6 +395,57 @@ def test_collapse_and_suggest(engine, dm_pdf):
     assert "erorr" in toks and any(o["text"] == "error" for o in toks["erorr"])
     assert sg["didyoumean"][0]["options"], "phrase suggester returned nothing"
     assert any("error" in o["text"] for o in sg["didyoumean"][0]["options"])
+
+
+def test_aggs_more_kinds(engine, dm_pdf):
+    body = {
+        "size": 0,
+        "aggs": {
+            "mad": {"median_absolute_deviation": {"field": "dl"}},
+            "rare_tools": {"rare_terms": {"field": "tool",
+                                          "max_doc_count": 10}},
+            "rt": {"multi_terms": {"terms": [{"field": "role"},
+                                             {"field": "tool"}],
+                                   "size": 4}},
+            "eras": {"date_range": {"field": "ts",
+                                    "ranges": [{"to": "2026-01-05"},
+                                               {"from": "2026-01-05"}]}},
+            "by_role_eras": {
+                "terms": {"field": "role", "size": 1},
+                "aggs": {"eras": {"date_range": {
+                    "field": "ts",
+                    "ranges": [{"to": "2026-01-05"},
+                               {"from": "2026-01-05"}]}}},
+            },
+        },
+    }
+    a = restapi.search_request(engine, body)["aggregations"]
+    med = dm_pdf["dl"].median()
+    assert a["mad"]["value"] == pytest.approx(
+        (dm_pdf["dl"] - med).abs().median(), abs=1e-4
+    )
+    tool_counts = dm_pdf["tool"].value_counts()
+    exp_rare = sorted(tool_counts[tool_counts <= 10].index)
+    assert [b["key"] for b in a["rare_tools"]["buckets"]] == exp_rare
+
+    pairs = (dm_pdf[dm_pdf["tool"].notna()]
+             .groupby(["role", "tool"]).size()
+             .sort_values(ascending=False))
+    got = {tuple(b["key"]): b["doc_count"] for b in a["rt"]["buckets"]}
+    for k, v in got.items():
+        assert pairs[k] == v
+    assert len(got) == 4
+
+    ts = pd.to_datetime(dm_pdf["ts"])
+    cut = pd.Timestamp("2026-01-05")
+    assert a["eras"]["buckets"][0]["doc_count"] == int((ts < cut).sum())
+    assert a["eras"]["buckets"][1]["doc_count"] == int((ts >= cut).sum())
+    # date_range as a selector CHILD under terms (conditional aggregates)
+    b0 = a["by_role_eras"]["buckets"][0]
+    sub = dm_pdf[dm_pdf["role"] == b0["key"]]
+    sts = pd.to_datetime(sub["ts"])
+    assert b0["eras"]["buckets"][0]["doc_count"] == int((sts < cut).sum())
+    assert b0["eras"]["buckets"][1]["doc_count"] == int((sts >= cut).sum())
 
 
 def test_post_filter_and_profile(engine, dm_pdf):
