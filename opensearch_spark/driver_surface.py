@@ -818,6 +818,21 @@ FROM documents WHERE length(text) >= 120 AND length(text) < 240
 UNION ALL
 SELECT 'derived_term' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM documents WHERE source || ':' || lang = 'src18:en'
+UNION ALL
+SELECT 'env_isect' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs
+WHERE (lat - (n_chars % 7) / 4.0) <= 40.0 AND (lat + (n_chars % 5) / 4.0) >= -35.0
+  AND (lon - (n_chars % 11) / 4.0) <= 70.0 AND (lon + (n_chars % 13) / 4.0) >= -60.0
+UNION ALL
+SELECT 'env_within' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs
+WHERE (lat - (n_chars % 7) / 4.0) >= -35.0 AND (lat + (n_chars % 5) / 4.0) <= 40.0
+  AND (lon - (n_chars % 11) / 4.0) >= -60.0 AND (lon + (n_chars % 13) / 4.0) <= 70.0
+UNION ALL
+SELECT 'env_contains' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs
+WHERE (lat - (n_chars % 7) / 4.0) <= -5.0 AND (lat + (n_chars % 5) / 4.0) >= 5.0
+  AND (lon - (n_chars % 11) / 4.0) <= -5.0 AND (lon + (n_chars % 13) / 4.0) >= 5.0
 ORDER BY op, doc_id ASC""".replace("{poly}", _sql_polygon_pred(_POLY))
     .replace("{shape_outer}", _sql_polygon_pred(_SHAPE_OUTER))
     .replace("{shape_hole}", _sql_polygon_pred(_SHAPE_HOLE)),
@@ -916,6 +931,35 @@ def ft_filters(spark, sf_dir):
         {"term": {"src_lang": "src18:en"}},
         derived={"src_lang": "concat(source, ':', lang)"},
     )
+    # r4 final: geo_shape over ENVELOPE-VALUED doc fields — the doc
+    # side is a struct (min/max lat/lon) built here as a derived field
+    # (the mapping decides the doc side in the reference; the docmap
+    # schema does here, executor._envelope_doc_pred); all relations
+    # are exact interval algebra, one codegen boolean
+    _box = ("named_struct("
+            "'min_lat', lat - (n_chars % 7) / 4.0, "
+            "'max_lat', lat + (n_chars % 5) / 4.0, "
+            "'min_lon', lon - (n_chars % 11) / 4.0, "
+            "'max_lon', lon + (n_chars % 13) / 4.0)")
+    _env_q = {"type": "envelope", "coordinates": [[-60.0, 40.0], [70.0, -35.0]]}
+    ei = docset(
+        eng,
+        {"geo_shape": {"box": {"shape": _env_q, "relation": "intersects"}}},
+        derived={"box": _box},
+    )
+    ew = docset(
+        eng,
+        {"geo_shape": {"box": {"shape": _env_q, "relation": "within"}}},
+        derived={"box": _box},
+    )
+    ec = docset(
+        eng,
+        {"geo_shape": {"box": {
+            "shape": {"type": "envelope",
+                      "coordinates": [[-5.0, 5.0], [5.0, -5.0]]},
+            "relation": "contains"}}},
+        derived={"box": _box},
+    )
     return _union(
         _tag(a, "range", "doc_id", "score"),
         _tag(b, "exists", "doc_id", "score"),
@@ -928,6 +972,9 @@ def ft_filters(spark, sf_dir):
         _tag(h, "geo_shape", "doc_id", "score"),
         _tag(i, "derived_range", "doc_id", "score"),
         _tag(j, "derived_term", "doc_id", "score"),
+        _tag(ei, "env_isect", "doc_id", "score"),
+        _tag(ew, "env_within", "doc_id", "score"),
+        _tag(ec, "env_contains", "doc_id", "score"),
     ).orderBy("op", F.asc("doc_id"))
 
 

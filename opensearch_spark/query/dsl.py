@@ -608,9 +608,14 @@ class GeoShape:
     members).  Relations (``ShapeRelation.java``): ``intersects``
     (default) and ``within`` coincide for point docs; ``disjoint`` is
     the null-safe negation; ``contains`` holds only for an equal
-    ``point`` shape.  Documented deviation: indexed SHAPE fields (ESRI
-    geometry docs) and ``indexed_shape`` references stay out of scope
-    — this serves the geo_shape DSL surface over geo_point data."""
+    ``point`` shape.  ENVELOPE-VALUED doc fields are supported too
+    (late r4): when the docmap column is a struct
+    ``(min_lat, max_lat, min_lon, max_lon)`` — mappings decide the doc
+    side in the reference, the schema does here — every relation
+    evaluates as exact interval algebra against an envelope/point
+    query shape (``executor._envelope_doc_pred``).  Documented
+    deviation: general indexed SHAPE geometries (BKD polygons) and
+    ``indexed_shape`` references stay out of scope."""
 
     field: str
     shape: Dict[str, Any]

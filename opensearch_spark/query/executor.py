@@ -3798,6 +3798,9 @@ class SearchEngine:
             lat_c, lon_c = _geo_cols(q.field)
             return _raycast_pred(lat_c, lon_c, q.points)
         if isinstance(q, Q.GeoShape):
+            env_pred = self._envelope_doc_pred(q)
+            if env_pred is not None:
+                return env_pred
             lat_c, lon_c = _geo_cols(q.field)
             base = _shape_member_pred(lat_c, lon_c, q.shape)
             # ShapeRelation.java over a point doc side: intersects and
@@ -3842,6 +3845,70 @@ class SearchEngine:
                     pred = pred & ~_null_safe(p)
                 return pred
         return None
+
+    def _envelope_doc_pred(self, q: "Q.GeoShape"):
+        """``geo_shape`` over ENVELOPE-valued doc fields
+        (GeoShapeQueryBuilder.java with a geo_shape-mapped field,
+        LatLonShape envelope case): the doc field is a STRUCT column
+        ``(min_lat, max_lat, min_lon, max_lon)`` — the mapping decides
+        the doc side in the reference, so here the docmap schema does
+        (derived fields can build the struct at query time).  Query
+        side restricted to ``envelope``/``point`` shapes; every
+        ShapeRelation is exact interval algebra (one codegen boolean,
+        no UDF).  Returns None when the field is not an envelope
+        struct (point-doc path takes over).  Documented deviations:
+        no dateline-crossing DOC envelopes, non-envelope query shapes
+        against shape docs raise (indexed BKD general geometries stay
+        out of scope)."""
+        fields = None
+        for f in self.docmap().schema.fields:
+            if f.name == q.field and hasattr(f.dataType, "fieldNames"):
+                fields = set(f.dataType.fieldNames())
+                break
+        need = {"min_lat", "max_lat", "min_lon", "max_lon"}
+        if fields is None or not need.issubset(fields):
+            return None
+        c = F.col(q.field)
+        dmin_lat, dmax_lat = c["min_lat"], c["max_lat"]
+        dmin_lon, dmax_lon = c["min_lon"], c["max_lon"]
+        t = str(q.shape.get("type", "")).lower()
+        if t == "point":
+            lo, la = (float(x) for x in q.shape["coordinates"])
+            q_bottom = q_top = la
+            q_left = q_right = lo
+        elif t == "envelope":
+            (left, top), (right, bottom) = q.shape["coordinates"]
+            q_top, q_bottom = float(top), float(bottom)
+            q_left, q_right = float(left), float(right)
+            if q_left > q_right:
+                raise NotImplementedError(
+                    "dateline-crossing query envelopes against shape "
+                    "docs are out of scope (split the query)"
+                )
+        else:
+            raise NotImplementedError(
+                f"geo_shape relation against an envelope doc field "
+                f"supports envelope/point query shapes, not {t!r}"
+            )
+        intersects = (
+            (dmin_lat <= F.lit(q_top)) & (dmax_lat >= F.lit(q_bottom))
+            & (dmin_lon <= F.lit(q_right)) & (dmax_lon >= F.lit(q_left))
+        )
+        if q.relation == "intersects":
+            return intersects
+        if q.relation == "disjoint":
+            return ~_null_safe(intersects)
+        if q.relation == "within":  # doc envelope inside the query shape
+            return (
+                (dmin_lat >= F.lit(q_bottom)) & (dmax_lat <= F.lit(q_top))
+                & (dmin_lon >= F.lit(q_left)) & (dmax_lon <= F.lit(q_right))
+            )
+        if q.relation == "contains":  # doc envelope contains the query
+            return (
+                (dmin_lat <= F.lit(q_bottom)) & (dmax_lat >= F.lit(q_top))
+                & (dmin_lon <= F.lit(q_left)) & (dmax_lon >= F.lit(q_right))
+            )
+        raise ValueError(f"unknown geo_shape relation {q.relation!r}")
 
     def _docset(self, q) -> DataFrame:
         """DataFrame (_docid) of docs matching q, in filter context."""

@@ -106,3 +106,44 @@ def test_derived_validation(engine):
             {"x": {"type": "geo_point", "script": {"source": "1"}}}
         ):
             pass
+
+
+def test_geo_shape_envelope_doc_field(engine):
+    """geo_shape over an envelope STRUCT doc field (late r4): all four
+    relations are exact interval algebra; disjoint complements
+    intersects; non-envelope query shapes raise."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    box = ("named_struct('min_lat', CAST(dl AS DOUBLE) - 2.0, "
+           "'max_lat', CAST(dl AS DOUBLE) + 2.0, "
+           "'min_lon', CAST(turn_idx AS DOUBLE) - 3.0, "
+           "'max_lon', CAST(turn_idx AS DOUBLE) + 3.0)")
+    env = {"type": "envelope", "coordinates": [[0.0, 30.0], [10.0, 20.0]]}
+
+    def run(relation, shape=env):
+        return engine.search(
+            {"geo_shape": {"box": {"shape": shape, "relation": relation}}},
+            size=10000, derived={"box": box},
+        ).collect()
+
+    isect = run("intersects")
+    disj = run("disjoint")
+    within = run("within")
+    contains = run("contains")
+    total = engine.docmap().count()
+    assert len(isect) + len(disj) == total
+    ids = lambda rows: {(r["conv_id"], r["turn_idx"]) for r in rows}
+    assert ids(within) <= ids(isect)
+    assert ids(contains) <= ids(isect)
+    # hand-check semantics on the docmap
+    dm = engine.docmap().select("conv_id", "turn_idx", "dl").collect()
+    exp_isect = {
+        (r["conv_id"], r["turn_idx"]) for r in dm
+        if r["dl"] - 2 <= 30 and r["dl"] + 2 >= 20
+        and r["turn_idx"] - 3 <= 10 and r["turn_idx"] + 3 >= 0
+    }
+    assert ids(isect) == exp_isect
+    with _pt.raises(NotImplementedError):
+        run("intersects", {"type": "polygon",
+                           "coordinates": [[[0, 0], [1, 0], [1, 1]]]})
