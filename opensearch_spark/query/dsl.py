@@ -618,9 +618,16 @@ class GeoShape:
     ``indexed_shape`` references stay out of scope."""
 
     field: str
-    shape: Dict[str, Any]
+    shape: Optional[Dict[str, Any]] = None
     relation: str = "intersects"
     boost: float = 1.0
+    # indexed_shape (GeoShapeQueryBuilder indexedShape* / the fetch in
+    # AbstractGeometryQueryBuilder.fetch): the query shape lives in
+    # ANOTHER document — {"id": <id or {id_col: v}>, "path": <column>}.
+    # Resolved plan-time by one docmap point-read (same pattern as
+    # terms lookup); the fetched column is an envelope struct or an
+    # inline shape dict.
+    indexed_shape: Optional[Dict[str, Any]] = None
 
 
 @dataclasses.dataclass
@@ -1088,15 +1095,16 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         _gs_opts = {"relation", "ignore_unmapped", "_name", "boost"}
         field = next(k for k in body if k not in _gs_opts)
         b = body[field]
-        if "indexed_shape" in b:
-            raise NotImplementedError(
-                "geo_shape indexed_shape (pre-registered shape docs) is out "
-                "of scope — inline `shape` only"
-            )
-        shape = b["shape"]
         relation = str(b.get("relation", "intersects")).lower()
         if relation not in ("intersects", "within", "disjoint", "contains"):
             raise ValueError(f"unknown geo_shape relation: {relation}")
+        if "indexed_shape" in b:
+            return GeoShape(
+                field, shape=None, relation=relation,
+                boost=body.get("boost", 1.0),
+                indexed_shape=b["indexed_shape"],
+            )
+        shape = b["shape"]
         _validate_shape(shape)
         return GeoShape(
             field, shape, relation, boost=float(body.get("boost", 1.0))

@@ -3798,6 +3798,8 @@ class SearchEngine:
             lat_c, lon_c = _geo_cols(q.field)
             return _raycast_pred(lat_c, lon_c, q.points)
         if isinstance(q, Q.GeoShape):
+            if q.indexed_shape is not None:
+                q = self._resolve_indexed_shape(q)
             env_pred = self._envelope_doc_pred(q)
             if env_pred is not None:
                 return env_pred
@@ -3917,6 +3919,48 @@ class SearchEngine:
             # bare predicate: NULL rows drop anyway, and it pushes down
             return self.docmap().filter(pred).select("_docid")
         return self._score(q).select("_docid")
+
+    def _resolve_indexed_shape(self, q: "Q.GeoShape") -> "Q.GeoShape":
+        """Plan-time resolution of ``indexed_shape``
+        (AbstractGeometryQueryBuilder.fetch — the reference issues a
+        synchronous GET for the shape doc): one pushdown point-read on
+        the docmap, same pattern as the terms lookup.  The fetched
+        column is either an envelope struct (min/max lat/lon — becomes
+        an ``envelope`` shape) or a stored inline shape dict/struct
+        with ``type``/``coordinates``.  A missing doc or NULL shape
+        raises, like the reference's 'source disabled / field not
+        found' errors."""
+        spec = q.indexed_shape
+        idv = spec["id"] if isinstance(spec["id"], dict) else {
+            self.id_cols[0]: spec["id"]
+        }
+        unknown = set(idv) - set(self.id_cols)
+        if unknown:
+            raise ValueError(f"indexed_shape id keys {unknown} are not id columns")
+        pred = reduce(
+            lambda a, b_: a & b_, [F.col(k) == F.lit(v) for k, v in idv.items()]
+        )
+        path = spec["path"]
+        rows = self.docmap().filter(pred).select(path).limit(1).collect()
+        if not rows or rows[0][0] is None:
+            raise ValueError(
+                f"indexed_shape: no shape found at {path!r} for id {idv}"
+            )
+        v = rows[0][0]
+        d = v.asDict() if hasattr(v, "asDict") else dict(v)
+        if {"min_lat", "max_lat", "min_lon", "max_lon"} <= set(d):
+            shape = {"type": "envelope",
+                     "coordinates": [[d["min_lon"], d["max_lat"]],
+                                     [d["max_lon"], d["min_lat"]]]}
+        elif "type" in d:
+            shape = d
+        else:
+            raise ValueError(
+                f"indexed_shape: column {path!r} is neither an envelope "
+                f"struct nor an inline shape (got fields {sorted(d)})"
+            )
+        return Q.GeoShape(q.field, shape=shape, relation=q.relation,
+                          boost=q.boost)
 
     def _resolve_terms_lookup(self, q) -> "Q.Terms":
         """Plan-time resolution of a terms lookup (TermsQueryBuilder.rewrite

@@ -141,7 +141,9 @@ def _script_fields(body) -> Optional[Dict[str, dict]]:
 
 
 def _docvalue_fields(body) -> Optional[Dict[str, Optional[str]]]:
-    raw = body.get("docvalue_fields")
+    # the newer `fields` API retrieves through the same doc-values
+    # machinery (FieldFetcher); both body keys land here
+    raw = list(body.get("docvalue_fields") or []) + list(body.get("fields") or [])
     if not raw:
         return None
     out: Dict[str, Optional[str]] = {}
@@ -905,6 +907,14 @@ def search_request(engine, body: dict) -> dict:
     """Run one reference-shaped ``_search`` request body; return the
     reference-shaped response (``hits.total/max_score/hits[]`` with
     ``_id/_score/_source/fields/sort``, plus ``aggregations``)."""
+    # runtime_mappings (SearchSourceBuilder runtime fields — the
+    # RuntimeField.java search-time mapping): same machinery as derived
+    # fields, scoped to this request; visible to the query, sorts,
+    # aggregations, and fetch alike
+    if body.get("runtime_mappings"):
+        with engine.derived_fields(body["runtime_mappings"]):
+            inner = {k: v for k, v in body.items() if k != "runtime_mappings"}
+            return search_request(engine, inner)
     t0 = time.monotonic()
     q = _q_obj(body)
     size = int(body.get("size", 10))

@@ -147,3 +147,42 @@ def test_geo_shape_envelope_doc_field(engine):
     with _pt.raises(NotImplementedError):
         run("intersects", {"type": "polygon",
                            "coordinates": [[[0, 0], [1, 0], [1, 1]]]})
+
+
+def test_geo_shape_indexed_shape_lookup(engine):
+    """indexed_shape: the query envelope is fetched from another doc's
+    (derived) struct column — one point-read, then identical to the
+    inline envelope query."""
+    import pytest as _pt
+
+    box = ("named_struct('min_lat', CAST(dl AS DOUBLE) - 2.0, "
+           "'max_lat', CAST(dl AS DOUBLE) + 2.0, "
+           "'min_lon', CAST(turn_idx AS DOUBLE) - 3.0, "
+           "'max_lon', CAST(turn_idx AS DOUBLE) + 3.0)")
+    ref = engine.docmap().select("conv_id", "turn_idx", "dl").head()
+    looked = engine.search(
+        {"geo_shape": {"box": {
+            "indexed_shape": {
+                "id": {"conv_id": ref["conv_id"], "turn_idx": ref["turn_idx"]},
+                "path": "box"},
+            "relation": "intersects"}}},
+        size=10000, derived={"box": box},
+    ).collect()
+    inline = engine.search(
+        {"geo_shape": {"box": {
+            "shape": {"type": "envelope",
+                      "coordinates": [
+                          [ref["turn_idx"] - 3.0, ref["dl"] + 2.0],
+                          [ref["turn_idx"] + 3.0, ref["dl"] - 2.0]]},
+            "relation": "intersects"}}},
+        size=10000, derived={"box": box},
+    ).collect()
+    key = lambda rows: sorted((r["conv_id"], r["turn_idx"]) for r in rows)
+    assert key(looked) == key(inline) and len(looked) > 0
+    with _pt.raises(ValueError):
+        engine.search(
+            {"geo_shape": {"box": {
+                "indexed_shape": {"id": {"conv_id": "no-such", "turn_idx": 0},
+                                  "path": "box"}}}},
+            size=5, derived={"box": box},
+        ).collect()

@@ -466,6 +466,29 @@ def test_post_filter_and_profile(engine, dm_pdf):
     assert resp["profile"]["hits"] >= len(resp["hits"]["hits"])
 
 
+def test_runtime_mappings_and_fields(engine, dm_pdf):
+    resp = restapi.search_request(
+        engine,
+        {
+            "query": {"range": {"dl2": {"gte": 100}}},
+            "size": 4,
+            "runtime_mappings": {"dl2": {"type": "long",
+                                         "script": {"source": "dl * 2"}}},
+            "fields": ["role", {"field": "dl2"}],
+            "sort": [{"dl2": "desc"}],
+            "aggs": {"m": {"max": {"field": "dl2"}}},
+        },
+    )
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 4
+    for h in hits:
+        assert h["fields"]["dl2"][0] >= 100
+        assert h["fields"]["role"][0] in ("user", "assistant", "tool")
+    assert resp["aggregations"]["m"]["value"] == dm_pdf["dl"].max() * 2
+    n_exp = int((dm_pdf["dl"] * 2 >= 100).sum())
+    assert resp["hits"]["total"]["value"] == min(n_exp, 10000)
+
+
 def test_scope_guards(engine):
     with pytest.raises(NotImplementedError):
         restapi.search_request(
