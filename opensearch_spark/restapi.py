@@ -62,7 +62,7 @@ __all__ = ["search_request", "run_aggs"]
 
 _KEYED_NESTABLE = ("terms", "histogram", "date_histogram")
 _SELECTOR_KINDS = ("filter", "filters", "missing", "range",
-                   "date_range", "ip_range")
+                   "date_range", "ip_range", "geo_distance")
 _BUCKET_KINDS = _KEYED_NESTABLE + _SELECTOR_KINDS + ("global",)
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "weighted_avg")
@@ -299,6 +299,33 @@ def _selector_conds(kind: str, spec: dict, engine):
         return [(n, pred(qd), {}) for n, qd in spec["filters"].items()]
     if kind == "missing":
         return [("", F.col(spec["field"]).isNull(), {})]
+    if kind == "geo_distance":
+        # GeoDistanceAggregationBuilder: [from, to) rings in km around
+        # an origin — haversine reuses the geo_distance QUERY's exact
+        # Catalyst expression (executor._haversine_km)
+        from opensearch_spark.query.executor import _geo_cols, _haversine_km
+
+        origin = spec["origin"]
+        lat_c, lon_c = _geo_cols(spec["field"])
+        km = _haversine_km(lat_c, lon_c,
+                           float(origin["lat"]), float(origin["lon"]))
+        out = []
+        for rng in spec["ranges"]:
+            lo, hi = rng.get("from"), rng.get("to")
+            cond = km.isNotNull()
+            extras = {}
+            if lo is not None:
+                cond = cond & (km >= float(lo))
+                extras["from"] = float(lo)
+            if hi is not None:
+                cond = cond & (km < float(hi))
+                extras["to"] = float(hi)
+            key = rng.get("key") or (
+                f"{lo if lo is not None else '*'}-"
+                f"{hi if hi is not None else '*'}"
+            )
+            out.append((key, cond, extras))
+        return out
     if kind in ("range", "date_range", "ip_range"):
         # all three are [from, to) selector families over one column;
         # date_range compares timestamps (DateRangeAggregationBuilder),

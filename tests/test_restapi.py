@@ -489,6 +489,38 @@ def test_runtime_mappings_and_fields(engine, dm_pdf):
     assert resp["hits"]["total"]["value"] == min(n_exp, 10000)
 
 
+def test_geo_distance_rings(engine, dm_pdf):
+    import numpy as np
+
+    body = {
+        "size": 0,
+        "runtime_mappings": {
+            "pt_lat": {"type": "double",
+                       "script": {"source": "(dl % 120) - 60.0"}},
+            "pt_lon": {"type": "double",
+                       "script": {"source": "(turn_idx * 7 % 300) - 150.0"}},
+        },
+        "aggs": {"rings": {"geo_distance": {
+            "field": "pt", "origin": {"lat": 10.0, "lon": 20.0},
+            "ranges": [{"to": 3000}, {"from": 3000, "to": 8000},
+                       {"from": 8000}],
+        }}},
+    }
+    a = restapi.search_request(engine, body)["aggregations"]["rings"]
+    lat = (dm_pdf["dl"] % 120 - 60.0).to_numpy()
+    lon = (dm_pdf["turn_idx"] * 7 % 300 - 150.0).to_numpy()
+    la1, lo1 = np.radians(10.0), np.radians(20.0)
+    la2, lo2 = np.radians(lat), np.radians(lon)
+    h = (np.sin((la2 - la1) / 2) ** 2
+         + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2)
+    km = 2 * 6371.0088 * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
+    exp = [int((km < 3000).sum()),
+           int(((km >= 3000) & (km < 8000)).sum()),
+           int((km >= 8000).sum())]
+    assert [b["doc_count"] for b in a["buckets"]] == exp
+    assert sum(exp) == len(dm_pdf)
+
+
 def test_scope_guards(engine):
     with pytest.raises(NotImplementedError):
         restapi.search_request(
