@@ -845,10 +845,13 @@ def test_geo_shape_parse_errors():
         Q.from_dict({"geo_shape": {"location": {"shape": {
             "type": "linestring", "coordinates": [[0, 0], [1, 1]],
         }}}})
-    with pytest.raises(NotImplementedError):
-        Q.from_dict({"geo_shape": {"location": {"indexed_shape": {
-            "index": "shapes", "id": "deu",
-        }}}})
+    # indexed_shape now PARSES (late r4: resolved plan-time by a docmap
+    # point-read, executor._resolve_indexed_shape)
+    qi = Q.from_dict({"geo_shape": {"location": {"indexed_shape": {
+        "index": "shapes", "id": "deu", "path": "box",
+    }}}})
+    assert isinstance(qi, Q.GeoShape) and qi.indexed_shape["path"] == "box"
+    assert qi.shape is None
     with pytest.raises(ValueError):
         Q.from_dict({"geo_shape": {"location": {
             "shape": {"type": "point", "coordinates": [0.0, 0.0]},
