@@ -42,8 +42,10 @@ jobs.
 Scope guards (documented, raise NotImplementedError): selector-kind
 aggs nested under selectors or carrying bucket children of their own
 (flatten via ``aggs.py`` combinators), aggregation ``filter``s that
-need postings (full-text ``match`` — term-level filters work), and
-suggest/collapse inside the body (both exist as engine/module APIs).
+need postings (full-text ``match`` — term-level filters work), collapse
+``inner_hits``, and the body completion suggester (both exist as
+engine/module APIs).  ``msearch_request`` batches bodies with per-item
+error isolation; ``count_request`` is the ``_count`` envelope.
 """
 
 from __future__ import annotations
@@ -58,7 +60,7 @@ from opensearch_spark import aggs as A
 from opensearch_spark.query import dsl as Q
 from opensearch_spark.query import painless
 
-__all__ = ["search_request", "run_aggs"]
+__all__ = ["search_request", "msearch_request", "count_request", "run_aggs"]
 
 _KEYED_NESTABLE = ("terms", "histogram", "date_histogram")
 _SELECTOR_KINDS = ("filter", "filters", "missing", "range",
@@ -1097,3 +1099,31 @@ def search_request(engine, body: dict) -> dict:
             frame, spec, engine=engine, full_frame=engine.docmap()
         )
     return resp
+
+
+def msearch_request(engine, bodies: Sequence[dict]) -> dict:
+    """``_msearch`` over full request bodies (RestMultiSearchAction /
+    MultiSearchResponse): run each body through :func:`search_request`
+    and return ``{"took": ms, "responses": [...]}`` in request order.
+    A body that raises contributes the reference's per-item error shape
+    instead of failing the batch."""
+    t0 = time.monotonic()
+    responses = []
+    for b in bodies:
+        try:
+            responses.append(search_request(engine, b))
+        except Exception as e:  # per-item isolation, like the reference
+            responses.append({"error": {
+                "type": type(e).__name__, "reason": str(e)[:500],
+            }})
+    return {"took": int((time.monotonic() - t0) * 1000),
+            "responses": responses}
+
+
+def count_request(engine, body: Optional[dict] = None) -> dict:
+    """``_count`` (RestCountAction): exact match count for the body's
+    query (default match_all), reference response shape."""
+    q = Q.from_dict((body or {}).get("query", {"match_all": {}}))
+    return {"count": int(engine.count(q)),
+            "_shards": {"total": 1, "successful": 1, "skipped": 0,
+                        "failed": 0}}

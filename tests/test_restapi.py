@@ -539,3 +539,22 @@ def test_scope_guards(engine):
                                 "aggs": {"t": {"terms": {"field": "tool"}}},
                             }}}}},
         )
+
+
+def test_msearch_and_count_envelopes(engine):
+    out = restapi.msearch_request(engine, [
+        {"query": {"match": {"text": "error"}}, "size": 2},
+        {"query": {"term": {"role": "user"}}, "size": 0,
+         "track_total_hits": True},
+        {"query": {"unknown_query_kind": {}}},           # per-item error
+    ])
+    assert len(out["responses"]) == 3
+    assert len(out["responses"][0]["hits"]["hits"]) == 2
+    assert out["responses"][1]["hits"]["total"]["relation"] == "eq"
+    assert "error" in out["responses"][2]
+
+    c = restapi.count_request(
+        engine, {"query": {"term": {"role": "user"}}}
+    )
+    assert c["count"] == out["responses"][1]["hits"]["total"]["value"]
+    assert restapi.count_request(engine)["count"] == engine.docmap().count()
