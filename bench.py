@@ -323,13 +323,32 @@ def surface_phase(spark, sf_dir: str):
     from opensearch_spark.docs_index import documents_engine
 
     documents_engine(spark, sf_dir)  # build/warm the docs index untimed
+    # warm the Python-UDF worker pool untimed: entries that tokenize via
+    # pandas UDFs (dedup/text suites) otherwise pay the one-time
+    # worker-spawn + pandas-import cost (~8s at local[32]) in their
+    # first call — the r4 artifact's dedup_ngram_jaccard 13.7s anomaly
+    # was this cost landing in a timed run on a contended box state
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("int")
+    def _warm(s: _pd.Series) -> _pd.Series:
+        return s.str.len()
+
+    spark.range(64).selectExpr("cast(id as string) s").select(
+        _warm("s")
+    ).collect()
     out = {}
     for name in SURFACE_SAMPLE:
         fn = driver_surface.QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up, untimed — same steady-state
-        t0 = time.monotonic()        # protocol as the q-set (5 runs warm)
-        fn(spark, sf_dir).collect()
-        out[name] = round(time.monotonic() - t0, 4)
+        best = None                  # min of 2 timed runs: transient
+        for _ in range(2):           # box stalls can't fake a regression
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 4)
     return out
 
 

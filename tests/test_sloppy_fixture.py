@@ -242,6 +242,142 @@ def test_krow_batch_trace_parity():
     assert ran
 
 
+from opensearch_spark.query.executor import _sloppy_freq_rpt_flat
+
+
+def _rpt_flat(docs_per_unique):
+    """Flat (flats, offs, lens) layout from per-unique-term per-doc
+    position lists (the mapInArrow _list_col_runs contract)."""
+    u = len(docs_per_unique)
+    nd = len(docs_per_unique[0])
+    lens = np.empty((nd, u), np.int64)
+    offs = np.empty((nd, u), np.int64)
+    flats = []
+    for c in range(u):
+        lc = np.fromiter(
+            (len(a) for a in docs_per_unique[c]), dtype=np.int64, count=nd
+        )
+        lens[:, c] = lc
+        offs[:, c] = np.concatenate(([0], np.cumsum(lc)[:-1]))
+        flats.append(
+            np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in docs_per_unique[c]]
+            )
+            if lc.sum()
+            else np.zeros(0, np.int64)
+        )
+    return flats, offs, lens
+
+
+@given(
+    docs=st.lists(st.tuples(_poslist, _poslist), min_size=1, max_size=10),
+    slop=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_rpt_flat_aba_equals_scalar(docs, slop):
+    """The collision-aware lockstep kernel is value-identical to the
+    scalar matcher for the phrase ["a", "b", "a"] (one repeat group)
+    on arbitrary position sets."""
+    flats, offs, lens = _rpt_flat(
+        [[d[0] for d in docs], [d[1] for d in docs]]
+    )
+    got = _sloppy_freq_rpt_flat(flats, offs, lens, slop, [0, 1, 0])
+    for k, (a, b) in enumerate(docs):
+        pos = {
+            "a": np.asarray(a, dtype=np.int64),
+            "b": np.asarray(b, dtype=np.int64),
+        }
+        want = _sloppy_freq(pos, ["a", "b", "a"], slop)
+        assert got[k] == pytest.approx(want, abs=1e-12), (
+            f"doc {k}: rpt kernel {got[k]} != scalar {want} "
+            f"(a={list(a)}, b={list(b)}, slop={slop})"
+        )
+
+
+@given(
+    docs=st.lists(_poslist, min_size=1, max_size=12),
+    slop=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_rpt_flat_aa_equals_scalar(docs, slop):
+    """Identity for the pure-repeat phrase ["a", "a"] — the
+    stopword-heavy '"the the"~N' shape the kernel exists for."""
+    flats, offs, lens = _rpt_flat([docs])
+    got = _sloppy_freq_rpt_flat(flats, offs, lens, slop, [0, 0])
+    for k, a in enumerate(docs):
+        want = _sloppy_freq(
+            {"a": np.asarray(a, dtype=np.int64)}, ["a", "a"], slop
+        )
+        assert got[k] == pytest.approx(want, abs=1e-12), (
+            f"doc {k}: {got[k]} != {want} (a={list(a)}, slop={slop})"
+        )
+
+
+@given(
+    docs=st.lists(st.tuples(_poslist, _poslist), min_size=1, max_size=8),
+    slop=st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_rpt_flat_abab_equals_scalar(docs, slop):
+    """Identity for ["a", "b", "a", "b"] — two interacting repeat
+    groups (deeper collision chains + queue re-pops)."""
+    flats, offs, lens = _rpt_flat(
+        [[d[0] for d in docs], [d[1] for d in docs]]
+    )
+    got = _sloppy_freq_rpt_flat(flats, offs, lens, slop, [0, 1, 0, 1])
+    for k, (a, b) in enumerate(docs):
+        pos = {
+            "a": np.asarray(a, dtype=np.int64),
+            "b": np.asarray(b, dtype=np.int64),
+        }
+        want = _sloppy_freq(pos, ["a", "b", "a", "b"], slop)
+        assert got[k] == pytest.approx(want, abs=1e-12)
+
+
+@given(
+    docs=st.lists(st.tuples(_poslist, _poslist), min_size=1, max_size=8),
+    slop=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_rpt_flat_aab_equals_scalar(docs, slop):
+    """Identity for ["a", "a", "b"] — repeat group first, distinct
+    term after (collision resolution at setup time)."""
+    flats, offs, lens = _rpt_flat(
+        [[d[0] for d in docs], [d[1] for d in docs]]
+    )
+    got = _sloppy_freq_rpt_flat(flats, offs, lens, slop, [0, 0, 1])
+    for k, (a, b) in enumerate(docs):
+        pos = {
+            "a": np.asarray(a, dtype=np.int64),
+            "b": np.asarray(b, dtype=np.int64),
+        }
+        want = _sloppy_freq(pos, ["a", "a", "b"], slop)
+        assert got[k] == pytest.approx(want, abs=1e-12)
+
+
+def test_rpt_flat_trace_parity():
+    """The repeat kernel reproduces every repeated-term hand-traced
+    Lucene row."""
+    cases = [
+        (t, terms, slop, want)
+        for t, terms, slop, want in LUCENE_TRACES
+        if len(set(terms)) < len(terms)
+    ]
+    assert cases
+    ran = 0
+    for text, terms, slop, want in cases:
+        uterms = sorted(set(terms))
+        slot_term = [uterms.index(t) for t in terms]
+        arrs = [_positions(text, t) for t in uterms]
+        if any(a.size == 0 for a in arrs):
+            continue
+        flats, offs, lens = _rpt_flat([[a] for a in arrs])
+        got = _sloppy_freq_rpt_flat(flats, offs, lens, slop, slot_term)[0]
+        assert got == pytest.approx(want, abs=1e-12), (terms, slop)
+        ran += 1
+    assert ran
+
+
 # ------------------------------------------------------- ordered intervals
 
 from opensearch_spark.query.executor import (
