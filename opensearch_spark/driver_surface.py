@@ -5362,6 +5362,35 @@ SELECT 'ds_boost' AS op, doc_id, score FROM (
     + "\nUNION ALL\n"
     + _sql_match_over(_LC_Q, 1, 10, "upd_doc_match", p="u",
                       flt="AND doc_id >= 0")
+    # r5 dynamic mapping inference: the expected flat (path -> type)
+    # rows, with DATA-DEPENDENT branches — `num` is float only because
+    # some doc has doc_id%17==3 (long∪float widening) and `extra`
+    # exists only where some doc has doc_id%5==0 (presence inference)
+    + """
+UNION ALL
+SELECT 'dyn_mapping' AS op, doc_id, score FROM (
+  SELECT CAST(1 AS BIGINT) AS doc_id, 1.0 AS score              -- doc_id: long
+  UNION ALL SELECT 2, 5.0 WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 5 = 0)  -- extra: text
+  UNION ALL SELECT 3, 3.0                                       -- flag: boolean
+  UNION ALL SELECT 4, 5.0                                       -- lang: text
+  UNION ALL SELECT 5, 5.0                                       -- meta.k: text
+  UNION ALL SELECT 6, 1.0                                       -- n_chars: long
+  UNION ALL SELECT 7, CASE WHEN EXISTS (SELECT 1 FROM documents WHERE doc_id % 17 = 3)
+                           THEN 2.0 ELSE 1.0 END                -- num: long∪float
+  UNION ALL SELECT 8, 5.0                                       -- text: text
+  UNION ALL SELECT 9, 4.0                                       -- ts: date
+)
+UNION ALL
+"""
+    # dyn_search: typed filters over the INFERRED fields (range on the
+    # inferred float `num`, term on the inferred boolean `flag`, range
+    # on the inferred DATE `ts` post-conversion) under a scored match —
+    # filters don't touch scores, so the oracle is the full-corpus
+    # match restricted by the equivalent arithmetic predicates
+    + _sql_match_over(
+        _LC_Q, 1, 10, "dyn_search", p="",
+        flt="AND doc_id % 3 = 0 AND doc_id >= 50 AND (doc_id % 28) + 1 >= 20",
+    )
     + "\nORDER BY op, score DESC, doc_id ASC",
 )
 def lifecycle_suite(spark, sf_dir):
@@ -5552,6 +5581,70 @@ def lifecycle_suite(spark, sf_dir):
     )
     h = lc_topk(SearchEngine(InvertedIndex(spark, upd_dir)), q)
 
+    # r5 — DYNAMIC MAPPING INFERENCE (index/mapping.py;
+    # DocumentParser.java:711-829 createBuilderFromDynamicValue +
+    # :534-566 dynamic modes): the corpus re-serialized as RAW JSON
+    # with deliberately mixed value shapes (mostly-long `num` widened
+    # to float by the doc_id%17==3 docs, sometimes-present `extra`,
+    # boolean `flag`, ISO-date `ts`, nested `meta.k`), inferred
+    # distributively, then built into a typed index whose INFERRED
+    # fields answer range/term/date filters under a scored match.
+    from opensearch_spark.index import mapping as dynmap
+
+    src = docs.select("doc_id", "text", "lang", "n_chars")
+    jdf = src.select(
+        F.concat(
+            F.lit('{"num": '),
+            F.when(
+                F.col("doc_id") % 17 == 3,
+                F.concat(F.col("doc_id").cast("string"), F.lit(".5")),
+            ).otherwise(F.col("doc_id").cast("string")),
+            F.lit(', "flag": '),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("true")).otherwise(
+                F.lit("false")
+            ),
+            F.lit(', "ts": "2024-01-'),
+            F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            F.lit('"'),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(', "extra": "only sometimes"')
+            ).otherwise(F.lit("")),
+            F.lit(', "meta": {"k": "v'),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit('"}, '),
+            F.expr("substring(to_json(struct(doc_id, text, lang, n_chars)), 2)"),
+        ).alias("_source")
+    )
+    jdir = os.path.join(root, "json")
+    _, mm = dynmap.create_index_from_json(
+        spark, jdf, jdir, id_fields=("doc_id",),
+        config=IndexConfig(n_segments=4, routing_col="doc_id",
+                           dictionary_partitions=2),
+    )
+    # flat (path -> type) rows under fixed path ids / type codes; an
+    # unexpected path or type lands as 99 and hash-mismatches
+    _PATH_ID = {"doc_id": 1, "extra": 2, "flag": 3, "lang": 4, "meta.k": 5,
+                "n_chars": 6, "num": 7, "text": 8, "ts": 9}
+    _TYPE_CODE = {"long": 1.0, "float": 2.0, "boolean": 3.0, "date": 4.0,
+                  "text": 5.0}
+    mrows = [
+        (_PATH_ID.get(p, 99), _TYPE_CODE.get(s["type"], 99.0))
+        for p, s in mm.flat().items()
+    ]
+    m_ = spark.createDataFrame(mrows, "doc_id bigint, score double")
+    eng_j = SearchEngine(InvertedIndex(spark, jdir))
+    n_ = lc_topk(
+        eng_j,
+        {"bool": {
+            "must": [{"match": {"text": {"query": "spark join"}}}],
+            "filter": [
+                {"range": {"num": {"gte": 50}}},
+                {"term": {"flag": True}},
+                {"range": {"ts": {"gte": "2024-01-20"}}},
+            ],
+        }},
+    )
+
     return _union(
         _tag(a, "post_delete", "doc_id", "score"),
         _tag(ar, "post_restore", "doc_id", "score"),
@@ -5563,6 +5656,8 @@ def lifecycle_suite(spark, sf_dir):
         _tag(g, "ds_search", "doc_id", "score"),
         _tag(gb, "ds_boost", "doc_id", "score"),
         _tag(h, "upd_doc_match", "doc_id", "score"),
+        _tag(m_, "dyn_mapping", "doc_id", "score"),
+        _tag(n_, "dyn_search", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 

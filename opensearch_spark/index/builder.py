@@ -346,6 +346,13 @@ def _invert_segment(
     out = pd.concat(frames, ignore_index=True).reindex(columns=out_cols)
     for col, dt in _PD_DTYPES.items():
         out[col] = out[col].astype(dt)
+    # object-dtype doc columns (struct/array fields from a typed JSON
+    # mapping) must carry real None where the posting/manifest rows left
+    # them absent: concat fills the gaps with float NaN, and Arrow's
+    # struct converter can't iterate a NaN
+    for col in out.columns:
+        if out[col].dtype == object:
+            out[col] = out[col].where(out[col].notna(), None)
     return out
 
 

@@ -1,0 +1,274 @@
+"""Dynamic mapping inference (index/mapping.py) vs the reference's
+DocumentParser.createBuilderFromDynamicValue semantics
+(DocumentParser.java:711-829, :534-566, :228-246)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.index import mapping as M
+
+
+# ------------------------------------------------------------ scalar rules
+
+
+def test_scalar_inference_reference_table():
+    # DocumentParser.java:783-801: int-family -> long, float-family ->
+    # float; :803-806 boolean; :716-781 strings
+    assert M._infer_scalar(3) == {"type": "long"}
+    assert M._infer_scalar(3.5) == {"type": "float"}
+    assert M._infer_scalar(True) == {"type": "boolean"}
+    assert M._infer_scalar(None) is None
+    t = M._infer_scalar("hello world")
+    assert t["type"] == "text"
+    assert t["fields"]["keyword"] == {"type": "keyword", "ignore_above": 256}
+
+
+def test_string_numeric_detection_off_by_default():
+    # numeric_detection defaults OFF (RootObjectMapper) -> "42" is text
+    assert M._infer_scalar("42")["type"] == "text"
+    assert M._infer_scalar("42", numeric_detection=True) == {"type": "long"}
+    assert M._infer_scalar("4.25", numeric_detection=True) == {"type": "float"}
+
+
+def test_date_detection_formats_and_pure_number_refusal():
+    # DocumentParser.java:747-751 — refuse pure numbers as dates
+    assert M._infer_scalar("2024")["type"] == "text"
+    d = M._infer_scalar("2024-03-05")
+    assert d == {"type": "date", "format": "strict_date_optional_time"}
+    assert M._infer_scalar("2024-03-05T10:11:12.5Z")["type"] == "date"
+    assert M._infer_scalar("2024/03/05") == {"type": "date", "format": "yyyy/MM/dd"}
+    assert (
+        M._infer_scalar("2024/03/05 10:11:12")["format"] == "yyyy/MM/dd HH:mm:ss"
+    )
+    # detection off -> text
+    assert M._infer_scalar("2024-03-05", date_detection=False)["type"] == "text"
+    # non-date strings stay text
+    assert M._infer_scalar("2024-13-99x")["type"] == "text"
+
+
+# ------------------------------------------------------------ union lattice
+
+
+def test_union_lattice():
+    j = lambda a, b: M._join_specs({"type": a}, {"type": b}, "f")["type"]
+    assert j("long", "float") == "float"
+    assert j("float", "long") == "float"
+    assert j("long", "text") == "text"
+    assert j("date", "text") == "text"
+    assert j("boolean", "text") == "text"
+    for a, b in [("boolean", "long"), ("date", "long"), ("boolean", "date")]:
+        with pytest.raises(M.MappingConflictError):
+            j(a, b)
+
+
+def test_object_scalar_conflict_and_object_merge():
+    o = {"type": "object", "properties": {"a": {"type": "long"}}}
+    with pytest.raises(M.MappingConflictError):
+        M._join_specs(o, {"type": "long"}, "f")
+    o2 = {"type": "object", "properties": {"a": {"type": "float"},
+                                           "b": {"type": "boolean"}}}
+    out = M._join_specs(o, o2, "f")
+    assert out["properties"]["a"]["type"] == "float"
+    assert out["properties"]["b"]["type"] == "boolean"
+
+
+def test_date_format_union():
+    a = {"type": "date", "format": "strict_date_optional_time"}
+    b = {"type": "date", "format": "yyyy/MM/dd"}
+    assert M._join_specs(a, b, "f")["format"] == (
+        "strict_date_optional_time||yyyy/MM/dd"
+    )
+
+
+# ------------------------------------------------------------ per-doc walk
+
+
+def test_infer_doc_nested_arrays_nulls():
+    props = M.infer_doc(
+        {
+            "n": 7,
+            "x": 1.25,
+            "ok": False,
+            "ts": "2024-01-02",
+            "note": "free text",
+            "gone": None,
+            "tags": ["a", "b"],
+            "nums": [1, 2.5],
+            "meta": {"k": "v", "depth": {"z": 9}},
+            "objs": [{"u": 1}, {"w": "s"}],
+        }
+    )
+    assert props["n"] == {"type": "long"}
+    assert props["x"] == {"type": "float"}
+    assert props["ok"] == {"type": "boolean"}
+    assert props["ts"]["type"] == "date"
+    assert props["note"]["type"] == "text"
+    assert "gone" not in props  # null never creates a mapping
+    assert props["tags"]["type"] == "text" and props["tags"]["_array"]
+    assert props["nums"] == {"type": "float", "_array": True}  # long∪float
+    assert props["meta"]["type"] == "object"
+    assert props["meta"]["properties"]["depth"]["properties"]["z"]["type"] == "long"
+    op = props["objs"]
+    assert op["_array"] and op["properties"]["u"]["type"] == "long"
+    assert op["properties"]["w"]["type"] == "text"
+
+
+# ------------------------------------------------------------ dynamic modes
+
+
+def _m(dynamic):
+    return M.Mappings({"known": {"type": "long"}}, dynamic)
+
+
+def test_dynamic_true_false_strict():
+    new = {"known": {"type": "long"}, "fresh": {"type": "boolean"}}
+    assert "fresh" in _m("true").merge(new).properties
+    # false: new path dropped, known kept
+    f = _m("false").merge(new)
+    assert "fresh" not in f.properties and "known" in f.properties
+    with pytest.raises(M.StrictDynamicMappingError):
+        _m("strict").merge(new)
+    # strict with only known paths is fine
+    assert _m("strict").merge({"known": {"type": "long"}}).properties
+
+
+def test_merge_type_change_rejected():
+    with pytest.raises(M.MappingConflictError):
+        _m("true").merge({"known": {"type": "boolean"}})
+
+
+# ------------------------------------------------------------ views
+
+
+def test_to_dict_strips_internal_and_flat_paths():
+    props = M.infer_doc({"a": [1], "o": {"b": "x"}})
+    mm = M.Mappings(props)
+    d = mm.to_dict()
+    assert "_array" not in json.dumps(d)
+    assert d["properties"]["a"] == {"type": "long"}
+    flat = mm.flat()
+    assert flat["o.b"]["type"] == "text"
+    assert "o" not in flat
+
+
+def test_spark_schema_types():
+    mm = M.Mappings(
+        M.infer_doc({"n": 1, "x": 1.5, "b": True, "ts": "2024-01-01",
+                     "s": "t", "arr": [1], "o": {"k": "v"}})
+    )
+    sch = mm.spark_schema()
+    by = {f.name: f.dataType.simpleString() for f in sch.fields}
+    assert by == {
+        "n": "bigint", "x": "double", "b": "boolean", "ts": "string",
+        "s": "string", "arr": "array<bigint>", "o": "struct<k:string>",
+    }
+
+
+# ------------------------------------------------------------ distributed
+
+
+@pytest.fixture(scope="module")
+def jdocs(spark):
+    rows = []
+    for i in range(200):
+        d = {"doc_id": i, "text": f"alpha beta doc {i}", "n": i}
+        if i % 17 == 3:
+            d["num"] = i + 0.5  # forces float by widening
+        else:
+            d["num"] = i
+        if i % 5 == 0:
+            d["extra"] = "only sometimes"
+        d["flag"] = i % 3 == 0
+        d["ts"] = f"2024-01-{(i % 28) + 1:02d}"
+        d["meta"] = {"k": f"v{i % 4}"}
+        rows.append((json.dumps(d),))
+    return spark.createDataFrame(rows, "j string")
+
+
+def test_infer_mappings_distributed_matches_local(spark, jdocs):
+    mm = M.infer_mappings(jdocs, json_col="j")
+    # local re-derivation over the same docs
+    acc = {}
+    for r in jdocs.collect():
+        acc = M.merge_properties(acc, M.infer_doc(json.loads(r["j"])))
+    assert mm.to_dict() == M.Mappings(acc).to_dict()
+    flat = mm.flat()
+    assert flat["doc_id"]["type"] == "long"
+    assert flat["num"]["type"] == "float"      # widened by i%17==3 docs
+    assert flat["extra"]["type"] == "text"     # present in some docs only
+    assert flat["flag"]["type"] == "boolean"
+    assert flat["ts"]["type"] == "date"
+    assert flat["meta.k"]["type"] == "text"
+
+
+def test_infer_partition_order_independent(spark, jdocs):
+    a = M.infer_mappings(jdocs.repartition(13), json_col="j").to_dict()
+    b = M.infer_mappings(jdocs.coalesce(1), json_col="j").to_dict()
+    assert a == b
+
+
+# ------------------------------------------------------------ end-to-end
+
+
+def test_create_from_json_typed_queries(spark, jdocs, tmp_path):
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+    from opensearch_spark.index.builder import IndexConfig
+
+    d = str(tmp_path / "jsonidx")
+    _, mm = M.create_index_from_json(
+        spark, jdocs, d, json_col="j", id_fields=("doc_id",),
+        config=IndexConfig(n_segments=2, dictionary_partitions=1),
+    )
+    assert mm.flat()["text"]["type"] == "text"
+    eng = SearchEngine(InvertedIndex(spark, d))
+    # typed range over the INFERRED long field
+    hits = eng.search(
+        {"bool": {"filter": [{"range": {"n": {"gte": 190}}}],
+                  "must": [{"match": {"text": "alpha"}}]}},
+        size=100,
+    ).collect()
+    assert sorted(r["doc_id"] for r in hits) == list(range(190, 200))
+    # term over the inferred boolean field
+    cnt = eng.search(
+        {"bool": {"filter": [{"term": {"flag": True}}],
+                  "must": [{"match": {"text": "alpha"}}]}},
+        size=1000,
+    ).count()
+    assert cnt == len([i for i in range(200) if i % 3 == 0])
+    # date range over the inferred (converted) timestamp field
+    dr = eng.search(
+        {"bool": {"filter": [{"range": {"ts": {"gte": "2024-01-27"}}}],
+                  "must": [{"match": {"text": "alpha"}}]}},
+        size=1000,
+    ).count()
+    assert dr == len([i for i in range(200) if (i % 28) + 1 >= 27])
+    # GET _mapping round-trips
+    got = M.get_mapping(d)
+    assert got == mm.to_dict()
+
+
+def test_append_strict_and_false_modes(spark, tmp_path):
+    base = [(json.dumps({"doc_id": i, "text": f"t {i}", "n": i}),)
+            for i in range(10)]
+    extra = [(json.dumps({"doc_id": 99, "text": "t 99", "n": 99,
+                          "rogue": "x"}),)]
+    bdf = spark.createDataFrame(base, "j string")
+    edf = spark.createDataFrame(extra, "j string")
+    mm = M.infer_mappings(bdf, json_col="j")
+    # strict: the appended batch introduces `rogue` -> rejected
+    with pytest.raises(M.StrictDynamicMappingError):
+        M.Mappings(mm.properties, "strict").merge(
+            M.infer_mappings(edf, json_col="j").properties
+        )
+    # false: rogue dropped from mapping AND from the typed frame
+    m2 = M.Mappings(mm.properties, "false").merge(
+        M.infer_mappings(edf, json_col="j").properties
+    )
+    assert "rogue" not in m2.properties
+    typed = M.typed_frame(edf, m2, json_col="j")
+    assert "rogue" not in typed.columns
+    # ...but it survives verbatim in _source
+    assert json.loads(typed.collect()[0]["_source"])["rogue"] == "x"
