@@ -23,7 +23,7 @@ from opensearch_spark.query.executor import SearchEngine
 
 # bump when index layout or the derived-docs shape changes: stale cached
 # indexes are keyed away instead of misread
-_LAYOUT_VERSION = "v7"
+_LAYOUT_VERSION = "v8"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

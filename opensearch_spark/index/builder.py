@@ -506,6 +506,11 @@ def build_index(
             F.sum("sum_tf").cast("long").alias("total_tf"),
             F.count(F.lit(1)).cast("int").alias("n_blocks"),
         )
+        # materialized term length: fuzzy expansion's |len(term)-len(q)|
+        # <= d band becomes a pushable int comparison with parquet
+        # row-group min/max stats — the cheap analog of Lucene's
+        # Levenshtein-automaton dictionary walk (FuzzyTermsEnum)
+        .withColumn("tlen", F.length("term").cast("int"))
         .repartitionByRange(cfg.dictionary_partitions, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")

@@ -176,6 +176,10 @@ class InvertedIndex:
                 F.sum("total_tf").cast("long").alias("total_tf"),
                 F.sum("n_blocks").cast("int").alias("n_blocks"),
             )
+        if "tlen" not in d.columns:
+            # pre-tlen layouts and incremental delta aggregates: derive
+            # the length column (no row-group stats, semantics identical)
+            d = d.withColumn("tlen", F.length("term").cast("int"))
         return d
 
     # ---- query-side helpers ----

@@ -3709,17 +3709,17 @@ class SearchEngine:
 
     def _expand_fuzzy(self, q: Q.Fuzzy) -> List[str]:
         """Levenshtein dictionary expansion, AUTO fuzziness from length
-        (MatchQueryBuilder.java:100-104), df-desc/term-asc cap order."""
-        v = q.value
-        d = q.fuzziness
-        if d is None:  # AUTO
-            d = 0 if len(v) < 3 else (1 if len(v) <= 5 else 2)
-        cond = F.levenshtein(F.col("term"), F.lit(v)) <= F.lit(int(d))
-        if q.prefix_length:
-            cond = cond & F.col("term").startswith(v[: q.prefix_length])
+        (MatchQueryBuilder.java:100-104), df-desc/term-asc cap order.
+
+        Pushdown (the cheap analog of Lucene's FuzzyTermsEnum automaton
+        walk): the length band ``|len(term) - len(q)| <= d`` — a
+        necessary condition for edit distance d — and the
+        ``prefix_length`` prefix are plain comparisons on materialized
+        columns, so Catalyst pushes them into the dictionary parquet
+        scan (row-group stats prune before any levenshtein evaluates);
+        the Levenshtein predicate then runs only on surviving rows."""
         rows = (
-            self.index.dictionary()
-            .filter(cond)
+            self._expansion_frame(q)
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(q.max_expansions)
             .collect()
@@ -4202,19 +4202,58 @@ class SearchEngine:
             )
         raise ValueError(f"unknown multi-term span source marker: {m}")
 
-    def _expand_terms(self, q) -> List[str]:
-        """Multi-term query: expand against the term dictionary
-        (constant-score rewrite, SURVEY.md §2.2)."""
+    def _expansion_frame(self, q) -> DataFrame:
+        """The filtered dictionary frame behind every multi-term
+        expansion — kept separate so the plan gates can assert the
+        pushdown shape.
+
+        Pushdown design (the cheap analog of Lucene's automaton
+        dictionary walks — FuzzyTermsEnum, WildcardQuery ->
+        Automata.getCommonPrefix FST seek): the dictionary parquet is
+        range-partitioned + sorted by ``term`` with a materialized
+        ``tlen`` length column, so (a) any literal prefix becomes a
+        pushable StartsWith whose row-group min/max term stats prune
+        the scan, and (b) fuzzy's ``|len(term)-len(q)| <= d`` length
+        band — a necessary condition for edit distance d — is a
+        pushable int comparison; the expensive levenshtein / LIKE /
+        regexp only evaluates on surviving rows."""
         d = self.index.dictionary()
         if isinstance(q, Q.Prefix):
             cond = F.col("term").startswith(q.value)
         elif isinstance(q, Q.Wildcard):
             cond = F.col("term").like(_wildcard_to_like(q.value))
+            pfx = _literal_prefix(q.value, "*?\\")
+            if pfx:
+                cond = F.col("term").startswith(pfx) & cond
         elif isinstance(q, Q.Regexp):
             cond = F.col("term").rlike(f"^(?:{q.value})$")
+            pfx = _literal_prefix(q.value, ".?*+{}[]()|\\^$", quantified=True)
+            if pfx:
+                cond = F.col("term").startswith(pfx) & cond
+        elif isinstance(q, Q.Fuzzy):
+            v = q.value
+            dist = q.fuzziness
+            if dist is None:  # AUTO (MatchQueryBuilder.java:100-104)
+                dist = 0 if len(v) < 3 else (1 if len(v) <= 5 else 2)
+            cond = (
+                F.col("tlen").between(len(v) - int(dist), len(v) + int(dist))
+                & (F.levenshtein(F.col("term"), F.lit(v)) <= F.lit(int(dist)))
+            )
+            if q.prefix_length:
+                cond = cond & F.col("term").startswith(v[: q.prefix_length])
         else:
             raise TypeError(type(q))
-        rows = d.filter(cond).select("term").limit(MAX_TERM_EXPANSIONS).collect()
+        return d.filter(cond)
+
+    def _expand_terms(self, q) -> List[str]:
+        """Multi-term query: expand against the term dictionary
+        (constant-score rewrite, SURVEY.md §2.2)."""
+        rows = (
+            self._expansion_frame(q)
+            .select("term")
+            .limit(MAX_TERM_EXPANSIONS)
+            .collect()
+        )
         return [r["term"] for r in rows]
 
     # ------------------------------------------------------------- helpers
@@ -4256,6 +4295,27 @@ def _null_safe(pred: Column) -> Column:
     """SQL three-valued logic -> the reference's match/no-match semantics:
     a doc with a null field simply does not match."""
     return F.coalesce(pred, F.lit(False))
+
+
+def _literal_prefix(pattern: str, meta: str, quantified: bool = False) -> str:
+    """Longest leading literal run of a wildcard/regexp pattern — the
+    pushdown analog of Lucene's ``Automata.getCommonPrefix`` seek.
+
+    Conservative by construction: any ``|`` anywhere kills the prefix
+    (top-level alternation may bypass it); with ``quantified`` (regexp
+    syntax) a quantifier metachar (``* + ? {``) also drops the literal
+    it modifies; a backslash stops the scan (escape handling not worth
+    the risk)."""
+    if "|" in pattern:
+        return ""
+    out: List[str] = []
+    for ch in pattern:
+        if ch in meta:
+            if quantified and ch in "*+?{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
 
 
 def _wildcard_to_like(pattern: str) -> str:

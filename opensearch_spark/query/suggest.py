@@ -40,7 +40,14 @@ def term_suggest(
     parts = []
     for tok in dict.fromkeys(targets):
         cand = (
-            d.withColumn("distance", F.levenshtein(F.col("term"), F.lit(tok)))
+            # tlen band first: |len(term)-len(tok)| <= max_edits is a
+            # necessary condition for the edit distance, and it's a
+            # pushable int comparison (parquet row-group pruning before
+            # any levenshtein evaluates)
+            d.filter(
+                F.col("tlen").between(len(tok) - max_edits, len(tok) + max_edits)
+            )
+            .withColumn("distance", F.levenshtein(F.col("term"), F.lit(tok)))
             .filter(
                 (F.col("distance") <= max_edits) & (F.col("distance") > 0)
             )
@@ -293,6 +300,9 @@ def phrase_suggest(
             continue
         rows = (
             index.dictionary()
+            .filter(
+                F.col("tlen").between(len(tok) - max_edits, len(tok) + max_edits)
+            )
             .withColumn("distance", F.levenshtein(F.col("term"), F.lit(tok)))
             .filter(F.col("distance") <= max_edits)
             .orderBy(F.desc("df"), F.asc("term"))
@@ -505,6 +515,9 @@ def _draw_candidates(
         .filter(
             (F.substring("term", 1, prefix_length) == F.col("pfx"))
             & (F.col("term") != F.col("tok"))
+            # length band: necessary for lev <= max_edits, evaluated
+            # before the levenshtein on the broadcast-joined candidates
+            & (F.abs(F.col("tlen") - F.col("tok_len")) <= F.lit(max_edits))
         )
         .withColumn("lev", lev)
         .filter((F.col("lev") > 0) & (F.col("lev") <= max_edits))

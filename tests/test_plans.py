@@ -373,3 +373,58 @@ def test_routed_search_prunes_segment(engine):
             assert v == pytest.approx(expected[k], rel=1e-9)
     # and the top routed hits are exactly the segment's unrouted hits
     assert set(expected) <= set(routed) or len(routed) == 50
+
+
+def test_fuzzy_length_band_pushdown(engine):
+    """Fuzzy expansion must push the |len(term)-len(q)| <= d band and
+    any prefix_length prefix into the dictionary parquet scan, and the
+    band must not change the expanded term set (it is a necessary
+    condition for the edit distance)."""
+    from opensearch_spark.query import dsl as Q
+
+    q = Q.Fuzzy("text", "erorr", fuzziness=2, prefix_length=1)
+    frame = engine._expansion_frame(q)
+    plan = _formatted(frame)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = pushed[0].replace(" ", "")
+    assert "GreaterThanOrEqual(tlen" in line, line
+    assert "LessThanOrEqual(tlen" in line, line
+    assert "StringStartsWith(term,e)" in line, line
+    # band == no-band results
+    got = sorted(r["term"] for r in frame.collect())
+    unbanded = sorted(
+        r["term"]
+        for r in engine.index.dictionary()
+        .filter(
+            (F.levenshtein(F.col("term"), F.lit("erorr")) <= 2)
+            & F.col("term").startswith("e")
+        )
+        .collect()
+    )
+    assert got == unbanded and got, got
+
+
+def test_wildcard_regexp_literal_prefix_pushdown(engine):
+    """Wildcard/regexp with a literal prefix must push a StartsWith
+    into the dictionary scan (the FST common-prefix seek analog) with
+    the full pattern still applied on survivors."""
+    from opensearch_spark.query import dsl as Q
+    from opensearch_spark.query.executor import _literal_prefix
+
+    # prefix extraction unit semantics
+    assert _literal_prefix("err*", "*?\\") == "err"
+    assert _literal_prefix("er?or", "*?\\") == "er"
+    assert _literal_prefix("err.*", ".?*+{}[]()|\\^$", quantified=True) == "err"
+    # a regexp quantifier modifies the previous literal -> dropped
+    assert _literal_prefix("errk*", ".?*+{}[]()|\\^$", quantified=True) == "err"
+    # alternation anywhere kills the prefix (may bypass the head)
+    assert _literal_prefix("err|ok", ".?*+{}[]()|\\^$", quantified=True) == ""
+
+    for q in (Q.Wildcard("text", "err*r"), Q.Regexp("text", "err[aeiou]r")):
+        frame = engine._expansion_frame(q)
+        plan = _formatted(frame)
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert pushed, plan
+        assert "StringStartsWith(term,err)" in pushed[0].replace(" ", ""), pushed[0]
+        assert frame.count() > 0  # the corpus has err* terms ("error")
