@@ -1651,13 +1651,41 @@ __r7h AS (SELECT 'q7_hist' AS query_id,
                  CAST(FLOOR(d.n_chars / 100.0) * 100 AS BIGINT) AS doc_id,
                  CAST(COUNT(*) AS DOUBLE) AS score
           FROM __docs d JOIN __q7m m ON m.doc_id = d.doc_id
-          GROUP BY 2)
+          GROUP BY 2),
+__c1s AS (SELECT c.doc_id, c.sc, ROUND(c.sc, 4) AS score, d.source
+          FROM __c1 c JOIN __docs d ON d.doc_id = c.doc_id),
+__c1rk AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY sc DESC, doc_id ASC) AS rk
+           FROM __c1s),
+__q8top AS (SELECT source, doc_id, score FROM __c1rk WHERE rk = 1),
+__r8 AS (SELECT 'q8_collapse' AS query_id, doc_id, score FROM __q8top),
+__r8i AS (SELECT 'q8_inner' AS query_id, doc_id, CAST(irk AS DOUBLE) AS score
+          FROM (SELECT b.doc_id, ROW_NUMBER() OVER (
+                  PARTITION BY b.source ORDER BY b.doc_id ASC) AS irk
+                FROM __c1s b JOIN __q8top t ON t.source = b.source)
+          WHERE irk <= 2),
+__r9 AS (SELECT 'q9_completion' AS query_id,
+                ROW_NUMBER() OVER (ORDER BY w DESC, source ASC) AS doc_id,
+                CAST(w AS DOUBLE) AS score
+         FROM (SELECT source, MAX(n_chars) AS w FROM documents
+               GROUP BY source)),
+__r10 AS (
+  SELECT 'q10_outer' AS query_id, COUNT(*) AS doc_id,
+         CAST(1.0 AS DOUBLE) AS score
+  FROM documents WHERE source = 'src1'
+  UNION ALL
+  SELECT 'q10_selsel', COUNT(*),
+         COALESCE(ROUND(AVG(CAST(n_chars AS DOUBLE)), 4), -1.0)
+  FROM documents WHERE source = 'src1' AND n_chars >= 200
+)
 SELECT * FROM __r1 UNION ALL SELECT * FROM __r2
 UNION ALL SELECT * FROM __r3 UNION ALL SELECT * FROM __r4
 UNION ALL SELECT * FROM __r5 UNION ALL SELECT * FROM __r6
 UNION ALL SELECT * FROM __r7 UNION ALL SELECT * FROM __r7t
 UNION ALL SELECT * FROM __r7a UNION ALL SELECT * FROM __r7l
-UNION ALL SELECT * FROM __r7h""",
+UNION ALL SELECT * FROM __r7h
+UNION ALL SELECT * FROM __r8 UNION ALL SELECT * FROM __r8i
+UNION ALL SELECT * FROM __r9 UNION ALL SELECT * FROM __r10""",
 )
 def ft_msearch(spark, sf_dir):
     """``_msearch`` batching: independent queries unioned with a
@@ -1762,12 +1790,68 @@ def ft_msearch(spark, sf_dir):
     e = spark.createDataFrame(
         body_rows, "query_id string, doc_id long, score double"
     )
+    # r5 guard lifts under the oracle: collapse + inner_hits in the
+    # body (CollapseBuilder + InnerHitBuilder — one window for the
+    # best-per-group page, one for the per-group top-2 expansion), the
+    # body completion suggester (CompletionSuggestionBuilder — table
+    # from the source column, weights = n_chars, skip_duplicates keeps
+    # the max-weight entry), and selector-in-selector aggregation
+    # nesting (filter > filter > avg as AND-masked conditional
+    # aggregates in ONE pass)
+    r8 = restapi.search_request(
+        eng,
+        {"query": {"match": {"text": "spark join"}},
+         "size": 100, "_source": ["doc_id", "source"],
+         "collapse": {"field": "source",
+                      "inner_hits": {"name": "per_src", "size": 2,
+                                     "sort": [{"doc_id": {"order": "asc"}}]}}},
+    )
+    rows8 = [("q8_collapse", int(h["_source"]["doc_id"]), _r4(h["_score"]))
+             for h in r8["hits"]["hits"]]
+    rows8 += [
+        ("q8_inner", int(ih["_source"]["doc_id"]), float(k + 1))
+        for h in r8["hits"]["hits"]
+        for k, ih in enumerate(
+            h["inner_hits"]["per_src"]["hits"]["hits"]
+        )
+    ]
+    r9 = restapi.search_request(
+        eng,
+        {"size": 0,
+         "suggest": {"s": {"prefix": "src",
+                           "completion": {"field": "source", "size": 50,
+                                          "weight_field": "n_chars",
+                                          "skip_duplicates": True}}}},
+    )
+    rows9 = [("q9_completion", k + 1, float(o["score"]))
+             for k, o in enumerate(r9["suggest"]["s"][0]["options"])]
+    r10 = restapi.search_request(
+        eng,
+        {"size": 0,
+         "aggs": {"a": {
+             "filter": {"term": {"source": "src1"}},
+             "aggs": {"b": {
+                 "filter": {"range": {"n_chars": {"gte": 200}}},
+                 "aggs": {"m": {"avg": {"field": "n_chars"}}}}},
+         }}},
+    )
+    a10 = r10["aggregations"]["a"]
+    rows10 = [
+        ("q10_outer", int(a10["doc_count"]), 1.0),
+        ("q10_selsel", int(a10["b"]["doc_count"]),
+         _r4(a10["b"]["m"]["value"]) if a10["b"]["m"]["value"] is not None
+         else -1.0),
+    ]
+    f_ = spark.createDataFrame(
+        rows8 + rows9 + rows10, "query_id string, doc_id long, score double"
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
         .unionByName(d)
         .unionByName(mt)
         .unionByName(e)
+        .unionByName(f_)
         .select("query_id", "doc_id", "score")
     )
 

@@ -40,12 +40,14 @@ fold into their parent's pass as conditional aggregates: zero extra
 jobs.
 
 Scope guards (documented, raise NotImplementedError): selector-kind
-aggs nested under selectors or carrying bucket children of their own
-(flatten via ``aggs.py`` combinators), aggregation ``filter``s that
-need postings (full-text ``match`` — term-level filters work), collapse
-``inner_hits``, and the body completion suggester (both exist as
-engine/module APIs).  ``msearch_request`` batches bodies with per-item
-error isolation; ``count_request`` is the ``_count`` envelope.
+aggs carrying KEYED bucket children of their own under a bucket parent
+(flatten via ``aggs.py`` combinators — selector-in-selector nesting IS
+supported, masks AND down the tree in one pass), and aggregation
+``filter``s that need postings (full-text ``match`` — term-level
+filters work).  Collapse ``inner_hits`` and the body completion
+suggester are served in-body (r5).  ``msearch_request`` batches bodies
+with per-item error isolation; ``count_request`` is the ``_count``
+envelope.
 """
 
 from __future__ import annotations
@@ -251,10 +253,14 @@ def _plan_children(sub_aggs: dict, engine):
     """Split one node's children into (metrics, selectors, keyed).
 
     metrics:   [(name, kind, spec)]
-    selectors: [(name, kind, spec, conds, child_metrics)] — filter /
-               filters / missing / range children become CONDITIONAL
-               aggregates inside the parent's own groupBy pass (zero
-               extra jobs; FiltersAggregator's sub-collector analog)
+    selectors: [(name, kind, spec, conds, child_metrics,
+               child_selectors)] — filter / filters / missing / range
+               children become CONDITIONAL aggregates inside the
+               parent's own groupBy pass (zero extra jobs;
+               FiltersAggregator's sub-collector analog).  Selector-in-
+               selector nesting composes by AND-ing the masks down the
+               recursion (a filter inside a filter is just the
+               conjunction), still inside the ONE pass.
     keyed:     [(name, kind, spec, sub)] — terms / histogram /
                date_histogram children recurse with one groupBy per
                nesting level, keys accumulating
@@ -272,13 +278,13 @@ def _plan_children(sub_aggs: dict, engine):
             keyed.append((name, kind, spec, sub))
         elif kind in _SELECTOR_KINDS:
             sm, ss, sk, sh = _plan_children(sub, engine)
-            if ss or sk or sh:
+            if sk or sh:
                 raise NotImplementedError(
                     "selector aggs nested under a bucket agg support "
-                    "metric children only (flatten via aggs.py)"
+                    "metric/selector children only (flatten via aggs.py)"
                 )
             conds = _selector_conds(kind, spec, engine)
-            selectors.append((name, kind, spec, conds, sm))
+            selectors.append((name, kind, spec, conds, sm, ss))
         else:
             raise NotImplementedError(f"sub-agg {kind!r} under a bucket agg")
     return metrics, selectors, keyed, hits
@@ -459,39 +465,57 @@ def _keyed_key_col(kind: str, spec: dict):
     raise NotImplementedError(kind)
 
 
+def _selector_exprs(prefix: str, selectors, parent_mask=None) -> List:
+    """Conditional-aggregate expressions for a selector subtree; masks
+    AND down the nesting so arbitrarily deep selector-in-selector trees
+    stay inside the parent's single pass."""
+    exprs: List = []
+    for sname, _skind, _sspec, conds, smetrics, ssel in selectors:
+        for label, cond, _extras in conds:
+            full = cond if parent_mask is None else (parent_mask & cond)
+            p = f"{prefix}{sname}@{label}"
+            exprs.append(
+                F.sum(F.when(full, 1).otherwise(0)).alias(f"{p}:doc_count")
+            )
+            exprs += [e for mn, mk, ms in smetrics
+                      for e in _metric_exprs(mk, ms, f"{p}:{mn}", mask=full)]
+            exprs += _selector_exprs(f"{p}:", ssel, full)
+    return exprs
+
+
 def _child_exprs(metrics, selectors) -> List:
     """Aggregate expressions for one node's metric + selector children
     (selector metrics are mask-gated into the same pass)."""
     exprs = [e for mn, mk, ms in metrics for e in _metric_exprs(mk, ms, mn)]
-    for sname, _skind, _sspec, conds, smetrics in selectors:
-        for label, cond, _extras in conds:
-            p = f"{sname}@{label}"
-            exprs.append(
-                F.sum(F.when(cond, 1).otherwise(0)).alias(f"{p}:doc_count")
-            )
-            exprs += [e for mn, mk, ms in smetrics
-                      for e in _metric_exprs(mk, ms, f"{p}:{mn}", mask=cond)]
-    return exprs
+    return exprs + _selector_exprs("", selectors)
+
+
+def _attach_selectors(b: dict, row, prefix: str, selectors) -> None:
+    for sname, skind, _sspec, conds, smetrics, ssel in selectors:
+        def mk(label, extras):
+            p = f"{prefix}{sname}@{label}"
+            bb = _selector_bucket(row, p, smetrics, extras)
+            _attach_selectors(bb, row, f"{p}:", ssel)
+            return bb
+
+        if skind == "filter" or skind == "missing":
+            label, _c, _e = conds[0]
+            b[sname] = mk(label, {})
+        elif skind == "filters":
+            b[sname] = {"buckets": {
+                label: mk(label, {}) for label, _c, _e in conds
+            }}
+        else:  # range family
+            b[sname] = {"buckets": [
+                {"key": label, **mk(label, extras)}
+                for label, _c, extras in conds
+            ]}
 
 
 def _attach_children(b: dict, row, metrics, selectors) -> None:
     for mn, mk, _ms in metrics:
         b[mn] = _metric_result(mk, row, mn)
-    for sname, skind, _sspec, conds, smetrics in selectors:
-        if skind == "filter" or skind == "missing":
-            label, _c, _e = conds[0]
-            b[sname] = _selector_bucket(row, f"{sname}@{label}", smetrics, {})
-        elif skind == "filters":
-            b[sname] = {"buckets": {
-                label: _selector_bucket(row, f"{sname}@{label}", smetrics, {})
-                for label, _c, _e in conds
-            }}
-        else:  # range
-            b[sname] = {"buckets": [
-                {"key": label,
-                 **_selector_bucket(row, f"{sname}@{label}", smetrics, extras)}
-                for label, _c, extras in conds
-            ]}
+    _attach_selectors(b, row, "", selectors)
 
 
 def _selector_bucket(row, prefix, smetrics, extras) -> dict:
@@ -642,10 +666,6 @@ def _exec_selector_root(frame: DataFrame, kind: str, spec: dict,
     metrics, selectors, keyed_children, hits_children = _plan_children(
         sub_aggs, engine
     )
-    if selectors:
-        raise NotImplementedError(
-            "selector-in-selector agg nesting (flatten via aggs.py)"
-        )
     conds = _selector_conds(kind, spec, engine)
     exprs = []
     for label, cond, _extras in conds:
@@ -653,10 +673,13 @@ def _exec_selector_root(frame: DataFrame, kind: str, spec: dict,
         exprs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"{p}:doc_count"))
         exprs += [e for mn, mk, ms in metrics
                   for e in _metric_exprs(mk, ms, f"{p}:{mn}", mask=cond)]
+        # selector children nest by AND-ing masks — still one pass
+        exprs += _selector_exprs(f"{p}:", selectors, cond)
     row = frame.agg(*exprs).collect()[0]
 
     def bucket(label, cond, extras) -> dict:
         b = _selector_bucket(row, f"__self@{label}", metrics, extras)
+        _attach_selectors(b, row, f"__self@{label}:", selectors)
         for cname, ckind, cspec, csub in keyed_children:
             b[cname] = _exec_keyed(
                 frame.filter(cond), ckind, cspec, csub, engine, []
@@ -871,8 +894,8 @@ def _hit_id(row, id_cols: Sequence[str]) -> str:
 def _run_suggest(engine, spec: dict) -> dict:
     """Body ``suggest`` section (SuggestBuilder.java): ``term`` and
     ``phrase`` (noisy-channel) suggesters over the engine's own index;
-    ``completion`` needs a completion index — build one with
-    suggest.build_completion_index and query it directly (guarded)."""
+    ``completion`` builds (and caches) a completion-field table from
+    the named docmap column and serves prefix/regex/fuzzy/contexts."""
     from opensearch_spark.query import suggest as S
 
     out = {}
@@ -923,10 +946,42 @@ def _run_suggest(engine, spec: dict) -> dict:
                 ],
             }]
         elif "completion" in s:
-            raise NotImplementedError(
-                "completion suggester needs a completion index — "
-                "suggest.build_completion_index + completion_suggest_field"
-            )
+            # CompletionSuggestionBuilder in the body: build (and cache
+            # per engine+field) a completion-field table from the named
+            # docmap column, then run the prefix/regex/fuzzy/contexts
+            # machinery.  `weight_field` / `contexts_fields` are the
+            # body-side stand-ins for what the reference fixes at
+            # mapping time (CompletionFieldMapper weight + contexts);
+            # a production layout persists the table suggestion-sorted
+            # (see build_completion_index scale note).
+            c = dict(s["completion"])
+            fld = c["field"]
+            ctx_fields = c.get("contexts_fields") or None
+            key = (fld, c.get("weight_field"),
+                   tuple(sorted((ctx_fields or {}).items())))
+            cache = engine.__dict__.setdefault("_completion_tables", {})
+            if key not in cache:
+                cache[key] = S.build_completion_index(
+                    engine.docmap(), fld,
+                    weight_col=c.get("weight_field"),
+                    context_cols=ctx_fields,
+                )
+            rows = S.completion_suggest_field(
+                cache[key],
+                prefix=s.get("prefix"),
+                regex=s.get("regex"),
+                size=int(c.get("size", 5)),
+                fuzzy=c.get("fuzzy"),
+                contexts=c.get("contexts"),
+                skip_duplicates=bool(c.get("skip_duplicates", False)),
+            ).collect()
+            out[name] = [{
+                "text": s.get("prefix") or s.get("regex"),
+                "options": [
+                    {"text": r["suggestion"], "score": float(r["score"])}
+                    for r in rows
+                ],
+            }]
         else:
             raise NotImplementedError(f"suggester in {name!r}")
     return out
@@ -965,6 +1020,7 @@ def search_request(engine, body: dict) -> dict:
     total = engine.total_hits(q, track)
 
     rows: List = []
+    collapse_inner = None  # (name, field, {group_key: [inner rows]})
     if size > 0:
         if "collapse" in body:
             # CollapseBuilder.java: keep each group's best hit (score
@@ -972,13 +1028,22 @@ def search_request(engine, body: dict) -> dict:
             # row_number window, no per-group work
             from pyspark.sql.window import Window
 
-            if body["collapse"].get("inner_hits"):
-                raise NotImplementedError(
-                    "collapse inner_hits via the engine API (sort_suite)"
-                )
+            ih = body["collapse"].get("inner_hits")
             fld = body["collapse"]["field"]
+            ih_sort_cols = []
+            if ih:
+                for entry in ih.get("sort") or []:
+                    if isinstance(entry, str):
+                        ih_sort_cols.append((entry, "asc"))
+                    else:
+                        ((c, d),) = entry.items()
+                        ih_sort_cols.append(
+                            (c, (d.get("order", "asc")
+                                 if isinstance(d, dict) else d))
+                        )
             need = list(dict.fromkeys(
                 [fld] + list(source_cols or []) + list(engine.id_cols)
+                + [c for c, _d in ih_sort_cols]
             ))
             joined = (
                 engine._apply_deletes(engine._score(post_q))
@@ -986,13 +1051,45 @@ def search_request(engine, body: dict) -> dict:
             )
             order = [F.desc("score")] + [F.asc(c) for c in engine.id_cols]
             w = Window.partitionBy(fld).orderBy(*order)
+            ranked = joined.withColumn("__rk", F.row_number().over(w))
             rows = (
-                joined.withColumn("__rk", F.row_number().over(w))
-                .filter(F.col("__rk") == 1)
+                ranked.filter(F.col("__rk") == 1)
                 .orderBy(*order)
                 .limit(size)
                 .collect()
             )
+            if ih and rows:
+                # InnerHitBuilder under collapse: each returned group
+                # expands to its own top-N (default sort = the collapse
+                # order; an explicit inner sort gets its OWN window) —
+                # one extra window pass restricted to the page's group
+                # keys, never per-group jobs
+                ih_size = int(ih.get("size", 3))
+                ih_name = ih.get("name", fld)
+                page_keys = [r[fld] for r in rows]
+                if ih_sort_cols:
+                    iorder = [
+                        (F.asc(c) if d == "asc" else F.desc(c))
+                        for c, d in ih_sort_cols
+                    ] + [F.asc(c) for c in engine.id_cols]
+                    wi = Window.partitionBy(fld).orderBy(*iorder)
+                    inner_ranked = joined.withColumn(
+                        "__rk", F.row_number().over(wi)
+                    )
+                else:
+                    inner_ranked = ranked
+                inner_rows = (
+                    inner_ranked.filter(
+                        F.col(fld).isin(page_keys)
+                        & (F.col("__rk") <= ih_size)
+                    )
+                    .orderBy(F.col(fld), F.col("__rk"))
+                    .collect()
+                )
+                inner_map: Dict = {}
+                for r in inner_rows:
+                    inner_map.setdefault(r[fld], []).append(r)
+                collapse_inner = (ih_name, fld, inner_map)
         elif "rescore" in body:
             r = body["rescore"]
             rq = r["query"]
@@ -1070,6 +1167,26 @@ def search_request(engine, body: dict) -> dict:
         hid = hit["_id"]
         if hid in highlights:
             hit["highlight"] = {hl_field: highlights[hid]}
+        if collapse_inner is not None:
+            ih_name, cfld, imap = collapse_inner
+            grp = imap.get(d.get(cfld), [])
+            hit["fields"] = {**hit.get("fields", {}), cfld: [d.get(cfld)]}
+            hit["inner_hits"] = {ih_name: {"hits": {
+                "total": {"value": len(grp), "relation": "eq"},
+                "hits": [
+                    {
+                        "_id": _hit_id(x, engine.id_cols),
+                        "_score": x["score"],
+                        "_source": {
+                            c: x[c]
+                            for c in (list(source_cols or [])
+                                      + list(engine.id_cols))
+                            if c in x.asDict()
+                        },
+                    }
+                    for x in grp
+                ],
+            }}}
         hits.append(hit)
 
     resp = {

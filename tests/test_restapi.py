@@ -558,3 +558,132 @@ def test_msearch_and_count_envelopes(engine):
     )
     assert c["count"] == out["responses"][1]["hits"]["total"]["value"]
     assert restapi.count_request(engine)["count"] == engine.docmap().count()
+
+
+def test_selector_in_selector_nesting(engine, dm_pdf):
+    """filter > filter > metric and filter > range composition: masks
+    AND down the tree in one pass (r5 guard lift)."""
+    resp = restapi.search_request(
+        engine,
+        {"size": 0,
+         "aggs": {"users": {
+             "filter": {"term": {"role": "user"}},
+             "aggs": {
+                 "early": {
+                     "filter": {"range": {"turn_idx": {"lt": 3}}},
+                     "aggs": {"len": {"avg": {"field": "dl"}}},
+                 },
+                 "idx_rng": {
+                     "range": {"field": "turn_idx",
+                               "ranges": [{"to": 2}, {"from": 2}]},
+                 },
+             },
+         }}},
+    )
+    a = resp["aggregations"]["users"]
+    users = dm_pdf[dm_pdf.role == "user"]
+    assert a["doc_count"] == len(users)
+    early = users[users.turn_idx < 3]
+    assert a["early"]["doc_count"] == len(early)
+    assert a["early"]["len"]["value"] == pytest.approx(early.dl.mean())
+    rb = a["idx_rng"]["buckets"]
+    assert rb[0]["doc_count"] == len(users[users.turn_idx < 2])
+    assert rb[1]["doc_count"] == len(users[users.turn_idx >= 2])
+
+
+def test_selector_in_selector_under_bucket_parent(engine, dm_pdf):
+    """terms > filter > filter > metric: the nested selector rides the
+    terms groupBy pass as AND-masked conditional aggregates."""
+    resp = restapi.search_request(
+        engine,
+        {"size": 0,
+         "aggs": {"roles": {
+             "terms": {"field": "role", "size": 10},
+             "aggs": {"early": {
+                 "filter": {"range": {"turn_idx": {"lt": 4}}},
+                 "aggs": {"first": {
+                     "filter": {"range": {"turn_idx": {"lt": 1}}},
+                     "aggs": {"len": {"avg": {"field": "dl"}}},
+                 }},
+             }},
+         }}},
+    )
+    for b in resp["aggregations"]["roles"]["buckets"]:
+        grp = dm_pdf[dm_pdf.role == b["key"]]
+        early = grp[grp.turn_idx < 4]
+        first = early[early.turn_idx < 1]
+        assert b["early"]["doc_count"] == len(early)
+        assert b["early"]["first"]["doc_count"] == len(first)
+        if len(first):
+            assert b["early"]["first"]["len"]["value"] == pytest.approx(
+                first.dl.mean()
+            )
+
+
+def test_collapse_inner_hits(engine, dm_pdf):
+    """collapse.inner_hits expands each collapsed group to its top-N
+    (default = the collapse order; here an explicit turn_idx sort)."""
+    resp = restapi.search_request(
+        engine,
+        {"query": {"match": {"text": "error"}},
+         "collapse": {"field": "conv_id",
+                      "inner_hits": {"name": "turns", "size": 2,
+                                     "sort": [{"turn_idx": {"order": "asc"}}]}},
+         "size": 3, "_source": ["conv_id", "turn_idx"]},
+    )
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 3
+    seen = set()
+    for h in hits:
+        cid = h["_source"]["conv_id"]
+        assert cid not in seen  # one hit per group
+        seen.add(cid)
+        inner = h["inner_hits"]["turns"]["hits"]["hits"]
+        assert 1 <= len(inner) <= 2
+        # every inner hit belongs to the group, sorted by turn_idx asc
+        idxs = [ih["_source"]["turn_idx"] for ih in inner]
+        assert idxs == sorted(idxs)
+        for ih in inner:
+            assert ih["_source"]["conv_id"] == cid
+        # and they are the group's LOWEST matching turn_idx values:
+        # recompute the group's matching turns via the engine
+        grp = [r["turn_idx"] for r in restapi.search_request(
+            engine,
+            {"query": {"bool": {"must": [{"match": {"text": "error"}}],
+                                "filter": [{"term": {"conv_id": cid}}]}},
+             "size": 100, "_source": ["turn_idx"]},
+        )["hits"]["hits"] for r in [r["_source"]]]
+        assert idxs == sorted(grp)[: len(inner)]
+
+
+def test_body_completion_suggester(engine, dm_pdf):
+    """completion suggester served from the body: a completion table
+    built from the tool column, prefix + fuzzy + skip_duplicates."""
+    resp = restapi.search_request(
+        engine,
+        {"size": 0,
+         "suggest": {"tools": {
+             "prefix": "tool-",
+             "completion": {"field": "tool", "size": 10,
+                            "skip_duplicates": True},
+         }}},
+    )
+    opts = resp["suggest"]["tools"][0]["options"]
+    exp = sorted(dm_pdf.tool.dropna().unique())
+    assert [o["text"] for o in opts] != []
+    assert {o["text"] for o in opts} <= set(exp)
+    # skip_duplicates: each surface form once
+    texts = [o["text"] for o in opts]
+    assert len(texts) == len(set(texts))
+    # fuzzy: one transposed char still completes
+    resp2 = restapi.search_request(
+        engine,
+        {"size": 0,
+         "suggest": {"t2": {
+             "prefix": "toli-",   # 'tool-' with an ol->li typo band
+             "completion": {"field": "tool", "size": 10,
+                            "fuzzy": {"fuzziness": 2, "prefix_length": 1},
+                            "skip_duplicates": True},
+         }}}
+    )
+    assert resp2["suggest"]["t2"][0]["options"], resp2["suggest"]
