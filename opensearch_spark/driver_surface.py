@@ -833,6 +833,22 @@ SELECT 'env_contains' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM __docs
 WHERE (lat - (n_chars % 7) / 4.0) <= -5.0 AND (lat + (n_chars % 5) / 4.0) >= 5.0
   AND (lon - (n_chars % 11) / 4.0) <= -5.0 AND (lon + (n_chars % 13) / 4.0) >= 5.0
+UNION ALL
+SELECT 'shape_doc_isect' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs
+WHERE abs(lat - 10.005) + abs(lon - 20.005) <= 20.003 + (1.0 + doc_id % 40)
+UNION ALL
+SELECT 'shape_doc_within' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs
+WHERE abs(lat - 10.005) + abs(lon - 20.005) <= 20.003 - (1.0 + doc_id % 40)
+UNION ALL
+SELECT 'shape_doc_disjoint' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs
+WHERE abs(lat - 10.005) + abs(lon - 20.005) > 20.003 + (1.0 + doc_id % 40)
+UNION ALL
+SELECT 'shape_doc_contains' AS op, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM __docs
+WHERE abs(lat - 10.005) + abs(lon - 20.005) <= (1.0 + doc_id % 40) - 2.003
 ORDER BY op, doc_id ASC""".replace("{poly}", _sql_polygon_pred(_POLY))
     .replace("{shape_outer}", _sql_polygon_pred(_SHAPE_OUTER))
     .replace("{shape_hole}", _sql_polygon_pred(_SHAPE_HOLE)),
@@ -960,6 +976,40 @@ def ft_filters(spark, sf_dir):
             "relation": "contains"}}},
         derived={"box": _box},
     )
+    # r5: geo_shape over POLYGON-valued doc fields — the last geo gap
+    # (GeoShapeQueryBuilder over geo_shape-mapped polygon docs,
+    # executor._polygon_doc_pred): per-doc DIAMOND rings derived from
+    # the lat/lon pair (L1 radius 1 + doc_id%40) against a diamond
+    # query polygon, so the generic raycast + division-free data-edge
+    # raycast + orientation-sign segment kernels are checked doc-for-
+    # doc against EXACT Manhattan-distance algebra in the oracle
+    # (3-decimal query offsets vs the 2-decimal doc lattice: tie-free
+    # by construction).
+    _dpoly = (
+        "array("
+        "named_struct('lat', lat + (1.0 + doc_id % 40), 'lon', lon), "
+        "named_struct('lat', lat, 'lon', lon + (1.0 + doc_id % 40)), "
+        "named_struct('lat', lat - (1.0 + doc_id % 40), 'lon', lon), "
+        "named_struct('lat', lat, 'lon', lon - (1.0 + doc_id % 40)))"
+    )
+    _qa, _qb, _qh = 10.005, 20.005, 20.003
+    _qshape = {"type": "polygon", "coordinates": [[
+        [_qb, _qa + _qh], [_qb + _qh, _qa], [_qb, _qa - _qh], [_qb - _qh, _qa]
+    ]]}
+    _qsmall = {"type": "polygon", "coordinates": [[
+        [_qb, _qa + 2.003], [_qb + 2.003, _qa],
+        [_qb, _qa - 2.003], [_qb - 2.003, _qa]
+    ]]}
+    sd = {
+        rel: docset(
+            eng,
+            {"geo_shape": {"dpoly": {
+                "shape": (_qsmall if rel == "contains" else _qshape),
+                "relation": rel}}},
+            derived={"dpoly": _dpoly},
+        )
+        for rel in ("intersects", "within", "disjoint", "contains")
+    }
     return _union(
         _tag(a, "range", "doc_id", "score"),
         _tag(b, "exists", "doc_id", "score"),
@@ -975,6 +1025,10 @@ def ft_filters(spark, sf_dir):
         _tag(ei, "env_isect", "doc_id", "score"),
         _tag(ew, "env_within", "doc_id", "score"),
         _tag(ec, "env_contains", "doc_id", "score"),
+        _tag(sd["intersects"], "shape_doc_isect", "doc_id", "score"),
+        _tag(sd["within"], "shape_doc_within", "doc_id", "score"),
+        _tag(sd["disjoint"], "shape_doc_disjoint", "doc_id", "score"),
+        _tag(sd["contains"], "shape_doc_contains", "doc_id", "score"),
     ).orderBy("op", F.asc("doc_id"))
 
 

@@ -204,6 +204,76 @@ def _ring_latlon(ring) -> List[Tuple[float, float]]:
     return pts
 
 
+def _pip_data_edges(edges: Column, plat, plon) -> Column:
+    """Even-odd point-in-polygon where the EDGES are doc data (an
+    ``array<struct<a,b>>`` of vertex pairs) and the point is a literal
+    or lambda column — the data-side twin of :func:`_raycast_pred`.
+
+    Division-free: the ray-crossing comparison ``lon < x_cross`` is
+    cross-multiplied by the edge's lat span (sign-split, never zero on
+    a straddling edge), so ANSI division-by-zero on horizontal edges
+    can't occur and the arithmetic is reproducible term-for-term in
+    the SQL oracle."""
+    def crossed(e):
+        a, b = e["a"], e["b"]
+        straddles = (a["lat"] > plat) != (b["lat"] > plat)
+        d = b["lat"] - a["lat"]
+        lhs = (plon - a["lon"]) * d
+        rhs = (plat - a["lat"]) * (b["lon"] - a["lon"])
+        return F.when(
+            straddles
+            & F.when(d > F.lit(0.0), lhs < rhs).otherwise(lhs > rhs),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+
+    total = F.aggregate(edges, F.lit(0), lambda acc, e: acc + crossed(e))
+    return total % 2 == 1
+
+
+def _ring_edges(ring: Column) -> Column:
+    """Vertex array -> edge array (each edge a struct of endpoints
+    ``a``/``b``); rings may arrive open or pre-closed (a closed ring
+    just contributes one zero-length edge, inert in every test)."""
+    rot = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
+    return F.zip_with(
+        ring, rot, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
+
+
+def _seg_cross_pred(edges: Column, qedges) -> Column:
+    """True iff ANY doc edge intersects ANY query edge (literal
+    vertices).  Orientation-sign test (o1*o2<=0 AND o3*o4<=0) with a
+    bounding-box conjunct so collinear-but-disjoint segments on one
+    line don't false-positive — the planar core of Lucene's
+    Tessellator/Polygon2D edge relation."""
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    def against(e):
+        a, b = e["a"], e["b"]
+        ax, ay, bx, by = a["lon"], a["lat"], b["lon"], b["lat"]
+        tests = []
+        for (c_lat, c_lon), (d_lat, d_lon) in qedges:
+            cx, cy = F.lit(c_lon), F.lit(c_lat)
+            dx, dy = F.lit(d_lon), F.lit(d_lat)
+            o1 = orient(ax, ay, bx, by, cx, cy)
+            o2 = orient(ax, ay, bx, by, dx, dy)
+            o3 = orient(cx, cy, dx, dy, ax, ay)
+            o4 = orient(cx, cy, dx, dy, bx, by)
+            bbox = (
+                (F.least(ax, bx) <= F.lit(max(c_lon, d_lon)))
+                & (F.greatest(ax, bx) >= F.lit(min(c_lon, d_lon)))
+                & (F.least(ay, by) <= F.lit(max(c_lat, d_lat)))
+                & (F.greatest(ay, by) >= F.lit(min(c_lat, d_lat)))
+            )
+            tests.append(
+                bbox & (o1 * o2 <= F.lit(0.0)) & (o3 * o4 <= F.lit(0.0))
+            )
+        return reduce(lambda x, y: x | y, tests)
+
+    return F.exists(edges, against)
+
+
 def _shape_member_pred(lat_c: Column, lon_c: Column, shape: dict) -> Column:
     """Point-in-shape membership for the geo_shape query
     (GeoShapeQueryBuilder.java over geo_point docs): each shape type
@@ -3993,6 +4063,9 @@ class SearchEngine:
             env_pred = self._envelope_doc_pred(q)
             if env_pred is not None:
                 return env_pred
+            poly_pred = self._polygon_doc_pred(q)
+            if poly_pred is not None:
+                return poly_pred
             lat_c, lon_c = _geo_cols(q.field)
             base = _shape_member_pred(lat_c, lon_c, q.shape)
             # ShapeRelation.java over a point doc side: intersects and
@@ -4101,6 +4174,123 @@ class SearchEngine:
                 & (dmin_lon <= F.lit(q_left)) & (dmax_lon >= F.lit(q_right))
             )
         raise ValueError(f"unknown geo_shape relation {q.relation!r}")
+
+    def _polygon_doc_pred(self, q: "Q.GeoShape"):
+        """``geo_shape`` over POLYGON-valued doc fields (r5 — the last
+        geo gap; GeoShapeQueryBuilder.java over geo_shape-mapped
+        polygon docs, LatLonShape BKD triangles in the reference).
+
+        Doc side: an ``array<struct<lat,lon>>`` vertex ring (ONE outer
+        ring, open or pre-closed; holes and multi-ring docs are out of
+        scope, documented).  Derived fields can build the ring at query
+        time, same as the envelope path.  Query side: polygon (single
+        ring) / envelope / point / multipolygon.  All planar, all pure
+        Catalyst higher-order expressions — no UDFs:
+
+        - any-doc-vertex-in-query: ``exists`` over the ring with the
+          literal-edge ray cast (:func:`_raycast_pred`);
+        - any-query-vertex-in-doc: the division-free data-edge ray
+          cast (:func:`_pip_data_edges`);
+        - edge/edge: orientation-sign segment intersection with a
+          bbox guard (:func:`_seg_cross_pred`).
+
+        Relations (ShapeRelation.java, simple-polygon algebra):
+        ``intersects`` = vertex-containment either way OR any edge
+        crossing; ``within`` (doc inside query) = every doc vertex
+        inside AND no edge crossing; ``contains`` = every query vertex
+        inside the doc AND no edge crossing; ``disjoint`` = null-safe
+        complement of intersects.  Boundary-touching counts as
+        intersecting (<=0 orientation signs).
+
+        Returns None when the field is not a lat/lon vertex array (the
+        envelope/point paths take over)."""
+        f = next(
+            (f for f in self.docmap().schema.fields if f.name == q.field), None
+        )
+        if f is None:
+            return None
+        dt = f.dataType
+        if not (
+            hasattr(dt, "elementType")
+            and hasattr(dt.elementType, "fieldNames")
+            and {"lat", "lon"} <= set(dt.elementType.fieldNames())
+        ):
+            return None
+        ring = F.col(q.field)
+        edges = _ring_edges(ring)
+
+        def rel(shape: dict, relation: str) -> Column:
+            t = str(shape.get("type", "")).lower()
+            if t == "multipolygon":
+                members = [
+                    rel({"type": "polygon", "coordinates": c}, relation)
+                    for c in shape["coordinates"]
+                ]
+                if relation == "contains":  # doc must contain EVERY part
+                    return reduce(lambda a, b_: a & b_, members)
+                if relation == "disjoint":  # disjoint from every part
+                    return reduce(lambda a, b_: a & b_, members)
+                return reduce(lambda a, b_: a | b_, members)
+            if t == "point":
+                lo, la = (float(x) for x in shape["coordinates"])
+                pip = _pip_data_edges(edges, F.lit(la), F.lit(lo))
+                if relation in ("intersects", "contains"):
+                    return pip
+                if relation == "disjoint":
+                    return ~_null_safe(pip)
+                if relation == "within":  # a polygon is never inside a point
+                    return F.lit(False)
+                raise ValueError(f"unknown geo_shape relation {relation!r}")
+            if t == "envelope":
+                (left, top), (right, bottom) = shape["coordinates"]
+                qpts = [
+                    (float(top), float(left)), (float(top), float(right)),
+                    (float(bottom), float(right)), (float(bottom), float(left)),
+                ]
+            elif t == "polygon":
+                rings = shape["coordinates"]
+                if len(rings) != 1:
+                    raise NotImplementedError(
+                        "geo_shape over polygon doc fields supports "
+                        "single-ring (hole-free) query polygons"
+                    )
+                qpts = _ring_latlon(rings[0])
+            else:
+                raise NotImplementedError(
+                    f"geo_shape relation against a polygon doc field "
+                    f"supports polygon/envelope/point query shapes, not {t!r}"
+                )
+            qedges = [
+                (qpts[i], qpts[(i + 1) % len(qpts)]) for i in range(len(qpts))
+            ]
+            doc_v_in_q = F.exists(
+                ring, lambda v: _raycast_pred(v["lat"], v["lon"], qpts)
+            )
+            all_doc_in_q = F.forall(
+                ring, lambda v: _raycast_pred(v["lat"], v["lon"], qpts)
+            )
+            q_v_in_doc = reduce(
+                lambda a, b_: a | b_,
+                [_pip_data_edges(edges, F.lit(la), F.lit(lo))
+                 for la, lo in qpts],
+            )
+            all_q_in_doc = reduce(
+                lambda a, b_: a & b_,
+                [_pip_data_edges(edges, F.lit(la), F.lit(lo))
+                 for la, lo in qpts],
+            )
+            crossing = _seg_cross_pred(edges, qedges)
+            if relation == "intersects":
+                return doc_v_in_q | q_v_in_doc | crossing
+            if relation == "disjoint":
+                return ~_null_safe(doc_v_in_q | q_v_in_doc | crossing)
+            if relation == "within":
+                return all_doc_in_q & ~crossing
+            if relation == "contains":
+                return all_q_in_doc & ~crossing
+            raise ValueError(f"unknown geo_shape relation {relation!r}")
+
+        return rel(q.shape, q.relation)
 
     def _docset(self, q) -> DataFrame:
         """DataFrame (_docid) of docs matching q, in filter context."""
