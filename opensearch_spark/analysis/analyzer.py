@@ -154,10 +154,44 @@ RUSSIAN_STOP_WORDS = frozenset(
     чуть том нельзя такой им более всегда конечно всю между""".split()
 )
 
+def _extend_char_class() -> str:
+    """Regex class body for UAX#29 WB4 Extend: combining marks (general
+    categories Mn / Mc / Me in the BMP) never break a word and stay in
+    the token.  This is what keeps NFD accents attached (café) and —
+    the r5 fix — South-East-Asian scripts whole: Thai/Lao vowel signs
+    and tone marks are Mn, so without this the run "การที่ได้..." split
+    at every vowel and DROPPED the marks; with it the whole run is one
+    token, Lucene StandardTokenizer's SOUTH_EAST_ASIAN behavior
+    (StandardTokenizerImpl.jflex complex-context runs).  Built once at
+    import from the stdlib Unicode database — no ICU data files."""
+    import unicodedata as _ud
+
+    ranges = []
+    start = prev = None
+    for cp in range(0x10000):
+        if _ud.category(chr(cp)) in ("Mn", "Mc", "Me"):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            ranges.append((start, prev))
+            start = None
+    if start is not None:
+        ranges.append((start, prev))
+    return "".join(
+        re.escape(chr(a)) + (("-" + re.escape(chr(b))) if b > a else "")
+        for a, b in ranges
+    )
+
+
+_WC = rf"[\w{_extend_char_class()}]"
+
 # One "word" candidate: \w runs joined by (letter ' letter) or (digit [.,] digit).
-# \w includes underscore (ExtendNumLet) and unicode letters/digits.
+# \w includes underscore (ExtendNumLet) and unicode letters/digits; the
+# continuation class _WC additionally admits Extend marks (WB4).
 _TOKEN_RE = re.compile(
-    r"\w+(?:(?:(?<=[^\W\d_])['’·.](?=[^\W\d_]))\w+|(?:(?<=\d)['’.,](?=\d))\w+)*",
+    rf"\w{_WC}*(?:(?:(?<=[^\W\d_])['’·.](?=[^\W\d_])){_WC}+"
+    rf"|(?:(?<=\d)['’.,](?=\d)){_WC}+)*",
     re.UNICODE,
 )
 

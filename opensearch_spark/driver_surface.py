@@ -2040,6 +2040,13 @@ SELECT 'cgrams', doc_id, pos, token FROM (
     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
   WHERE a.token IN ('the', 'of', 'a') OR b.token IN ('the', 'of', 'a')
 )
+UNION ALL
+SELECT 'sea_run', CAST(doc_id AS BIGINT), CAST(pos AS INT), token FROM (VALUES
+  (100, 0, 'การที่ได้ต้องแสดงว่างานดี'),
+  (101, 0, 'ประโยค'), (101, 1, 'english'), (101, 2, 'text'),
+  (102, 0, 'ພາສາລາວ'), (102, 1, 'ແລະ'), (102, 2, 'ไทย'),
+  (103, 0, 'กิน'), (103, 1, 'ข้าว')
+) AS v(doc_id, pos, token)
 ORDER BY op, doc_id, pos, token""".replace(
         "__STOPLIST__",
         ",".join(
@@ -2233,6 +2240,25 @@ def analysis_suite(spark, sf_dir):
             {"tokenizer": "whitespace",
              "filter": [{"type": "delimited_term_freq"}]},
             "dtf",
+        ),
+        # r5: UAX#29 WB4 Extend — South-East-Asian scripts through the
+        # STANDARD tokenizer: Thai/Lao combining vowel/tone marks never
+        # break a word, so each script run is ONE token (Lucene
+        # StandardTokenizer's SOUTH_EAST_ASIAN complex-context runs).
+        # Fixture-pinned: the classic Lucene ThaiAnalyzer test sentence
+        # comes through whole, mixed Thai/Lao/Latin splits on script
+        # and space boundaries only.
+        rows(
+            spark.createDataFrame(
+                [(100, "การที่ได้ต้องแสดงว่างานดี"),
+                 (101, "ประโยค English Text"),
+                 (102, "ພາສາລາວ ແລະ ไทย"),
+                 (103, "กิน ข้าว")],
+                "doc_id long, s string",
+            ),
+            "s",
+            {"tokenizer": "standard", "filter": ["lowercase"]},
+            "sea_run",
         ),
     ]
     return _union(*parts).orderBy("op", "doc_id", "pos", "token")

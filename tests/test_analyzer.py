@@ -150,3 +150,34 @@ def test_ascii_fast_path_differential_random():
         t = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
         assert ana.tokenize_with_positions(t, stop) == \
             _slow_tokenize_with_positions(t, stop), repr(t)
+
+
+def test_sea_runs_single_token_uax29_wb4():
+    """UAX#29 WB4: Extend marks (Mn/Mc/Me) never break a word — Thai/
+    Lao runs come through the standard tokenizer WHOLE (Lucene
+    StandardTokenizer SOUTH_EAST_ASIAN complex-context behavior; the
+    fixture sentence is the classic Lucene ThaiAnalyzer test input)."""
+    from opensearch_spark.analysis.analyzer import tokenize
+
+    assert tokenize("การที่ได้ต้องแสดงว่างานดี") == ["การที่ได้ต้องแสดงว่างานดี"]
+    assert tokenize("ประโยค English Text") == ["ประโยค", "english", "text"]
+    assert tokenize("ພາສາລາວ ແລະ ไทย") == ["ພາສາລາວ", "ແລະ", "ไทย"]
+    # positions: one per run, like any other token
+    toks, poss = __import__(
+        "opensearch_spark.analysis.analyzer", fromlist=["x"]
+    ).tokenize_with_positions("กิน ข้าว bowl")
+    assert toks == ["กิน", "ข้าว", "bowl"] and poss == [0, 1, 2]
+
+
+def test_nfd_combining_marks_stay_attached():
+    """An NFD 'café' keeps its combining acute inside the token (it
+    previously broke the run and dropped the mark); NFC text is
+    untouched; Han stays one-char-per-token."""
+    import unicodedata
+
+    from opensearch_spark.analysis.analyzer import tokenize
+
+    nfd = unicodedata.normalize("NFD", "café résumé")
+    assert tokenize(nfd) == nfd.lower().split(" ")
+    assert tokenize("café") == ["café"]
+    assert tokenize("中文 and カタカナ") == ["中", "文", "and", "カタカナ"]
