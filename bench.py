@@ -328,15 +328,14 @@ def surface_phase(spark, sf_dir: str):
     # worker-spawn + pandas-import cost (~8s at local[32]) in their
     # first call — the r4 artifact's dedup_ngram_jaccard 13.7s anomaly
     # was this cost landing in a timed run on a contended box state
-    import pandas as _pd
-    from pyspark.sql.functions import pandas_udf as _pudf
+    def _warm(batches):
+        import pandas  # noqa: F401  (pay the import inside the worker)
 
-    @_pudf("int")
-    def _warm(s: _pd.Series) -> _pd.Series:
-        return s.str.len()
+        for pdf in batches:
+            yield pdf
 
-    spark.range(64).selectExpr("cast(id as string) s").select(
-        _warm("s")
+    spark.range(256).repartition(CPUS).mapInPandas(
+        _warm, "id long"
     ).collect()
     out = {}
     for name in SURFACE_SAMPLE:
@@ -390,6 +389,64 @@ def msearch_phase(spark, index_dir: str, runs: int = 3) -> dict:
     }
 
 
+SF1_IDX_DIR = os.path.join(tempfile.gettempdir(), "osps_bench_idx_sf1")
+BIG_IDX_DIR = os.environ.get(
+    "SPARK_GRAFT_BIG_IDX", os.path.join(tempfile.gettempdir(), "osps_bench_idx_10m")
+)
+
+
+def scale_axis_phase(spark) -> dict:
+    """VERDICT r4 #9: the 100x-direction scale axis for the latency bar.
+
+    Runs the SAME query set against a 1M-turn index (sf1 — built here
+    once, cached in /tmp, resume-safe) and, when the 10M-turn index is
+    present on this box (built once via ``python bench.py --build-10m``;
+    per-segment manifests make the build resumable), against that too.
+    Per-query medians + pooled p50/p99 at each size, so BENCH carries
+    latency at 100k / 1M / 10M turns instead of a single point."""
+    out: dict = {}
+    if not os.path.exists(os.path.join(SF1_IDX_DIR, "stats.json")):
+        out["sf1_build"] = build_phase(
+            spark, 1.0, SF1_IDX_DIR, n_segments=max(CPUS, 8)
+        )
+    per, pct = query_phase(spark, SF1_IDX_DIR, runs=3)
+    out["sf1"] = {"turns": 1_000_000, "queries": per, **pct}
+    if os.path.exists(os.path.join(BIG_IDX_DIR, "stats.json")):
+        per10, pct10 = query_phase(spark, BIG_IDX_DIR, runs=3)
+        out["sf10"] = {"turns": 10_000_000, "queries": per10, **pct10}
+    return out
+
+
+def build_10m() -> dict:
+    """One-shot 10M-turn index build into BIG_IDX_DIR (resume-safe:
+    re-running skips committed segments via the per-segment manifests).
+    waves=4 bounds the per-wave shuffle footprint the way a real
+    cluster would split a 100 TB backfill into batches."""
+    from opensearch_spark.session import get_spark
+
+    spark = get_spark("bench-10m", shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    if os.path.exists(os.path.join(BIG_IDX_DIR, "stats.json")):
+        return {"metric": "build_10m", "status": "already built",
+                "dir": BIG_IDX_DIR, "value": 0.0, "unit": "sec", "queries": {}}
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.transcripts import generate, n_turns
+
+    n_convs = n_convs_for_turns(10_000_000)
+    docs = generate(spark, n_convs, partitions=256)
+    t0 = time.monotonic()
+    build_index(
+        spark, docs, BIG_IDX_DIR, IndexConfig(n_segments=128), waves=4
+    )
+    wall = time.monotonic() - t0
+    return {
+        "metric": "build_10m", "unit": "sec", "value": round(wall, 3),
+        "turns": n_turns(n_convs),
+        "turns_per_sec": round(n_turns(n_convs) / wall, 1),
+        "dir": BIG_IDX_DIR, "queries": {},
+    }
+
+
 def box_probe_sec() -> float:
     """Single-core speed probe: a fixed 20M-iteration add loop.
 
@@ -436,6 +493,7 @@ def run_bench(build_only: bool = False, waves: int = 1) -> dict:
         result["wand"] = wand
         result["query_p50_sec"] = pct["p50_sec"]
         result["query_p99_sec"] = pct["p99_sec"]
+        result["scale_axis"] = scale_axis_phase(spark)
     result["value"] = round(time.monotonic() - t_all, 3)
     # VERDICT r3 #1: the printed line must stay small enough for the
     # driver's tail buffer — verbose composition notes go to a side file
@@ -543,12 +601,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--build-10m", action="store_true")
     ap.add_argument("--waves", type=int, default=1)
     ap.add_argument("--wand-phase", action="store_true")
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
     if args.scaling:
         res = run_scaling()
+    elif args.build_10m:
+        res = build_10m()
     elif args.wand_phase:
         res = wand_phase_inner(runs=args.runs)
     else:
