@@ -1471,6 +1471,41 @@ def make_token_filter(spec, ctx: Optional[dict] = None) -> Callable[[TokenStream
             return out_t, out_p
 
         return _synonym
+    if typ == "phonetic":
+        # analysis-phonetic plugin (PhoneticTokenFilterFactory.java):
+        # encoder selects the code (metaphone default); replace=true
+        # swaps the token for its code, replace=false injects the
+        # code(s) beside the original at the same position (Lucene
+        # PhoneticFilter / DoubleMetaphoneFilter inject semantics).
+        # Tokens whose code is empty pass through unchanged.
+        from opensearch_spark.analysis import phonetic as _ph
+
+        enc = _ph.encode_token(spec)
+        replace = bool(spec.get("replace", True))
+
+        def _phonetic(ts: TokenStream) -> TokenStream:
+            toks, pos = ts
+            out_t, out_p = [], []
+            for t, p in zip(toks, pos):
+                codes = enc(t)
+                if replace:
+                    if codes:
+                        for c in codes:
+                            out_t.append(c)
+                            out_p.append(p)
+                    else:
+                        out_t.append(t)
+                        out_p.append(p)
+                else:
+                    out_t.append(t)
+                    out_p.append(p)
+                    for c in codes:
+                        if c != t:
+                            out_t.append(c)
+                            out_p.append(p)
+            return out_t, out_p
+
+        return _phonetic
     if typ == "synonym_graph":
         # SynonymGraphFilterFactory.java — our streams are positional
         # (already flat), so the graph filter resolves to the same

@@ -2047,6 +2047,38 @@ SELECT 'sea_run', CAST(doc_id AS BIGINT), CAST(pos AS INT), token FROM (VALUES
   (102, 0, 'ພາສາລາວ'), (102, 1, 'ແລະ'), (102, 2, 'ไทย'),
   (103, 0, 'กิน'), (103, 1, 'ข้าว')
 ) AS v(doc_id, pos, token)
+UNION ALL
+SELECT op, CAST(doc_id AS BIGINT), CAST(0 AS INT), token FROM (VALUES
+  ('ph_sdx', 0, 'R163'), ('ph_sdx', 1, 'A261'), ('ph_sdx', 2, 'S530'),
+  ('ph_sdx', 3, 'S315'), ('ph_sdx', 4, 'M460'), ('ph_sdx', 5, 'T522'),
+  ('ph_sdx', 6, 'K523'), ('ph_sdx', 7, 'J200'),
+  ('ph_meta', 0, 'RBRT'), ('ph_meta', 1, 'AXKR'), ('ph_meta', 2, 'SKMT'),
+  ('ph_meta', 3, 'STFN'), ('ph_meta', 4, 'MLR'), ('ph_meta', 5, 'TMKS'),
+  ('ph_meta', 6, 'NT'), ('ph_meta', 7, 'JS'),
+  ('ph_dmeta', 0, 'RPRT'), ('ph_dmeta', 1, 'AXKR'),
+  ('ph_dmeta', 2, 'XMT'), ('ph_dmeta', 2, 'SMT'),
+  ('ph_dmeta', 3, 'STFN'), ('ph_dmeta', 4, 'MLR'),
+  ('ph_dmeta', 5, 'TMSK'), ('ph_dmeta', 5, 'TMXK'),
+  ('ph_dmeta', 6, 'NT'), ('ph_dmeta', 7, 'HS'),
+  ('ph_cav2', 0, 'RPT1111111'), ('ph_cav2', 1, 'ASKRFT1111'),
+  ('ph_cav2', 2, 'SKMT111111'), ('ph_cav2', 3, 'STFNSN1111'),
+  ('ph_cav2', 4, 'MLA1111111'), ('ph_cav2', 5, 'TMKSK11111'),
+  ('ph_cav2', 6, 'KNT1111111'), ('ph_cav2', 7, 'YS11111111'),
+  ('ph_koln', 0, '7172'), ('ph_koln', 1, '088732'), ('ph_koln', 2, '862'),
+  ('ph_koln', 3, '823686'), ('ph_koln', 4, '657'), ('ph_koln', 5, '2684'),
+  ('ph_koln', 6, '4642'), ('ph_koln', 7, '08'),
+  ('ph_nys', 0, 'RABAD'), ('ph_nys', 1, 'ASCRAF'), ('ph_nys', 2, 'SNAD'),
+  ('ph_nys', 3, 'STAFAN'), ('ph_nys', 4, 'MLAR'), ('ph_nys', 5, 'TYNCSA'),
+  ('ph_nys', 6, 'NAGT'), ('ph_nys', 7, 'JAS'),
+  ('ph_inject', 0, 'robert'), ('ph_inject', 0, 'R163'),
+  ('ph_inject', 1, 'ashcraft'), ('ph_inject', 1, 'A261'),
+  ('ph_inject', 2, 'schmidt'), ('ph_inject', 2, 'S530'),
+  ('ph_inject', 3, 'stevenson'), ('ph_inject', 3, 'S315'),
+  ('ph_inject', 4, 'müller'), ('ph_inject', 4, 'M460'),
+  ('ph_inject', 5, 'tymczak'), ('ph_inject', 5, 'T522'),
+  ('ph_inject', 6, 'knight'), ('ph_inject', 6, 'K523'),
+  ('ph_inject', 7, 'jose'), ('ph_inject', 7, 'J200')
+) AS ph(op, doc_id, token)
 ORDER BY op, doc_id, pos, token""".replace(
         "__STOPLIST__",
         ",".join(
@@ -2261,6 +2293,34 @@ def analysis_suite(spark, sf_dir):
             "sea_run",
         ),
     ]
+    # r5: analysis-phonetic plugin (PhoneticTokenFilterFactory.java) —
+    # six encoder families over a fixed name slice, expected codes
+    # pinned in the oracle VALUES (published soundex/metaphone/
+    # caverphone/cologne/nysiis vectors anchor the unit tests;
+    # double_metaphone emits primary+alternate at one position, and
+    # ph_inject exercises replace=false original+code injection)
+    names_df = spark.createDataFrame(
+        [(0, "robert"), (1, "ashcraft"), (2, "schmidt"), (3, "stevenson"),
+         (4, "müller"), (5, "tymczak"), (6, "knight"), (7, "jose")],
+        "doc_id long, s string",
+    )
+    for tag, enc in [("ph_sdx", "soundex"), ("ph_meta", "metaphone"),
+                     ("ph_dmeta", "double_metaphone"),
+                     ("ph_cav2", "caverphone2"), ("ph_koln", "cologne"),
+                     ("ph_nys", "nysiis")]:
+        parts.append(rows(
+            names_df, "s",
+            {"tokenizer": "whitespace",
+             "filter": [{"type": "phonetic", "encoder": enc}]},
+            tag,
+        ))
+    parts.append(rows(
+        names_df, "s",
+        {"tokenizer": "whitespace",
+         "filter": [{"type": "phonetic", "encoder": "soundex",
+                     "replace": False}]},
+        "ph_inject",
+    ))
     return _union(*parts).orderBy("op", "doc_id", "pos", "token")
 
 
