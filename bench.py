@@ -35,6 +35,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# The scale-axis phase serves 100k-, 1M- and 10M-turn indexes from one
+# local JVM; 8g (the library default) OOMs during cache unroll of the
+# bigger postings.  The box carries 128 GiB — give the bench JVM room.
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 TURNS_PER_SF = 1_000_000  # sf0.1 -> ~100k turns
 
 # FIXTURES.md §3 query set (reference-semantics DSL)
@@ -165,18 +169,23 @@ def query_phase(spark, index_dir: str, runs: int = 5):
     # interactive top-k results; it buys nothing on the query path (the
     # plans are tiny and skew-free) — builds keep AQE on
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    eng = SearchEngine(InvertedIndex(spark, index_dir).persist())
+    idx = InvertedIndex(spark, index_dir).persist()
+    eng = SearchEngine(idx)
     per_query = {}
     samples = []
-    for name, q in QUERY_SET.items():
-        eng.search(q, size=10).collect()  # warm-up (plans + file footers)
-        times = []
-        for _ in range(runs):
-            t0 = time.monotonic()
-            eng.search(q, size=10).collect()
-            times.append(time.monotonic() - t0)
-        per_query[name] = round(statistics.median(times), 4)
-        samples.extend(times)
+    try:
+        for name, q in QUERY_SET.items():
+            eng.search(q, size=10).collect()  # warm-up (plans + footers)
+            times = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                eng.search(q, size=10).collect()
+                times.append(time.monotonic() - t0)
+            per_query[name] = round(statistics.median(times), 4)
+            samples.extend(times)
+    finally:
+        # drop this index's cache before the next (bigger) size unrolls
+        idx.unpersist()
     samples.sort()
     return per_query, {
         "p50_sec": round(samples[len(samples) // 2], 4),
@@ -366,7 +375,8 @@ def msearch_phase(spark, index_dir: str, runs: int = 3) -> dict:
     from opensearch_spark.index.reader import InvertedIndex
     from opensearch_spark.query.executor import SearchEngine
 
-    eng = SearchEngine(InvertedIndex(spark, index_dir).persist())
+    idx = InvertedIndex(spark, index_dir).persist()
+    eng = SearchEngine(idx)
 
     def batch():
         parts = [
@@ -375,12 +385,15 @@ def msearch_phase(spark, index_dir: str, runs: int = 3) -> dict:
         ]
         return reduce(DataFrame.unionByName, parts)
 
-    batch().collect()  # warm (plan compile + footers)
-    times = []
-    for _ in range(runs):
-        t0 = time.monotonic()
-        batch().collect()
-        times.append(time.monotonic() - t0)
+    try:
+        batch().collect()  # warm (plan compile + footers)
+        times = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            batch().collect()
+            times.append(time.monotonic() - t0)
+    finally:
+        idx.unpersist()
     wall = statistics.median(times)
     return {
         "msearch_batch_queries": len(QUERY_SET),

@@ -1264,6 +1264,8 @@ def make_token_filter(spec, ctx: Optional[dict] = None) -> Callable[[TokenStream
             return _stem(_sb.swedish_stem)
         if lang == "portuguese":
             return _stem(_sb.portuguese_stem)
+        if lang == "romanian":
+            return _stem(_sb.romanian_stem)
         raise ValueError(f"stemmer language not implemented: {lang}")
     if typ == "elision":
         # ElisionTokenFilterFactory.java — strip l'/d'/qu'... article

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 __all__ = ["french_stem", "german_stem", "spanish_stem", "russian_stem",
            "italian_stem", "dutch_stem", "danish_stem", "norwegian_stem",
-           "swedish_stem", "portuguese_stem"]
+           "swedish_stem", "portuguese_stem", "romanian_stem"]
 
 
 def _std_r1r2(word: str, vowels: str) -> tuple:
@@ -1423,3 +1423,186 @@ def portuguese_stem(word: str) -> str:
         word = word[:-1] + "c"
 
     return word.replace("a~", "ã").replace("o~", "õ")
+
+
+# ===================================================================
+# Romanian (snowballstem.org/algorithms/romanian/stemmer.html)
+# ===================================================================
+# Reference parity: StemmerTokenFilterFactory.java "romanian" ->
+# Lucene SnowballFilter(RomanianStemmer).  The spec (and the Lucene
+# generated stemmer) uses the cedilla forms s-cedilla/t-cedilla
+# (U+015F/U+0163); modern comma-below orthography (U+0219/U+021B) is
+# normalized to cedilla on entry.
+
+_RO_V = "aăâeiîou"
+_RO_MODERN = str.maketrans("șț", "şţ")
+
+# step 0: plural removal (suffix -> replacement), longest match in R1
+_RO_STEP0 = sorted(
+    [("ul", ""), ("ului", ""),
+     ("aua", "a"),
+     ("ea", "e"), ("ele", "e"), ("elor", "e"),
+     ("ii", "i"), ("iua", "i"), ("iei", "i"), ("iile", "i"),
+     ("iilor", "i"), ("ilor", "i"),
+     ("ile", "i"),          # unless preceded by ab (checked inline)
+     ("atei", "at"),
+     ("aţie", "aţi"), ("aţia", "aţi")],
+    key=lambda t: -len(t[0]),
+)
+
+# step 1: combining suffixes (repeat until none applies), in R1
+_RO_STEP1 = sorted(
+    [("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+     ("abilităţi", "abil"),
+     ("ibilitate", "ibil"),
+     ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+     ("ivităţi", "iv"),
+     ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+     ("icităţi", "ic"), ("icator", "ic"), ("icatori", "ic"),
+     ("iciv", "ic"), ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"),
+     ("icivă", "ic"),
+     ("ical", "ic"), ("icala", "ic"), ("icale", "ic"), ("icali", "ic"),
+     ("icală", "ic"),
+     ("ativ", "at"), ("ativa", "at"), ("ative", "at"), ("ativi", "at"),
+     ("ativă", "at"), ("aţiune", "at"), ("atoare", "at"), ("ator", "at"),
+     ("atori", "at"), ("ătoare", "at"), ("ător", "at"), ("ători", "at"),
+     ("itiv", "it"), ("itiva", "it"), ("itive", "it"), ("itivi", "it"),
+     ("itivă", "it"), ("iţiune", "it"), ("itoare", "it"), ("itor", "it"),
+     ("itori", "it")],
+    key=lambda t: -len(t[0]),
+)
+
+# step 2: standard suffixes, in R2
+_RO_STEP2_DEL = sorted(
+    ["at", "ata", "ată", "ati", "ate",
+     "ut", "uta", "ută", "uti", "ute",
+     "it", "ita", "ită", "iti", "ite",
+     "ic", "ica", "ice", "ici", "ică",
+     "abil", "abila", "abile", "abili", "abilă",
+     "ibil", "ibila", "ibile", "ibili", "ibilă",
+     "oasa", "oasă", "oase", "os", "osi", "oşi",
+     "ant", "anta", "ante", "anti", "antă",
+     "ator", "atori",
+     "itate", "itati", "ităi", "ităţi",
+     "iv", "iva", "ive", "ivi", "ivă"],
+    key=len, reverse=True,
+)
+_RO_STEP2_IST = sorted(
+    ["ism", "isme", "ist", "ista", "iste", "isti", "istă", "işti"],
+    key=len, reverse=True,
+)
+
+# step 3: verb suffixes, in RV.  group 1 deletes only when preceded
+# (inside RV) by a consonant or by u; group 2 deletes unconditionally.
+_RO_VERB_G1 = [
+    "are", "ere", "ire", "âre",
+    "ind", "ând", "indu", "ându",
+    "eze", "ează", "ez", "ezi",
+    "ească", "eşti", "eşte", "ăşti", "ăşte", "esc", "ăsc",
+    "am", "ai", "au",
+    "eam", "eai", "ea", "eaţi", "eau",
+    "iam", "iai", "ia", "iaţi", "iau",
+    "ui", "aşi", "arăm", "arăţi", "ară",
+    "uşi", "urăm", "urăţi", "ură",
+    "işi", "irăm", "irăţi", "iră",
+    "âi", "âşi", "ârăm", "ârăţi", "âră",
+    "asem", "aseşi", "ase", "aserăm", "aserăţi", "aseră",
+    "isem", "iseşi", "ise", "iserăm", "iserăţi", "iseră",
+    "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră",
+    "usem", "useşi", "use", "userăm", "userăţi", "useră",
+]
+_RO_VERB_G2 = [
+    "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi",
+    "seşi", "serăm", "serăţi", "seră", "sei", "se",
+    "sesem", "seseşi", "sese", "seserăm", "seserăţi", "seseră",
+]
+_RO_VERB = sorted(
+    [(s, 1) for s in _RO_VERB_G1] + [(s, 2) for s in _RO_VERB_G2],
+    key=lambda t: -len(t[0]),
+)
+
+
+def romanian_stem(word: str) -> str:
+    word = word.lower().translate(_RO_MODERN)
+    # prelude: i/u between vowels are marked as consonants
+    ch = list(word)
+    for i in range(1, len(ch) - 1):
+        if ch[i] in "iu" and ch[i - 1] in _RO_V and ch[i + 1] in _RO_V:
+            ch[i] = ch[i].upper()
+    word = "".join(ch)
+    r1, r2 = _std_r1r2(word, _RO_V)
+    rv = _romance_rv(word, _RO_V)
+
+    # ---- step 0: plurals
+    for suf, rep in _RO_STEP0:
+        if word.endswith(suf) and len(word) - len(suf) >= r1:
+            if suf == "ile" and word.endswith("abile"):
+                continue  # "unless preceded by ab"
+            word = word[: -len(suf)] + rep
+            break
+
+    # ---- step 1: combining suffixes, repeated
+    removed_12 = False
+    changed = True
+    while changed:
+        changed = False
+        for suf, rep in _RO_STEP1:
+            if word.endswith(suf) and len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + rep
+                removed_12 = True
+                changed = True
+                break
+
+    # ---- step 2: standard suffixes in R2 (single longest match
+    # across all three suffix families)
+    best = None  # (suffix, action)
+    for suf in _RO_STEP2_DEL:
+        if word.endswith(suf) and len(word) - len(suf) >= r2:
+            best = (suf, "del")
+            break
+    for fam, act in ((("iune", "iuni"), "tiune"), (_RO_STEP2_IST, "ist")):
+        for suf in fam:
+            if (word.endswith(suf) and len(word) - len(suf) >= r2
+                    and (best is None or len(suf) > len(best[0]))):
+                best = (suf, act)
+                break
+    if best is not None:
+        suf, act = best
+        if act == "del":
+            word = word[: -len(suf)]
+            removed_12 = True
+        elif act == "tiune":
+            # delete iune/iuni when preceded by ţ, which becomes t
+            if word[: -len(suf)].endswith("ţ"):
+                word = word[: -len(suf) - 1] + "t"
+                removed_12 = True
+        else:  # ism family -> ist
+            word = word[: -len(suf)] + "ist"
+            removed_12 = True
+
+    # ---- step 3: verb suffixes (only when steps 1-2 removed nothing)
+    if not removed_12:
+        for suf, grp in _RO_VERB:
+            if not word.endswith(suf):
+                continue
+            start = len(word) - len(suf)
+            if start < rv:
+                continue
+            if grp == 1:
+                # preceding char must exist inside RV and be a
+                # consonant or u (the setlimit-to-RV among condition)
+                if start - 1 < rv:
+                    continue
+                prev = word[start - 1]
+                if prev in _RO_V and prev != "u":
+                    continue
+            word = word[:start]
+            break
+
+    # ---- step 4: final vowel
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if word.endswith(suf) and len(word) - len(suf) >= rv:
+            word = word[: -len(suf)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")

@@ -71,6 +71,17 @@ class InvertedIndex:
         self.__dict__["_dictionary_df"].count()
         return self
 
+    def unpersist(self) -> "InvertedIndex":
+        """Release the pinned tables (the cache-eviction twin of
+        :meth:`persist`) — benches that walk multiple index sizes in
+        one JVM must drop the previous size's cache or the unroll of
+        the next one OOMs the shared local heap."""
+        for key in ("_postings_df", "_docmap_df", "_dictionary_df"):
+            df = self.__dict__.pop(key, None)
+            if df is not None:
+                df.unpersist()
+        return self
+
     def postings(self) -> DataFrame:
         cached = self.__dict__.get("_postings_df")
         if cached is not None:

@@ -33,6 +33,15 @@ def get_spark(
         # opt into v2 explicitly only for overwrite-idempotent outputs.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # JDK unified logging defaults warnings (gc,alloc GCLocker
+        # retries under heap pressure) to STDOUT, which would interleave
+        # with the bench's machine-readable JSON line — send them to
+        # stderr instead
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "")
+            + " -Xlog:all=warning:stderr",
+        )
         .config("spark.ui.enabled", "false")
         # keep stdout clean: the bench's machine-readable JSON line must
         # not interleave with console progress bars (VERDICT r3 #1)

@@ -423,3 +423,48 @@ def test_named_scandinavian_portuguese_analyzers():
     assert Analyzer.from_spec("portuguese")("os livros de meninas") == (
         ["livr", "menin"], [1, 3]
     )
+
+
+RO = {
+    # step 2: itate in R2 after step-1 no-op
+    "abilitate": "abil",
+    # step 1 ivitate -> iv (combining), nothing further in R2
+    "activitate": "activ",
+    # step 0 plural "ile" -> i, then step-4 final i
+    "lucrurile": "lucrur",
+    # step 0 "ii" -> i, then group-2 verb "eţi" (prelude-marked I kept)
+    "băieţii": "băi",
+    # group-1 verb suffixes after consonant in RV
+    "acţionase": "acţion",   # ase
+    "cântând": "cânt",       # ând
+    "lucrează": "lucr",      # ează
+    "românesc": "român",     # esc
+    "copilăria": "copilăr",  # ia
+    # step-4 final vowel only
+    "frumoasă": "frumoas",
+    "merge": "merg",
+    "ţări": "ţăr",
+    "țări": "ţăr",           # comma-below normalized to cedilla
+    # step 2 antă in R2
+    "importantă": "import",
+    # no rule fires ("al" is not a Romanian suffix)
+    "naţional": "naţional",
+    # iune NOT in R2 -> only the final e drops
+    "naţiune": "naţiun",
+    # prelude I marking keeps the doubled i intact; bare plural loses it
+    "copiii": "copii",
+    "copii": "cop",
+}
+
+
+def test_romanian_vectors():
+    from opensearch_spark.analysis.snowball import romanian_stem
+
+    for word, stem in RO.items():
+        assert romanian_stem(word) == stem, word
+
+
+def test_romanian_chain_registration():
+    f = make_token_filter({"type": "stemmer", "language": "romanian"})
+    toks, pos = f((["lucrurile", "frumoasă"], [0, 1]))
+    assert toks == ["lucrur", "frumoas"] and pos == [0, 1]
