@@ -122,6 +122,65 @@ def build_completion_index(
     ).filter(F.col("suggestion") != "")
 
 
+class CompletionPrefixIndex:
+    """``index_prefixes`` accelerator (``CompletionFieldMapper`` /
+    ``PrefixFieldMapper``: an edge-ngram ``._index_prefix`` subfield
+    turns prefix queries of length ``min_chars..max_chars`` into TERM
+    matches).  Spark analog: the completion table exploded over its
+    edge prefixes, hash-repartitioned on ``prefix`` — a typed key then
+    probes with an EQUALITY predicate, so parquet dictionary/min-max
+    stats prune to the one matching value and, bucketed, exactly one
+    hash partition is touched.  At 10^12-entry scale the sorted-scan
+    ``startswith`` path must read every file footer in the range; the
+    equality probe is the FST-arc-jump analog.  Trade: ~(max_chars -
+    min_chars + 1)x index rows, the same trade the reference documents
+    for ``index_prefixes``.
+
+    Keys longer than ``max_chars`` probe with their ``max_chars`` head
+    plus a residual ``startswith`` re-check (exactly Lucene's behavior:
+    the prefix automaton takes over past the indexed lengths); keys
+    shorter than ``min_chars`` fall back to the range scan."""
+
+    def __init__(self, df: DataFrame, min_chars: int = 1,
+                 max_chars: int = 5):
+        self.df = df
+        self.min_chars = int(min_chars)
+        self.max_chars = int(max_chars)
+
+    @classmethod
+    def build(cls, sugg: DataFrame, min_chars: int = 1, max_chars: int = 5,
+              buckets: int = 0) -> "CompletionPrefixIndex":
+        """Explode a :func:`build_completion_index` table over its edge
+        prefixes.  ``buckets > 0`` hash-repartitions on ``prefix`` (the
+        write-side layout a cluster deployment would persist)."""
+        lens = F.sequence(
+            F.lit(int(min_chars)),
+            F.least(F.lit(int(max_chars)), F.length("suggestion")),
+        )
+        out = sugg.withColumn(
+            "prefix",
+            F.explode(
+                F.transform(lens, lambda n: F.col("suggestion").substr(F.lit(1), n))
+            ),
+        )
+        if buckets:
+            out = out.repartition(int(buckets), "prefix")
+        return cls(out, min_chars, max_chars)
+
+    def lookup(self, key: str) -> Optional[DataFrame]:
+        """Completion rows whose suggestion starts with ``key``, via the
+        equality probe; ``None`` when the key is shorter than the
+        indexed minimum (caller falls back to the range scan)."""
+        key = key.lower()
+        if len(key) < self.min_chars:
+            return None
+        head = key[: self.max_chars]
+        df = self.df.filter(F.col("prefix") == head)
+        if len(key) > self.max_chars:
+            df = df.filter(F.col("suggestion").startswith(key))
+        return df.drop("prefix")
+
+
 def completion_suggest_field(
     sugg: DataFrame,
     prefix: Optional[str] = None,
@@ -130,6 +189,7 @@ def completion_suggest_field(
     fuzzy: Optional[dict] = None,
     contexts: Optional[dict] = None,
     skip_duplicates: bool = False,
+    prefix_index: Optional[CompletionPrefixIndex] = None,
 ) -> DataFrame:
     """Completion suggester over a :func:`build_completion_index` table
     (``CompletionSuggestionBuilder`` — prefix / regex / fuzzy /
@@ -174,6 +234,7 @@ def completion_suggest_field(
         raise ValueError("completion suggester needs exactly one of prefix / regex")
     base = sugg
     boost_expr = F.lit(1.0)
+    ctx_filters = []  # unbound exprs, reusable on the prefix-index probe
     for name, vals in (contexts or {}).items():
         ccol = f"ctx_{name}"
         if ccol not in base.columns:
@@ -192,6 +253,7 @@ def completion_suggest_field(
         any_match = conds[0]
         for c in conds[1:]:
             any_match = any_match | c
+        ctx_filters.append(any_match)
         base = base.filter(any_match)
         boost_expr = boost_expr * F.greatest(*boosts) if len(boosts) > 1 else (
             boost_expr * boosts[0]
@@ -207,9 +269,18 @@ def completion_suggest_field(
         )
     else:
         key = prefix.lower()
-        exact = base.filter(F.col("suggestion").startswith(key)).select(
-            "suggestion", score, F.lit(0).alias("edits")
-        )
+        probe = prefix_index.lookup(key) if prefix_index is not None else None
+        if probe is not None:
+            # index_prefixes accelerator: the equality probe already
+            # narrowed to the prefix; re-apply the context mask on the
+            # narrowed frame (the probe carries the same ctx_ columns)
+            for flt in ctx_filters:
+                probe = probe.filter(flt)
+            exact = probe.select("suggestion", score, F.lit(0).alias("edits"))
+        else:
+            exact = base.filter(F.col("suggestion").startswith(key)).select(
+                "suggestion", score, F.lit(0).alias("edits")
+            )
         out = exact
         f = dict(fuzzy) if fuzzy else None
         if (

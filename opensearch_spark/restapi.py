@@ -966,6 +966,24 @@ def _run_suggest(engine, spec: dict) -> dict:
                     weight_col=c.get("weight_field"),
                     context_cols=ctx_fields,
                 )
+            # mapping-time `index_prefixes` (CompletionFieldMapper /
+            # PrefixFieldMapper): stand up the edge-prefix equality
+            # table beside the cached completion table so in-band
+            # prefixes probe as term matches
+            pidx = None
+            if c.get("index_prefixes"):
+                ip = c["index_prefixes"] if isinstance(
+                    c["index_prefixes"], dict) else {}
+                pcache = engine.__dict__.setdefault(
+                    "_completion_prefix_tables", {})
+                pkey = (key, ip.get("min_chars", 2), ip.get("max_chars", 5))
+                if pkey not in pcache:
+                    pcache[pkey] = S.CompletionPrefixIndex.build(
+                        cache[key],
+                        min_chars=int(ip.get("min_chars", 2)),
+                        max_chars=int(ip.get("max_chars", 5)),
+                    )
+                pidx = pcache[pkey]
             rows = S.completion_suggest_field(
                 cache[key],
                 prefix=s.get("prefix"),
@@ -974,6 +992,7 @@ def _run_suggest(engine, spec: dict) -> dict:
                 fuzzy=c.get("fuzzy"),
                 contexts=c.get("contexts"),
                 skip_duplicates=bool(c.get("skip_duplicates", False)),
+                prefix_index=pidx,
             ).collect()
             out[name] = [{
                 "text": s.get("prefix") or s.get("regex"),

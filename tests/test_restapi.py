@@ -687,3 +687,24 @@ def test_body_completion_suggester(engine, dm_pdf):
          }}}
     )
     assert resp2["suggest"]["t2"][0]["options"], resp2["suggest"]
+
+
+def test_body_completion_index_prefixes(engine):
+    """`index_prefixes` at the body level: the equality-probe table
+    must serve identical options to the range-scan path (r5, the
+    CompletionFieldMapper index_prefixes accelerator)."""
+    body_plain = {"size": 0, "suggest": {"t": {
+        "prefix": "tool-",
+        "completion": {"field": "tool", "size": 10,
+                       "skip_duplicates": True},
+    }}}
+    body_accel = {"size": 0, "suggest": {"t": {
+        "prefix": "tool-",
+        "completion": {"field": "tool", "size": 10,
+                       "skip_duplicates": True,
+                       "index_prefixes": {"min_chars": 2,
+                                          "max_chars": 5}},
+    }}}
+    a = restapi.search_request(engine, body_plain)["suggest"]["t"][0]
+    b = restapi.search_request(engine, body_accel)["suggest"]["t"][0]
+    assert a["options"] == b["options"] and a["options"]
