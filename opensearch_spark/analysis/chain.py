@@ -212,6 +212,90 @@ def _ends_cvc(word: str) -> bool:
     return word[-1] not in "wxy"
 
 
+def english_possessive(t: str) -> str:
+    """EnglishPossessiveFilter: strip a trailing 's (ASCII, right
+    single quote, or fullwidth apostrophe)."""
+    if len(t) >= 2 and t[-2] in ("'", "’", "＇") and t[-1] in "sS":
+        return t[:-2]
+    return t
+
+
+def english_minimal_stem(t: str) -> str:
+    """EnglishMinimalStemFilter (the S-stemmer): drop a final s unless
+    the word is short or ends in -ss / -us."""
+    if len(t) < 3 or t[-1] != "s" or t[-2] in "us":
+        return t
+    return t[:-1]
+
+
+# Words ending in oes / ches that keep the e when plural-stemmed
+# (EnglishPluralStemFilter.java:90-101; the Java exception check
+# compares tails, so one string being a suffix of the other matches)
+_EN_OES_EXC = ("shoes", "canoes", "oboes")
+_EN_CHES_EXC = ("cliches", "avalanches", "mustaches", "moustaches",
+                "quiches", "headaches", "heartaches", "porsches",
+                "tranches", "caches")
+
+
+def _suffix_exception(t: str, rules) -> bool:
+    for rule in rules:
+        m = min(len(t), len(rule))
+        if t[-m:] == rule[-m:]:
+            return True
+    return False
+
+
+def english_plural_stem(t: str) -> str:
+    """``plural_english`` (EnglishPluralStemFilter.java:105-158): the
+    S-stemmer plus dangling-e rules — xes/oes/sses/shes/ches drop the
+    es (with oes/ches exception lists), ies->y only on words longer
+    than 4 (spies->spy but ties->tie), ees->ee."""
+    n = len(t)
+    if n < 3 or t[-1] != "s":
+        return t
+    c = t[-2]
+    if c in "us":
+        return t
+    if c == "e":
+        if n > 4 and t[-3] == "i":
+            return t[:-3] + "y"
+        if n > 3:
+            if n > 4 and t[-3] == "x":
+                return t[:-2]
+            if t[-3] == "o":
+                return t[:-1] if _suffix_exception(t, _EN_OES_EXC) else t[:-2]
+            if n > 4:
+                if t[-4] == "s" and t[-3] in "hs":
+                    return t[:-2]
+                if t[-4] == "c" and t[-3] == "h":
+                    return (t[:-1] if _suffix_exception(t, _EN_CHES_EXC)
+                            else t[:-2])
+    return t[:-1]
+
+
+def french_minimal_stem(t: str) -> str:
+    """``minimal_french`` (Savoy's minimal French stemmer, Lucene
+    FrenchMinimalStemFilter): -aux -> -al (unless -eaux), then strip
+    s / r / e / é in order, then reduce a final double letter."""
+    if len(t) < 6:
+        return t
+    if t[-1] == "x":
+        if t[-3] == "a" and t[-2] == "u" and t[-4] != "e":
+            return t[:-2] + "l"
+        return t[:-1]
+    if t[-1] == "s":
+        t = t[:-1]
+    if t[-1] == "r":
+        t = t[:-1]
+    if t[-1] == "e":
+        t = t[:-1]
+    if t[-1] == "é":
+        t = t[:-1]
+    if len(t) >= 2 and t[-1] == t[-2] and t[-1].isalpha():
+        t = t[:-1]
+    return t
+
+
 def porter_stem(word: str) -> str:
     """Stem one lowercase word per the published Porter (1980) rules."""
     if len(word) <= 2:
@@ -1266,6 +1350,16 @@ def make_token_filter(spec, ctx: Optional[dict] = None) -> Callable[[TokenStream
             return _stem(_sb.portuguese_stem)
         if lang == "romanian":
             return _stem(_sb.romanian_stem)
+        # the Lucene light/minimal family registered in
+        # StemmerTokenFilterFactory.java:146-181
+        if lang in ("minimal_english", "minimalenglish"):
+            return _stem(english_minimal_stem)
+        if lang in ("plural_english", "pluralenglish"):
+            return _stem(english_plural_stem)
+        if lang in ("possessive_english", "possessiveenglish"):
+            return _stem(english_possessive)
+        if lang in ("minimal_french", "minimalfrench"):
+            return _stem(french_minimal_stem)
         raise ValueError(f"stemmer language not implemented: {lang}")
     if typ == "elision":
         # ElisionTokenFilterFactory.java — strip l'/d'/qu'... article

@@ -468,3 +468,54 @@ def test_romanian_chain_registration():
     f = make_token_filter({"type": "stemmer", "language": "romanian"})
     toks, pos = f((["lucrurile", "frumoasă"], [0, 1]))
     assert toks == ["lucrur", "frumoas"] and pos == [0, 1]
+
+
+def test_english_minimal_plural_possessive():
+    """Lucene light/minimal English family
+    (StemmerTokenFilterFactory.java:146-162;
+    EnglishPluralStemFilter.java:105-158 incl. the oes/ches exception
+    lists and the tail-compare quirk where a word that is a suffix of
+    an exception rule also matches)."""
+    from opensearch_spark.analysis.chain import (
+        english_minimal_stem,
+        english_plural_stem,
+        english_possessive,
+    )
+
+    # minimal (S-stemmer): -s unless short / -ss / -us
+    for w, e in [("dogs", "dog"), ("gas", "ga"), ("class", "class"),
+                 ("virus", "virus"), ("as", "as"), ("bees", "bee")]:
+        assert english_minimal_stem(w) == e, w
+    # plural: the doc examples from the reference javadoc
+    for w, e in [("boxes", "box"), ("dresses", "dress"),
+                 ("dishes", "dish"), ("watches", "watch"),
+                 ("bees", "bee"), ("spies", "spy"), ("pies", "pie"),
+                 ("ties", "tie"), ("tomatoes", "tomato"),
+                 ("shoes", "shoe"), ("canoes", "canoe"),
+                 ("caches", "cache"), ("avalanches", "avalanche"),
+                 ("axes", "axe"), ("dogs", "dog"), ("class", "class"),
+                 ("hoes", "hoe")]:  # suffix of "shoes" -> exception
+        assert english_plural_stem(w) == e, w
+    for w, e in [("john's", "john"), ("JAMES'S", "JAMES"),
+                 ("it’s", "it"), ("its", "its")]:
+        assert english_possessive(w) == e, w
+
+
+def test_french_minimal():
+    from opensearch_spark.analysis.chain import french_minimal_stem
+
+    for w, e in [("chevaux", "cheval"), ("châteaux", "château"),
+                 ("hommes", "hom"), ("chanter", "chant"),
+                 ("baisse", "bais"), ("petit", "petit"),
+                 ("été", "été")]:  # < 6 chars untouched
+        assert french_minimal_stem(w) == e, w
+
+
+def test_light_family_chain_registration():
+    for lang, word, stem in [("minimal_english", "dogs", "dog"),
+                             ("plural_english", "watches", "watch"),
+                             ("possessive_english", "john's", "john"),
+                             ("minimal_french", "chevaux", "cheval")]:
+        f = make_token_filter({"type": "stemmer", "language": lang})
+        toks, _ = f(([word], [0]))
+        assert toks == [stem], (lang, word)
