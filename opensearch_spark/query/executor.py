@@ -4145,19 +4145,41 @@ class SearchEngine:
             (left, top), (right, bottom) = q.shape["coordinates"]
             q_top, q_bottom = float(top), float(bottom)
             q_left, q_right = float(left), float(right)
-            if q_left > q_right:
-                raise NotImplementedError(
-                    "dateline-crossing query envelopes against shape "
-                    "docs are out of scope (split the query)"
-                )
         else:
             raise NotImplementedError(
                 f"geo_shape relation against an envelope doc field "
                 f"supports envelope/point query shapes, not {t!r}"
             )
+        # dateline handling (r5, the reference's GeoBoundingBox split):
+        # left > right means the query lon range crosses the
+        # antimeridian — evaluate it as the two windows [left, 180] and
+        # [-180, right]: intersect/within OR across windows (the doc
+        # envelope hits either piece), contains AND (the doc must cover
+        # both pieces of the disconnected region)
+        if q_left <= q_right:
+            wins = [(q_left, q_right)]
+        else:
+            wins = [(q_left, 180.0), (-180.0, q_right)]
+
+        def _or(preds):
+            out = preds[0]
+            for p in preds[1:]:
+                out = out | p
+            return out
+
+        def _and(preds):
+            out = preds[0]
+            for p in preds[1:]:
+                out = out & p
+            return out
+
+        lon_any = _or([
+            (dmin_lon <= F.lit(r)) & (dmax_lon >= F.lit(l))
+            for l, r in wins
+        ])
         intersects = (
             (dmin_lat <= F.lit(q_top)) & (dmax_lat >= F.lit(q_bottom))
-            & (dmin_lon <= F.lit(q_right)) & (dmax_lon >= F.lit(q_left))
+            & lon_any
         )
         if q.relation == "intersects":
             return intersects
@@ -4166,12 +4188,18 @@ class SearchEngine:
         if q.relation == "within":  # doc envelope inside the query shape
             return (
                 (dmin_lat >= F.lit(q_bottom)) & (dmax_lat <= F.lit(q_top))
-                & (dmin_lon >= F.lit(q_left)) & (dmax_lon <= F.lit(q_right))
+                & _or([
+                    (dmin_lon >= F.lit(l)) & (dmax_lon <= F.lit(r))
+                    for l, r in wins
+                ])
             )
         if q.relation == "contains":  # doc envelope contains the query
             return (
                 (dmin_lat <= F.lit(q_bottom)) & (dmax_lat >= F.lit(q_top))
-                & (dmin_lon <= F.lit(q_left)) & (dmax_lon >= F.lit(q_right))
+                & _and([
+                    (dmin_lon <= F.lit(l)) & (dmax_lon >= F.lit(r))
+                    for l, r in wins
+                ])
             )
         raise ValueError(f"unknown geo_shape relation {q.relation!r}")
 

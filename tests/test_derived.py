@@ -186,3 +186,41 @@ def test_geo_shape_indexed_shape_lookup(engine):
                                   "path": "box"}}}},
             size=5, derived={"box": box},
         ).collect()
+
+
+def test_geo_shape_envelope_doc_dateline(engine):
+    """r5: a query envelope with left > right crosses the antimeridian
+    and evaluates as the two windows [left,180] | [-180,right]
+    (intersects/within OR across windows, contains AND) — the
+    GeoBoundingBoxQueryBuilder dateline split applied to shape docs."""
+    box = ("named_struct('min_lat', CAST(dl AS DOUBLE) - 2.0, "
+           "'max_lat', CAST(dl AS DOUBLE) + 2.0, "
+           "'min_lon', 160.0 + CAST(turn_idx AS DOUBLE) * 4.0, "
+           "'max_lon', 166.0 + CAST(turn_idx AS DOUBLE) * 4.0)")
+    # crosses: lon [170, -170] wraps; lat wide open
+    env = {"type": "envelope", "coordinates": [[170.0, 90.0], [-170.0, -90.0]]}
+
+    def run(relation):
+        return engine.search(
+            {"geo_shape": {"box": {"shape": env, "relation": relation}}},
+            size=10000, derived={"box": box},
+        ).collect()
+
+    isect, disj, within = run("intersects"), run("disjoint"), run("within")
+    total = engine.docmap().count()
+    assert len(isect) + len(disj) == total
+    dm = engine.docmap().select("conv_id", "turn_idx").collect()
+    exp_isect = set()
+    exp_within = set()
+    for r in dm:
+        lo, hi = 160.0 + r["turn_idx"] * 4.0, 166.0 + r["turn_idx"] * 4.0
+        # window algebra vs the wrapped query [170,180] U [-180,-170]
+        hit = (lo <= 180.0 and hi >= 170.0) or (lo <= -170.0 and hi >= -180.0)
+        win = (lo >= 170.0 and hi <= 180.0) or (lo >= -180.0 and hi <= -170.0)
+        if hit:
+            exp_isect.add((r["conv_id"], r["turn_idx"]))
+        if win:
+            exp_within.add((r["conv_id"], r["turn_idx"]))
+    ids = lambda rows: {(r["conv_id"], r["turn_idx"]) for r in rows}
+    assert ids(isect) == exp_isect and exp_isect
+    assert ids(within) == exp_within
