@@ -112,6 +112,10 @@ _JOIN = {
     frozenset(("float", "text")): "text",
     frozenset(("boolean", "text")): "text",
     frozenset(("date", "text")): "text",
+    # an EXPLICIT scaled_float mapping (never inferred) absorbs the
+    # long/float the dynamic pass infers from incoming numeric JSON
+    frozenset(("scaled_float", "long")): "scaled_float",
+    frozenset(("scaled_float", "float")): "scaled_float",
 }
 
 
@@ -181,7 +185,13 @@ def _join_specs(a: dict, b: dict, path: str) -> dict:
         raise MappingConflictError(
             f"mapper [{path}] cannot be changed from type [{ta}] to [{tb}]"
         )
-    out = json.loads(json.dumps(_TEXT_SPEC)) if joined == "text" else {"type": joined}
+    if joined == ta:
+        out = dict(a)  # keep the winning side's params (scaling_factor)
+    elif joined == tb:
+        out = dict(b)
+    else:
+        out = (json.loads(json.dumps(_TEXT_SPEC)) if joined == "text"
+               else {"type": joined})
     if a.get("_array") or b.get("_array"):
         out["_array"] = True
     return out
@@ -325,6 +335,16 @@ class Mappings:
     def text_fields(self) -> List[str]:
         return sorted(p for p, s in self.flat().items() if s["type"] == "text")
 
+    def scaled_fields(self) -> Dict[str, float]:
+        """Dotted path -> scaling_factor for ``scaled_float`` fields
+        (ScaledFloatFieldMapper: stored value = round(v * factor) as a
+        long; queries scale their operands the same way)."""
+        return {
+            p: float(s.get("scaling_factor", 100.0))
+            for p, s in self.flat().items()
+            if s["type"] == "scaled_float"
+        }
+
 
 def _strip(props: dict) -> dict:
     out = {}
@@ -363,6 +383,9 @@ def _restrict(new: dict, existing: dict, strict: bool, _path: str = "") -> dict:
 _SPARK_SCALAR = {
     "long": T.LongType(),
     "float": T.DoubleType(),
+    # scaled_float parses as double from JSON; typed_frame then stores
+    # round(v * scaling_factor) as long (ScaledFloatFieldMapper.java:433)
+    "scaled_float": T.DoubleType(),
     "boolean": T.BooleanType(),
     "date": T.StringType(),
     "text": T.StringType(),
@@ -474,6 +497,14 @@ def typed_frame(
             for f in fmts
         ]
         out = out.withColumn(path, F.coalesce(*conv) if len(conv) > 1 else conv[0])
+    # scaled_float storage transform: round(v * factor) as long — the
+    # doc-values representation queries compare against
+    for path, factor in mappings.scaled_fields().items():
+        if "." in path:  # nested scaled floats stay raw in their struct
+            continue
+        out = out.withColumn(
+            path, F.round(F.col(f"`{path}`") * F.lit(factor)).cast("long")
+        )
     return out
 
 

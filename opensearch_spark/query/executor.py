@@ -1529,6 +1529,11 @@ class SearchEngine:
         def _out(fld):
             fmt = docvalue_fields.get(fld)
             if fmt is None:
+                sf = self._scaled_factor(fld)
+                if sf is not None:
+                    # ScaledFloatFieldMapper doc-value fetch decodes
+                    # scaled long / factor (:288)
+                    return (F.col(fld).cast("double") / F.lit(sf)).alias(fld)
                 return F.col(fld)
             c = F.col(fld)
             if fmt == "epoch_millis":
@@ -4002,22 +4007,81 @@ class SearchEngine:
 
     # ------------------------------------------------- filter-context plans
 
+    def _scaled_factor(self, field: str):
+        """scaling_factor for a ``scaled_float``-mapped field, else
+        None.  Mappings ride ``mappings.json`` beside the index
+        (create_index_from_json); loaded once per engine."""
+        cache = self.__dict__.get("_scaled_fields_cache")
+        if cache is None:
+            cache = {}
+            import json as _json
+            import os as _os
+
+            p = _os.path.join(self.index.index_dir, "mappings.json")
+            if _os.path.exists(p):
+                from opensearch_spark.index.mapping import Mappings
+
+                with open(p) as f:
+                    cache = Mappings.from_dict(_json.load(f)).scaled_fields()
+            self.__dict__["_scaled_fields_cache"] = cache
+        return cache.get(field)
+
     def _predicate(self, q) -> Optional[Column]:
         """Columnar docmap predicate for filter-context clauses (Catalyst
         pushes these into the parquet scan), or None if the clause needs a
         postings docset."""
         if isinstance(q, Q.Term) and q.field != self.text_col:
+            sf = self._scaled_factor(q.field)
+            if sf is not None:
+                # ScaledFloatFieldMapper.termQuery:203 — exact long
+                # match on round(v * factor)
+                return F.col(q.field) == F.lit(round(float(q.value) * sf))
             return F.col(q.field) == F.lit(q.value)
         if isinstance(q, Q.TermsLookup):
             return self._predicate(self._resolve_terms_lookup(q))
         if isinstance(q, Q.Terms) and q.field != self.text_col:
             if not q.values:
                 return F.lit(False)  # empty lookup -> MatchNoDocsQuery
+            sf = self._scaled_factor(q.field)
+            if sf is not None:
+                return F.col(q.field).isin(
+                    [round(float(v) * sf) for v in q.values]
+                )
             return F.col(q.field).isin(list(q.values))
         if isinstance(q, Q.Range):
             from opensearch_spark.query import datemath
 
             c = F.col(q.field)
+            sf = self._scaled_factor(q.field)
+            if sf is not None:
+                # ScaledFloatFieldMapper.rangeQuery:232-250 — operands
+                # scale to the long domain: lower = ceil(v*f) (nextUp
+                # first when exclusive), upper = floor(v*f) (nextDown
+                # when exclusive); both bounds become INCLUSIVE longs
+                import math as _math
+
+                conds = []
+                lo = None
+                if q.gte is not None:
+                    lo = _math.ceil(float(q.gte) * sf)
+                if q.gt is not None:
+                    v = _math.nextafter(float(q.gt) * sf, _math.inf)
+                    lo2 = _math.ceil(v)
+                    lo = lo2 if lo is None else max(lo, lo2)
+                hi = None
+                if q.lte is not None:
+                    hi = _math.floor(float(q.lte) * sf)
+                if q.lt is not None:
+                    v = _math.nextafter(float(q.lt) * sf, -_math.inf)
+                    hi2 = _math.floor(v)
+                    hi = hi2 if hi is None else min(hi, hi2)
+                if lo is not None:
+                    conds.append(c >= F.lit(int(lo)))
+                if hi is not None:
+                    conds.append(c <= F.lit(int(hi)))
+                if not conds:
+                    return F.lit(True)
+                return reduce(lambda a, b_: a & b_, conds)
 
             def val(v, round_up: bool):
                 # date math resolves at plan time (the reference's

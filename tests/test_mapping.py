@@ -272,3 +272,67 @@ def test_append_strict_and_false_modes(spark, tmp_path):
     assert "rogue" not in typed.columns
     # ...but it survives verbatim in _source
     assert json.loads(typed.collect()[0]["_source"])["rogue"] == "x"
+
+
+# ----------------------- scaled_float (mapper-extras, r5) -----------------
+
+
+def test_scaled_float_index_and_query(spark, tmp_path):
+    """ScaledFloatFieldMapper parity: values store as round(v*factor)
+    longs, term/terms/range queries scale their operands (quantization
+    makes 3.004 and 2.996 equal under factor 100), docvalue fetch
+    decodes back, and the dynamic pass's inferred float/long merges
+    INTO an explicit scaled_float without conflict."""
+    import json as _json
+
+    from opensearch_spark.index.mapping import (
+        Mappings,
+        create_index_from_json,
+    )
+    from opensearch_spark.query.executor import SearchEngine
+    from opensearch_spark.index.reader import InvertedIndex
+
+    docs = [
+        {"doc_id": 1, "text": "alpha row", "price": 3.004},
+        {"doc_id": 2, "text": "beta row", "price": 2.996},
+        {"doc_id": 3, "text": "gamma row", "price": 3.06},
+        {"doc_id": 4, "text": "delta row", "price": 10},
+    ]
+    df = spark.createDataFrame(
+        [(_json.dumps(d),) for d in docs], "_source string"
+    )
+    explicit = Mappings(
+        {"price": {"type": "scaled_float", "scaling_factor": 100.0}}
+    )
+    d = str(tmp_path / "sfidx")
+    _, merged = create_index_from_json(
+        spark, df, d, id_fields=("doc_id",), mappings=explicit
+    )
+    assert merged.flat()["price"]["type"] == "scaled_float"
+    assert merged.scaled_fields() == {"price": 100.0}
+
+    eng = SearchEngine(InvertedIndex(spark, d))
+    ids = lambda rows: sorted(r["doc_id"] for r in rows)
+
+    # term 3.0: round(3.004*100)=300 == round(2.996*100), so BOTH match
+    got = eng.search({"term": {"price": 3.0}}, size=10).collect()
+    assert ids(got) == [1, 2]
+    # terms scale each operand
+    got = eng.search({"terms": {"price": [3.0, 10.0]}}, size=10).collect()
+    assert ids(got) == [1, 2, 4]
+    # range gt 3.0 -> lo = ceil(nextUp(300.0)) = 301 -> only 306, 1000
+    got = eng.search(
+        {"bool": {"filter": [{"range": {"price": {"gt": 3.0}}}]}}, size=10
+    ).collect()
+    assert ids(got) == [3, 4]
+    # lte 3.0 -> hi = floor(300.0) = 300
+    got = eng.search(
+        {"bool": {"filter": [{"range": {"price": {"lte": 3.0}}}]}}, size=10
+    ).collect()
+    assert ids(got) == [1, 2]
+    # docvalue fetch decodes scaled/factor
+    got = eng.search(
+        {"term": {"price": 3.06}}, size=10,
+        docvalue_fields={"price": None},
+    ).collect()
+    assert [r["price"] for r in got] == [3.06]
