@@ -5603,6 +5603,7 @@ SELECT 'dyn_mapping' AS op, doc_id, score FROM (
                            THEN 2.0 ELSE 1.0 END                -- num: long∪float
   UNION ALL SELECT 8, 5.0                                       -- text: text
   UNION ALL SELECT 9, 4.0                                       -- ts: date
+  UNION ALL SELECT 10, 6.0                                      -- price: scaled_float (explicit)
 )
 UNION ALL
 """
@@ -5614,6 +5615,15 @@ UNION ALL
     + _sql_match_over(
         _LC_Q, 1, 10, "dyn_search", p="",
         flt="AND doc_id % 3 = 0 AND doc_id >= 50 AND (doc_id % 28) + 1 >= 20",
+    )
+    + "\nUNION ALL\n"
+    # dyn_scaled: the scaled_float range in the long domain — stored
+    # value is exactly (doc_id%400)*100 + doc_id%100; gte 50 ->
+    # scaled >= 5000, lt 120.255 -> scaled <= 12025
+    + _sql_match_over(
+        _LC_Q, 1, 10, "dyn_scaled", p="",
+        flt="AND (doc_id % 400) * 100 + (doc_id % 100) >= 5000"
+            " AND (doc_id % 400) * 100 + (doc_id % 100) <= 12025",
     )
     + "\nORDER BY op, score DESC, doc_id ASC",
 )
@@ -5835,22 +5845,34 @@ def lifecycle_suite(spark, sf_dir):
             ).otherwise(F.lit("")),
             F.lit(', "meta": {"k": "v'),
             (F.col("doc_id") % 4).cast("string"),
-            F.lit('"}, '),
+            F.lit('"}, "price": '),
+            # r5 scaled_float: an exact-decimal money-ish value
+            # (doc_id%400).(doc_id%100) so round(v*100) is the integer
+            # (doc_id%400)*100 + doc_id%100 with no float surprises
+            (F.col("doc_id") % 400).cast("string"),
+            F.lit("."),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(", "),
             F.expr("substring(to_json(struct(doc_id, text, lang, n_chars)), 2)"),
         ).alias("_source")
     )
     jdir = os.path.join(root, "json")
     _, mm = dynmap.create_index_from_json(
         spark, jdf, jdir, id_fields=("doc_id",),
+        # explicit scaled_float mapping absorbs the inferred float
+        # (ScaledFloatFieldMapper; _JOIN scaled_float∪float)
+        mappings=dynmap.Mappings(
+            {"price": {"type": "scaled_float", "scaling_factor": 100.0}}
+        ),
         config=IndexConfig(n_segments=4, routing_col="doc_id",
                            dictionary_partitions=2),
     )
     # flat (path -> type) rows under fixed path ids / type codes; an
     # unexpected path or type lands as 99 and hash-mismatches
     _PATH_ID = {"doc_id": 1, "extra": 2, "flag": 3, "lang": 4, "meta.k": 5,
-                "n_chars": 6, "num": 7, "text": 8, "ts": 9}
+                "n_chars": 6, "num": 7, "text": 8, "ts": 9, "price": 10}
     _TYPE_CODE = {"long": 1.0, "float": 2.0, "boolean": 3.0, "date": 4.0,
-                  "text": 5.0}
+                  "text": 5.0, "scaled_float": 6.0}
     mrows = [
         (_PATH_ID.get(p, 99), _TYPE_CODE.get(s["type"], 99.0))
         for p, s in mm.flat().items()
@@ -5868,6 +5890,18 @@ def lifecycle_suite(spark, sf_dir):
             ],
         }},
     )
+    # r5 dyn_scaled: range over the scaled_float — bounds scale into
+    # the long domain (gte 50 -> >= 5000; lt 120.255 ->
+    # <= floor(nextDown(12025.5)) = 12025), quantization-exact
+    sc_ = lc_topk(
+        eng_j,
+        {"bool": {
+            "must": [{"match": {"text": {"query": "spark join"}}}],
+            "filter": [
+                {"range": {"price": {"gte": 50, "lt": 120.255}}},
+            ],
+        }},
+    )
 
     return _union(
         _tag(a, "post_delete", "doc_id", "score"),
@@ -5882,6 +5916,7 @@ def lifecycle_suite(spark, sf_dir):
         _tag(h, "upd_doc_match", "doc_id", "score"),
         _tag(m_, "dyn_mapping", "doc_id", "score"),
         _tag(n_, "dyn_search", "doc_id", "score"),
+        _tag(sc_, "dyn_scaled", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 
