@@ -4026,6 +4026,29 @@ class SearchEngine:
             self.__dict__["_scaled_fields_cache"] = cache
         return cache.get(field)
 
+    def _flat_object(self, field: str):
+        """flat_object resolution (FlatObjectFieldMapper: leaf keys and
+        values of a JSON subtree become terms, searchable as
+        ``field.<dotted.path>`` or as bare ``field`` = match any leaf
+        VALUE).  Spark model: a MapType(string,string) docmap column
+        whose keys are the flattened dotted paths.  Returns
+        ``(parent, key_or_None)`` when ``field`` resolves into a map
+        column, else None."""
+        from pyspark.sql import types as _T
+
+        parent, _, key = field.partition(".")
+        cache = self.__dict__.setdefault("_map_cols_cache", {})
+        if parent not in cache:
+            ok = False
+            for f in self.docmap().schema.fields:
+                if f.name == parent and isinstance(f.dataType, _T.MapType):
+                    ok = True
+                    break
+            cache[parent] = ok
+        if not cache[parent]:
+            return None
+        return parent, (key or None)
+
     def _predicate(self, q) -> Optional[Column]:
         """Columnar docmap predicate for filter-context clauses (Catalyst
         pushes these into the parquet scan), or None if the clause needs a
@@ -4036,6 +4059,14 @@ class SearchEngine:
                 # ScaledFloatFieldMapper.termQuery:203 — exact long
                 # match on round(v * factor)
                 return F.col(q.field) == F.lit(round(float(q.value) * sf))
+            fo = self._flat_object(q.field)
+            if fo is not None:
+                parent, key = fo
+                if key is None:  # bare field: any leaf value matches
+                    return F.array_contains(
+                        F.map_values(F.col(parent)), F.lit(str(q.value))
+                    )
+                return F.col(parent)[key] == F.lit(str(q.value))
             return F.col(q.field) == F.lit(q.value)
         if isinstance(q, Q.TermsLookup):
             return self._predicate(self._resolve_terms_lookup(q))
@@ -4047,6 +4078,16 @@ class SearchEngine:
                 return F.col(q.field).isin(
                     [round(float(v) * sf) for v in q.values]
                 )
+            fo = self._flat_object(q.field)
+            if fo is not None:
+                parent, key = fo
+                vals = [str(v) for v in q.values]
+                if key is None:
+                    return F.arrays_overlap(
+                        F.map_values(F.col(parent)),
+                        F.array(*[F.lit(v) for v in vals]),
+                    )
+                return F.col(parent)[key].isin(vals)
             return F.col(q.field).isin(list(q.values))
         if isinstance(q, Q.Range):
             from opensearch_spark.query import datemath
@@ -4104,6 +4145,14 @@ class SearchEngine:
                 return F.lit(True)
             return reduce(lambda a, b_: a & b_, conds)
         if isinstance(q, Q.Exists):
+            fo = self._flat_object(q.field)
+            if fo is not None:
+                parent, key = fo
+                if key is None:
+                    return F.col(parent).isNotNull() & (
+                        F.size(F.map_keys(F.col(parent))) > 0
+                    )
+                return F.col(parent)[key].isNotNull()
             return F.col(q.field).isNotNull()
         if isinstance(q, Q.GeoBoundingBox):
             lat_c, lon_c = _geo_cols(q.field)

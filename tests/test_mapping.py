@@ -336,3 +336,44 @@ def test_scaled_float_index_and_query(spark, tmp_path):
         docvalue_fields={"price": None},
     ).collect()
     assert [r["price"] for r in got] == [3.06]
+
+
+# ----------------------- flat_object (r5) ---------------------------------
+
+
+def test_flat_object_term_exists(spark, tmp_path):
+    """flat_object analog (FlatObjectFieldMapper: leaf paths+values as
+    terms): a MapType docmap column answers term/terms/exists on
+    `field.dotted.path` and bare `field` (any leaf value)."""
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    rows = [
+        (1, "alpha doc", {"issue.labels": "bug", "issue.priority": "high"}),
+        (2, "beta doc", {"issue.labels": "feature"}),
+        (3, "gamma doc", {"other": "bug"}),
+        (4, "delta doc", {}),
+        (5, "epsilon doc", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, attrs map<string,string>"
+    )
+    d = str(tmp_path / "foidx")
+    build_index(spark, df, d,
+                IndexConfig(n_segments=1, id_cols=("doc_id",),
+                            dictionary_partitions=1))
+    eng = SearchEngine(InvertedIndex(spark, d))
+    ids = lambda q: sorted(
+        r["doc_id"] for r in eng.search(q, size=10).collect()
+    )
+
+    assert ids({"term": {"attrs.issue.labels": "bug"}}) == [1]
+    assert ids({"terms": {"attrs.issue.labels": ["bug", "feature"]}}) == [1, 2]
+    # bare field: any leaf VALUE matches
+    assert ids({"term": {"attrs": "bug"}}) == [1, 3]
+    assert ids({"bool": {"filter": [{"exists": {"field": "attrs.issue.priority"}}]}}) == [1]
+    # bare exists: any key present
+    assert ids({"bool": {"filter": [{"exists": {"field": "attrs"}}]}}) == [1, 2, 3]
+    # miss path
+    assert ids({"term": {"attrs.issue.nope": "bug"}}) == []
