@@ -428,3 +428,44 @@ def test_wildcard_regexp_literal_prefix_pushdown(engine):
         assert pushed, plan
         assert "StringStartsWith(term,err)" in pushed[0].replace(" ", ""), pushed[0]
         assert frame.count() > 0  # the corpus has err* terms ("error")
+
+
+def test_scaled_float_predicate_pushes_long_equality(spark, tmp_path):
+    """scaled_float term/range must reach the docmap parquet scan as
+    LONG comparisons (the stored representation) — quantization happens
+    plan-side, not row-side, so row-group stats prune."""
+    import json as _json
+
+    from opensearch_spark.index.mapping import (
+        Mappings, create_index_from_json,
+    )
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+    from opensearch_spark.query import dsl as Q
+
+    df = spark.createDataFrame(
+        [(_json.dumps({"doc_id": i, "text": "t x", "price": i * 0.5}),)
+         for i in range(1, 30)],
+        "_source string",
+    )
+    d = str(tmp_path / "sfp")
+    create_index_from_json(
+        spark, df, d, id_fields=("doc_id",),
+        mappings=Mappings(
+            {"price": {"type": "scaled_float", "scaling_factor": 100.0}}
+        ),
+    )
+    eng = SearchEngine(InvertedIndex(spark, d))
+    pred = eng._predicate(Q.Term(field="price", value=3.0))
+    scan = eng.docmap().filter(pred)
+    plan = _formatted(scan)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    flat = pushed[0].replace(" ", "")
+    assert "EqualTo(price,300)" in flat, pushed[0]
+    rng = eng._predicate(Q.Range(field="price", gt=3.0, lte=10.0))
+    plan2 = _formatted(eng.docmap().filter(rng))
+    pushed2 = [l for l in plan2.splitlines() if "PushedFilters" in l][0]
+    f2 = pushed2.replace(" ", "")
+    assert "GreaterThanOrEqual(price,301)" in f2 and \
+        "LessThanOrEqual(price,1000)" in f2, pushed2
