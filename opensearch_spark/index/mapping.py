@@ -116,6 +116,8 @@ _JOIN = {
     # long/float the dynamic pass infers from incoming numeric JSON
     frozenset(("scaled_float", "long")): "scaled_float",
     frozenset(("scaled_float", "float")): "scaled_float",
+    # likewise an explicit constant_keyword absorbs the inferred text
+    frozenset(("constant_keyword", "text")): "constant_keyword",
 }
 
 
@@ -345,6 +347,16 @@ class Mappings:
             if s["type"] == "scaled_float"
         }
 
+    def constant_fields(self) -> Dict[str, str]:
+        """Dotted path -> constant for ``constant_keyword`` fields
+        (ConstantKeywordFieldMapper: queries resolve at plan time to
+        match-all / match-none against the mapping constant)."""
+        return {
+            p: str(s.get("value", ""))
+            for p, s in self.flat().items()
+            if s["type"] == "constant_keyword"
+        }
+
 
 def _strip(props: dict) -> dict:
     out = {}
@@ -386,6 +398,10 @@ _SPARK_SCALAR = {
     # scaled_float parses as double from JSON; typed_frame then stores
     # round(v * scaling_factor) as long (ScaledFloatFieldMapper.java:433)
     "scaled_float": T.DoubleType(),
+    # constant_keyword parses as string; typed_frame validates each doc
+    # against the mapping constant and stores the constant
+    # (ConstantKeywordFieldMapper.java:164-179)
+    "constant_keyword": T.StringType(),
     "boolean": T.BooleanType(),
     "date": T.StringType(),
     "text": T.StringType(),
@@ -504,6 +520,23 @@ def typed_frame(
             continue
         out = out.withColumn(
             path, F.round(F.col(f"`{path}`") * F.lit(factor)).cast("long")
+        )
+    # constant_keyword: a doc carrying a DIFFERENT value is rejected
+    # (ConstantKeywordFieldMapper.parseCreateField:176); absent values
+    # take the constant
+    for path, const in mappings.constant_fields().items():
+        if "." in path:
+            continue
+        c = F.col(f"`{path}`")
+        out = out.withColumn(
+            path,
+            F.when(
+                c.isNotNull() & (c != F.lit(const)),
+                F.raise_error(F.concat(
+                    F.lit(f"constant keyword field [{path}] must have "
+                          f"a value of [{const}], got ["), c, F.lit("]"),
+                )),
+            ).otherwise(F.lit(const)),
         )
     return out
 

@@ -4007,13 +4007,13 @@ class SearchEngine:
 
     # ------------------------------------------------- filter-context plans
 
-    def _scaled_factor(self, field: str):
-        """scaling_factor for a ``scaled_float``-mapped field, else
-        None.  Mappings ride ``mappings.json`` beside the index
-        (create_index_from_json); loaded once per engine."""
-        cache = self.__dict__.get("_scaled_fields_cache")
-        if cache is None:
-            cache = {}
+    def _mapping_info(self) -> dict:
+        """Per-engine view of ``mappings.json`` beside the index
+        (create_index_from_json): the field families whose queries
+        transform at plan time.  Loaded once."""
+        info = self.__dict__.get("_mapping_info_cache")
+        if info is None:
+            info = {"scaled": {}, "constant": {}}
             import json as _json
             import os as _os
 
@@ -4022,9 +4022,17 @@ class SearchEngine:
                 from opensearch_spark.index.mapping import Mappings
 
                 with open(p) as f:
-                    cache = Mappings.from_dict(_json.load(f)).scaled_fields()
-            self.__dict__["_scaled_fields_cache"] = cache
-        return cache.get(field)
+                    mm = Mappings.from_dict(_json.load(f))
+                info = {"scaled": mm.scaled_fields(),
+                        "constant": mm.constant_fields()}
+            self.__dict__["_mapping_info_cache"] = info
+        return info
+
+    def _scaled_factor(self, field: str):
+        return self._mapping_info()["scaled"].get(field)
+
+    def _constant_value(self, field: str):
+        return self._mapping_info()["constant"].get(field)
 
     def _flat_object(self, field: str):
         """flat_object resolution (FlatObjectFieldMapper: leaf keys and
@@ -4054,6 +4062,11 @@ class SearchEngine:
         pushes these into the parquet scan), or None if the clause needs a
         postings docset."""
         if isinstance(q, Q.Term) and q.field != self.text_col:
+            cv = self._constant_value(q.field)
+            if cv is not None:
+                # ConstantFieldType: plan-time glob against the mapping
+                # constant -> MatchAll / MatchNone, zero data read
+                return F.lit(_simple_match(str(q.value), cv))
             sf = self._scaled_factor(q.field)
             if sf is not None:
                 # ScaledFloatFieldMapper.termQuery:203 — exact long
@@ -4073,6 +4086,9 @@ class SearchEngine:
         if isinstance(q, Q.Terms) and q.field != self.text_col:
             if not q.values:
                 return F.lit(False)  # empty lookup -> MatchNoDocsQuery
+            cv = self._constant_value(q.field)
+            if cv is not None:
+                return F.lit(any(_simple_match(str(v), cv) for v in q.values))
             sf = self._scaled_factor(q.field)
             if sf is not None:
                 return F.col(q.field).isin(
@@ -4145,6 +4161,8 @@ class SearchEngine:
                 return F.lit(True)
             return reduce(lambda a, b_: a & b_, conds)
         if isinstance(q, Q.Exists):
+            if self._constant_value(q.field) is not None:
+                return F.lit(True)  # ConstantKeywordFieldType.existsQuery
             fo = self._flat_object(q.field)
             if fo is not None:
                 parent, key = fo
@@ -4206,6 +4224,10 @@ class SearchEngine:
         if isinstance(q, Q.MatchNone):
             return F.lit(False)
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp)) and q.field != self.text_col:
+            cv = self._constant_value(q.field)
+            if cv is not None and not isinstance(q, Q.Regexp):
+                pat = (str(q.value) + "*") if isinstance(q, Q.Prefix) else str(q.value)
+                return F.lit(_simple_match(pat, cv))
             c = F.col(q.field)
             if isinstance(q, Q.Prefix):
                 return c.startswith(q.value)
@@ -4647,6 +4669,25 @@ def _literal_prefix(pattern: str, meta: str, quantified: bool = False) -> str:
             break
         out.append(ch)
     return "".join(out)
+
+
+def _simple_match(pattern: str, value: str) -> bool:
+    """``Regex.simpleMatch`` analog ('*' is the only wildcard) — the
+    plan-time matcher ConstantFieldType routes term/terms/prefix/
+    wildcard queries through."""
+    parts = pattern.split("*")
+    if len(parts) == 1:
+        return pattern == value
+    if not value.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for mid in parts[1:-1]:
+        i = value.find(mid, pos)
+        if i < 0:
+            return False
+        pos = i + len(mid)
+    last = parts[-1]
+    return value.endswith(last) and len(value) - len(last) >= pos
 
 
 def _wildcard_to_like(pattern: str) -> str:

@@ -377,3 +377,65 @@ def test_flat_object_term_exists(spark, tmp_path):
     assert ids({"bool": {"filter": [{"exists": {"field": "attrs"}}]}}) == [1, 2, 3]
     # miss path
     assert ids({"term": {"attrs.issue.nope": "bug"}}) == []
+
+
+# ----------------------- constant_keyword (r5) ----------------------------
+
+
+def test_constant_keyword(spark, tmp_path):
+    """ConstantKeywordFieldMapper: queries resolve at plan time against
+    the mapping constant (term/terms/prefix/wildcard via the
+    '*'-glob simpleMatch, exists always true); a doc carrying a
+    DIFFERENT value is rejected at build."""
+    import json as _json
+
+    import pytest as _pt
+
+    from opensearch_spark.index.mapping import (
+        Mappings, create_index_from_json,
+    )
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    docs = [
+        {"doc_id": 1, "text": "alpha row", "env": "prod"},
+        {"doc_id": 2, "text": "beta row"},          # absent -> constant
+    ]
+    df = spark.createDataFrame(
+        [(_json.dumps(d),) for d in docs], "_source string"
+    )
+    d = str(tmp_path / "ckidx")
+    create_index_from_json(
+        spark, df, d, id_fields=("doc_id",),
+        mappings=Mappings(
+            {"env": {"type": "constant_keyword", "value": "prod"}}
+        ),
+    )
+    eng = SearchEngine(InvertedIndex(spark, d))
+    ids = lambda q: sorted(
+        r["doc_id"] for r in eng.search(q, size=10).collect()
+    )
+    assert ids({"term": {"env": "prod"}}) == [1, 2]     # match ALL
+    assert ids({"term": {"env": "dev"}}) == []          # match NONE
+    assert ids({"terms": {"env": ["dev", "pr*"]}}) == [1, 2]  # glob
+    assert ids({"prefix": {"env": "pro"}}) == [1, 2]
+    assert ids({"wildcard": {"env": "p*d"}}) == [1, 2]
+    assert ids({"bool": {"filter": [{"exists": {"field": "env"}}]}}) == [1, 2]
+
+    # plan-time resolution: the predicate is a literal, no column read
+    from opensearch_spark.query import dsl as Q
+    pred = eng._predicate(Q.Term(field="env", value="prod"))
+    assert "true" in pred._jc.toString().lower()
+
+    # mismatching value rejected at build
+    bad = spark.createDataFrame(
+        [(_json.dumps({"doc_id": 3, "text": "x", "env": "dev"}),)],
+        "_source string",
+    )
+    with _pt.raises(Exception, match="constant keyword"):
+        create_index_from_json(
+            spark, bad, str(tmp_path / "ckbad"), id_fields=("doc_id",),
+            mappings=Mappings(
+                {"env": {"type": "constant_keyword", "value": "prod"}}
+            ),
+        )
