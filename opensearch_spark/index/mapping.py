@@ -118,6 +118,8 @@ _JOIN = {
     frozenset(("scaled_float", "float")): "scaled_float",
     # likewise an explicit constant_keyword absorbs the inferred text
     frozenset(("constant_keyword", "text")): "constant_keyword",
+    # an explicit ip mapping absorbs the text the dynamic pass infers
+    frozenset(("ip", "text")): "ip",
 }
 
 
@@ -357,6 +359,12 @@ class Mappings:
             if s["type"] == "constant_keyword"
         }
 
+    def ip_fields(self) -> List[str]:
+        """Dotted paths of ``ip`` fields."""
+        return sorted(
+            p for p, s in self.flat().items() if s["type"] == "ip"
+        )
+
 
 def _strip(props: dict) -> dict:
     out = {}
@@ -402,6 +410,10 @@ _SPARK_SCALAR = {
     # against the mapping constant and stores the constant
     # (ConstantKeywordFieldMapper.java:164-179)
     "constant_keyword": T.StringType(),
+    # ip parses as string; typed_frame canonicalizes to the 32-hex-char
+    # v6-mapped form whose LEXICOGRAPHIC order equals numeric address
+    # order (IpFieldMapper stores v6-mapped 16-byte points)
+    "ip": T.StringType(),
     "boolean": T.BooleanType(),
     "date": T.StringType(),
     "text": T.StringType(),
@@ -521,6 +533,22 @@ def typed_frame(
         out = out.withColumn(
             path, F.round(F.col(f"`{path}`") * F.lit(factor)).cast("long")
         )
+    # ip canonicalization: 32-hex v6-mapped form (Arrow-batched; the
+    # stdlib parser handles every textual form incl. IPv6 compression)
+    ip_paths = [p for p in mappings.ip_fields() if "." not in p]
+    if ip_paths:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _ip_hex(s):
+            import pandas as pd
+
+            return s.map(
+                lambda v: None if v is None else ip_canonical_hex(v)
+            )
+
+        for path in ip_paths:
+            out = out.withColumn(path, _ip_hex(F.col(f"`{path}`")))
     # constant_keyword: a doc carrying a DIFFERENT value is rejected
     # (ConstantKeywordFieldMapper.parseCreateField:176); absent values
     # take the constant
@@ -539,6 +567,29 @@ def typed_frame(
             ).otherwise(F.lit(const)),
         )
     return out
+
+
+def ip_canonical_hex(v: str) -> str:
+    """Canonical 32-hex-char v6-mapped form of a textual IP: IPv4 maps
+    into ::ffff:0:0/96 (IpFieldMapper's 16-byte encoding), so
+    lexicographic order over the hex equals numeric address order and
+    v4/v6 compare consistently."""
+    import ipaddress
+
+    a = ipaddress.ip_address(str(v).strip())
+    n = int(a) if a.version == 6 else (0xFFFF << 32) | int(a)
+    return format(n, "032x")
+
+
+def ip_range_hex(cidr: str) -> tuple:
+    """(first, last) canonical hex bounds of a CIDR block."""
+    import ipaddress
+
+    net = ipaddress.ip_network(str(cidr).strip(), strict=False)
+    base = 0 if net.version == 6 else (0xFFFF << 32)
+    lo = base | int(net.network_address)
+    hi = base | int(net.broadcast_address)
+    return format(lo, "032x"), format(hi, "032x")
 
 
 def create_index_from_json(

@@ -1534,6 +1534,26 @@ class SearchEngine:
                     # ScaledFloatFieldMapper doc-value fetch decodes
                     # scaled long / factor (:288)
                     return (F.col(fld).cast("double") / F.lit(sf)).alias(fld)
+                if self._is_ip_field(fld):
+                    # decode the stored 32-hex form back to address text
+                    from pyspark.sql.functions import pandas_udf
+
+                    @pandas_udf("string")
+                    def _ip_text(s):
+                        import ipaddress
+
+                        def dec(h):
+                            if h is None:
+                                return None
+                            n = int(h, 16)
+                            if (n >> 32) == 0xFFFF:
+                                return str(ipaddress.IPv4Address(
+                                    n & 0xFFFFFFFF))
+                            return str(ipaddress.IPv6Address(n))
+
+                        return s.map(dec)
+
+                    return _ip_text(F.col(fld)).alias(fld)
                 return F.col(fld)
             c = F.col(fld)
             if fmt == "epoch_millis":
@@ -4024,7 +4044,8 @@ class SearchEngine:
                 with open(p) as f:
                     mm = Mappings.from_dict(_json.load(f))
                 info = {"scaled": mm.scaled_fields(),
-                        "constant": mm.constant_fields()}
+                        "constant": mm.constant_fields(),
+                        "ip": set(mm.ip_fields())}
             self.__dict__["_mapping_info_cache"] = info
         return info
 
@@ -4033,6 +4054,24 @@ class SearchEngine:
 
     def _constant_value(self, field: str):
         return self._mapping_info()["constant"].get(field)
+
+    def _is_ip_field(self, field: str) -> bool:
+        return field in self._mapping_info().get("ip", ())
+
+    def _ip_term_pred(self, field: str, value) -> Column:
+        """ip term: an exact address is hex equality; a CIDR block is
+        the inclusive hex range of the network (IpFieldMapper.termQuery
+        routes prefixes through InetAddressPoint.newPrefixQuery)."""
+        from opensearch_spark.index.mapping import (
+            ip_canonical_hex, ip_range_hex,
+        )
+
+        v = str(value)
+        c = F.col(field)
+        if "/" in v:
+            lo, hi = ip_range_hex(v)
+            return (c >= F.lit(lo)) & (c <= F.lit(hi))
+        return c == F.lit(ip_canonical_hex(v))
 
     def _flat_object(self, field: str):
         """flat_object resolution (FlatObjectFieldMapper: leaf keys and
@@ -4080,6 +4119,8 @@ class SearchEngine:
                         F.map_values(F.col(parent)), F.lit(str(q.value))
                     )
                 return F.col(parent)[key] == F.lit(str(q.value))
+            if self._is_ip_field(q.field):
+                return self._ip_term_pred(q.field, q.value)
             return F.col(q.field) == F.lit(q.value)
         if isinstance(q, Q.TermsLookup):
             return self._predicate(self._resolve_terms_lookup(q))
@@ -4104,11 +4145,33 @@ class SearchEngine:
                         F.array(*[F.lit(v) for v in vals]),
                     )
                 return F.col(parent)[key].isin(vals)
+            if self._is_ip_field(q.field):
+                pred = self._ip_term_pred(q.field, q.values[0])
+                for v in q.values[1:]:
+                    pred = pred | self._ip_term_pred(q.field, v)
+                return pred
             return F.col(q.field).isin(list(q.values))
         if isinstance(q, Q.Range):
             from opensearch_spark.query import datemath
 
             c = F.col(q.field)
+            if self._is_ip_field(q.field):
+                # hex canonical form is order-isomorphic to address
+                # order, so the bounds translate verbatim
+                from opensearch_spark.index.mapping import ip_canonical_hex
+
+                conds = []
+                if q.gt is not None:
+                    conds.append(c > F.lit(ip_canonical_hex(q.gt)))
+                if q.gte is not None:
+                    conds.append(c >= F.lit(ip_canonical_hex(q.gte)))
+                if q.lt is not None:
+                    conds.append(c < F.lit(ip_canonical_hex(q.lt)))
+                if q.lte is not None:
+                    conds.append(c <= F.lit(ip_canonical_hex(q.lte)))
+                if not conds:
+                    return F.lit(True)
+                return reduce(lambda a, b_: a & b_, conds)
             sf = self._scaled_factor(q.field)
             if sf is not None:
                 # ScaledFloatFieldMapper.rangeQuery:232-250 — operands

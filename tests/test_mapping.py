@@ -439,3 +439,61 @@ def test_constant_keyword(spark, tmp_path):
                 {"env": {"type": "constant_keyword", "value": "prod"}}
             ),
         )
+
+
+# ----------------------- ip field (r5) ------------------------------------
+
+
+def test_ip_field_term_cidr_range(spark, tmp_path):
+    """IpFieldMapper parity: values canonicalize to the v6-mapped form
+    whose order equals address order — term (exact + CIDR), range, and
+    docvalue decode; IPv4 and IPv6 coexist without interleaving."""
+    import json as _json
+
+    from opensearch_spark.index.mapping import (
+        Mappings, create_index_from_json,
+    )
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    docs = [
+        {"doc_id": 1, "text": "a row", "addr": "10.0.0.5"},
+        {"doc_id": 2, "text": "b row", "addr": "10.0.3.200"},
+        {"doc_id": 3, "text": "c row", "addr": "10.1.0.1"},
+        {"doc_id": 4, "text": "d row", "addr": "192.168.1.9"},
+        {"doc_id": 5, "text": "e row", "addr": "2001:db8::1"},
+        {"doc_id": 6, "text": "f row"},
+    ]
+    df = spark.createDataFrame(
+        [(_json.dumps(d),) for d in docs], "_source string"
+    )
+    d = str(tmp_path / "ipidx")
+    create_index_from_json(
+        spark, df, d, id_fields=("doc_id",),
+        mappings=Mappings({"addr": {"type": "ip"}}),
+    )
+    eng = SearchEngine(InvertedIndex(spark, d))
+    ids = lambda q: sorted(
+        r["doc_id"] for r in eng.search(q, size=10).collect()
+    )
+
+    assert ids({"term": {"addr": "10.0.3.200"}}) == [2]
+    # CIDR in a term (InetAddressPoint.newPrefixQuery)
+    assert ids({"term": {"addr": "10.0.0.0/16"}}) == [1, 2]
+    assert ids({"term": {"addr": "10.0.0.0/8"}}) == [1, 2, 3]
+    assert ids({"terms": {"addr": ["192.168.0.0/16", "2001:db8::/32"]}}) == [4, 5]
+    assert ids({"bool": {"filter": [
+        {"range": {"addr": {"gte": "10.0.3.0", "lt": "10.2.0.0"}}}
+    ]}}) == [2, 3]
+    # v6 upper region excludes every v4-mapped doc
+    assert ids({"bool": {"filter": [
+        {"range": {"addr": {"gte": "::1:0:0:0"}}}
+    ]}}) == [5]
+    assert ids({"bool": {"filter": [{"exists": {"field": "addr"}}]}}) == [1, 2, 3, 4, 5]
+    # docvalue decode returns the textual address
+    got = eng.search({"term": {"addr": "2001:db8::1"}}, size=10,
+                     docvalue_fields={"addr": None}).collect()
+    assert [r["addr"] for r in got] == ["2001:db8::1"]
+    got4 = eng.search({"term": {"addr": "10.0.0.5"}}, size=10,
+                      docvalue_fields={"addr": None}).collect()
+    assert [r["addr"] for r in got4] == ["10.0.0.5"]
