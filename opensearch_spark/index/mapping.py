@@ -120,6 +120,8 @@ _JOIN = {
     frozenset(("constant_keyword", "text")): "constant_keyword",
     # an explicit ip mapping absorbs the text the dynamic pass infers
     frozenset(("ip", "text")): "ip",
+    frozenset(("match_only_text", "text")): "match_only_text",
+    frozenset(("wildcard", "text")): "wildcard",
 }
 
 
@@ -337,7 +339,10 @@ class Mappings:
         }
 
     def text_fields(self) -> List[str]:
-        return sorted(p for p, s in self.flat().items() if s["type"] == "text")
+        return sorted(
+            p for p, s in self.flat().items()
+            if s["type"] in ("text", "match_only_text")
+        )
 
     def scaled_fields(self) -> Dict[str, float]:
         """Dotted path -> scaling_factor for ``scaled_float`` fields
@@ -414,6 +419,13 @@ _SPARK_SCALAR = {
     # v6-mapped form whose LEXICOGRAPHIC order equals numeric address
     # order (IpFieldMapper stores v6-mapped 16-byte points)
     "ip": T.StringType(),
+    # match_only_text analyzes like text; its DOCS-only scoring is the
+    # engine's match_only similarity (MatchOnlyTextFieldMapper.java)
+    "match_only_text": T.StringType(),
+    # wildcard accepts keyword-shaped strings; query results equal the
+    # keyword column semantics (WildcardFieldMapper's ngram-accelerated
+    # LAYOUT is an index concern the parquet scan stands in for)
+    "wildcard": T.StringType(),
     "boolean": T.BooleanType(),
     "date": T.StringType(),
     "text": T.StringType(),

@@ -1196,8 +1196,17 @@ class SearchEngine:
         # WAND pruning stay BM25 (similarities.py docstring).
         from opensearch_spark.query import similarities as _sims
 
+        if similarity is None:
+            similarity = {"type": "BM25", "k1": k1, "b": b}
+            # a match_only_text-mapped text field defaults to the
+            # docs-only similarity (MatchOnlyTextFieldMapper: freq=1,
+            # no norms -> idf-sum scoring), per the index mapping
+            if index.plan["text_col"] in self._mapping_info().get(
+                "match_only", ()
+            ):
+                similarity = {"type": "match_only"}
         self.similarity = _sims.from_spec(
-            similarity if similarity is not None else {"type": "BM25", "k1": k1, "b": b},
+            similarity,
             avgdl=float(index.stats["avgdl"]),
         )
         if isinstance(self.similarity, _sims.BM25):
@@ -4045,7 +4054,11 @@ class SearchEngine:
                     mm = Mappings.from_dict(_json.load(f))
                 info = {"scaled": mm.scaled_fields(),
                         "constant": mm.constant_fields(),
-                        "ip": set(mm.ip_fields())}
+                        "ip": set(mm.ip_fields()),
+                        "match_only": {
+                            p for p, s in mm.flat().items()
+                            if s["type"] == "match_only_text"
+                        }}
             self.__dict__["_mapping_info_cache"] = info
         return info
 

@@ -160,6 +160,27 @@ class Boolean(Similarity):
         return np.full(np.shape(tf), np.float32(tconst), dtype=np.float32)
 
 
+class MatchOnly(Similarity):
+    """match_only_text scoring (``MatchOnlyTextFieldMapper.java``: the
+    field indexes ``IndexOptions.DOCS`` with norms omitted, so BM25
+    sees freq=1 and norm=1 — the tf part collapses to
+    (k1+1)/(1+k1) = 1 and every matched term contributes exactly its
+    idf).  Positions are likewise absent in the reference (phrases
+    re-scan _source); this engine keeps positions in its layout, so
+    phrase queries still run — a documented superset."""
+
+    name = "match_only"
+
+    def term_const(self, df, ttf, n, sum_dl):
+        return bm25.idf(int(df), int(n))
+
+    def score_col(self, tf, tconst, dl):
+        return tconst.cast("float")
+
+    def score_np(self, tf, tconst, dl):
+        return np.full(np.shape(tf), np.float32(tconst), dtype=np.float32)
+
+
 _MEASURES = ("standardized", "saturated", "chisquared")
 
 
@@ -406,6 +427,8 @@ def from_spec(spec, avgdl: float = 1.0) -> Similarity:
         return LMJelinekMercer(lam=float(spec.get("lambda", 0.1)))
     if t == "boolean":
         return Boolean()
+    if t in ("match_only", "match_only_text"):
+        return MatchOnly()
     if t == "DFI":
         return DFI(measure=spec.get("independence_measure", "standardized"))
     if t == "DFR":

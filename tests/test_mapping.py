@@ -497,3 +497,74 @@ def test_ip_field_term_cidr_range(spark, tmp_path):
     got4 = eng.search({"term": {"addr": "10.0.0.5"}}, size=10,
                       docvalue_fields={"addr": None}).collect()
     assert [r["addr"] for r in got4] == ["10.0.0.5"]
+
+
+# ------------------ match_only_text / wildcard types (r5) -----------------
+
+
+def test_match_only_text_scores_idf_sum(spark, tmp_path):
+    """match_only_text (MatchOnlyTextFieldMapper): DOCS-only indexing
+    means freq=1 and no norms, so BM25's tf part collapses and a
+    matched term contributes exactly its idf — scores are
+    length-independent and repeat-count-independent."""
+    import json as _json
+
+    from opensearch_spark.index.mapping import (
+        Mappings, create_index_from_json,
+    )
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    docs = [
+        {"doc_id": 1, "text": "spark spark spark spark"},     # tf=4
+        {"doc_id": 2, "text": "spark"},                        # tf=1, short
+        {"doc_id": 3, "text": "spark plus many other words here now"},
+        {"doc_id": 4, "text": "nothing relevant"},
+    ]
+    df = spark.createDataFrame(
+        [(_json.dumps(d),) for d in docs], "_source string"
+    )
+    d = str(tmp_path / "motidx")
+    create_index_from_json(
+        spark, df, d, id_fields=("doc_id",),
+        mappings=Mappings({"text": {"type": "match_only_text"}}),
+    )
+    eng = SearchEngine(InvertedIndex(spark, d))
+    assert eng.similarity.name == "match_only"
+    rows = eng.search({"match": {"text": "spark"}}, size=10).collect()
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert set(scores) == {1, 2, 3}
+    # tf and length have NO effect: all three scores identical
+    assert len({round(s, 6) for s in scores.values()}) == 1
+
+
+def test_wildcard_type_keyword_semantics(spark, tmp_path):
+    import json as _json
+
+    from opensearch_spark.index.mapping import (
+        Mappings, create_index_from_json,
+    )
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    docs = [
+        {"doc_id": 1, "text": "a row", "path": "/var/log/app.log"},
+        {"doc_id": 2, "text": "b row", "path": "/var/log/db.err"},
+        {"doc_id": 3, "text": "c row", "path": "/home/user/x.log"},
+    ]
+    df = spark.createDataFrame(
+        [(_json.dumps(d),) for d in docs], "_source string"
+    )
+    d = str(tmp_path / "wcidx")
+    create_index_from_json(
+        spark, df, d, id_fields=("doc_id",),
+        mappings=Mappings({"path": {"type": "wildcard"}}),
+    )
+    eng = SearchEngine(InvertedIndex(spark, d))
+    ids = lambda q: sorted(
+        r["doc_id"] for r in eng.search(q, size=10).collect()
+    )
+    assert ids({"wildcard": {"path": "/var/log/*.log"}}) == [1]
+    assert ids({"wildcard": {"path": "*.log"}}) == [1, 3]
+    assert ids({"prefix": {"path": "/var"}}) == [1, 2]
+    assert ids({"term": {"path": "/home/user/x.log"}}) == [3]
