@@ -2172,8 +2172,14 @@ class SearchEngine:
             # rank_feature (mapper-extras RankFeatureQueryBuilder.java):
             # positive features only; all three reference score
             # functions are one Catalyst expression over the doc-values
-            # column (no postings touched — a pure columnar scorer)
-            feat = F.col(q.field).cast("double")
+            # column (no postings touched — a pure columnar scorer).
+            # rank_featureS (plural, RankFeaturesFieldMapper): the field
+            # is a map<feature, value> and `f.name` addresses one entry
+            fo = self._flat_object(q.field)
+            if fo is not None and fo[1] is not None:
+                feat = F.col(fo[0])[fo[1]].cast("double")
+            else:
+                feat = F.col(q.field).cast("double")
             dm = self.docmap().filter(feat.isNotNull() & (feat > 0))
             if q.function == "log":
                 s = F.log(F.lit(float(q.scaling_factor)) + feat)

@@ -121,3 +121,33 @@ def test_rank_feature_functions(spark, tmp_path):
         min_score=cut,
     ).collect()
     assert sorted(r.doc_id for r in kept) == [2, 3, 4]
+
+
+def test_rank_features_map_field(spark, tmp_path):
+    """rank_features (plural, RankFeaturesFieldMapper): the field is a
+    map of feature name -> positive value and `field.name` addresses
+    one feature; docs missing the feature don't match."""
+    from opensearch_spark.index.builder import IndexConfig, build_index
+    from opensearch_spark.index.reader import InvertedIndex
+    from opensearch_spark.query.executor import SearchEngine
+
+    docs = spark.createDataFrame(
+        [(0, "doc zero", {"politics": 10.0, "sports": 1.0}),
+         (1, "doc one", {"politics": 40.0}),
+         (2, "doc two", {"sports": 5.0})],
+        "doc_id long, body string, topics map<string,double>",
+    )
+    d = os.path.join(str(tmp_path), "rfs")
+    build_index(
+        spark, docs, d,
+        IndexConfig(n_segments=1, id_cols=("doc_id",), text_col="body"),
+    )
+    eng = SearchEngine(InvertedIndex(spark, d))
+    rows = eng.search(
+        {"rank_feature": {"field": "topics.politics",
+                          "saturation": {"pivot": 10.0}}},
+        size=10,
+    ).collect()
+    got = {r.doc_id: round(r.score, 6) for r in rows}
+    # saturation: v/(v+pivot) -> doc1 40/50=0.8, doc0 10/20=0.5; doc2 absent
+    assert got == {1: 0.8, 0: 0.5}
