@@ -553,8 +553,6 @@ def typed_frame(
 
         @pandas_udf("string")
         def _ip_hex(s):
-            import pandas as pd
-
             return s.map(
                 lambda v: None if v is None else ip_canonical_hex(v)
             )
