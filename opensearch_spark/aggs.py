@@ -1103,6 +1103,34 @@ def geo_bounds(
     )
 
 
+def geo_bounds_shapes(df: DataFrame, field: str) -> DataFrame:
+    """``geo_bounds`` over SHAPE docs (modules/geo
+    ``GeoShapeBoundsAggregator``): the union box of per-doc envelope
+    structs (min_lat/max_lat/min_lon/max_lon) — still one exact agg,
+    no wrap special-case (matching :func:`geo_bounds`)."""
+    c = F.col(field)
+    return df.filter(c.isNotNull()).agg(
+        F.max(c["max_lat"]).alias("top"),
+        F.min(c["min_lat"]).alias("bottom"),
+        F.min(c["min_lon"]).alias("left"),
+        F.max(c["max_lon"]).alias("right"),
+    )
+
+
+def geo_centroid_shapes(df: DataFrame, field: str) -> DataFrame:
+    """``geo_centroid`` over SHAPE docs: each envelope contributes its
+    box center, doc-count weighted (the reference's shape centroid
+    accumulates per-shape centroids the same way)."""
+    c = F.col(field)
+    lat_mid = (c["min_lat"] + c["max_lat"]) / 2.0
+    lon_mid = (c["min_lon"] + c["max_lon"]) / 2.0
+    return df.filter(c.isNotNull()).agg(
+        F.round(F.avg(lat_mid), 6).alias("lat"),
+        F.round(F.avg(lon_mid), 6).alias("lon"),
+        F.count(F.lit(1)).cast("long").alias("count"),
+    )
+
+
 # base32 alphabet of the geohash spec (Geohash.java BASE_32)
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 

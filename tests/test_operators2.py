@@ -1044,3 +1044,28 @@ def test_geohash_key_matches_python_encode(spark):
     rows = df.select("lat", "lon", geohash_key(5).alias("gh")).collect()
     for r in rows:
         assert r["gh"] == geohash_encode(r["lat"], r["lon"], 5)
+
+
+def test_geo_bounds_centroid_over_shapes(spark):
+    """modules/geo shape aggs: geo_bounds unions per-doc envelope
+    boxes; geo_centroid averages box centers (r5)."""
+    from opensearch_spark import aggs
+
+    rows = [
+        (1, (10.0, 20.0, -30.0, -10.0)),
+        (2, (-5.0, 5.0, 40.0, 60.0)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, None if e is None else
+          {"min_lat": e[0], "max_lat": e[1], "min_lon": e[2],
+           "max_lon": e[3]})
+         for i, e in rows],
+        "doc_id long, env struct<min_lat:double,max_lat:double,"
+        "min_lon:double,max_lon:double>",
+    )
+    b = aggs.geo_bounds_shapes(df, "env").collect()[0]
+    assert (b["top"], b["bottom"], b["left"], b["right"]) == (20.0, -5.0, -30.0, 60.0)
+    c = aggs.geo_centroid_shapes(df, "env").collect()[0]
+    # centers: (15, -20) and (0, 50) -> mean (7.5, 15.0), null doc skipped
+    assert (c["lat"], c["lon"], c["count"]) == (7.5, 15.0, 2)
