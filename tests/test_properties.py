@@ -143,3 +143,58 @@ def test_simple_query_string_is_lenient():
         parse_simple_query_string(s)  # must not raise
 
     check()
+
+
+def test_wide_query_sweep_rank_identity(engine, oracle, corpus_pdf):
+    """North-rule reinforcement (r5): a wide deterministic sweep of
+    vocabulary-drawn queries — single-term, multi-term OR/AND, and
+    phrases — must be rank- AND score-identical to the pure-Python
+    oracle on the standard corpus."""
+    import itertools
+
+    # deterministic vocabulary sample: frequent + mid + rare terms
+    from collections import Counter
+
+    cnt = Counter()
+    for t in corpus_pdf["text"]:
+        cnt.update(x for x in t.split(" ") if x)
+    by_freq = [w for w, _ in cnt.most_common()]
+    vocab = (by_freq[:8]                      # stopword-ish heads
+             + by_freq[len(by_freq) // 2:len(by_freq) // 2 + 8]
+             + by_freq[-8:])                  # rare tail
+
+    queries = []
+    for i, w in enumerate(vocab):
+        queries.append((w, "or"))
+    for i in range(0, len(vocab) - 2, 3):
+        queries.append((f"{vocab[i]} {vocab[i + 1]}", "or"))
+        queries.append((f"{vocab[i]} {vocab[i + 2]}", "and"))
+
+    checked = 0
+    for qtext, op in queries:
+        rows = engine.search(
+            {"match": {"text": {"query": qtext, "operator": op}}}, size=10
+        ).collect()
+        gold = oracle.topk(oracle.match(qtext, operator=op), 10)
+        assert [(r["conv_id"], r["turn_idx"]) for r in rows] == \
+            [g[0] for g in gold], (qtext, op)
+        for r, (_, gs) in zip(rows, gold):
+            assert r["score"] == pytest.approx(gs, rel=1e-6), (qtext, op)
+        checked += 1
+    # phrases from real adjacent bigrams
+    bigrams = []
+    for t in corpus_pdf["text"][:200]:
+        toks = [x for x in t.split(" ") if x]
+        for a, b in zip(toks, toks[1:]):
+            bigrams.append(f"{a} {b}")
+            if len(bigrams) >= 6:
+                break
+        if len(bigrams) >= 6:
+            break
+    for ph in dict.fromkeys(bigrams):
+        rows = engine.search({"match_phrase": {"text": ph}}, size=10).collect()
+        gold = oracle.topk(oracle.phrase(ph), 10)
+        assert [(r["conv_id"], r["turn_idx"]) for r in rows] == \
+            [g[0] for g in gold], ph
+        checked += 1
+    assert checked >= 40, checked
