@@ -170,6 +170,23 @@ def cmd_query(args) -> None:
         print(json.dumps(r.asDict(), default=str))
 
 
+def cmd_analyze(args) -> None:
+    """``_analyze`` API shape (indices/analyze, RestAnalyzeAction):
+    run an analyzer (named, or a full JSON chain spec via --spec) over
+    --text and print ``{"tokens": [{"token", "position"}, ...]}`` —
+    no SparkSession needed, the chain runs driver-side exactly as it
+    does inside the Arrow UDF."""
+    from opensearch_spark.analysis.chain import Analyzer
+
+    spec = json.loads(args.spec) if args.spec else args.analyzer
+    toks, pos = Analyzer.from_spec(spec)(args.text)
+    print(json.dumps({
+        "tokens": [
+            {"token": t, "position": int(p)} for t, p in zip(toks, pos)
+        ]
+    }, ensure_ascii=False))
+
+
 def cmd_smoke(args) -> None:
     """One-session deployment check (the spark-submit --py-files smoke
     path): generate a small deterministic corpus, register it as a
@@ -281,6 +298,14 @@ def main(argv=None) -> int:
                    help="treat --query as a full _search request body; "
                         "print the reference-shaped JSON response")
     q.set_defaults(fn=cmd_query)
+
+    an = sub.add_parser("analyze")
+    an.add_argument("--text", required=True)
+    an.add_argument("--analyzer", default="standard")
+    an.add_argument("--spec", default=None,
+                    help="full JSON chain spec (tokenizer/filter/"
+                         "char_filter) overriding --analyzer")
+    an.set_defaults(fn=cmd_analyze)
 
     s = sub.add_parser("smoke")
     s.add_argument("--convs", type=int, default=200)

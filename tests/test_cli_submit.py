@@ -102,3 +102,29 @@ def test_read_input_iceberg_absent_is_actionable(spark):
 
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_input(spark, "cat.db.transcripts", "iceberg")
+
+
+def test_cli_analyze(tmp_path):
+    """`cli analyze` prints the _analyze response shape (r5)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "opensearch_spark.cli", "analyze",
+         "--text", "The Quick FOXES"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert [t["token"] for t in out["tokens"]] == ["the", "quick", "foxes"]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "opensearch_spark.cli", "analyze",
+         "--text", "Schmidt",
+         "--spec", _json.dumps({"tokenizer": "whitespace",
+                                "filter": [{"type": "phonetic",
+                                            "encoder": "double_metaphone"}]})],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert [t["token"] for t in out2["tokens"]] == ["XMT", "SMT"]
