@@ -770,3 +770,96 @@ def probe_minhash_index(
             new_docs, path, id_col, text_col, n, num_perm, bands, seed, mode="append"
         )
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    threshold: float = 0.95,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): coarse k-means
+    clustering, then WITHIN-CLUSTER cosine near-dup groups, keeping
+    from each group the member LEAST similar to its cluster centroid
+    (the paper's keep-low rule — edge examples preserve diversity;
+    ties break to the smaller id).
+
+    Scale shape: the quadratic pair step joins on ``cell`` so each
+    block is (corpus/nlist)^2, never corpus^2 — exactly the paper's
+    web-scale trick; centroids come from the bounded deterministic
+    sample (`similarity._centroid_matrix`) or are passed in
+    (computed once per corpus at 100 TB).
+
+    Returns ``(id, cell, centroid_cos, keep)`` over EVERY input row —
+    ``keep=False`` only for non-survivor members of a dup group.
+    """
+    from opensearch_spark.ops.similarity import (
+        _centroid_matrix,
+        assign_ivf_cells,
+        dot_col,
+        norm_col,
+    )
+
+    cn = (
+        centroids if centroids is not None
+        else _centroid_matrix(df, nlist, id_col, vec_col)
+    )
+    spark = df.sparkSession
+    cells = assign_ivf_cells(df, nlist, id_col, vec_col, centroids=cn)
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cn)],
+        "cell int, cvec array<double>",
+    )
+    base = (
+        cells.select(
+            F.col(id_col).alias("id"), F.col("cell").cast("int").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", norm_col("v"))
+        .join(F.broadcast(cent_df), "cell")
+        .withColumn(
+            "centroid_cos",
+            F.round(
+                (dot_col("v", "cvec")
+                 / (F.col("nrm") * norm_col("cvec"))).cast("double"), 6),
+        )
+        .drop("cvec")
+    )
+    a = base.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot_col("va", "vb") / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos.cast("double"), 6))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    comp = dup_clusters(pairs)  # (doc_id, canon) over non-trivial groups
+    members = base.select("id", "cell", "centroid_cos").join(
+        comp.select(F.col("doc_id").alias("id"), "canon"), "id", "left"
+    )
+    # rank only inside real dup groups: routing the (dominant) solo
+    # rows through a canon=NULL window partition would funnel the
+    # whole corpus into one task — they keep rk=1 without a shuffle
+    w = Window.partitionBy("canon").orderBy(
+        F.asc("centroid_cos"), F.asc("id")
+    )
+    grouped = members.filter(F.col("canon").isNotNull()).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    solo = members.filter(F.col("canon").isNull()).withColumn(
+        "rk", F.lit(1)
+    )
+    return grouped.unionByName(solo).select(
+        "id", "cell", "centroid_cos", (F.col("rk") == 1).alias("keep")
+    )

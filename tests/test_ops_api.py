@@ -181,3 +181,43 @@ def test_index_stats_over_hadoop_fs_uri(spark, index_dir):
         via_uri["store"]["size_in_bytes"]
         == local["store"]["size_in_bytes"] - hidden
     ) or via_uri["store"]["size_in_bytes"] == local["store"]["size_in_bytes"]
+import numpy as np
+import pytest
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: planted near-dup pairs inside well-separated clusters;
+    within each dup group the member LEAST similar to the centroid
+    survives; solo members always keep."""
+    from opensearch_spark.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # two orthogonal cluster directions in R^8
+    d0 = np.eye(8)[0]
+    d1 = np.eye(8)[1]
+    vid = 0
+    for base in (d0, d1):
+        for j in range(6):
+            v = base + rng.normal(0, 0.2, 8)    # clustered, below dup cosine
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    # plant an exact triple dup of doc 0's vector (ids 100, 101)
+    v0 = np.array(rows[0][1])
+    for did in (100, 101):
+        rows.append((did, [float(x) for x in v0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, nlist=2, threshold=0.995).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == len(rows)
+    trio = [by_id[0], by_id[100], by_id[101]]
+    assert sum(r["keep"] for r in trio) == 1        # one survivor
+    # survivor = least centroid-similar, tie -> min id (exact dups tie)
+    mn = min(r["centroid_cos"] for r in trio)
+    surv = [r for r in trio if r["keep"]][0]
+    assert surv["centroid_cos"] == mn
+    # everything else survives
+    others = [r for r in out if r["id"] not in (0, 100, 101)]
+    assert all(r["keep"] for r in others)
+    # the tight cluster members share a cell with the dup trio
+    assert len({r["cell"] for r in trio}) == 1
