@@ -5604,6 +5604,7 @@ SELECT 'dyn_mapping' AS op, doc_id, score FROM (
   UNION ALL SELECT 8, 5.0                                       -- text: text
   UNION ALL SELECT 9, 4.0                                       -- ts: date
   UNION ALL SELECT 10, 6.0                                      -- price: scaled_float (explicit)
+  UNION ALL SELECT 11, 7.0                                      -- ip: ip (explicit)
 )
 UNION ALL
 """
@@ -5624,6 +5625,14 @@ UNION ALL
         _LC_Q, 1, 10, "dyn_scaled", p="",
         flt="AND (doc_id % 400) * 100 + (doc_id % 100) >= 5000"
             " AND (doc_id % 400) * 100 + (doc_id % 100) <= 12025",
+    )
+    + "\nUNION ALL\n"
+    # dyn_ip: ip = 10.(doc_id%256).0.(doc_id%100); the range covers
+    # second octets 128..199 and the must_not CIDR removes 130
+    + _sql_match_over(
+        _LC_Q, 1, 10, "dyn_ip", p="",
+        flt="AND (doc_id % 256) >= 128 AND (doc_id % 256) < 200"
+            " AND (doc_id % 256) <> 130",
     )
     + "\nORDER BY op, score DESC, doc_id ASC",
 )
@@ -5843,7 +5852,13 @@ def lifecycle_suite(spark, sf_dir):
             F.when(
                 F.col("doc_id") % 5 == 0, F.lit(', "extra": "only sometimes"')
             ).otherwise(F.lit("")),
-            F.lit(', "meta": {"k": "v'),
+            F.lit(', "ip": "10.'),
+            # r5 ip type: 10.(doc_id%256).0.(doc_id%100) — CIDR/range
+            # filters reduce to doc_id arithmetic for the oracle
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit('", "meta": {"k": "v'),
             (F.col("doc_id") % 4).cast("string"),
             F.lit('"}, "price": '),
             # r5 scaled_float: an exact-decimal money-ish value
@@ -5862,7 +5877,8 @@ def lifecycle_suite(spark, sf_dir):
         # explicit scaled_float mapping absorbs the inferred float
         # (ScaledFloatFieldMapper; _JOIN scaled_float∪float)
         mappings=dynmap.Mappings(
-            {"price": {"type": "scaled_float", "scaling_factor": 100.0}}
+            {"price": {"type": "scaled_float", "scaling_factor": 100.0},
+             "ip": {"type": "ip"}}
         ),
         config=IndexConfig(n_segments=4, routing_col="doc_id",
                            dictionary_partitions=2),
@@ -5870,9 +5886,10 @@ def lifecycle_suite(spark, sf_dir):
     # flat (path -> type) rows under fixed path ids / type codes; an
     # unexpected path or type lands as 99 and hash-mismatches
     _PATH_ID = {"doc_id": 1, "extra": 2, "flag": 3, "lang": 4, "meta.k": 5,
-                "n_chars": 6, "num": 7, "text": 8, "ts": 9, "price": 10}
+                "n_chars": 6, "num": 7, "text": 8, "ts": 9, "price": 10,
+                "ip": 11}
     _TYPE_CODE = {"long": 1.0, "float": 2.0, "boolean": 3.0, "date": 4.0,
-                  "text": 5.0, "scaled_float": 6.0}
+                  "text": 5.0, "scaled_float": 6.0, "ip": 7.0}
     mrows = [
         (_PATH_ID.get(p, 99), _TYPE_CODE.get(s["type"], 99.0))
         for p, s in mm.flat().items()
@@ -5902,6 +5919,18 @@ def lifecycle_suite(spark, sf_dir):
             ],
         }},
     )
+    # r5 dyn_ip: CIDR term + address range over the ip type — the
+    # canonical hex comparisons reduce to doc_id%256 arithmetic
+    ip_ = lc_topk(
+        eng_j,
+        {"bool": {
+            "must": [{"match": {"text": {"query": "spark join"}}}],
+            "filter": [
+                {"range": {"ip": {"gte": "10.128.0.0", "lt": "10.200.0.0"}}},
+            ],
+            "must_not": [{"term": {"ip": "10.130.0.0/16"}}],
+        }},
+    )
 
     return _union(
         _tag(a, "post_delete", "doc_id", "score"),
@@ -5917,6 +5946,7 @@ def lifecycle_suite(spark, sf_dir):
         _tag(m_, "dyn_mapping", "doc_id", "score"),
         _tag(n_, "dyn_search", "doc_id", "score"),
         _tag(sc_, "dyn_scaled", "doc_id", "score"),
+        _tag(ip_, "dyn_ip", "doc_id", "score"),
     ).orderBy("op", F.desc("score"), F.asc("doc_id"))
 
 
