@@ -1,5 +1,5 @@
 """Snowball stemmers: french / german / spanish / russian / italian /
-dutch / danish / norwegian / swedish / portuguese.
+dutch / danish / norwegian / swedish / portuguese / romanian.
 
 The reference's ``StemmerTokenFilterFactory.java`` maps these language
 names to Lucene ``SnowballFilter`` over the corresponding
