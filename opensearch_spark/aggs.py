@@ -810,10 +810,19 @@ def date_range_agg(
 
 
 def ip_to_long(col: Column) -> Column:
-    """Dotted-quad IPv4 -> uint32-as-long (the comparable form of the
-    reference's 16-byte IP points, ``IpFieldMapper.java``)."""
+    """IPv4 -> uint32-as-long (the comparable form of the reference's
+    16-byte IP points, ``IpFieldMapper.java``).  Accepts dotted-quad
+    strings AND the canonical 32-hex v6-mapped storage an explicit
+    ``ip`` mapping writes (low 32 bits when the ::ffff:0:0/96 marker
+    is present); true IPv6 values stay NULL — the v4 CIDR arithmetic
+    of ip_range does not apply to them."""
     part = lambda i: F.split(col, r"\.").getItem(i).cast("long")
-    return part(0) * 16777216 + part(1) * 65536 + part(2) * 256 + part(3)
+    dotted = part(0) * 16777216 + part(1) * 65536 + part(2) * 256 + part(3)
+    hex_v4 = F.conv(col.substr(25, 8), 16, 10).cast("long")
+    return (
+        F.when(col.contains("."), dotted)
+        .when((F.length(col) == 32) & (col.substr(21, 4) == "ffff"), hex_v4)
+    )
 
 
 def ip_range_agg(

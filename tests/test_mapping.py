@@ -568,3 +568,24 @@ def test_wildcard_type_keyword_semantics(spark, tmp_path):
     assert ids({"wildcard": {"path": "*.log"}}) == [1, 3]
     assert ids({"prefix": {"path": "/var"}}) == [1, 2]
     assert ids({"term": {"path": "/home/user/x.log"}}) == [3]
+
+
+def test_ip_range_agg_over_mapped_hex(spark):
+    """ip_range agg consumes BOTH dotted-quad columns and the 32-hex
+    canonical storage an explicit ip mapping writes (r5): same buckets
+    either way; true IPv6 rows fall out of the v4 arithmetic."""
+    from opensearch_spark import aggs
+    from opensearch_spark.index.mapping import ip_canonical_hex
+
+    ips = ["10.0.0.5", "10.0.3.200", "10.1.0.1", "192.168.1.9"]
+    dotted = spark.createDataFrame([(s,) for s in ips], "addr string")
+    hexed = spark.createDataFrame(
+        [(ip_canonical_hex(s),) for s in ips + ["2001:db8::1"]],
+        "addr string",
+    )
+    ranges = [(None, "10.1.0.0"), ("10.1.0.0", None)]
+    a = {r["key"]: r["doc_count"]
+         for r in aggs.ip_range_agg(dotted, "addr", ranges).collect()}
+    b = {r["key"]: r["doc_count"]
+         for r in aggs.ip_range_agg(hexed, "addr", ranges).collect()}
+    assert a == b == {"*-10.1.0.0": 2, "10.1.0.0-*": 2}
