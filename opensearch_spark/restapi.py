@@ -62,7 +62,8 @@ from opensearch_spark import aggs as A
 from opensearch_spark.query import dsl as Q
 from opensearch_spark.query import painless
 
-__all__ = ["search_request", "msearch_request", "count_request", "run_aggs"]
+__all__ = ["search_request", "msearch_request", "count_request",
+           "run_aggs", "analyze_request"]
 
 _KEYED_NESTABLE = ("terms", "histogram", "date_histogram")
 _SELECTOR_KINDS = ("filter", "filters", "missing", "range",
@@ -1263,3 +1264,39 @@ def count_request(engine, body: Optional[dict] = None) -> dict:
     return {"count": int(engine.count(q)),
             "_shards": {"total": 1, "successful": 1, "skipped": 0,
                         "failed": 0}}
+
+
+def analyze_request(body: dict) -> dict:
+    """``_analyze`` API body (RestAnalyzeAction / AnalyzeAction): run a
+    named ``analyzer`` or an inline ``tokenizer``/``filter``/
+    ``char_filter`` chain over ``text`` (a string or a list — the
+    reference keeps one position stream across list entries with a +1
+    gap, TransportAnalyzeAction.analyze).  Response tokens carry
+    ``token`` and ``position``; start/end offsets are not tracked
+    through this engine's filter chains (documented deviation — the
+    chain is the same one the Arrow indexing UDF runs)."""
+    from opensearch_spark.analysis.chain import Analyzer
+
+    if "analyzer" in body:
+        spec = body["analyzer"]
+    else:
+        spec = {
+            k: body[k]
+            for k in ("tokenizer", "filter", "char_filter")
+            if k in body
+        }
+        if not spec:
+            spec = "standard"
+    an = Analyzer.from_spec(spec)
+    texts = body.get("text", "")
+    if isinstance(texts, str):
+        texts = [texts]
+    out = []
+    base = 0
+    for t in texts:
+        toks, pos = an(t)
+        for tk, p in zip(toks, pos):
+            out.append({"token": tk, "position": int(p) + base})
+        if pos:
+            base += int(max(pos)) + 1
+    return {"tokens": out}

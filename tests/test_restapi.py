@@ -708,3 +708,21 @@ def test_body_completion_index_prefixes(engine):
     a = restapi.search_request(engine, body_plain)["suggest"]["t"][0]
     b = restapi.search_request(engine, body_accel)["suggest"]["t"][0]
     assert a["options"] == b["options"] and a["options"]
+
+
+def test_analyze_request_body():
+    """_analyze body API (r5): named analyzer, inline chain, and the
+    multi-text position stream with a +1 gap."""
+    r = restapi.analyze_request(
+        {"analyzer": "standard", "text": "The Quick FOXES"}
+    )
+    assert [t["token"] for t in r["tokens"]] == ["the", "quick", "foxes"]
+    assert [t["position"] for t in r["tokens"]] == [0, 1, 2]
+    r2 = restapi.analyze_request({
+        "tokenizer": "whitespace",
+        "filter": [{"type": "phonetic", "encoder": "soundex"}],
+        "text": ["Robert Rupert", "Ashcraft"],
+    })
+    assert [(t["token"], t["position"]) for t in r2["tokens"]] == [
+        ("R163", 0), ("R163", 1), ("A261", 2),
+    ]
