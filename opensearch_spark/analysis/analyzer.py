@@ -427,6 +427,38 @@ PORTUGUESE_STOP_WORDS = frozenset(
     tenhamos tenham tivesse tivéssemos tivessem tiver tivermos
     tiverem terei terá teremos terão teria teríamos teriam""".split()
 )
+# snowball finnish/stop.txt structure: olla + negation verb forms, the
+# personal/demonstrative/interrogative/relative pronoun declension
+# paradigms, conjunctions and a short particle tail.  Reconstructed
+# from the published list; r5 deviation note: entries are the paradigm
+# tables as published, but the reconstruction has not been
+# byte-compared against the upstream file.
+FINNISH_STOP_WORDS = frozenset(
+    """olla olen olet on olemme olette ovat ole oli olisi olisit
+    olisin olisimme olisitte olisivat olit olin olimme olitte olivat
+    ollut olleet en et ei emme ette eivät minä minun minut minua
+    minussa minusta minuun minulla minulta minulle sinä sinun sinut
+    sinua sinussa sinusta sinuun sinulla sinulta sinulle hän hänen
+    hänet häntä hänessä hänestä häneen hänellä häneltä hänelle me
+    meidän meidät meitä meissä meistä meihin meillä meiltä meille te
+    teidän teidät teitä teissä teistä teihin teillä teiltä teille he
+    heidän heidät heitä heissä heistä heihin heillä heiltä heille
+    tämä tämän tätä tässä tästä tähän tällä tältä tälle tänä täksi
+    tuo tuon tuota tuossa tuosta tuohon tuolla tuolta tuolle tuona
+    tuoksi se sen sitä siinä siitä siihen sillä siltä sille sinä
+    siksi nämä näiden näitä näissä näistä näihin näillä näiltä
+    näille näinä näiksi nuo noiden noita noissa noista noihin noilla
+    noilta noille noina noiksi ne niiden niitä niissä niistä niihin
+    niillä niiltä niille niinä niiksi kuka kenen kenet ketä kenessä
+    kenestä keneen kenellä keneltä kenelle kenenä keneksi ketkä
+    keiden keitä keissä keistä keihin keillä keiltä keille keinä
+    keiksi mikä minkä mitä missä mistä mihin millä miltä mille minä
+    miksi mitkä joka jonka jota jossa josta johon jolla jolta jolle
+    jona joksi jotka joiden joita joissa joista joihin joilla joilta
+    joille joina joiksi että ja jos koska kuin mutta niin sekä sillä
+    tai vaan vai vaikka kanssa mukaan noin poikki yli kun nyt
+    itse""".split()
+)
 
 
 def resolve_stopwords(name_or_list) -> Optional[frozenset]:
@@ -452,6 +484,7 @@ def resolve_stopwords(name_or_list) -> Optional[frozenset]:
         "_norwegian_": NORWEGIAN_STOP_WORDS,
         "_swedish_": SWEDISH_STOP_WORDS,
         "_portuguese_": PORTUGUESE_STOP_WORDS,
+        "_finnish_": FINNISH_STOP_WORDS,
         "_none_": frozenset(),
     }
     if isinstance(name_or_list, str):

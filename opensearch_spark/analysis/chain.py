@@ -1350,6 +1350,8 @@ def make_token_filter(spec, ctx: Optional[dict] = None) -> Callable[[TokenStream
             return _stem(_sb.portuguese_stem)
         if lang == "romanian":
             return _stem(_sb.romanian_stem)
+        if lang == "finnish":
+            return _stem(_sb.finnish_stem)
         # the Lucene light/minimal family registered in
         # StemmerTokenFilterFactory.java:146-181
         if lang in ("minimal_english", "minimalenglish"):
@@ -2342,6 +2344,17 @@ NAMED_ANALYZERS: Dict[str, dict] = {
             "lowercase",
             {"type": "stop", "stopwords": "_portuguese_"},
             {"type": "stemmer", "language": "portuguese"},
+        ],
+    },
+    # r5 session 3 (FinnishAnalyzerProvider.java -> Lucene
+    # FinnishAnalyzer: standard -> lowercase -> stop -> SnowballFilter
+    # with FinnishStemmer).
+    "finnish": {
+        "tokenizer": "standard",
+        "filter": [
+            "lowercase",
+            {"type": "stop", "stopwords": "_finnish_"},
+            {"type": "stemmer", "language": "finnish"},
         ],
     },
     # analysis-icu IcuAnalyzerProvider.java:74-80: ICUNormalizer2

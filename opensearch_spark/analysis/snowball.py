@@ -1606,3 +1606,178 @@ def romanian_stem(word: str) -> str:
             break
 
     return word.replace("I", "i").replace("U", "u")
+
+
+# --------------------------------------------------------------------------
+# Finnish (snowballstem.org/algorithms/finnish/stemmer.html).  Reference
+# registers it as stemmer language `finnish` and through the `snowball`
+# filter's capitalized name table (StemmerTokenFilterFactory.java:167-168,
+# FinnishAnalyzerProvider.java).  Implemented from the published algorithm
+# description; every pin in tests/test_snowball.py was hand-traced through
+# the steps below (regions, longest-suffix commit, condition lookbehinds).
+
+_FI_V1 = "aeiouyäö"          # vowels incl. y
+_FI_V2 = "aeiouäö"           # vowels minus y (the Vi context)
+_FI_AEI = "aäei"
+_FI_C = "bcdfghjklmnpqrstvwxz"
+_FI_PARTICLE_END = _FI_V1 + "nt"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_PARTICLES = ("kin", "kaan", "kään", "ko", "kö",
+                 "han", "hän", "pa", "pä", "sti")
+_FI_POSS = ("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en")
+_FI_CASE = ("han", "hen", "hin", "hon", "hän", "hön",
+            "siin", "den", "tten", "seen",
+            "a", "ä", "tta", "ttä",
+            "ta", "tä", "ssa", "ssä", "sta", "stä",
+            "lla", "llä", "lta", "ltä", "lle",
+            "na", "nä", "ksi", "ine", "n")
+_FI_OTHER = ("mpi", "mpa", "mpä", "mmi", "mma", "mmä",
+             "impi", "impa", "impä", "immi", "imma", "immä",
+             "eja", "ejä")
+
+
+def _fi_after_vc(word: str, start: int) -> int:
+    """Position after the first non-vowel that follows a vowel, from
+    ``start`` (the standard snowball R1/R2 mark)."""
+    n = len(word)
+    i = start
+    while i < n and word[i] not in _FI_V1:
+        i += 1
+    while i < n and word[i] in _FI_V1:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def _fi_longest(word: str, limit: int, sufs) -> str:
+    """Longest suffix from ``sufs`` that matches entirely at positions
+    >= limit (snowball `setlimit tomark p for ([substring])`: a longer
+    suffix crossing the limit cannot match, a shorter in-region one
+    can).  Returns None when nothing fits."""
+    best = None
+    for s in sufs:
+        if word.endswith(s) and len(word) - len(s) >= limit:
+            if best is None or len(s) > len(best):
+                best = s
+    return best
+
+
+def finnish_stem(word: str) -> str:
+    """Snowball Finnish.  Step conditions (`particle_end`, the Vi/LONG
+    lookbehinds, possessive attachment sets, not-'po') inspect the text
+    to the LEFT of the matched suffix without the region limit — the
+    among branches run after the `setlimit ... for([substring])` clause
+    closes — while tidy rules (a)-(d) sit entirely inside a p1 setlimit
+    and the final consonant undouble is unlimited."""
+    word = word.lower()
+    p1 = _fi_after_vc(word, 0)
+    p2 = _fi_after_vc(word, p1)
+    ending_removed = False
+
+    # ---- step 1: particles (kin/kaan/ko/han/pa after a particle_end
+    # letter; sti in R2)
+    suf = _fi_longest(word, p1, _FI_PARTICLES)
+    if suf:
+        pos = len(word) - len(suf)
+        if suf == "sti":
+            if pos >= p2:
+                word = word[:pos]
+        elif pos >= 1 and word[pos - 1] in _FI_PARTICLE_END:
+            word = word[:pos]
+
+    # ---- step 2: possessives
+    suf = _fi_longest(word, p1, _FI_POSS)
+    if suf:
+        pre = word[: len(word) - len(suf)]
+        if suf == "si":
+            if not pre.endswith("k"):
+                word = pre
+        elif suf == "ni":
+            word = pre
+            if word.endswith("kse"):
+                word = word[:-3] + "ksi"
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            word = pre
+        elif suf == "an":
+            if pre.endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+                word = pre
+        elif suf == "än":
+            if pre.endswith(("tä", "ssä", "stä",
+                             "llä", "ltä", "nä")):
+                word = pre
+        elif suf == "en":
+            if pre.endswith(("lle", "ine")):
+                word = pre
+
+    # ---- step 3: case endings
+    suf = _fi_longest(word, p1, _FI_CASE)
+    if suf:
+        pre = word[: len(word) - len(suf)]
+        delete = False
+        if suf in ("han", "hen", "hin", "hon", "hän", "hön"):
+            # hXn only after its harmony vowel X
+            delete = pre.endswith(suf[1])
+        elif suf in ("siin", "den", "tten"):
+            # Vi: i preceded by a V2 vowel
+            delete = (len(pre) >= 2 and pre[-1] == "i"
+                      and pre[-2] in _FI_V2)
+        elif suf == "seen":
+            delete = pre[-2:] in _FI_LONG
+        elif suf in ("a", "ä"):
+            # cv: consonant + vowel before the final a/ä
+            delete = (len(pre) >= 2 and pre[-1] in _FI_V1
+                      and pre[-2] in _FI_C)
+        elif suf in ("tta", "ttä"):
+            delete = pre.endswith("e")
+        elif suf == "n":
+            delete = True
+            if pre[-2:] in _FI_LONG or pre.endswith("ie"):
+                pre = pre[:-1]       # n after a long vowel / ie drags one vowel
+        else:
+            delete = True
+        if delete:
+            word = pre
+            ending_removed = True
+
+    # ---- step 4: comparatives / other endings, in R2
+    suf = _fi_longest(word, p2, _FI_OTHER)
+    if suf:
+        pos = len(word) - len(suf)
+        if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+            if not word[:pos].endswith("po"):
+                word = word[:pos]
+        else:
+            word = word[:pos]
+
+    # ---- step 5: plurals.  i/j only when step 3 removed an ending;
+    # otherwise t after a vowel (both inside R1), cascading into an
+    # R2 (i)mma removal
+    if ending_removed:
+        if word and word[-1] in "ij" and len(word) - 1 >= p1:
+            word = word[:-1]
+    elif (word.endswith("t") and len(word) >= 2
+          and word[-2] in _FI_V1 and len(word) - 2 >= p1):
+        word = word[:-1]
+        suf = _fi_longest(word, p2, ("imma", "mma"))
+        if suf == "imma":
+            word = word[:-4]
+        elif suf == "mma" and not word[:-3].endswith("po"):
+            word = word[:-3]
+
+    # ---- step 6: tidy.  (a)-(d) fully inside R1; (e) unlimited.
+    if len(word) >= 2 and word[-2:] in _FI_LONG and len(word) - 2 >= p1:
+        word = word[:-1]                       # (a) undouble final long vowel
+    if (word and word[-1] in _FI_AEI and len(word) >= 2
+            and word[-2] in _FI_C and len(word) - 2 >= p1):
+        word = word[:-1]                       # (b) a/ä/e/i after a consonant
+    if word.endswith(("oj", "uj")) and len(word) - 2 >= p1:
+        word = word[:-1]                       # (c) j after o/u
+    if word.endswith("jo") and len(word) - 2 >= p1:
+        word = word[:-1]                       # (d) o after j
+    # (e) undouble the last consonant pair, skipping trailing vowels
+    i = len(word)
+    while i > 0 and word[i - 1] in _FI_V1:
+        i -= 1
+    if i >= 2 and word[i - 1] in _FI_C and word[i - 2] == word[i - 1]:
+        word = word[: i - 1] + word[i:]
+    return word

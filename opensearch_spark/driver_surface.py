@@ -2079,6 +2079,12 @@ SELECT op, CAST(doc_id AS BIGINT), CAST(0 AS INT), token FROM (VALUES
   ('ph_inject', 6, 'knight'), ('ph_inject', 6, 'K523'),
   ('ph_inject', 7, 'jose'), ('ph_inject', 7, 'J200')
 ) AS ph(op, doc_id, token)
+UNION ALL
+SELECT 'fi_stem', CAST(doc_id AS BIGINT), CAST(pos AS INT), token FROM (VALUES
+  (200, 1, 'asu'), (200, 2, 'talo'), (200, 4, 'kirko'),
+  (201, 0, 'suurim'), (201, 1, 'kaupung'), (201, 3, 'tääl'),
+  (202, 0, 'vastau'), (202, 1, 'huone')
+) AS fi(doc_id, pos, token)
 ORDER BY op, doc_id, pos, token""".replace(
         "__STOPLIST__",
         ",".join(
@@ -2321,6 +2327,17 @@ def analysis_suite(spark, sf_dir):
                      "replace": False}]},
         "ph_inject",
     ))
+    # r5 session 3: the finnish language analyzer
+    # (FinnishAnalyzerProvider.java -> snowball FinnishStemmer + the
+    # snowball stop list) over fixed sentences; expected stems are the
+    # hand-traced tests/test_snowball.py vectors, stop positions gapped
+    fi_df = spark.createDataFrame(
+        [(200, "Hän asuu taloissa ja kirkoissa"),
+         (201, "suurimmat kaupungit ovat täällä"),
+         (202, "vastaukseni huoneeseen")],
+        "doc_id long, s string",
+    )
+    parts.append(rows(fi_df, "s", "finnish", "fi_stem"))
     return _union(*parts).orderBy("op", "doc_id", "pos", "token")
 
 

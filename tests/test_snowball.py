@@ -519,3 +519,87 @@ def test_light_family_chain_registration():
         f = make_token_filter({"type": "stemmer", "language": lang})
         toks, _ = f(([word], [0]))
         assert toks == [stem], (lang, word)
+
+
+# Finnish (r5 session 3) — every pin hand-traced through the published
+# steps: regions p1/p2 (after-vowel-consonant marks), longest in-region
+# suffix commit per step, unlimited condition lookbehinds, tidy (a)-(d)
+# R1-limited, final consonant undouble unlimited.
+FI = {
+    # case endings + i-plural funnel into the bare stem
+    "taloissa": "talo",       # ssa; i_plural
+    "taloista": "talo",       # sta; i_plural
+    "talon": "talo",          # n
+    "talo": "talo",
+    # possessives chain into case endings
+    "taloni": "talo",         # ni
+    "talosi": "talo",         # si (prev o != k)
+    "talossaan": "talo",      # poss an after ssa; then ssa
+    "taloilleen": "talo",     # poss en after lle; then lle; i_plural
+    "taloineen": "talo",      # poss en after ine; then ine; i_plural
+    # particles
+    "taloissakin": "talo",    # kin after a
+    "talossako": "talo",      # ko after a
+    "kirkko": "kirko",        # particle ko REJECTED (prev k); tidy undouble kk
+    "kirkon": "kirko",        # n; gradation-converged with kirkko
+    # R1 empty -> untouched
+    "maan": "maan",
+    "maa": "maa",
+    # n after long vowel drags one vowel; i_plural then fires
+    "kaupunkiin": "kaupunk",
+    "kaupunki": "kaupunk",    # nominative converges via tidy (b)
+    "käsiin": "käs",
+    # hXn harmony suffix out of R1 -> only n drops; tidy (b) blocked
+    # when the consonant sits left of p1
+    "maahan": "maaha",
+    "maiden": "maide",
+    "miehen": "miehe",
+    # seen/tten/tta family converge with the nominative
+    "huoneeseen": "huone",    # seen after long ee; tidy (a)
+    "huoneitten": "huone",    # tten after Vi; i_plural
+    "huonetta": "huone",      # tta after e
+    "huone": "huone",
+    # possessive ni with the kse -> ksi restore, then ksi case
+    "vastaukseni": "vastau",
+    # sti in R2 only
+    "nopeasti": "nopeast",    # sti starts before p2 -> only tidy (b)
+    "tavallisesti": "tavallis",
+    # comparative/superlative tails
+    "suurempia": "suuremp",   # case a after cv; i_plural
+    "suurempi": "suuremp",    # tidy (b)
+    "suurimmat": "suurim",    # t_plural; tidy (b) + undouble mm
+    "mielenkiintoisimmat": "mielenkiintois",  # t_plural then R2 imma
+    "onnellisempi": "onnellis",   # mpi in R2 (not after po)
+    "leipopompi": "leipopomp",    # mpi blocked by the po guard
+    "kappaleja": "kappal",        # eja in R2
+    # possessive si blocked after k
+    "maksi": "maks",
+    # tidy cascades
+    "kirjoja": "kirj",        # (b) a, (c) j after o, (d) o after j
+    "tietokoneella": "tietokon",  # lla; tidy (a) then (b)
+    "ihminen": "ihmin",
+    "järjestelmä": "järjestelm",  # ä in AEI after consonant
+    # yy is NOT a long vowel (y outside V2/LONG)
+    "hyvyys": "hyvyys",
+}
+
+
+def test_finnish_vectors():
+    from opensearch_spark.analysis.snowball import finnish_stem
+
+    for word, stem in FI.items():
+        assert finnish_stem(word) == stem, word
+
+
+def test_finnish_chain_registration():
+    f = make_token_filter({"type": "stemmer", "language": "finnish"})
+    toks, pos = f((["taloissa", "kaupunkiin"], [0, 1]))
+    assert toks == ["talo", "kaupunk"] and pos == [0, 1]
+
+
+def test_finnish_analyzer_preset():
+    toks, pos = Analyzer.from_spec("finnish")("Hän asuu taloissa ja kirkoissa")
+    # hän/ja are snowball finnish stopwords; the rest stem with the
+    # stop-position gaps kept (talo at 2, kirko at 4)
+    # (asuu loses one u to tidy (a): long-vowel undouble in R1)
+    assert toks == ["asu", "talo", "kirko"] and pos == [1, 2, 4]
