@@ -2085,6 +2085,14 @@ SELECT 'fi_stem', CAST(doc_id AS BIGINT), CAST(pos AS INT), token FROM (VALUES
   (201, 0, 'suurim'), (201, 1, 'kaupung'), (201, 3, 'tääl'),
   (202, 0, 'vastau'), (202, 1, 'huone')
 ) AS fi(doc_id, pos, token)
+UNION ALL
+SELECT 'bpe', CAST(doc_id AS BIGINT), CAST(pos AS INT), token FROM (VALUES
+  (300, 0, 'lo'), (300, 1, 'west</w>'),
+  (301, 0, 'newest</w>'),
+  (302, 0, 'wid'), (302, 1, 'e'), (302, 2, 'r</w>'),
+  (303, 0, 'low</w>'), (303, 1, 'lo'), (303, 2, 'w'), (303, 3, 'e'),
+  (303, 4, 'r</w>')
+) AS bp(doc_id, pos, token)
 ORDER BY op, doc_id, pos, token""".replace(
         "__STOPLIST__",
         ",".join(
@@ -2338,6 +2346,31 @@ def analysis_suite(spark, sf_dir):
         "doc_id long, s string",
     )
     parts.append(rows(fi_df, "s", "finnish", "fi_stem"))
+    # r5 session 3: trainable BPE (Sennrich 2016 subword-nmt semantics,
+    # ops/bpe.py) — merges learned from the classic corpus THROUGH the
+    # distributed path (word-count shuffle -> capped driver learner),
+    # then the Arrow encode UDF; expected subwords pinned in the oracle
+    # VALUES from the hand-derived merge table (tests/test_bpe.py)
+    from opensearch_spark.ops import bpe as _bpe
+
+    corpus = spark.createDataFrame(
+        [("low low low low low lower lower",),
+         ("newest newest newest newest newest newest",),
+         ("widest widest widest",)],
+        "text string",
+    )
+    merges = _bpe.train_bpe(corpus, num_merges=10)
+    enc_df = spark.createDataFrame(
+        [(300, "lowest"), (301, "newest"), (302, "wider"),
+         (303, "low lower")],
+        "doc_id long, s string",
+    )
+    parts.append(
+        _bpe.bpe_encode(enc_df, merges, col="s", out="t")
+        .select("doc_id", F.posexplode("t").alias("pos", "token"))
+        .select(F.lit("bpe").alias("op"), "doc_id",
+                F.col("pos").cast("int").alias("pos"), "token")
+    )
     return _union(*parts).orderBy("op", "doc_id", "pos", "token")
 
 

@@ -497,7 +497,14 @@ def script_expr(
     ``lang="painless"`` (or a syntactic sniff) compiles through
     :func:`compile_painless`; anything else stays the documented
     Spark-SQL path (``F.expr``) — existing scripts are untouched."""
-    if lang == "painless" or (lang is None and looks_painless(source)):
+    # lang-expression (modules/lang-expression, ExpressionScriptEngine.
+    # java): numeric-only Lucene expressions over doc-values —
+    # `doc['f'].value` arithmetic — a strict subset of the Painless
+    # expression surface this compiler accepts, so `"lang":
+    # "expression"` scripts compile through the same path.
+    if lang in ("painless", "expression") or (
+        lang is None and looks_painless(source)
+    ):
         return compile_painless(
             source, resolver=resolver, params=params, score=score
         )

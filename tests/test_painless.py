@@ -144,6 +144,10 @@ def test_script_expr_routing(pdf):
     assert sorted(r[0] for r in pdf.select(col).collect()) == [-2, 2, 3]
     with pytest.raises(PainlessError):
         script_expr("a + 1", "painless")  # explicit lang, painless rules
+    # lang-expression (numeric Lucene expressions) rides the same
+    # compiler: doc-values arithmetic, no Spark-SQL fallback
+    col = script_expr("doc['a'].value * 2", "expression")
+    assert sorted(r[0] for r in pdf.select(col).collect()) == [-6, 2, 4]
 
 
 # ------------------------------------------------------- engine parity
