@@ -23,7 +23,7 @@ from opensearch_spark.query.executor import SearchEngine
 
 # bump when index layout or the derived-docs shape changes: stale cached
 # indexes are keyed away instead of misread
-_LAYOUT_VERSION = "v8"
+_LAYOUT_VERSION = "v9"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,6 +75,17 @@ def documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(F.filter(F.split(F.col("text"), " "), lambda x: x != ""), 1, 4),
                 " ",
             ),
+        )
+        # r5 session 3: carry the doc's embedding vector into the docmap
+        # (vec_id aligns with doc_id per TESTDATA.md) so the `knn`
+        # query scores straight off stored doc values — the left join
+        # keeps the docmap complete if a doc has no vector
+        .join(
+            load_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+            "left",
         )
     )
 

@@ -2992,8 +2992,8 @@ SELECT 'termvectors_df' AS op, t.term AS k, d.df AS v
 FROM __tf t JOIN __df d USING (term) WHERE t.doc_id = 2
 UNION ALL
 SELECT 'field_caps' AS op, k, v FROM (VALUES
-  ('doc_id', 0.0), ('lang', 0.0), ('lat', 0.0), ('lon', 0.0),
-  ('n_chars', 0.0), ('req_terms', 0.0),
+  ('doc_id', 0.0), ('embedding', 0.0), ('lang', 0.0), ('lat', 0.0),
+  ('lon', 0.0), ('n_chars', 0.0), ('req_terms', 0.0),
   ('source', 0.0), ('src_alt', 0.0), ('text', 1.0), ('title', 0.0)
 ) AS fc(k, v)
 UNION ALL
@@ -6424,6 +6424,35 @@ __rrf AS (
 SELECT 'ann_cosine' AS op, * FROM __ann
 UNION ALL
 SELECT 'hybrid_rrf' AS op, * FROM __rrf
+UNION ALL
+SELECT 'knn' AS op, * FROM (
+  SELECT CAST(5 AS BIGINT) AS query_id,
+         CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC) AS INT) AS rank,
+         doc_id AS id, c AS metric
+  FROM (
+    SELECT k.doc_id,
+           ROUND(list_dot_product(k.cv, q.qv) /
+                 (sqrt(list_dot_product(k.cv, k.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS c
+    FROM (SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS cv
+          FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id) k
+    CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5) q
+  ) ORDER BY c DESC, doc_id ASC LIMIT 10
+)
+UNION ALL
+SELECT 'knn_f' AS op, * FROM (
+  SELECT CAST(5 AS BIGINT) AS query_id,
+         CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC) AS INT) AS rank,
+         doc_id AS id, c AS metric
+  FROM (
+    SELECT k.doc_id,
+           ROUND(list_dot_product(k.cv, q.qv) /
+                 (sqrt(list_dot_product(k.cv, k.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS c
+    FROM (SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS cv
+          FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+          WHERE d.source = 'src3') k
+    CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5) q
+  ) ORDER BY c DESC, doc_id ASC LIMIT 5
+)
 ORDER BY op, query_id, rank""",
 )
 def retrieval_suite(spark, sf_dir):
@@ -6471,9 +6500,44 @@ def retrieval_suite(spark, sf_dir):
         F.col("doc_id").alias("id"),
         F.col("rrf_score").alias("metric"),
     )
+    # r5 session 3: the `knn` query clause through the ENGINE surface —
+    # the docmap carries each doc's embedding (docs_index.documents_df),
+    # so this is stored-doc-values vector scoring inside the query DSL,
+    # optionally composed with a filter clause (dsl.Knn / the executor
+    # knn branch; beyond-reference k-NN plugin shape)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]
+    ]
+    dm_full = eng.index.docmap().select("_docid", "doc_id")
+
+    def _knn_rows(query, qid):
+        wk = Window.orderBy(F.desc("metric"), F.asc("id"))
+        return (
+            eng._score(query)
+            .join(dm_full, "_docid")
+            .select(
+                F.col("doc_id").alias("id"),
+                F.round(F.col("score"), 6).alias("metric"),
+            )
+            .withColumn("rank", F.row_number().over(wk))
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("rank").cast("int").alias("rank"),
+                "id",
+                "metric",
+            )
+        )
+
+    knn1 = _knn_rows(Q.Knn("embedding", vector=qv, k=10), 5)
+    knn2 = _knn_rows(
+        Q.Knn("embedding", vector=qv, k=5, filter=Q.Term("source", "src3")), 5
+    )
     return _union(
         _tag(ann, "ann_cosine", "query_id", "rank", "id", "metric"),
         _tag(rrf, "hybrid_rrf", "query_id", "rank", "id", "metric"),
+        _tag(knn1, "knn", "query_id", "rank", "id", "metric"),
+        _tag(knn2, "knn_f", "query_id", "rank", "id", "metric"),
     ).orderBy("op", "query_id", "rank")
 
 

@@ -631,6 +631,30 @@ class GeoShape:
 
 
 @dataclasses.dataclass
+class Knn:
+    """``knn`` vector query.  BEYOND the reference core: the reference
+    ships vector search as the separate k-NN plugin (not under
+    ``server/`` — absent from this repo's reference checkout), so this
+    follows the plugin's public ``KNNQueryBuilder`` request shape
+    ``{"knn": {field: {"vector": [...], "k": N, "filter": {...}}}}``
+    as a pipeline-tier integration of the ops/similarity machinery
+    into the query surface.  Exact scoring over the docmap vector
+    column (one shuffle-free columnar pass + global top-k); the IVF
+    cell-pruned index (``ops/similarity.ivf_topk_indexed``) is the
+    corpus-scale accelerator for the same contract.  ``space_type``
+    score translations (documented contract, not plugin parity):
+    ``cosinesimil`` -> raw cosine, ``l2`` -> 1/(1 + squared distance),
+    ``innerproduct`` -> raw dot product."""
+
+    field: str
+    vector: Sequence[float] = ()
+    k: int = 10
+    filter: Optional[Query] = None
+    space_type: str = "cosinesimil"
+    boost: float = 1.0
+
+
+@dataclasses.dataclass
 class Bool:
     """Boolean composition (``BoolQueryBuilder.java:66-74``): ``must`` AND +
     scores, ``filter`` AND no score, ``should`` OR + scores with
@@ -1168,6 +1192,16 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         if isinstance(v, dict):
             return Fuzzy(field, v["value"], fuzziness=v.get("fuzziness"))
         return Fuzzy(field, v)
+    if kind == "knn":
+        field, v = next(iter(body.items()))
+        return Knn(
+            field,
+            vector=[float(x) for x in v["vector"]],
+            k=int(v.get("k", 10)),
+            filter=from_dict(v["filter"]) if v.get("filter") else None,
+            space_type=v.get("space_type", "cosinesimil"),
+            boost=float(v.get("boost", 1.0)),
+        )
     if kind == "bool":
         return Bool(
             must=[from_dict(q) for q in _aslist(body.get("must"))],

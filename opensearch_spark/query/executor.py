@@ -2210,6 +2210,70 @@ class SearchEngine:
                 "_docid",
                 (F.lit(float(q.boost)) * s).cast("double").alias("score"),
             )
+        if isinstance(q, Q.Knn):
+            # `knn` (beyond-reference: the k-NN plugin's KNNQueryBuilder
+            # shape; see dsl.Knn).  Exact columnar scoring: zip_with dot
+            # product stays in whole-stage codegen, no UDF, no shuffle
+            # until the global top-k; the optional filter reuses the
+            # full query machinery as a pre-join.  IVF/LSH cell-pruned
+            # variants (ops/similarity) are the 100x accelerators.
+            qv = [float(x) for x in q.vector]
+            if not qv:
+                raise ValueError("knn requires a non-empty vector")
+            vec = F.col(q.field)
+            lit_vec = F.array(*[F.lit(x) for x in qv])
+            dot = F.aggregate(
+                F.zip_with(vec, lit_vec, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            if q.space_type == "cosinesimil":
+                import math as _math
+
+                qn = _math.sqrt(sum(x * x for x in qv)) or 1.0
+                dn = F.sqrt(
+                    F.aggregate(
+                        vec,
+                        F.lit(0.0),
+                        lambda acc, x: acc
+                        + x.cast("double") * x.cast("double"),
+                    )
+                )
+                score = F.when(dn > 0, dot / (dn * F.lit(qn))).otherwise(
+                    F.lit(0.0)
+                )
+            elif q.space_type == "l2":
+                d2 = F.aggregate(
+                    F.zip_with(
+                        vec,
+                        lit_vec,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                score = F.lit(1.0) / (F.lit(1.0) + d2)
+            elif q.space_type == "innerproduct":
+                score = dot
+            else:
+                raise ValueError(f"unknown knn space_type {q.space_type!r}")
+            dm = self.docmap().filter(
+                F.col(q.field).isNotNull() & (F.size(vec) == len(qv))
+            )
+            if q.filter is not None:
+                matched = self._score(q.filter).select("_docid").distinct()
+                dm = dm.join(matched, "_docid")
+            return (
+                dm.select(
+                    "_docid",
+                    (F.lit(float(q.boost)) * score)
+                    .cast("double")
+                    .alias("score"),
+                )
+                .orderBy(F.desc("score"), F.asc("_docid"))
+                .limit(int(q.k))
+            )
         if isinstance(q, Q.ScriptScore):
             base = self._score(q.query)
             cols = set(q.input_cols)
