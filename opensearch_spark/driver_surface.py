@@ -6546,6 +6546,21 @@ def retrieval_suite(spark, sf_dir):
 _STOP_SQL = "[" + ",".join(f"'{w}'" for w in textstats.QUALITY_STOPWORDS) + "]"
 
 
+def _langid_sql() -> str:
+    """(lang, profile-list) VALUES rows for the multilingual langid
+    oracle — the same 12 snowball stop lists the Spark op uses."""
+    rows = []
+    for lang, ws in sorted(textstats._langid_profiles().items()):
+        lst = "[" + ",".join(
+            "'" + w.replace("'", "''") + "'" for w in sorted(ws)
+        ) + "]"
+        rows.append(f"('{lang}', {lst})")
+    return ",\n  ".join(rows)
+
+
+_LANGID_SQL = _langid_sql()
+
+
 @_q(
     "text_suite",
     _PRE
@@ -6594,6 +6609,20 @@ __chits AS (
   SELECT c.doc_id, count(DISTINCT c.g) AS contam_hits
   FROM __cgrams c JOIN __bgrams b ON b.g = c.g AND b.bid <> c.doc_id
   GROUP BY c.doc_id
+),
+__lang AS (
+  SELECT d.doc_id, l.lang,
+         len(list_intersect(list_distinct(d.toks), l.ws)) AS hits
+  FROM __docs d CROSS JOIN (VALUES
+  {_LANGID_SQL}) AS l(lang, ws)
+),
+__lb AS (
+  SELECT doc_id, hits, lang FROM (
+    SELECT doc_id, hits, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lang DESC) AS rn
+    FROM __lang
+  ) WHERE rn = 1
 )
 SELECT d.doc_id,
        CAST(len(d.toks) AS INT) AS n_tokens,
@@ -6614,13 +6643,16 @@ SELECT d.doc_id,
        CAST(CASE WHEN p.ni > 0 AND (p.cum + p.ni - 1) // 512 > p.cum // 512
             THEN 1 ELSE 0 END AS INT) AS spills,
        CAST(COALESCE(h.contam_hits, 0) AS INT) AS contam_hits,
-       CAST(CASE WHEN COALESCE(h.contam_hits, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS contaminated
+       CAST(CASE WHEN COALESCE(h.contam_hits, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS contaminated,
+       CAST(lb.hits AS INT) AS lang_hits,
+       CASE WHEN lb.hits >= 2 THEN lb.lang ELSE 'und' END AS pred_lang_multi
 FROM __docs d
 JOIN documents dd ON dd.doc_id = d.doc_id
 JOIN __r r ON r.doc_id = d.doc_id
 JOIN __m m ON m.doc_id = d.doc_id
 JOIN __pk p ON p.doc_id = d.doc_id
 LEFT JOIN __chits h ON h.doc_id = d.doc_id
+JOIN __lb lb ON lb.doc_id = d.doc_id
 ORDER BY d.doc_id""",
 )
 def text_suite(spark, sf_dir):
@@ -6646,7 +6678,10 @@ def text_suite(spark, sf_dir):
         F.col("contaminated").cast("int").alias("contaminated"),
     )
     prof = textstats.pack_shards(textstats.text_profile(docs), 512, n_stripes=8)
-    return prof.join(dec, "doc_id").orderBy("doc_id")
+    # r5 session 3: multilingual stopword-profile langid (12 snowball
+    # profiles, distinct-hit argmax) beside the en/und heuristic
+    lid = textstats.language_id_multi(docs)
+    return prof.join(dec, "doc_id").join(lid, "doc_id").orderBy("doc_id")
 
 
 _PII_SQL = """WITH __docs AS (

@@ -111,6 +111,77 @@ def language_id(
     )
 
 
+def _langid_profiles() -> dict:
+    """Language -> function-word set, drawn from the snowball stop
+    lists the analysis chain already ships (analysis/analyzer.py).
+    Stopword-profile language-ID (the classic function-word variant of
+    Cavnar-Trenkle profiling): function words are the highest-frequency
+    tokens of each language, so DISTINCT stop-word hits separate
+    languages sharply on running text while staying exact-SQL-checkable
+    (no model weights)."""
+    from opensearch_spark.analysis import analyzer as _a
+
+    return {
+        "da": _a.DANISH_STOP_WORDS,
+        "de": _a.GERMAN_STOP_WORDS,
+        "en": _a.ENGLISH_STOP_WORDS,
+        "es": _a.SPANISH_STOP_WORDS,
+        "fi": _a.FINNISH_STOP_WORDS,
+        "fr": _a.FRENCH_STOP_WORDS,
+        "it": _a.ITALIAN_STOP_WORDS,
+        "nl": _a.DUTCH_STOP_WORDS,
+        "no": _a.NORWEGIAN_STOP_WORDS,
+        "pt": _a.PORTUGUESE_STOP_WORDS,
+        "ru": _a.RUSSIAN_STOP_WORDS,
+        "sv": _a.SWEDISH_STOP_WORDS,
+    }
+
+
+def language_id_multi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 2,
+) -> DataFrame:
+    """Multilingual language-ID over the 12 shipped stopword profiles.
+
+    Score per language = number of DISTINCT profile words present in
+    the doc (set semantics — SQL twin is
+    ``len(list_intersect(list_distinct(toks), profile))``).  Prediction
+    = highest score, ties to the lexicographically GREATEST language
+    code (the deterministic ``array_max`` struct ordering), ``und``
+    when the best score is below ``min_hits``.  One shuffle-free
+    columnar pass: 12 ``array_intersect`` expressions over one token
+    array, no UDF, no join — the shape that holds at corpus scale.
+    """
+    profiles = _langid_profiles()
+    d = df.select(
+        F.col(id_col), F.array_distinct(tokens_col(text_col)).alias("_u")
+    )
+    scored = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.array_intersect(
+                            "_u", F.array(*[F.lit(w) for w in sorted(ws)])
+                        )
+                    ).alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, ws in sorted(profiles.items())
+            ]
+        )
+    )
+    return d.select(id_col, scored.alias("_best")).select(
+        id_col,
+        F.col("_best.hits").cast("int").alias("lang_hits"),
+        F.when(F.col("_best.hits") >= int(min_hits), F.col("_best.lang"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang_multi"),
+    )
+
+
 def fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -221,3 +221,31 @@ def test_semantic_dedup(spark):
     assert all(r["keep"] for r in others)
     # the tight cluster members share a cell with the dup trio
     assert len({r["cell"] for r in trio}) == 1
+
+
+def test_language_id_multi(spark):
+    """Stopword-profile multilingual langid (textstats.language_id_multi):
+    one columnar pass, 12 profiles, distinct-hit scoring."""
+    from opensearch_spark.ops import textstats
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog and runs"),
+            (1, "le chat est sur la table et il ne veut pas descendre"),
+            (2, "der hund und die katze sind nicht im haus aber auch"),
+            (3, "el perro y el gato están en la casa pero no aquí"),
+            (4, "hän asuu taloissa ja on ollut siellä mutta ei nyt"),
+            (5, "xyzzy plugh abracadabra"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["pred_lang_multi"]
+        for r in textstats.language_id_multi(df).collect()
+    }
+    assert got[0] == "en"
+    assert got[1] == "fr"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[4] == "fi"
+    assert got[5] == "und"  # below min_hits everywhere
