@@ -44,7 +44,7 @@ from opensearch_spark.docs_index import (
     load_table,
     topk,
 )
-from opensearch_spark.ops import c4, dedup, similarity, textstats
+from opensearch_spark.ops import c4, dedup, lmquality, similarity, textstats
 
 # ---------------------------------------------------------------- SQL scaffolding
 
@@ -6740,6 +6740,42 @@ __p4 AS (
          len(regexp_extract_all(t, '{PHONE}')) AS n_phone,
          regexp_replace(t, '{PHONE}', '<PHONE>', 'g') AS t
   FROM __p3
+),
+__lmref AS (SELECT toks FROM __docs WHERE doc_id % 13 = 0),
+__lmuni AS (SELECT w, count(*) AS c1
+            FROM (SELECT unnest(toks) AS w FROM __lmref) GROUP BY 1),
+__lmtot AS (SELECT CAST(COALESCE(sum(c1), 0) AS DOUBLE) AS n,
+                   CAST(count(*) AS DOUBLE) AS v FROM __lmuni),
+__lmbi AS (
+  SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT toks[p] AS w1, toks[p + 1] AS w2
+    FROM (SELECT toks, generate_subscripts(toks, 1) AS p FROM __lmref)
+    WHERE p < len(toks)
+  ) GROUP BY 1, 2
+),
+__dbg AS (
+  SELECT doc_id, toks[p] AS w1, toks[p + 1] AS w2
+  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS p FROM __docs)
+  WHERE p < len(toks)
+),
+__lms AS (
+  SELECT g.doc_id, ROUND(avg(log10(
+           CASE WHEN b.c12 IS NOT NULL AND u1.c1 IS NOT NULL
+                THEN CAST(b.c12 AS DOUBLE) / u1.c1
+                ELSE 0.4 * (COALESCE(u2.c1, 0) + 1.0) / (t.n + t.v) END
+         )), 6) AS lm_logprob
+  FROM __dbg g
+  LEFT JOIN __lmbi b ON b.w1 = g.w1 AND b.w2 = g.w2
+  LEFT JOIN __lmuni u1 ON u1.w = g.w1
+  LEFT JOIN __lmuni u2 ON u2.w = g.w2
+  CROSS JOIN __lmtot t
+  GROUP BY 1
+),
+__lmb AS (
+  SELECT d.doc_id, s.lm_logprob,
+         ntile(3) OVER (ORDER BY s.lm_logprob DESC NULLS LAST,
+                        d.doc_id ASC) AS tile
+  FROM __docs d LEFT JOIN __lms s USING (doc_id)
 )
 SELECT b.doc_id,
        ROUND(COALESCE(s.top2, 0) / (CASE WHEN b.chars > 0 THEN b.chars ELSE 1.0 END), 6) AS top2_frac,
@@ -6754,10 +6790,16 @@ SELECT b.doc_id,
        CAST(p.n_ssn AS INT) AS n_ssn,
        CAST(p.n_ipv4 AS INT) AS n_ipv4,
        CAST(p.n_phone AS INT) AS n_phone,
-       md5(p.t) AS scrub_fp
+       md5(p.t) AS scrub_fp,
+       lm.lm_logprob,
+       CASE WHEN lm.lm_logprob IS NULL THEN 'short'
+            WHEN lm.tile = 1 THEN 'head'
+            WHEN lm.tile = 2 THEN 'middle'
+            ELSE 'tail' END AS lm_bucket
 FROM __base b
 LEFT JOIN __sig s ON s.doc_id = b.doc_id
 JOIN __p4 p ON p.doc_id = b.doc_id
+JOIN __lmb lm ON lm.doc_id = b.doc_id
 ORDER BY b.doc_id"""
 for _k, _pat in textstats.PII_PATTERNS:
     _PII_SQL = _PII_SQL.replace("{" + _k.upper() + "}", _pat)
@@ -6825,7 +6867,11 @@ def quality_suite(spark, sf_dir):
         "n_phone",
         F.md5(F.col("scrubbed").cast("binary")).alias("scrub_fp"),
     )
-    return rep.join(pii, "doc_id").orderBy("doc_id")
+    # r5 session 3: CCNet-style LM quality scoring (ops/lmquality.py) —
+    # bigram stupid-backoff LM trained on the doc_id%13 reference
+    # slice, per-doc mean log10 prob + exact tercile buckets
+    lm = lmquality.lm_scores(docs, docs.filter(F.col("doc_id") % 13 == 0))
+    return rep.join(pii, "doc_id").join(lm, "doc_id").orderBy("doc_id")
 
 
 # --------------------------------------------------------- C4 cleaning
