@@ -101,3 +101,23 @@ def test_bpe_encode_column(spark, corpus_df):
     }
     assert out[0] == ["lo", "west</w>", "newest</w>"]
     assert out[1] == ["wid", "e", "r</w>", "low</w>"]
+
+
+def test_bpe_roundtrip_property():
+    """Hypothesis soak: encode/decode roundtrip over the classic merge
+    table for arbitrary lowercase-alnum words (BPE segmentations must
+    always concatenate back to the word + EOW marker)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ranks = bpe.merge_ranks(CLASSIC_MERGES)
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                   min_size=1, max_size=16))
+    @settings(max_examples=400, deadline=None)
+    def prop(w):
+        toks = bpe.encode_word(w, ranks)
+        assert bpe.decode_tokens(toks) == w
+        assert all(toks), toks
+
+    prop()

@@ -603,3 +603,22 @@ def test_finnish_analyzer_preset():
     # stop-position gaps kept (talo at 2, kirko at 4)
     # (asuu loses one u to tidy (a): long-vowel undouble in R1)
     assert toks == ["asu", "talo", "kirko"] and pos == [1, 2, 4]
+
+
+def test_finnish_properties():
+    """Hypothesis soak: the stemmer never raises, never grows the
+    word (every step deletes or length-preserves: the only rewrite,
+    kse -> ksi, is same-length), and is pure lowercase-in/out."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from opensearch_spark.analysis.snowball import finnish_stem
+
+    @given(st.text(max_size=24))
+    @settings(max_examples=400, deadline=None)
+    def prop(w):
+        out = finnish_stem(w)
+        assert isinstance(out, str)
+        assert len(out) <= len(w.lower())
+
+    prop()
