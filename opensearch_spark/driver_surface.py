@@ -1037,7 +1037,7 @@ def ft_filters(spark, sf_dir):
     _PRE
     + """, __fz AS (
   SELECT term FROM __df
-  WHERE levenshtein(term, 'spak') <= 1
+  WHERE damerau_levenshtein(term, 'spak') <= 1
   ORDER BY df DESC, term ASC LIMIT 50
 ),
 __fuzzy AS (
@@ -1069,7 +1069,7 @@ def ft_termdict(spark, sf_dir):
     """Suite: term-dictionary expansion queries, constant-score rewrite
     — ``prefix`` (PrefixQueryBuilder.java), ``wildcard``
     (WildcardQueryBuilder.java), ``regexp`` (RegexpQueryBuilder.java) +
-    ``fuzzy`` Levenshtein AUTO expansion scored as an OR
+    ``fuzzy`` Damerau AUTO expansion (transpositions=true default) scored as an OR
     (FuzzyQueryBuilder.java; MatchQueryBuilder.java:100-104)."""
     eng = documents_engine(spark, sf_dir)
     a = docset(eng, {"prefix": {"text": "sp"}})
@@ -1170,7 +1170,7 @@ def ft_multi_match(spark, sf_dir):
     _PRE
     + f""", __qsand AS ({_sql_match_sub({"spark": 1, "merge": 1}, required=2, k=10, op="and")}),
 __qsfz AS (
-  SELECT term FROM __df WHERE levenshtein(term, 'sprak') <= 1
+  SELECT term FROM __df WHERE damerau_levenshtein(term, 'sprak') <= 1
   ORDER BY df DESC, term ASC LIMIT 50
 ),
 __qsb AS ({_sql_clause({"spark": 1})}),
@@ -1210,7 +1210,7 @@ def ft_query_string(spark, sf_dir):
 
     - ``and``: 'spark AND merge' -> bool-must of match clauses.
     - ``boost_fuzzy``: 'spark^2 OR sprak~1' -> ``^boost`` on a term +
-      ``~N`` fuzzy (Levenshtein expansion scored as an OR), clause
+      ``~N`` fuzzy (Damerau expansion, transpositions default), clause
       scores summed.
     - ``scoped_range``: 'lang:(de OR fr)^2 AND n_chars:[120 TO 180]'
       -> field-scoped group (keyword terms), group ``^boost``, bracket

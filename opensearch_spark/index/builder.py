@@ -498,7 +498,19 @@ def build_index(
     build_wall = time.monotonic() - t_build0
 
     # ---- finalize: global dictionary + corpus stats ----
-    postings = spark.read.parquet(p["postings"])
+    # read through the unified dataset rather than the _row=p subdir:
+    # a corpus whose text field is entirely empty/absent (keyword-only
+    # docs) emits no posting rows at all, so the partition directory
+    # does not exist — the filtered read degrades to zero rows with
+    # the correct schema instead of PATH_NOT_FOUND
+    if os.path.exists(p["postings"]):
+        postings = spark.read.parquet(p["postings"])
+    else:
+        postings = (
+            spark.read.parquet(p["data"])
+            .filter(F.col("_row") == ROW_POSTING)
+            .drop("_row")
+        )
     (
         postings.groupBy("term")
         .agg(

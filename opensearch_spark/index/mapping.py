@@ -122,7 +122,35 @@ _JOIN = {
     frozenset(("ip", "text")): "ip",
     frozenset(("match_only_text", "text")): "match_only_text",
     frozenset(("wildcard", "text")): "wildcard",
+    # explicit numeric-variant mappings absorb what dynamic inference
+    # sees in the raw JSON
+    frozenset(("half_float", "float")): "half_float",
+    frozenset(("half_float", "long")): "half_float",
+    frozenset(("unsigned_long", "long")): "unsigned_long",
+    frozenset(("unsigned_long", "float")): "unsigned_long",
+    frozenset(("date_nanos", "text")): "date_nanos",
+    frozenset(("date_nanos", "date")): "date_nanos",
 }
+
+
+# reference numeric-family aliases that share our storage type (the
+# narrower java widths have no distinct parquet representation here)
+_TYPE_ALIASES = {"integer": "long", "short": "long", "byte": "long",
+                 "double": "float"}
+
+
+def _normalize_types(props: dict) -> dict:
+    out = {}
+    for k, spec in props.items():
+        if isinstance(spec, dict):
+            spec = dict(spec)
+            t = spec.get("type")
+            if t in _TYPE_ALIASES:
+                spec["type"] = _TYPE_ALIASES[t]
+            if isinstance(spec.get("properties"), dict):
+                spec["properties"] = _normalize_types(spec["properties"])
+        out[k] = spec
+    return out
 
 
 def _infer_scalar(
@@ -271,7 +299,7 @@ class Mappings:
     def __init__(self, properties: Optional[dict] = None, dynamic: str = "true"):
         if dynamic not in ("true", "false", "strict"):
             raise ValueError(f"dynamic must be true|false|strict, got {dynamic!r}")
-        self.properties: dict = properties or {}
+        self.properties: dict = _normalize_types(properties or {})
         self.dynamic = dynamic
 
     # -------------------------------------------------- construction
@@ -336,6 +364,14 @@ class Mappings:
             p: s.get("format", "strict_date_optional_time").split("||")
             for p, s in self.flat().items()
             if s["type"] == "date"
+        }
+
+    def nanos_fields(self) -> Dict[str, List[str]]:
+        """Dotted path -> format list for date_nanos columns."""
+        return {
+            p: s.get("format", "strict_date_optional_time").split("||")
+            for p, s in self.flat().items()
+            if s["type"] == "date_nanos"
         }
 
     def text_fields(self) -> List[str]:
@@ -426,6 +462,18 @@ _SPARK_SCALAR = {
     # keyword column semantics (WildcardFieldMapper's ngram-accelerated
     # LAYOUT is an index concern the parquet scan stands in for)
     "wildcard": T.StringType(),
+    # half_float parses as double; typed_frame quantizes through
+    # binary16 (HalfFloatPoint semantics: stored/sorted values are the
+    # nearest half-precision number, _source stays verbatim)
+    "half_float": T.DoubleType(),
+    # unsigned_long holds the full 0..2^64-1 domain (UnsignedLongField
+    # is a 64-bit unsigned point); decimal(20,0) preserves magnitude
+    # and ordering beyond int64
+    "unsigned_long": T.DecimalType(20, 0),
+    # date_nanos parses as string; typed_frame converts to epoch-NANOS
+    # longs (DateFieldMapper.Resolution.NANOSECONDS doc values), which
+    # is also the sort/search_after representation
+    "date_nanos": T.StringType(),
     "boolean": T.BooleanType(),
     "date": T.StringType(),
     "text": T.StringType(),
@@ -508,17 +556,22 @@ def infer_mappings(
 
 
 def typed_frame(
-    df: DataFrame, mappings: Mappings, json_col: str = "_source"
+    df: DataFrame, mappings: Mappings, json_col: str = "_source",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Parse the JSON column into typed top-level columns per the
     mappings (+ ``_source`` retained verbatim, like the reference's
     stored ``_source`` field).  Fields absent from the mappings
     (dynamic=false leftovers) are simply not selected — they live on
     only inside ``_source``.  Date fields are converted to timestamps
-    via their matched format list."""
+    via their matched format list.  ``keep_cols`` pass through
+    verbatim (external id columns living beside the JSON, the
+    ``_id``-outside-``_source`` shape of the reference's index API)."""
     schema = mappings.spark_schema()
     out = df.withColumn("_parsed", F.from_json(F.col(json_col), schema))
-    cols = [F.col(json_col).alias("_source")] + [
+    cols = [F.col(c) for c in keep_cols] + [
+        F.col(json_col).alias("_source")
+    ] + [
         F.col(f"_parsed.`{f.name}`").alias(f.name) for f in schema.fields
     ]
     out = out.select(*cols)
@@ -559,6 +612,43 @@ def typed_frame(
 
         for path in ip_paths:
             out = out.withColumn(path, _ip_hex(F.col(f"`{path}`")))
+    # half_float: quantize through binary16 (HalfFloatPoint encode/
+    # decode round-trip) so stored/sorted/compared values carry
+    # half precision while _source stays verbatim
+    hf_paths = [
+        p for p, s in mappings.flat().items()
+        if s["type"] == "half_float" and "." not in p
+    ]
+    if hf_paths:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _hf(s):
+            import numpy as _np
+
+            return s.astype("float64").astype(_np.float16).astype("float64")
+
+        for path in hf_paths:
+            out = out.withColumn(path, _hf(F.col(f"`{path}`")))
+    # date_nanos: parsed strings -> epoch-NANOS longs (the resolution's
+    # doc-values representation, also what sort/search_after emit)
+    for path, fmts in mappings.nanos_fields().items():
+        if "." in path:
+            continue
+        conv = []
+        for f in fmts:
+            if f == "strict_date_optional_time":
+                conv.append(F.to_timestamp(F.col(f"`{path}`")))
+            else:
+                conv.append(F.to_timestamp(F.col(f"`{path}`"), f))
+        ts = F.coalesce(*conv) if len(conv) > 1 else conv[0]
+        # decimal(19,0), not long: epoch nanos exceed float64's exact
+        # integer range and the builder's Arrow docmap round-trip
+        # demotes int64 to float64 — decimals travel as exact objects
+        out = out.withColumn(
+            path,
+            (F.unix_micros(ts) * F.lit(1000)).cast("decimal(19,0)"),
+        )
     # constant_keyword: a doc carrying a DIFFERENT value is rejected
     # (ConstantKeywordFieldMapper.parseCreateField:176); absent values
     # take the constant
@@ -629,12 +719,19 @@ def create_index_from_json(
 
     tf = text_field
     if tf is None:
-        texts = merged.text_fields()
+        # only TOP-LEVEL text fields can drive the postings build —
+        # nested text lives inside a struct column the inverter cannot
+        # address (callers index nested text via its own engine)
+        texts = [t for t in merged.text_fields() if "." not in t]
         if not texts:
             raise ValueError("no text field inferred; pass text_field explicitly")
         tf = "text" if "text" in texts else texts[0]
 
-    typed = typed_frame(df, merged, json_col)
+    keep = [
+        c for c in id_fields
+        if c in df.columns and c not in merged.flat()
+    ]
+    typed = typed_frame(df, merged, json_col, keep_cols=keep)
     cfg = config or IndexConfig()
     import dataclasses as _dc
 

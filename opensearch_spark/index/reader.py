@@ -86,9 +86,18 @@ class InvertedIndex:
         cached = self.__dict__.get("_postings_df")
         if cached is not None:
             return self._routed_filter(cached)
-        return self._routed_filter(
-            self.spark.read.parquet(self.paths["postings"])
-        )
+        path = self.paths["postings"]
+        if not os.path.exists(path):
+            # all-empty text field -> zero posting rows -> the _row=p
+            # partition was never written; degrade to an empty frame
+            # with the unified dataset's schema (builder finalize has
+            # the matching guard)
+            return self._routed_filter(
+                self.spark.read.parquet(self.paths["data"])
+                .filter(F.col("_row") == "p")
+                .drop("_row")
+            )
+        return self._routed_filter(self.spark.read.parquet(path))
 
     # ---- routed search (custom routing -> one-segment pruning) ----
 

@@ -93,13 +93,24 @@ class MatchPhrasePrefix:
 
 @dataclasses.dataclass
 class MatchBoolPrefix:
-    """Bool OR of per-term scoring clauses with the last term as a
-    constant-score prefix clause (``MatchBoolPrefixQueryBuilder.java``;
-    ``MatchQuery.java:328``)."""
+    """Bool composition of per-term scoring clauses with the last term
+    as a constant-score prefix clause
+    (``MatchBoolPrefixQueryBuilder.java``; ``MatchQuery.java:328``).
+    ``operator`` AND requires every clause; ``minimum_should_match``
+    counts matched clauses (terms + the prefix clause); ``fuzziness``
+    turns the FIXED terms into constant-score fuzzy expansions (the
+    trailing prefix clause never fuzzes); ``analyzer`` overrides the
+    query-side analysis chain for this request."""
 
     field: str
     query: str
     boost: float = 1.0
+    operator: str = "or"
+    minimum_should_match: Optional[int] = None
+    analyzer: Optional[object] = None
+    fuzziness: Optional[object] = None
+    prefix_length: int = 0
+    max_expansions: int = 50
 
 
 @dataclasses.dataclass
@@ -115,6 +126,13 @@ class MultiMatch:
     tie_breaker: float = 0.0
     operator: str = "or"
     boost: float = 1.0
+    # bool_prefix pass-throughs (each per-field clause is a
+    # MatchBoolPrefix carrying these)
+    minimum_should_match: Optional[int] = None
+    analyzer: Optional[object] = None
+    fuzziness: Optional[object] = None
+    prefix_length: int = 0
+    max_expansions: int = 50
 
 
 @dataclasses.dataclass
@@ -541,6 +559,15 @@ class Fuzzy:
     prefix_length: int = 0
     max_expansions: int = 50
     boost: float = 1.0
+    # FuzzyQueryBuilder.DEFAULT_TRANSPOSITIONS = true: a transposition
+    # counts one edit (r5 session 3; previously plain Levenshtein).
+    # Deviation note: the refine computes UNRESTRICTED
+    # Damerau-Levenshtein (matching the DuckDB oracle's
+    # damerau_levenshtein exactly); Lucene's automaton is the
+    # restricted/OSA variant, which can differ only when an edit lands
+    # inside a transposed pair — there unrestricted distance is lower,
+    # so the expansion set is a superset on that rare corner.
+    transpositions: bool = True
 
 
 @dataclasses.dataclass
@@ -785,7 +812,18 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         return MatchPhrasePrefix(field, v)
     if kind == "match_bool_prefix":
         field, v = next(iter(body.items()))
-        return MatchBoolPrefix(field, v["query"] if isinstance(v, dict) else v)
+        if isinstance(v, dict):
+            return MatchBoolPrefix(
+                field,
+                v["query"],
+                operator=str(v.get("operator", "or")).lower(),
+                minimum_should_match=v.get("minimum_should_match"),
+                analyzer=v.get("analyzer"),
+                fuzziness=v.get("fuzziness"),
+                prefix_length=int(v.get("prefix_length", 0)),
+                max_expansions=int(v.get("max_expansions", 50)),
+            )
+        return MatchBoolPrefix(field, v)
     if kind == "multi_match":
         fields = []
         for f in body["fields"]:
@@ -794,12 +832,26 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                 fields.append((name, float(b)))
             else:
                 fields.append((f, 1.0))
+        mm_type = body.get("type", "best_fields")
+        if mm_type == "bool_prefix":
+            # MultiMatchQueryBuilder validation: these options are
+            # meaningless for the bool_prefix type and are rejected
+            for bad in ("slop", "cutoff_frequency"):
+                if bad in body:
+                    raise ValueError(
+                        f"[{bad}] not allowed for type [bool_prefix]"
+                    )
         return MultiMatch(
             body["query"],
             fields,
-            type=body.get("type", "best_fields"),
+            type=mm_type,
             tie_breaker=body.get("tie_breaker", 0.0),
             operator=body.get("operator", "or").lower(),
+            minimum_should_match=body.get("minimum_should_match"),
+            analyzer=body.get("analyzer"),
+            fuzziness=body.get("fuzziness"),
+            prefix_length=int(body.get("prefix_length", 0)),
+            max_expansions=int(body.get("max_expansions", 50)),
         )
     if kind == "more_like_this":
         return MoreLikeThis(
@@ -1190,7 +1242,14 @@ def from_dict(spec: Dict[str, Any]) -> Query:
     if kind == "fuzzy":
         field, v = next(iter(body.items()))
         if isinstance(v, dict):
-            return Fuzzy(field, v["value"], fuzziness=v.get("fuzziness"))
+            return Fuzzy(
+                field,
+                v["value"],
+                fuzziness=v.get("fuzziness"),
+                prefix_length=int(v.get("prefix_length", 0)),
+                max_expansions=int(v.get("max_expansions", 50)),
+                transpositions=bool(v.get("transpositions", True)),
+            )
         return Fuzzy(field, v)
     if kind == "knn":
         field, v = next(iter(body.items()))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import contextlib
 import fnmatch
+import re
 from collections import Counter
 from functools import reduce
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -1484,13 +1485,48 @@ class SearchEngine:
                 keys.append(("score", "desc", search_after[0]))
                 for c, val in zip(self.id_cols, search_after[1:]):
                     keys.append((c, "asc", val))
+            nanos = self._mapping_info().get("nanos", {})
             cond = F.lit(False)
             eq = F.lit(True)
             for col, direction, val in keys:
                 c = F.col(col)
-                cmp = (c < F.lit(val)) if direction == "desc" else (c > F.lit(val))
+                if isinstance(val, str) and col in nanos:
+                    # date_nanos search_after accepts the field's own
+                    # date format as well as the epoch-nanos long
+                    val = _parse_nanos(val, nanos[col])
+                if (
+                    isinstance(val, (int, float))
+                    and not isinstance(val, bool)
+                    and col in self._mapping_info().get("dates", ())
+                ):
+                    # date search_after accepts epoch millis
+                    from datetime import datetime, timezone
+
+                    val = datetime.fromtimestamp(
+                        val / 1000.0, tz=timezone.utc
+                    ).replace(tzinfo=None)
+                if isinstance(val, int) and abs(val) > (1 << 63) - 1:
+                    # unsigned_long keys exceed the int64 literal range
+                    # py4j can ship — go through a decimal literal
+                    import decimal as _dec
+
+                    val = _dec.Decimal(val)
+                if val is None:
+                    # a null key sorts LAST (missing=_last default);
+                    # nothing follows it on this key
+                    cmp = F.lit(False)
+                    key_eq = c.isNull()
+                else:
+                    # null keys sort after every concrete value in
+                    # BOTH directions (nulls-last), so they remain
+                    # reachable past any non-null search_after
+                    cmp = c.isNull() | (
+                        (c < F.lit(val)) if direction == "desc"
+                        else (c > F.lit(val))
+                    )
+                    key_eq = c.eqNullSafe(F.lit(val))
                 cond = cond | (eq & cmp)
-                eq = eq & (c == F.lit(val))
+                eq = eq & key_eq
             joined = joined.filter(cond)
         topk = (
             joined
@@ -1523,8 +1559,21 @@ class SearchEngine:
         extra = [c for c in fetch_cols if c not in self.id_cols and c not in sort_cols]
         if extra:
             # fetch phase: the k winners are tiny -> broadcast them into the
-            # docmap join so the stored-fields lookup is a map-side join
-            dm = self.docmap().select("_docid", *extra)
+            # docmap join so the stored-fields lookup is a map-side join.
+            # Doc-value names resolve struct paths (`obj.leaf`) and the
+            # synthetic `.keyword` multifield (same stored value as its
+            # text parent — TextFieldMapper's keyword sub-field), each
+            # aliased back to the REQUESTED name so the response keys
+            # echo the request
+            dm_cols = set(self.docmap().columns)
+
+            def _dv_in(name):
+                if name in dm_cols:
+                    return F.col(f"`{name}`")
+                path = name[:-8] if name.endswith(".keyword") else name
+                return F.col(path).alias(name)
+
+            dm = self.docmap().select("_docid", *[_dv_in(c) for c in extra])
             topk = dm.join(F.broadcast(topk), "_docid")
         for name, spec in script_fields.items():
             topk = topk.withColumn(name, painless.script_expr(
@@ -1536,13 +1585,16 @@ class SearchEngine:
         # search_after) string renderings instead of the raw values
         # whenever the formatted field is also a sort key
         def _out(fld):
+            # fetched doc-value columns may carry dotted REQUEST names
+            # (struct paths / .keyword aliases) -> address literally
+            _c = F.col(f"`{fld}`") if "." in fld else F.col(fld)
             fmt = docvalue_fields.get(fld)
             if fmt is None:
                 sf = self._scaled_factor(fld)
                 if sf is not None:
                     # ScaledFloatFieldMapper doc-value fetch decodes
                     # scaled long / factor (:288)
-                    return (F.col(fld).cast("double") / F.lit(sf)).alias(fld)
+                    return (_c.cast("double") / F.lit(sf)).alias(fld)
                 if self._is_ip_field(fld):
                     # decode the stored 32-hex form back to address text
                     from pyspark.sql.functions import pandas_udf
@@ -1562,13 +1614,20 @@ class SearchEngine:
 
                         return s.map(dec)
 
-                    return _ip_text(F.col(fld)).alias(fld)
-                return F.col(fld)
-            c = F.col(fld)
+                    return _ip_text(_c).alias(fld)
+                return _c.alias(fld) if "." in fld else _c
+            c = _c
             if fmt == "epoch_millis":
                 return F.unix_millis(c.cast("timestamp")).cast("string").alias(fld)
             if fmt == "epoch_second":
                 return F.unix_seconds(c.cast("timestamp")).cast("string").alias(fld)
+            if re.fullmatch(r"#*\.?0*", fmt):
+                # DecimalFormat-style numeric pattern ('#.0' and kin):
+                # fraction digits = the pattern's zero count
+                digits = len(fmt.split(".")[1]) if "." in fmt else 0
+                return F.format_string(
+                    f"%.{digits}f", c.cast("double")
+                ).alias(fld)
             return F.date_format(c.cast("timestamp"), fmt).alias(fld)
 
         out_cols = [_out(c) for c in list(fetch_cols) + list(script_fields)]
@@ -2080,8 +2139,33 @@ class SearchEngine:
 
     # -------------------------------------------------------- scoring tree
 
+    def attach_field_engine(self, field: str, engine: "SearchEngine"):
+        """Register a sibling per-field engine over ALIGNED docids (the
+        documents_multi_engine layout): full-text queries targeting
+        ``field`` delegate to it, so one logical index serves several
+        analyzed fields — the reference's multi-text-field mapping.
+        The sibling's ``text_col`` must be ``field`` and its build must
+        share this engine's ids/routing (docids line up by
+        construction, as ``index/merge.py`` documents for the
+        field-partitioned layout)."""
+        self.__dict__.setdefault("_field_engines", {})[field] = engine
+
     def _score(self, q) -> DataFrame:
         """DataFrame (_docid long, score double) of matching docs."""
+        fe = self.__dict__.get("_field_engines")
+        if fe:
+            f = getattr(q, "field", None)
+            if f in fe:
+                return fe[f]._score(q)
+            if isinstance(q, Q.MultiMatch) and all(
+                name == self.text_col or name in fe for name, _ in q.fields
+            ):
+                from opensearch_spark.query.multifield import MultiFieldEngine
+
+                mfe = MultiFieldEngine(
+                    {self.text_col: self, **fe}, self.text_col
+                )
+                return mfe.score_multi_match(q)
         if isinstance(q, Q.Match):
             return self._score_match(q)
         if isinstance(q, Q.MatchPhrase):
@@ -2654,27 +2738,64 @@ class SearchEngine:
         )
 
     def _score_match_bool_prefix(self, q: Q.MatchBoolPrefix) -> DataFrame:
-        """Bool OR of term clauses + constant-score prefix on the last
-        token (MatchBoolPrefixQueryBuilder.java; MatchQuery.java:328)."""
-        tokens = self.index.analyze(q.query)
+        """Bool composition of term clauses + a constant-score prefix
+        clause on the last token (MatchBoolPrefixQueryBuilder.java;
+        MatchQuery.java:328).  operator=and requires every clause;
+        minimum_should_match counts matched clauses across terms AND
+        the prefix; fuzziness rewrites the fixed terms to
+        constant-score fuzzy expansions (the prefix clause never
+        fuzzes); a request analyzer overrides query-side analysis."""
+        analyzer = getattr(q, "analyzer", None)
+        if analyzer is not None:
+            from opensearch_spark.analysis.chain import Analyzer
+
+            tokens = Analyzer.from_spec(analyzer)(q.query)[0]
+        else:
+            tokens = self.index.analyze(q.query)
         if not tokens:
             return self._empty_scored()
+        fuzz = getattr(q, "fuzziness", None)
         parts = []
-        if len(tokens) > 1:
-            parts.append(
-                self._score_terms_or(dict(Counter(tokens[:-1])), required=1)
-            )
+        for i, term in enumerate(dict.fromkeys(tokens[:-1])):
+            if fuzz is not None:
+                exp = sorted(self._expand_terms(Q.Fuzzy(
+                    self.text_col, term, fuzziness=fuzz,
+                    prefix_length=getattr(q, "prefix_length", 0),
+                )))[: getattr(q, "max_expansions", 50)]
+                if not exp:
+                    continue
+                clause = self._docset_text_terms(exp).withColumn(
+                    "score", F.lit(1.0)
+                )
+            else:
+                clause = self._score_terms_or({term: 1}, required=1)
+            parts.append(clause.withColumn("_clause", F.lit(i)))
+        n_clauses = len(dict.fromkeys(tokens[:-1])) + 1
         prefix_terms = self._expand_terms(Q.Prefix(self.text_col, tokens[-1]))
         if prefix_terms:
             parts.append(
-                self._docset_text_terms(prefix_terms).withColumn(
-                    "score", F.lit(1.0)
-                )
+                self._docset_text_terms(prefix_terms)
+                .withColumn("score", F.lit(1.0))
+                .withColumn("_clause", F.lit(n_clauses - 1))
             )
         if not parts:
             return self._empty_scored()
+        if q.operator == "and":
+            required = n_clauses
+        elif q.minimum_should_match is not None:
+            required = int(q.minimum_should_match)
+        else:
+            required = 1
         unioned = reduce(DataFrame.unionByName, parts)
-        out = unioned.groupBy("_docid").agg(F.sum("score").alias("score"))
+        out = (
+            unioned.groupBy("_docid")
+            .agg(
+                F.sum("score").alias("score"),
+                F.count_distinct("_clause").alias("_nc"),
+            )
+            .filter(F.col("_nc") >= F.lit(required))
+            .drop("_nc")
+        )
         if q.boost != 1.0:
             out = out.withColumn("score", F.col("score") * F.lit(float(q.boost)))
         return out
@@ -4125,6 +4246,8 @@ class SearchEngine:
                 info = {"scaled": mm.scaled_fields(),
                         "constant": mm.constant_fields(),
                         "ip": set(mm.ip_fields()),
+                        "nanos": mm.nanos_fields(),
+                        "dates": set(mm.date_fields()),
                         "match_only": {
                             p for p, s in mm.flat().items()
                             if s["type"] == "match_only_text"
@@ -4731,15 +4854,43 @@ class SearchEngine:
                 cond = F.col("term").startswith(pfx) & cond
         elif isinstance(q, Q.Fuzzy):
             v = q.value
-            dist = q.fuzziness
-            if dist is None:  # AUTO (MatchQueryBuilder.java:100-104)
-                dist = 0 if len(v) < 3 else (1 if len(v) <= 5 else 2)
-            cond = (
-                F.col("tlen").between(len(v) - int(dist), len(v) + int(dist))
-                & (F.levenshtein(F.col("term"), F.lit(v)) <= F.lit(int(dist)))
+            dist = int(
+                q.fuzziness
+                if q.fuzziness is not None
+                # AUTO (MatchQueryBuilder.java:100-104)
+                else (0 if len(v) < 3 else (1 if len(v) <= 5 else 2))
             )
+            cond = F.col("tlen").between(len(v) - dist, len(v) + dist)
             if q.prefix_length:
                 cond = cond & F.col("term").startswith(v[: q.prefix_length])
+            if getattr(q, "transpositions", True) and dist > 0:
+                # FuzzyQuery default: transpositions count ONE edit.
+                # Pushed pre-filters stay JVM/row-group prunable (a
+                # transposition is <= 2 plain edits, so levenshtein <=
+                # 2*dist is a sound superset + the tlen band); the
+                # tiny surviving candidate set refines through an
+                # Arrow batch computing full Damerau-Levenshtein —
+                # bit-equal to the oracle's damerau_levenshtein
+                cond = cond & (
+                    F.levenshtein(F.col("term"), F.lit(v))
+                    <= F.lit(2 * dist)
+                )
+                from pyspark.sql.functions import pandas_udf
+
+                @pandas_udf("boolean")
+                def _dam_ok(terms):
+                    import pandas as _pd
+
+                    return _pd.Series([
+                        t is not None
+                        and damerau_levenshtein(t, v) <= dist
+                        for t in terms
+                    ])
+
+                return d.filter(cond).filter(_dam_ok(F.col("term")))
+            cond = cond & (
+                F.levenshtein(F.col("term"), F.lit(v)) <= F.lit(dist)
+            )
         else:
             raise TypeError(type(q))
         return d.filter(cond)
@@ -4834,6 +4985,74 @@ def _simple_match(pattern: str, value: str) -> bool:
         pos = i + len(mid)
     last = parts[-1]
     return value.endswith(last) and len(value) - len(last) >= pos
+
+
+def _parse_nanos(value: str, formats) -> int:
+    """A date_nanos string -> epoch nanoseconds (UTC), trying the
+    field's format list (java patterns translated to strptime)."""
+    import calendar
+    from datetime import datetime
+
+    reps = [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"), ("HH", "%H"),
+            ("mm", "%M"), ("ss", "%S"), ("SSSSSSSSS", "%f"),
+            ("SSSSSS", "%f"), ("SSS", "%f")]
+    for fmt in list(formats) + ["strict_date_optional_time"]:
+        py = fmt
+        if fmt == "strict_date_optional_time":
+            py = "%Y-%m-%dT%H:%M:%S.%f" if "." in value else (
+                "%Y-%m-%dT%H:%M:%S" if "T" in value else "%Y-%m-%d")
+        else:
+            for a, b in reps:
+                py = py.replace(a, b)
+        try:
+            dt = datetime.strptime(value, py)
+        except ValueError:
+            continue
+        return (
+            calendar.timegm(dt.timetuple()) * 1_000_000_000
+            + dt.microsecond * 1_000
+        )
+    raise ValueError(f"cannot parse date_nanos value {value!r}")
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """UNRESTRICTED Damerau-Levenshtein (the full alphabet-table
+    algorithm): insert/delete/substitute/transpose each cost 1, and a
+    transposed pair may itself be edited.  This is the exact function
+    DuckDB's ``damerau_levenshtein`` computes, which the fuzzy-oracle
+    rows compare against; Lucene's fuzzy automaton is the
+    restricted/OSA variant (see dsl.Fuzzy's deviation note)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    maxd = la + lb
+    h = [[0] * (lb + 2) for _ in range(la + 2)]
+    h[0][0] = maxd
+    for i in range(la + 1):
+        h[i + 1][0] = maxd
+        h[i + 1][1] = i
+    for j in range(lb + 1):
+        h[0][j + 1] = maxd
+        h[1][j + 1] = j
+    last = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            i1 = last.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,
+                h[i + 1][j] + 1,
+                h[i][j + 1] + 1,
+                h[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),
+            )
+        last[a[i - 1]] = i
+    return h[la + 1][lb + 1]
 
 
 def _wildcard_to_like(pattern: str) -> str:

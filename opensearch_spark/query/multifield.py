@@ -71,7 +71,16 @@ class MultiFieldEngine:
             # tie-breaker is 1.0 (MultiMatchQueryBuilder.Type.BOOL_PREFIX)
             # and dis_max with tie 1.0 is exactly the SUM of field scores
             parts = [
-                self.engines[f]._score(Q.MatchBoolPrefix(f, q.query, boost=boost))
+                self.engines[f]._score(Q.MatchBoolPrefix(
+                    f, q.query, boost=boost,
+                    operator=q.operator,
+                    minimum_should_match=getattr(
+                        q, "minimum_should_match", None),
+                    analyzer=getattr(q, "analyzer", None),
+                    fuzziness=getattr(q, "fuzziness", None),
+                    prefix_length=getattr(q, "prefix_length", 0),
+                    max_expansions=getattr(q, "max_expansions", 50),
+                ))
                 for f, boost in fields
             ]
             from functools import reduce as _reduce

@@ -52,6 +52,7 @@ envelope.
 
 from __future__ import annotations
 
+import json
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -88,14 +89,111 @@ def _q_obj(body: dict):
 
 def _source_cols(engine, body) -> Optional[List[str]]:
     src = body.get("_source", True)
+    fields = engine.index.plan.get("input_fields") or []
+    if "_source" in fields:
+        # JSON-built engine: fetch the stored source verbatim; the
+        # request's include/exclude/false spec applies at hit-build
+        # time (_hit_source), like the reference filters stored _source
+        return ["_source"]
     if src is False:
         return []
-    fields = engine.index.plan.get("input_fields") or []
     if src is True:
         return [c for c in fields if c not in engine.id_cols]
     if isinstance(src, str):
         src = [src]
     return [c for c in src if c not in engine.id_cols]
+
+
+def _path_rel(pattern: str, path: str) -> Optional[str]:
+    """Segment-wise glob relation between a filter pattern and a doc
+    path: 'match' when the pattern covers the path (the path may be a
+    subtree root under it), 'ancestor' when the path is a proper
+    prefix of the pattern, None otherwise."""
+    import fnmatch
+
+    ps = pattern.split(".")
+    xs = path.split(".")
+    for sp, sx in zip(ps, xs):
+        if not fnmatch.fnmatchcase(sx, sp):
+            return None
+    return "match" if len(ps) <= len(xs) else "ancestor"
+
+
+def filter_source_map(src, includes, excludes, _path: str = ""):
+    """``XContentMapValues.filter`` analog: dotted-path source
+    filtering with ``*`` globs.  An include keeps its whole subtree
+    (excludes still apply inside); an ancestor of an include keeps
+    just the structure down to it; an exclude drops its subtree."""
+    if isinstance(src, list):
+        out = [filter_source_map(v, includes, excludes, _path)
+               for v in src]
+        return [v for v in out if v not in ({}, None)] or out
+    if not isinstance(src, dict):
+        return src
+    result = {}
+    for k, v in src.items():
+        p = f"{_path}.{k}" if _path else k
+        rels = [r for r in (_path_rel(e, p) for e in excludes) if r]
+        if "match" in rels:
+            continue
+        deeper_excludes = "ancestor" in rels
+        if includes:
+            inc_rels = [r for r in (_path_rel(i, p) for i in includes) if r]
+            if "match" in inc_rels:
+                result[k] = (
+                    filter_source_map(v, [], excludes, p)
+                    if deeper_excludes and isinstance(v, (dict, list))
+                    else v
+                )
+            elif "ancestor" in inc_rels and isinstance(v, (dict, list)):
+                sub = filter_source_map(v, includes, excludes, p)
+                if sub:
+                    result[k] = sub
+            continue
+        result[k] = (
+            filter_source_map(v, includes, excludes, p)
+            if isinstance(v, (dict, list)) else v
+        )
+    return result
+
+
+def _hit_source(engine, d: dict, body: dict, source_cols):
+    """The per-hit ``_source`` object.  JSON-built engines (docmap
+    carries the verbatim ``_source`` string) return the STORED source
+    filtered per the request (`false` omits the key entirely, lists /
+    include+exclude dicts apply dotted-glob filtering); column-built
+    engines keep the legacy projected-columns shape."""
+    raw = d.get("_source")
+    if not isinstance(raw, str):
+        src = {c: d[c] for c in (source_cols or []) if c in d}
+        for c in engine.id_cols:
+            src.setdefault(c, d[c])
+        return src
+    spec = body.get("_source", True)
+    if spec is False:
+        return None
+    stored = body.get("stored_fields")
+    if stored is not None and "_source" not in body and \
+            "_source" not in ([stored] if isinstance(stored, str) else stored):
+        # explicit stored_fields disable the default _source fetch
+        # unless '_source' itself is listed
+        # (SearchSourceBuilder.storedFields semantics)
+        return None
+    base = json.loads(raw)
+    if spec is True:
+        return base
+    if isinstance(spec, str):
+        inc, exc = [spec], []
+    elif isinstance(spec, list):
+        inc, exc = [str(s) for s in spec], []
+    else:
+        inc = spec.get("includes", spec.get("include", []) or [])
+        exc = spec.get("excludes", spec.get("exclude", []) or [])
+        inc = [inc] if isinstance(inc, str) else list(inc)
+        exc = [exc] if isinstance(exc, str) else list(exc)
+    if not inc and not exc:
+        return base
+    return filter_source_map(base, inc, exc)
 
 
 def _sort_spec(body) -> Optional[List[Tuple[object, str]]]:
@@ -156,7 +254,9 @@ def _docvalue_fields(body) -> Optional[Dict[str, Optional[str]]]:
         if isinstance(entry, str):
             out[entry] = None
         else:
-            out[entry["field"]] = entry.get("format")
+            fmt = entry.get("format")
+            # the 6.x-transition sentinel means "the field's default"
+            out[entry["field"]] = None if fmt == "use_field_mapping" else fmt
     return out
 
 
@@ -1023,6 +1123,12 @@ def search_request(engine, body: dict) -> dict:
     q = _q_obj(body)
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
+    # SearchSourceBuilder.size()/from(): negative values are rejected
+    # with an illegal_argument (400) in the reference
+    if size < 0:
+        raise ValueError("[size] parameter cannot be negative")
+    if from_ < 0:
+        raise ValueError("[from] parameter cannot be negative")
     sort = _sort_spec(body)
     script_fields = _script_fields(body)
     docvalue_fields = _docvalue_fields(body)
@@ -1169,20 +1275,33 @@ def search_request(engine, body: dict) -> dict:
         hit = {
             "_id": _hit_id(r, engine.id_cols),
             "_score": d.get("score"),
-            "_source": {c: d[c] for c in (source_cols or []) if c in d},
         }
-        for c in engine.id_cols:
-            hit["_source"].setdefault(c, d[c])
+        src = _hit_source(engine, d, body, source_cols)
+        if src is not None:
+            hit["_source"] = src
         flds = {n: [d[n]] for n in script_names + dv_names if n in d}
         if flds:
             hit["fields"] = flds
         if sort is not None:
+            import calendar
+            import datetime as _dt
+            import decimal
+
             keys = []
             for col, _dir in sort:
                 if col == "_score":
                     keys.append(d.get("score"))
                 elif isinstance(col, str) and col in d:
-                    keys.append(d[col])
+                    v = d[col]
+                    if isinstance(v, decimal.Decimal):
+                        # unsigned_long doc values render as integers
+                        v = int(v)
+                    elif isinstance(v, _dt.datetime):
+                        # date sort keys are epoch millis (DocValueFormat
+                        # RAW over the date field's long doc values)
+                        v = (calendar.timegm(v.utctimetuple()) * 1000
+                             + v.microsecond // 1000)
+                    keys.append(v)
             hit["sort"] = keys
         hid = hit["_id"]
         if hid in highlights:

@@ -382,7 +382,8 @@ def test_fuzzy_length_band_pushdown(engine):
     condition for the edit distance)."""
     from opensearch_spark.query import dsl as Q
 
-    q = Q.Fuzzy("text", "erorr", fuzziness=2, prefix_length=1)
+    q = Q.Fuzzy("text", "erorr", fuzziness=2, prefix_length=1,
+                transpositions=False)
     frame = engine._expansion_frame(q)
     plan = _formatted(frame)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
