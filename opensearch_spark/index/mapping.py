@@ -122,6 +122,9 @@ _JOIN = {
     frozenset(("ip", "text")): "ip",
     frozenset(("match_only_text", "text")): "match_only_text",
     frozenset(("wildcard", "text")): "wildcard",
+    # an explicit keyword mapping absorbs inferred text (exact-value
+    # semantics win; KeywordFieldMapper indexes the raw string)
+    frozenset(("keyword", "text")): "keyword",
     # explicit numeric-variant mappings absorb what dynamic inference
     # sees in the raw JSON
     frozenset(("half_float", "float")): "half_float",
@@ -130,6 +133,13 @@ _JOIN = {
     frozenset(("unsigned_long", "float")): "unsigned_long",
     frozenset(("date_nanos", "text")): "date_nanos",
     frozenset(("date_nanos", "date")): "date_nanos",
+    # an explicit geo_point absorbs the [lon, lat] arrays (inferred as
+    # float arrays) and the "lat,lon" strings dynamic inference sees
+    frozenset(("geo_point", "float")): "geo_point",
+    frozenset(("geo_point", "long")): "geo_point",
+    frozenset(("geo_point", "text")): "geo_point",
+    # base64 payloads infer as text; the explicit binary mapping wins
+    frozenset(("binary", "text")): "binary",
 }
 
 
@@ -366,6 +376,11 @@ class Mappings:
             if s["type"] == "date"
         }
 
+    def geo_fields(self) -> List[str]:
+        return sorted(
+            p for p, s in self.flat().items() if s["type"] == "geo_point"
+        )
+
     def nanos_fields(self) -> Dict[str, List[str]]:
         """Dotted path -> format list for date_nanos columns."""
         return {
@@ -474,6 +489,13 @@ _SPARK_SCALAR = {
     # longs (DateFieldMapper.Resolution.NANOSECONDS doc values), which
     # is also the sort/search_after representation
     "date_nanos": T.StringType(),
+    # binary stores base64 strings verbatim (BinaryFieldMapper); not
+    # searchable, exists/fetch only
+    "binary": T.StringType(),
+    # geo_point accepts the GeoJSON-style [lon, lat] array form;
+    # typed_frame derives the engine's <field>_lat/<field>_lon column
+    # pair from it (string/object/geohash forms are a documented gap)
+    "geo_point": T.ArrayType(T.DoubleType()),
     "boolean": T.BooleanType(),
     "date": T.StringType(),
     "text": T.StringType(),
@@ -488,7 +510,8 @@ def _field(name: str, spec: dict) -> T.StructField:
         )
     else:
         dt = _SPARK_SCALAR[spec["type"]]
-    if spec.get("_array"):
+    # geo_point's scalar type IS the [lon, lat] array — never re-wrap
+    if spec.get("_array") and spec["type"] != "geo_point":
         dt = T.ArrayType(dt)
     return T.StructField(name, dt, True)
 
@@ -649,6 +672,38 @@ def typed_frame(
             path,
             (F.unix_micros(ts) * F.lit(1000)).cast("decimal(19,0)"),
         )
+    # geo_point: split the [lon, lat] array into the engine-wide
+    # <field>_lat/<field>_lon column-pair convention
+    for path in mappings.geo_fields():
+        if "." in path:
+            continue
+        arr = F.col(f"`{path}`")
+        out = out.withColumn(f"{path}_lat", arr.getItem(1))
+        out = out.withColumn(f"{path}_lon", arr.getItem(0))
+    # multi-fields (TextFieldMapper/DateFieldMapper `fields`): each
+    # sub-field materializes as a LITERAL dotted column sharing the
+    # parent's value under the sub-type's storage — keyword copies,
+    # date_nanos converts the parent's timestamp to epoch nanos
+    for parent, spec in (mappings.properties or {}).items():
+        for sub, sspec in (spec.get("fields") or {}).items():
+            if parent not in [f.name for f in out.schema.fields]:
+                continue
+            stype = sspec.get("type")
+            # physical name is dot-mangled: applyInPandas addresses
+            # columns via df[name], where a literal dot reads as a
+            # struct extraction (query-side resolution un-mangles)
+            name = f"{parent}__dot__{sub}"
+            if stype == "date_nanos":
+                pc = F.col(f"`{parent}`")
+                ts = (pc.cast("timestamp")
+                      if spec.get("type") in ("date", "date_nanos")
+                      else F.to_timestamp(pc))
+                out = out.withColumn(
+                    name,
+                    (F.unix_micros(ts) * F.lit(1000)).cast("decimal(19,0)"),
+                )
+            elif stype == "keyword":
+                out = out.withColumn(name, F.col(f"`{parent}`").cast("string"))
     # constant_keyword: a doc carrying a DIFFERENT value is rejected
     # (ConstantKeywordFieldMapper.parseCreateField:176); absent values
     # take the constant

@@ -210,6 +210,12 @@ class Intervals:
     # clause, idf = sum over distinct member terms (documented
     # approximation), tf = minimal-interval count with per-slot unions.
     any_of_groups: Optional[Sequence[Sequence[str]]] = None
+    # IntervalQueryBuilder `filter` (IntervalFilter.java -> Lucene
+    # Intervals.containing / notContaining / containedBy /
+    # notContainedBy / overlapping / nonOverlapping / before / after):
+    # (relation, filter-source Intervals).  Base minimal intervals are
+    # kept per the relation against the filter source's intervals.
+    filter: Optional[Tuple[str, "Intervals"]] = None
 
 
 @dataclasses.dataclass
@@ -892,6 +898,16 @@ def from_dict(spec: Dict[str, Any]) -> Query:
         )
     if kind == "intervals":
         field, v = next(iter(body.items()))
+
+        def _ifilter(container):
+            fd = container.get("filter")
+            if not fd:
+                return None
+            (rel, fsrc), = fd.items()
+            if rel == "script":
+                raise ValueError("intervals script filter is not supported")
+            return (rel, from_dict({"intervals": {field: fsrc}}))
+
         src = next(iter(v))
         if src == "match":
             m = v["match"]
@@ -899,7 +915,10 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                 field,
                 m["query"],
                 max_gaps=m.get("max_gaps", -1),
-                ordered=m.get("ordered", False),
+                # `mode: ordered|unordered` is the 1.3+ spelling of the
+                # ordered flag (IntervalMode.java)
+                ordered=m.get("ordered", m.get("mode") == "ordered"),
+                filter=_ifilter(m),
             )
         # any_of / all_of composition: each sub-interval is a match
         # source or a one-level any_of of match sources
@@ -922,6 +941,12 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                 if isinstance(fz, dict):
                     return [{"fuzzy": fz["term"], "fuzziness": fz.get("fuzziness")}]
                 return [{"fuzzy": fz, "fuzziness": None}]
+            if k == "regexp":
+                r = sub["regexp"]
+                pat = r.get("pattern") if isinstance(r, dict) else r
+                if isinstance(r, dict) and r.get("case_insensitive"):
+                    pat = "(?i)" + pat
+                return [{"regexp": pat}]
             if k == "any_of":
                 out: List[Any] = []
                 for s2 in sub["any_of"]["intervals"]:
@@ -936,7 +961,7 @@ def from_dict(spec: Dict[str, Any]) -> Query:
                 max_gaps=-1,
                 ordered=False,
             )
-        if src in ("prefix", "wildcard", "fuzzy"):
+        if src in ("prefix", "wildcard", "fuzzy", "regexp"):
             return Intervals(
                 field, any_of_groups=[_group(v)], max_gaps=-1, ordered=False
             )
@@ -945,7 +970,8 @@ def from_dict(spec: Dict[str, Any]) -> Query:
             field,
             any_of_groups=[_group(s) for s in a["intervals"]],
             max_gaps=a.get("max_gaps", -1),
-            ordered=a.get("ordered", False),
+            ordered=a.get("ordered", a.get("mode") == "ordered"),
+            filter=_ifilter(a),
         )
     if kind == "span_near":
 

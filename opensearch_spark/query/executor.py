@@ -2181,6 +2181,8 @@ class SearchEngine:
         if isinstance(q, Q.FunctionScore):
             return self._score_function_score(q)
         if isinstance(q, Q.Intervals):
+            if getattr(q, "filter", None):
+                return self._score_intervals_filtered(q)
             if q.any_of_groups:
                 return self._score_interval_groups(
                     [list(g) for g in q.any_of_groups], q.max_gaps, q.ordered, q.boost
@@ -2242,15 +2244,77 @@ class SearchEngine:
             return self._score_span_contain(q)
         if isinstance(q, Q.DistanceFeature):
             # score = boost * pivot / (pivot + dist) over all docs with
-            # the field (DistanceFeatureQueryBuilder.java)
-            dist = F.abs(F.col(q.field).cast("double") - F.lit(float(q.origin)))
-            score = F.lit(float(q.boost)) * F.lit(float(q.pivot)) / (
-                F.lit(float(q.pivot)) + dist
+            # the field (DistanceFeatureQueryBuilder.java).  dist is in
+            # the field's native unit: millis for date, nanos for
+            # date_nanos, meters for geo_point, the raw delta for
+            # numerics; origins accept the field's value syntax
+            # (ISO/date-math dates, [lon, lat] geo arrays).
+            info = self._mapping_info()
+            fld = q.field
+            dm = self.docmap()
+            lat_n, lon_n = _geo_col_names(fld)
+            if fld in info.get("nanos", {}):
+                import datetime as _dtm
+
+                origin = q.origin
+                if isinstance(origin, (str, _dtm.datetime)):
+                    d = (_parse_origin_datetime(origin)
+                         if isinstance(origin, str)
+                         else _to_naive_utc(origin))
+                    import calendar as _cal
+
+                    origin = (_cal.timegm(d.timetuple()) * 1_000_000_000
+                              + d.microsecond * 1_000)
+                pivot = _parse_time_value(q.pivot, "nanos")
+                dist = F.abs(
+                    F.col(fld).cast("decimal(25,0)") - F.lit(int(origin))
+                ).cast("double")
+                base = dm.filter(F.col(fld).isNotNull())
+            elif fld in info.get("dates", ()) or (
+                fld in dm.columns
+                and isinstance(dm.schema[fld].dataType, T.TimestampType)
+            ):
+                import datetime as _dtm
+
+                origin = q.origin
+                if isinstance(origin, (str, _dtm.datetime)):
+                    d = (_parse_origin_datetime(origin)
+                         if isinstance(origin, str)
+                         else _to_naive_utc(origin))
+                    import calendar as _cal
+
+                    origin = (_cal.timegm(d.timetuple()) * 1000
+                              + d.microsecond // 1000)
+                pivot = _parse_time_value(q.pivot, "millis")
+                dist = F.abs(
+                    F.unix_millis(F.col(fld).cast("timestamp"))
+                    - F.lit(int(origin))
+                ).cast("double")
+                base = dm.filter(F.col(fld).isNotNull())
+            elif lat_n in dm.columns and isinstance(q.origin, (list, tuple, str)):
+                if isinstance(q.origin, str):
+                    olat, olon = (float(x) for x in q.origin.split(","))
+                else:
+                    olon, olat = float(q.origin[0]), float(q.origin[1])
+                pivot = Q.parse_distance_km(q.pivot) * 1000.0
+                dist = (
+                    _haversine_km(F.col(lat_n), F.col(lon_n), olat, olon)
+                    * F.lit(1000.0)
+                )
+                base = dm.filter(
+                    F.col(lat_n).isNotNull() & F.col(lon_n).isNotNull()
+                )
+            else:
+                pivot = float(q.pivot)
+                dist = F.abs(
+                    F.col(fld).cast("double") - F.lit(float(q.origin))
+                )
+                base = dm.filter(F.col(fld).isNotNull())
+            score = F.lit(float(q.boost)) * F.lit(float(pivot)) / (
+                F.lit(float(pivot)) + dist
             )
-            return (
-                self.docmap()
-                .filter(F.col(q.field).isNotNull())
-                .select("_docid", score.cast("double").alias("score"))
+            return base.select(
+                "_docid", score.cast("double").alias("score")
             )
         if isinstance(q, Q.RankFeature):
             # rank_feature (mapper-extras RankFeatureQueryBuilder.java):
@@ -3211,6 +3275,135 @@ class SearchEngine:
         return scored.select(
             "_docid",
             (F.col("s").cast("double") * F.lit(float(boost))).alias("score"),
+        )
+
+    def _score_intervals_filtered(self, q) -> DataFrame:
+        """``intervals`` with a ``filter`` clause (IntervalFilter.java
+        -> Lucene Intervals.containing/notContaining/containedBy/
+        notContainedBy/overlapping/nonOverlapping/before/after): the
+        base source's minimal intervals are kept per the relation
+        against the FILTER source's minimal intervals; tf = surviving
+        interval count, scored like every other interval clause
+        (summed base-term idf).  Scalar per-doc evaluation —
+        documented fallback tier: the filter algebra is a rare query
+        shape, the candidate set is already bounded to docs carrying
+        every base term, and the unfiltered interval paths stay on the
+        Arrow kernels."""
+        rel, fq = q.filter
+        if rel not in ("containing", "not_containing", "contained_by",
+                       "not_contained_by", "overlapping",
+                       "not_overlapping", "before", "after"):
+            raise ValueError(f"unknown intervals filter relation {rel!r}")
+        if q.any_of_groups:
+            groups = [list(g) for g in q.any_of_groups]
+            if any(len(g) != 1 or not isinstance(g[0], str) for g in groups):
+                raise NotImplementedError(
+                    "intervals filter over multi-term/expansion groups"
+                )
+            base_terms = [g[0] for g in groups]
+        else:
+            base_terms = self.index.analyze(q.query)
+        if fq.any_of_groups:
+            fgroups = [list(g) for g in fq.any_of_groups]
+            if any(len(g) != 1 or not isinstance(g[0], str) for g in fgroups):
+                raise NotImplementedError(
+                    "intervals filter SOURCE with multi-term groups"
+                )
+            filt_terms = [g[0] for g in fgroups]
+        else:
+            filt_terms = self.index.analyze(fq.query)
+        if not base_terms or not filt_terms:
+            return self._empty_scored()
+        buniq = sorted(set(base_terms))
+        funiq = sorted(set(filt_terms))
+        stats = self.index.term_stats(buniq)
+        if len(stats) < len(buniq):
+            return self._empty_scored()
+        N = self.index.stats["doc_count"]
+        avgdl = self.index.stats["avgdl"]
+        idf_sum = float(sum(bm25.idf(int(d), N) for d in stats["df"]))
+        alln = sorted(set(buniq) | set(funiq))
+        post = self.index.postings_for_terms(alln, with_positions=True)
+        agg = (
+            post.groupBy("_docid")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("tp"),
+                F.min("norm_byte").alias("norm_byte"),
+                F.count(
+                    F.when(F.col("term").isin(buniq), F.lit(1))
+                ).alias("nb"),
+            )
+            .filter(F.col("nb") == F.lit(len(buniq)))
+        )
+        b_gaps, b_ord = q.max_gaps, q.ordered
+        f_gaps, f_ord = fq.max_gaps, fq.ordered
+        bt, ft = list(base_terms), list(filt_terms)
+        frel = rel
+
+        @F.pandas_udf(T.IntegerType())
+        def filtered_itf(tp: pd.Series) -> pd.Series:
+            def contains(a, b):
+                return a[0] <= b[0] and a[1] >= b[1]
+
+            def overlaps(a, b):
+                return a[0] <= b[1] and b[0] <= a[1]
+
+            def one(entries) -> int:
+                pos = {}
+                for e in entries:
+                    if isinstance(e, dict):
+                        pos[e["term"]] = np.asarray(
+                            e["positions"], dtype=np.int64)
+                    else:
+                        pos[e[0]] = np.asarray(e[1], dtype=np.int64)
+                base_iv = _find_intervals(pos, bt, b_gaps, b_ord)
+                if not base_iv:
+                    return 0
+                if all(t in pos for t in ft):
+                    filt_iv = _find_intervals(pos, ft, f_gaps, f_ord)
+                else:
+                    filt_iv = []
+                n = 0
+                for b in base_iv:
+                    if frel == "containing":
+                        ok = any(contains(b, f) for f in filt_iv)
+                    elif frel == "not_containing":
+                        ok = not any(contains(b, f) for f in filt_iv)
+                    elif frel == "contained_by":
+                        ok = any(contains(f, b) for f in filt_iv)
+                    elif frel == "not_contained_by":
+                        ok = not any(contains(f, b) for f in filt_iv)
+                    elif frel == "overlapping":
+                        ok = any(overlaps(b, f) for f in filt_iv)
+                    elif frel == "not_overlapping":
+                        ok = not any(overlaps(b, f) for f in filt_iv)
+                    elif frel == "before":
+                        ok = any(f[0] > b[1] for f in filt_iv)
+                    else:  # after
+                        ok = any(f[1] < b[0] for f in filt_iv)
+                    if ok:
+                        n += 1
+                return n
+
+            return tp.map(one).astype("int32")
+
+        base = agg.select(
+            "_docid", "norm_byte", filtered_itf(F.col("tp")).alias("itf")
+        )
+        scored = (
+            base.filter(F.col("itf") > 0)
+            .withColumn("dl", bm25.norm_decode_col(F.col("norm_byte")))
+            .withColumn(
+                "s",
+                bm25.term_score_col(
+                    F.col("itf"), F.lit(idf_sum), F.col("dl"),
+                    avgdl, self.k1, self.b,
+                ),
+            )
+        )
+        return scored.select(
+            "_docid",
+            (F.col("s").cast("double") * F.lit(float(q.boost))).alias("score"),
         )
 
     def _score_sloppy_phrase(
@@ -4255,6 +4448,22 @@ class SearchEngine:
             self.__dict__["_mapping_info_cache"] = info
         return info
 
+    def _field_resolvable(self, field: str) -> bool:
+        """Does ``field`` resolve against the docmap schema — a plain
+        column, or a dotted path through struct columns?"""
+        schema = self.docmap().schema
+        if field in schema.names:
+            return True
+        parts = field.split(".")
+        if parts[0] not in schema.names:
+            return False
+        cur = schema[parts[0]].dataType
+        for p in parts[1:]:
+            if not isinstance(cur, T.StructType) or p not in cur.names:
+                return False
+            cur = cur[p].dataType
+        return True
+
     def _scaled_factor(self, field: str):
         return self._mapping_info()["scaled"].get(field)
 
@@ -4430,6 +4639,16 @@ class SearchEngine:
                 return F.lit(True)
             return reduce(lambda a, b_: a & b_, conds)
         if isinstance(q, Q.Exists):
+            if q.field == "_source":
+                # SourceFieldMapper.existsQuery throws: _source is
+                # stored, not indexed (query_shard_exception)
+                raise ValueError(
+                    "query_shard_exception: the _source field is not "
+                    "searchable"
+                )
+            if q.field in ("_seq_no", "_version", "_index", "_id"):
+                # per-doc metadata every live document carries
+                return F.lit(True)
             if self._constant_value(q.field) is not None:
                 return F.lit(True)  # ConstantKeywordFieldType.existsQuery
             fo = self._flat_object(q.field)
@@ -4440,6 +4659,10 @@ class SearchEngine:
                         F.size(F.map_keys(F.col(parent))) > 0
                     )
                 return F.col(parent)[key].isNotNull()
+            if not self._field_resolvable(q.field):
+                # ExistsQueryBuilder on an unmapped field rewrites to
+                # MatchNoDocsQuery
+                return F.lit(False)
             return F.col(q.field).isNotNull()
         if isinstance(q, Q.GeoBoundingBox):
             lat_c, lon_c = _geo_cols(q.field)
@@ -4985,6 +5208,51 @@ def _simple_match(pattern: str, value: str) -> bool:
         pos = i + len(mid)
     last = parts[-1]
     return value.endswith(last) and len(value) - len(last) >= pos
+
+
+def _to_naive_utc(d):
+    import datetime as _dt
+
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return d
+
+
+def _parse_origin_datetime(origin: str):
+    """A distance_feature origin string -> naive-UTC datetime: date
+    math ("now-8h") or any ISO-ish form incl. space separators and
+    explicit offsets ("2018-02-01 08:00:30+00:00")."""
+    import datetime as _dt
+
+    from opensearch_spark.query import datemath
+
+    if datemath.is_date_math(origin):
+        d = datemath.resolve(origin)
+    else:
+        d = _dt.datetime.fromisoformat(origin.replace("Z", "+00:00"))
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return d
+
+
+_TIME_UNIT_NANOS = {
+    "d": 86_400_000_000_000, "h": 3_600_000_000_000,
+    "m": 60_000_000_000, "s": 1_000_000_000, "ms": 1_000_000,
+    "micros": 1_000, "nanos": 1,
+}
+
+
+def _parse_time_value(v, out_unit: str) -> float:
+    """A TimeValue string ("1h", "100000000nanos") -> millis or nanos."""
+    if isinstance(v, (int, float)):
+        ns = float(v) * (1_000_000 if out_unit == "millis" else 1)
+        return ns if out_unit == "nanos" else float(v)
+    s = str(v).strip()
+    for unit in sorted(_TIME_UNIT_NANOS, key=len, reverse=True):
+        if s.endswith(unit):
+            ns = float(s[: -len(unit)]) * _TIME_UNIT_NANOS[unit]
+            return ns if out_unit == "nanos" else ns / 1_000_000
+    raise ValueError(f"cannot parse time value {v!r}")
 
 
 def _parse_nanos(value: str, formats) -> int:

@@ -263,7 +263,8 @@ def _docvalue_fields(body) -> Optional[Dict[str, Optional[str]]]:
 # ----------------------------------------------------------- aggregations
 
 def _agg_column(spec: dict):
-    """ValuesSourceAggregationBuilder: ``field`` or ``script`` input."""
+    """ValuesSourceAggregationBuilder: ``field`` or ``script`` input;
+    ``missing`` substitutes for docs without a value."""
     if "script" in spec:
         s = spec["script"]
         if isinstance(s, str):
@@ -271,7 +272,10 @@ def _agg_column(spec: dict):
         return painless.script_expr(
             s["source"], s.get("lang"), params=s.get("params")
         )
-    return F.col(spec["field"])
+    col = F.col("`" + spec["field"] + "`")
+    if "missing" in spec:
+        col = F.coalesce(col, F.lit(spec["missing"]))
+    return col
 
 
 def _metric_exprs(kind: str, spec: dict, prefix: str, mask=None) -> List:
@@ -543,17 +547,28 @@ def _exec_top_hits(frame: DataFrame, spec: dict, engine,
     return out
 
 
-def _keyed_key_col(kind: str, spec: dict):
-    """Keyed-kind agg -> (key Column, not-null guard Column | None)."""
+def _keyed_key_col(kind: str, spec: dict, frame: Optional[DataFrame] = None):
+    """Keyed-kind agg -> (key Column, not-null guard Column | None).
+    Field names are addressed LITERALLY (backticked), so multi-field
+    sub-columns like ``date.nanos`` resolve; agg specs never address
+    struct members by dotted path (nested aggs have their own path
+    machinery)."""
     field = spec["field"]
+    phys = field
+    if frame is not None and field not in frame.columns and "." in field:
+        mangled = field.replace(".", "__dot__")
+        if mangled in frame.columns:
+            # multi-field sub-column (see mapping.typed_frame)
+            phys = mangled
+    c = F.col(f"`{phys}`")
     if kind == "terms":
         if "missing" in spec:
-            return F.coalesce(F.col(field), F.lit(spec["missing"])), None
-        return F.col(field), F.col(field).isNotNull()
+            return F.coalesce(c, F.lit(spec["missing"])), None
+        return c, c.isNotNull()
     if kind == "histogram":
         interval = float(spec["interval"])
-        key = F.floor(F.col(field).cast("double") / interval) * F.lit(interval)
-        return key, F.col(field).isNotNull()
+        key = F.floor(c.cast("double") / interval) * F.lit(interval)
+        return key, c.isNotNull()
     if kind == "date_histogram":
         cal = spec.get("calendar_interval") or spec.get("interval")
         if cal not in _CAL_TRUNC:
@@ -561,8 +576,15 @@ def _keyed_key_col(kind: str, spec: dict):
                 f"date_histogram interval {cal!r} (calendar units "
                 f"{sorted(set(_CAL_TRUNC.values()))} supported)"
             )
-        return (F.date_trunc(_CAL_TRUNC[cal], F.col(field)),
-                F.col(field).isNotNull())
+        tcol = c
+        if frame is not None and phys in frame.columns:
+            import pyspark.sql.types as _T
+
+            if isinstance(frame.schema[phys].dataType, _T.DecimalType):
+                # a date_nanos column stores epoch nanos
+                tcol = (c.cast("decimal(25,0)") / F.lit(1_000_000_000)
+                        ).cast("double").cast("timestamp")
+        return (F.date_trunc(_CAL_TRUNC[cal], tcol), c.isNotNull())
     raise NotImplementedError(kind)
 
 
@@ -627,6 +649,21 @@ def _selector_bucket(row, prefix, smetrics, extras) -> dict:
     return b
 
 
+def _decimal_format(pattern: str, value) -> str:
+    """Tiny DecimalFormat subset: the numeric subpattern ([#,0]+ with
+    an optional .0# fraction) renders the value in place, literal text
+    around it passes through ("Value is ##0.0" -> "Value is 50.0")."""
+    import re as _re
+
+    m = _re.search(r"[#0][#,0]*(\.[0#]+)?", pattern)
+    if not m:
+        return pattern
+    frac = m.group(1)
+    digits = frac.count("0") + frac.count("#") if frac else 0
+    rendered = f"%.{digits}f" % float(value)
+    return pattern[: m.start()] + rendered + pattern[m.end():]
+
+
 def _terms_order(spec, subs, key_alias: str = "key") -> List:
     """BucketOrder (TermsAggregationBuilder.order): _count/_key/sub-agg
     path, compound list supported, key-asc tie-break appended."""
@@ -639,7 +676,8 @@ def _terms_order(spec, subs, key_alias: str = "key") -> List:
         ((path, direction),) = entry.items()
         if path == "_count":
             col = "doc_count"
-        elif path == "_key":
+        elif path in ("_key", "_time"):
+            # _time: the 6.x date_histogram spelling of _key
             col = key_alias
         else:
             base = path.split(".", 1)[0]
@@ -667,7 +705,7 @@ def _exec_keyed(frame: DataFrame, kind: str, spec: dict, sub_aggs: dict,
     """
     from pyspark.sql.window import Window
 
-    key_col, nn = _keyed_key_col(kind, spec)
+    key_col, nn = _keyed_key_col(kind, spec, frame)
     f = frame if nn is None else frame.filter(nn)
     metrics, selectors, keyed_children, hits_children = _plan_children(
         sub_aggs, engine
@@ -694,6 +732,13 @@ def _exec_keyed(frame: DataFrame, kind: str, spec: dict, sub_aggs: dict,
             .filter(F.col("__rk") <= size)
         )
         rows = grouped.collect()
+    elif "order" in spec:
+        # histogram/date_histogram accept the same BucketOrder grammar
+        # (incl. the deprecated _time alias for _key)
+        rows = grouped.orderBy(
+            *[F.asc(a) for a in parent_aliases],
+            *_terms_order(spec, metrics, key_alias=galias),
+        ).collect()
     else:
         rows = grouped.orderBy(*[F.asc(a) for a in parent_aliases],
                                F.asc(galias)).collect()
@@ -722,11 +767,19 @@ def _exec_keyed(frame: DataFrame, kind: str, spec: dict, sub_aggs: dict,
         for r in sorted(prows, key=lambda x: x["__rk"]) if kind == "terms" else prows:
             raw_key = r[galias]
             if kind == "date_histogram":
-                b = {"key_as_string": str(raw_key),
-                     "key": int(raw_key.timestamp() * 1000),
+                import calendar as _cal
+
+                b = {"key_as_string": (
+                        raw_key.strftime("%Y-%m-%dT%H:%M:%S.")
+                        + f"{raw_key.microsecond // 1000:03d}Z"),
+                     "key": int(_cal.timegm(raw_key.timetuple()) * 1000
+                                + raw_key.microsecond // 1000),
                      "doc_count": int(r["doc_count"])}
             else:
                 b = {"key": raw_key, "doc_count": int(r["doc_count"])}
+                if kind == "histogram" and spec.get("format"):
+                    b["key_as_string"] = _decimal_format(
+                        spec["format"], raw_key)
             _attach_children(b, r, metrics, selectors)
             for cname, cmap in child_maps.items():
                 ckind = next(k for n, k, _s, _u in keyed_children if n == cname)
@@ -837,6 +890,28 @@ def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None,
     pipeline aggs post-process sibling bucket lists driver-side.
     ``global`` (GlobalAggregator.java) re-roots its sub-tree on
     ``full_frame`` — the whole index, ignoring the query."""
+    # unmapped-field aggregations: any referenced field absent from the
+    # frame aggregates over nulls (the reference's unmapped
+    # ValuesSource; the agg's own `missing` param then substitutes)
+    def _referenced_fields(tree: dict, out: set) -> set:
+        for _n, b in (tree or {}).items():
+            if not isinstance(b, dict):
+                continue
+            for k, v in b.items():
+                if k in ("aggs", "aggregations"):
+                    _referenced_fields(v, out)
+                elif isinstance(v, dict) and isinstance(v.get("field"), str):
+                    out.add(v["field"])
+        return out
+
+    for f in _referenced_fields(aggs_spec, set()):
+        if f not in frame.columns and "." not in f:
+            frame = frame.withColumn(f, F.lit(None).cast("double"))
+            if full_frame is not None and f not in full_frame.columns:
+                full_frame = full_frame.withColumn(
+                    f, F.lit(None).cast("double")
+                )
+
     metric_plan, bucket_plan, pipe_plan, global_plan = [], [], [], []
     special_plan = []
     for name, body in aggs_spec.items():
@@ -937,6 +1012,12 @@ def run_aggs(frame: DataFrame, aggs_spec: dict, engine=None,
             }
     for name, kind, spec in pipe_plan:
         results[name] = _run_pipeline(kind, spec, results)
+    # meta passthrough (AggregationBuilder.setMetadata: echoed verbatim
+    # on the agg's response object)
+    for name, body in aggs_spec.items():
+        if isinstance(body, dict) and "meta" in body and \
+                isinstance(results.get(name), dict):
+            results[name]["meta"] = body["meta"]
     return results
 
 
@@ -1143,7 +1224,7 @@ def search_request(engine, body: dict) -> dict:
             must=[q], filter=[Q.from_dict(body["post_filter"])]
         )
 
-    total = engine.total_hits(q, track)
+    total = None if track is False else engine.total_hits(q, track)
 
     rows: List = []
     collapse_inner = None  # (name, field, {group_key: [inner rows]})
@@ -1332,12 +1413,15 @@ def search_request(engine, body: dict) -> dict:
         "took": int((time.monotonic() - t0) * 1000),
         "timed_out": False,
         "hits": {
-            "total": total,
             "max_score": max((h["_score"] for h in hits
                               if h["_score"] is not None), default=None),
             "hits": hits,
         },
     }
+    if total is not None:
+        # track_total_hits=false omits the total object entirely
+        # (SearchResponseSections renders no total in that case)
+        resp["hits"]["total"] = total
     if body.get("profile"):
         resp["profile"] = engine.profile(q, size=max(size, 1))
     if body.get("suggest"):
@@ -1379,6 +1463,12 @@ def msearch_request(engine, bodies: Sequence[dict]) -> dict:
 def count_request(engine, body: Optional[dict] = None) -> dict:
     """``_count`` (RestCountAction): exact match count for the body's
     query (default match_all), reference response shape."""
+    unknown = set(body or ()) - {"query"}
+    if unknown:
+        # RestCountAction rejects any root element other than `query`
+        raise ValueError(
+            f"request does not support {sorted(unknown)}"
+        )
     q = Q.from_dict((body or {}).get("query", {"match_all": {}}))
     return {"count": int(engine.count(q)),
             "_shards": {"total": 1, "successful": 1, "skipped": 0,

