@@ -29,6 +29,9 @@ FILES = [
     "explain/10_basic.yml",
     "search.aggregation/10_histogram.yml",
     "search.aggregation/100_avg_metric.yml",
+    "msearch/10_basic.yml",
+    "search/50_multi_match.yml",
+    "search/60_query_string.yml",
 ]
 
 # individual spec tests that exercise surface we deliberately don't

@@ -45,6 +45,15 @@ class CaughtError(Exception):
     pass
 
 
+class IndexNotFound(KeyError):
+    def __init__(self, name):
+        super().__init__(name)
+        self.index = name
+
+    def __str__(self):
+        return f"no such index [{self.index}]"
+
+
 def load_file(rel: str) -> List[tuple]:
     """-> [(test_name, steps)] with the file's setup steps prepended
     to every test (the spec framework re-runs setup per test)."""
@@ -328,24 +337,96 @@ class Runner:
         return idx.engine
 
     def _targets(self, spec) -> List[_Index]:
+        import fnmatch as _fn
+
         if spec in (None, "_all", "*", ""):
             return [self.indices[k] for k in sorted(self.indices)]
         if isinstance(spec, str):
             spec = spec.split(",")
         out = []
         for name in spec:
+            if "*" in name or "?" in name:
+                out.extend(self.indices[k] for k in sorted(self.indices)
+                           if _fn.fnmatchcase(k, name))
+                continue
             if name not in self.indices:
-                raise KeyError(f"no such index {name}")
+                raise IndexNotFound(name)
             out.append(self.indices[name])
-        return out
+        # de-dup (aliases may point at the same index)
+        seen, uniq = set(), []
+        for idx in out:
+            if id(idx) not in seen:
+                seen.add(id(idx))
+                uniq.append(idx)
+        return uniq
 
     # ---- search / count
 
     _SEARCH_KEYS = {"index", "body", "rest_total_hits_as_int",
                     "typed_keys", "size", "from"}
 
+    def _do_msearch(self, args: dict) -> None:
+        if args.get("rest_total_hits_as_int"):
+            # RestMultiSearchAction applies the same validation per line
+            for it in args["body"]:
+                item = json.loads(it) if isinstance(it, str) else it
+                t = item.get("track_total_hits") if isinstance(item, dict) \
+                    else None
+                if isinstance(t, int) and not isinstance(t, bool):
+                    raise ValueError(
+                        "[rest_total_hits_as_int] cannot be used if the "
+                        f"tracking of total hits is not accurate, got {t}")
+        lines = args["body"]
+        items = [json.loads(ln) if isinstance(ln, str) else ln
+                 for ln in lines]
+        responses = []
+        i = 0
+        while i < len(items):
+            header, mbody = items[i], items[i + 1]
+            i += 2
+            try:
+                per = []
+                for idx in self._targets(header.get("index")):
+                    eng = self._engine(idx)
+                    per.append((
+                        idx.name,
+                        restapi.search_request(eng, mbody)
+                        if eng is not None else None,
+                    ))
+                r = self._merge(per, mbody)
+                r["status"] = 200
+                responses.append(r)
+            except Unsupported:
+                raise
+            except Exception as e:
+                # per-item error isolation, like MultiSearchResponse
+                etype = ("index_not_found_exception"
+                         if isinstance(e, IndexNotFound)
+                         else type(e).__name__.lower())
+                cause = {"type": etype, "reason": str(e)}
+                if isinstance(e, IndexNotFound):
+                    cause["index"] = e.index
+                responses.append({"error": {
+                    "type": etype, "reason": str(e),
+                    "root_cause": [cause],
+                }, "status": 400})
+        if args.get("rest_total_hits_as_int"):
+            for r in responses:
+                t = r.get("hits", {}).get("total")
+                if isinstance(t, dict):
+                    r["hits"]["total"] = t["value"]
+        self.last = {"responses": responses}
+
     def _do_search(self, args: dict) -> None:
         body = dict(args.get("body") or {})
+        uri_q = args.pop("q", None)
+        if uri_q is not None:
+            # URI search: q compiles to a query_string query
+            qs = {"query": uri_q}
+            df_field = args.pop("df", None)
+            if df_field:
+                qs["default_field"] = df_field
+            body["query"] = {"query_string": qs}
         # URI-parameter spellings -> their body equivalents
         if "track_total_hits" in args:
             body["track_total_hits"] = args.pop("track_total_hits")
